@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship query: the full borsa history pipeline
+  (monotonic gate -> daily resample -> priority merge -> attribution flags)
+  over the sf0.001 events feed.
+- ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+  SURVEY.md §2, declared in borsa_spark.queries with a DuckDB oracle each.
 """
 
 from __future__ import annotations
@@ -13,26 +13,59 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: merged multi-provider daily series with provider attribution."""
+    from pyspark.sql import functions as F
+
+    from borsa_spark.operators import (
+        build_attribution,
+        merge_history,
+        monotonic_gate,
+        resample_to_daily,
+    )
+    from borsa_spark.sources import load_table
+
+    ev = load_table(spark, SF0001, "events")
+    candles = ev.select(
+        F.concat(F.lit("prov"), (F.col("user_id") % 2).cast("string")).alias(
+            "provider"
+        ),
+        F.col("event_type").alias("symbol"),
+        F.lit("EQUITY").alias("kind"),
+        F.col("ts"),
+        F.col("value").cast("decimal(38,9)").alias("open"),
+        F.col("value").cast("decimal(38,9)").alias("high"),
+        F.col("value").cast("decimal(38,9)").alias("low"),
+        F.col("value").cast("decimal(38,9)").alias("close"),
+        F.lit(None).cast("decimal(38,9)").alias("close_unadj"),
+        F.lit(1).cast("long").alias("volume"),
+        F.lit("USD").alias("currency"),
+        F.lit(True).alias("adjusted"),
+        F.lit(None).cast("string").alias("timezone"),
+        F.lit(None).cast("long").alias("utc_offset_seconds"),
+        F.col("event_id").alias("seq"),
+    )
+    gated = monotonic_gate(candles, key="symbol", order_col="seq")
+    daily = resample_to_daily(gated)
+    merged, _, _flags = merge_history(daily, priorities={"prov0": 0, "prov1": 1})
+    attr = build_attribution(merged)
+    return merged.join(
+        attr.select("symbol", "provider", "run_idx"),
+        ["symbol", "provider"],
+        "left_semi",
+    ).orderBy("symbol", "ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from borsa_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from borsa_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,75 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (df.count() after a foreach-style
+materialization via write-to-noop is overkill locally; count() forces the
+full plan incl. aggregations/joins/windows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: relational core, time-series ops, dedup/similarity pipeline.
+HEADLINE = [
+    "rel_q1_pricing_summary",
+    "rel_q3_top_orders",
+    "rel_q5_region_revenue",
+    "rel_q6_revenue_filter",
+    "a2_ohlc_daily",
+    "a4_ohlc_hourly",
+    "j1_merge_first_wins",
+    "a9_attribution_spans",
+    "p7_monotonic_gate",
+    "s3_latest_quote",
+    "f1_exact_dedup",
+    "f2_text_stats",
+    "f7_minhash_dedup_pairs",
+    "f8_simhash",
+    "f10_cosine_topk",
+    "f11_lsh_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from borsa_spark.queries import QUERIES
+    from borsa_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM/codegen path so per-query numbers measure the plan, not
+    # first-touch class loading.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB):
+- Exact dedup is a hash-groupBy on md5(text) — one shuffle keyed by digest,
+  perfectly balanced.
+- Jaccard/MinHash/SimHash all start from word shingles: explode -> narrow.
+- The candidate-generation joins are *equi-joins on band/bucket keys* (LSH
+  bands, simhash bytes), never O(n^2): each band join shuffles on the band
+  key, and verification runs only on candidate pairs.
+- Hashing is md5-based (bit-identical in every engine — portable to the
+  DuckDB oracle) mapped into int64, then affine permutations mod a Mersenne
+  prime. All arithmetic stays in int64 (a*x with x pre-reduced mod p keeps
+  products < 2^62), exact in both engines. All JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1; affine coefficients from a fixed LCG (seed 42,
+#: constants from Numerical Recipes) so Spark and SQL use identical values.
+MINHASH_P = 2_147_483_647
+NUM_HASHES = 12
+LSH_BANDS = 3
+LSH_ROWS = 4  # NUM_HASHES = LSH_BANDS * LSH_ROWS
+
+
+def _lcg_coefficients(n: int = NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (1_664_525 * state + 1_013_904_223) % (1 << 32)
+        a = state % (MINHASH_P - 1) + 1
+        state = (1_664_525 * state + 1_013_904_223) % (1 << 32)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _lcg_coefficients()
+
+
+def token_hash64(col: Column) -> Column:
+    """Portable 60-bit integer hash of a string: int(md5[:15], 16).
+
+    md5 is bit-identical across engines; 15 hex chars keep the value under
+    2^60 (fits int64 in both). SQL equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_token_hash64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def exact_dedup_map(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct text with the canonical (min) id.
+
+    (text_hash, canonical_id, n_copies). Keep-first semantics mirror the
+    reference's first-wins identity dedup (merge.rs dedup_actions shape).
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than n words yield no shingles.
+    """
+    words = F.split(F.col(text_col), " ")
+    # guard: sequence(1, 0) in Spark yields a *descending* [1, 0], not empty
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def sql_shingles(n: int = 3, table: str = "documents",
+                 text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB CTE body mirroring shingles().
+
+    generate_series(1, 0) is an empty list in DuckDB, so <n-word docs yield
+    no shingles (same as the Spark guard).
+    """
+    parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    return f"""
+      SELECT DISTINCT id, shingle FROM (
+        SELECT {id_col} AS id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(w) - {n - 1}, 0)),
+                 i -> {parts})) AS shingle
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS w
+              FROM {table}) s) u
+    """
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs from a shingle table.
+
+    Self-equi-join on shingle (intersection counts), then
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. (id_a < id_b.)
+    At 100 TB, prepend an LSH band join (minhash_candidates) to bound the
+    pair space; this exact verifier then runs only on candidates.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
+    """MinHash signatures: (id, h0..h{NUM_HASHES-1}).
+
+    h_i = min over shingles of ((a_i * t + b_i) mod p), t = md5-int64 mod p.
+    """
+    t = token_hash64(F.col("shingle")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * t + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def sql_minhash_signature(shingle_cte: str = "sh") -> str:
+    t = f"({sql_token_hash64('shingle')} % {MINHASH_P})"
+    cols = ", ".join(
+        f"min(({a} * {t} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"SELECT id, {cols} FROM {shingle_cte} GROUP BY id"
+
+
+def lsh_band_keys(sig: DataFrame) -> DataFrame:
+    """Explode signatures into (id, band, band_key) for the banded LSH join."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"))
+        )
+    return (
+        sig.select("id", F.explode(F.array(*bands)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    )
+
+
+def minhash_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band (id_a < id_b)."""
+    bk = lsh_band_keys(sig)
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> signature -> banded
+    candidates -> exact-Jaccard verification (>= threshold)."""
+    sh = shingles(df, n, text_col, id_col)
+    cands = minhash_candidates(minhash_signature(sh))
+    verified = jaccard_pairs(sh, threshold)
+    return cands.join(verified, ["id_a", "id_b"], "inner")
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(sh: DataFrame) -> DataFrame:
+    """32-bit SimHash per document from shingle hashes: (id, simhash).
+
+    bit_j = 1 iff sum over shingles of (2*((t >> j) & 1) - 1) > 0.
+    One groupBy with 32 conditional-sum aggregates — no row blowup.
+    """
+    t = token_hash64(F.col("shingle"))
+    aggs = [
+        F.sum(F.shiftright(t, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_bit = sh.groupBy("id").agg(*aggs)
+    val = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        val = val + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return per_bit.select("id", val.alias("simhash"))
+
+
+def sql_simhash(shingle_cte: str = "sh") -> str:
+    t = sql_token_hash64("shingle")
+    sums = ", ".join(
+        f"sum((({t} >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT id, ({val})::BIGINT AS simhash FROM "
+        f"(SELECT id, {sums} FROM {shingle_cte} GROUP BY id) pb"
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band candidate join (4 bands of 8
+    bits — any shared band) then exact hamming filter. (id_a < id_b.)"""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+                 .alias("key"))
+        for b in range(4)
+    ])
+    bk = sim.select("id", "simhash", F.explode(bands).alias("bk")).select(
+        "id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,147 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+LSH-bucketed / block-partitioned ANN (the scale path).
+
+Numeric determinism: embeddings are float32; every product of two float32
+values is *exact* in float64 (24-bit mantissas, 48 < 53), so cross-engine
+differences come only from summation-order rounding (~1e-14 relative) —
+results are rounded to 4 decimals and ranked with id tie-breaks, making the
+DuckDB oracle comparison stable.
+
+Scale design (100 TB of embeddings):
+- brute-force is the correctness baseline and the in-bucket kernel;
+- `hyperplane_bucket` assigns each vector an LSH signature from fixed random
+  hyperplanes — candidates join on the bucket key (equi-join, shuffle on
+  bucket), turning O(n^2) into O(n * bucket_size);
+- block-partitioned variants (e.g. by `label`, an IVF-style coarse cluster
+  id) bound each cosine join to its block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def _d(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in float64 (exact per-element products)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_emb: str = "q_emb",
+    c_emb: str = "c_emb",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query by cosine (query side is
+    broadcast — the corpus scan never shuffles). Rank on rounded similarity
+    with id tie-break for cross-engine determinism."""
+    sim = F.round(cosine(F.col(q_emb), F.col(c_emb)), 4)
+    j = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(c_id).asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) bucketing
+# ---------------------------------------------------------------------------
+
+
+def _lcg_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (LCG -> uniform in [-1, 1]), embedded
+    as literals in both the Spark plan and the SQL oracle."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1_664_525 * state + 1_013_904_223) % (1 << 32)
+            row.append(round(state / float(1 << 31) - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit b = 1 iff dot(emb, plane_b) > 0."""
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(dot(emb, p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def sql_hyperplane_bucket(emb_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB SQL mirroring hyperplane_bucket (list_dot_product on DOUBLE[])."""
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb_sql}::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within LSH buckets: bucket assignment -> same-bucket
+    equi-join -> in-bucket brute-force rank. Approximate (misses cross-bucket
+    neighbors) but every stage is a bounded equi-join at scale."""
+    with_b = vectors.select(
+        F.col(id_col), F.col(emb_col),
+        hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    a = with_b.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"), "bucket"
+    )
+    b = with_b.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), "bucket"
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4)
+    j = (
+        a.join(b, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine_sim", "rank")
+    )

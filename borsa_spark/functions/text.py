@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column expressions are built-in pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each has an exact ANSI-SQL
+equivalent (declared in borsa_spark.queries) so the DuckDB oracle can verify
+it; at 100 TB these run as a single scan + narrow projection with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small per-language stopword sets for the n-gram/stopword language
+#: heuristic. Order matters: ties resolve to the earlier language.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+#: word-ish tokens: letter runs, digit runs, or single punctuation — a
+#: BPE-ish pre-tokenizer shape expressible as one portable regex.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split; empty tokens preserved so the
+    count matches the SQL string_split exactly)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """Count of TOKEN_REGEX matches — the BPE-ish token estimate."""
+    return F.regexp_count(F.lower(text), F.lit(TOKEN_REGEX))
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_CLASS))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: t.isin(*STOPWORDS[lang]))
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties go to the earlier language
+    in STOPWORDS order. Deterministic, fully JVM-side."""
+    hits = {lg: stopword_hits(text, lg) for lg in STOPWORDS}
+    langs = list(STOPWORDS)
+    expr = F.lit(langs[-1])
+    for lg in reversed(langs[:-1]):
+        cond = None
+        for other in langs[langs.index(lg) + 1:]:
+            c = hits[lg] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column, target_tokens: int = 50) -> Column:
+    """Length-saturation × lexical-diversity score in [0, 1] — the classic
+    cheap pretraining-quality heuristic (length + repetition)."""
+    return F.round(
+        F.least(F.lit(1.0), token_count(text) / F.lit(float(target_tokens)))
+        * distinct_token_ratio(text),
+        4,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the punctuation-stripped,
+    lower-cased text. Stable across engines (md5 is bit-identical)."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""))
+
+
+def sql_stopword_hits(text_sql: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower({text_sql}), ' '), "
+        f"t -> t IN ({words})))"
+    )
+
+
+def sql_lang_guess(text_sql: str) -> str:
+    """DuckDB SQL mirroring lang_guess()."""
+    langs = list(STOPWORDS)
+    hits = {lg: sql_stopword_hits(text_sql, lg) for lg in langs}
+    case = f"'{langs[-1]}'"
+    for lg in reversed(langs[:-1]):
+        conds = " AND ".join(
+            f"{hits[lg]} >= {hits[o]}" for o in langs[langs.index(lg) + 1:]
+        )
+        case = f"CASE WHEN {conds} THEN '{lg}' ELSE {case} END"
+    return case

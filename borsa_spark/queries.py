@@ -1,0 +1,766 @@
+"""Correctness-gate query registry: every implemented operator from
+SURVEY.md §2 declared as a (Spark DataFrame fn, DuckDB oracle SQL) pair over
+the driver's test tables.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash with columns sorted by name):
+- every computed column is aliased identically in Spark and SQL;
+- timestamps are emitted as BIGINT epoch seconds/micros (cross-engine
+  timestamp hashing is repr-sensitive; integers are not);
+- double aggregates are rounded (2 decimals for sums of 2-decimal inputs,
+  4 for ratios) — per-element values are bit-identical across engines, only
+  accumulated rounding differs, which sits ~1e-12 from the rounded value;
+- first/last picks use unique ordering keys (events.ts is globally unique;
+  composite tie-breaks on event_id are applied wherever ties are possible).
+
+The events table doubles as the market-data stream for domain operators:
+symbol := event_type, provider := 'prov' || (user_id % 3) with priority =
+user_id % 3, price := value, arrival order := event_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from borsa_spark.operators import (
+    build_attribution,
+    estimate_step_seconds,
+    monotonic_gate,
+)
+from borsa_spark.operators.merge import merge_candles
+from borsa_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans S1-S8, filters P-family, joins, aggregations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)::BIGINT                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter pushdown + 8-agg groupBy (SURVEY §2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           epoch(o.o_orderdate)::BIGINT AS orderdate_ts,
+           o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def rel_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + top-k. The customer dim is broadcast —
+    at 100 TB the fact-side scan never shuffles for this join."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_ts"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "rel_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def rel_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dims broadcast, one shuffle for
+    the final groupBy."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "rel_q6_revenue_filter",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def rel_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg; every predicate reaches the
+    parquet scan (PushedFilters)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain operators over the events stream table
+# ---------------------------------------------------------------------------
+
+_EVENTS_CANDLES_DOC = """events -> candle feed: symbol=event_type,
+provider='prov'||user_id%3 (priority=user_id%3), price=value, seq=event_id."""
+
+
+def _event_candles(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        F.col("event_type").alias("symbol"),
+        F.concat(F.lit("prov"), (F.col("user_id") % 3).cast("string")).alias(
+            "provider"
+        ),
+        (F.col("user_id") % 3).cast("long").alias("priority"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+_OHLC_ORACLE = """
+    WITH e AS (
+      SELECT event_type AS symbol, {bucket} AS bucket, ts, value,
+             row_number() OVER (PARTITION BY event_type, {bucket} ORDER BY ts ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY event_type, {bucket} ORDER BY ts DESC) AS rn_z
+      FROM events
+    )
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           round(max(value), 2)  AS high,
+           round(min(value), 2)  AS low,
+           max(CASE WHEN rn_z = 1 THEN value END) AS close,
+           count(*)::BIGINT      AS n_bars,
+           round(sum(value), 2)  AS sum_value
+    FROM e GROUP BY symbol, bucket
+"""
+
+
+def _ohlc(spark: SparkSession, sf: str, trunc: str) -> DataFrame:
+    ev = _event_candles(spark, sf)
+    ord_key = F.struct(F.col("ts"), F.col("seq"))
+    return (
+        ev.groupBy("symbol", F.date_trunc(trunc, "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count("*").alias("n_bars"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "symbol",
+            F.unix_timestamp("bucket").alias("bucket_ts"),
+            "open", "high", "low", "close", "n_bars", "sum_value",
+        )
+    )
+
+
+@query("a2_ohlc_daily", _OHLC_ORACLE.format(bucket="date_trunc('day', ts)"))
+def a2_ohlc_daily(spark, sf):
+    """A1/A2: daily OHLCV bucket aggregation over the events feed."""
+    return _ohlc(spark, sf, "day")
+
+
+@query("a4_ohlc_hourly", _OHLC_ORACLE.format(bucket="date_trunc('hour', ts)"))
+def a4_ohlc_hourly(spark, sf):
+    """A1/A4: minute-family (60m) bucket aggregation."""
+    return _ohlc(spark, sf, "hour")
+
+
+@query("a3_ohlc_weekly", _OHLC_ORACLE.format(bucket="date_trunc('week', ts)"))
+def a3_ohlc_weekly(spark, sf):
+    """A1/A3: Monday-start weekly buckets (both engines truncate to Monday)."""
+    return _ohlc(spark, sf, "week")
+
+
+_MERGE_ORACLE_BODY = """
+      SELECT event_type AS symbol,
+             date_trunc('minute', ts) AS bucket,
+             (user_id % 3)::BIGINT AS provider_rank,
+             value, event_id,
+             row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                                ORDER BY (user_id % 3) ASC, event_id ASC) AS rn
+      FROM events
+"""
+
+_MERGE_ORACLE = f"""
+    WITH ranked AS ({_MERGE_ORACLE_BODY})
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts, provider_rank,
+           value, event_id
+    FROM ranked WHERE rn = 1
+"""
+
+
+def _minute_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """Minute-bucketed first-wins merge via the real merge operator."""
+    ev = _event_candles(spark, sf)
+    candles = ev.select(
+        "symbol",
+        "provider",
+        "priority",
+        F.date_trunc("minute", "ts").alias("ts"),
+        "value",
+        F.col("seq"),
+    )
+    return merge_candles(
+        candles.withColumn("close_unadj", F.lit(None).cast("decimal(38,9)"))
+    )
+
+
+@query("j1_merge_first_wins", _MERGE_ORACLE)
+def j1_merge_first_wins(spark, sf):
+    """J1/W2: priority-keyed union-merge — first (highest-priority) provider
+    wins per (symbol, minute); within a provider, first by arrival (seq).
+    Implemented with the engine's merge_candles operator (explicit
+    row_number over (priority, seq) — deterministic under parallelism)."""
+    m = _minute_merged(spark, sf)
+    return m.select(
+        "symbol",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        F.col("priority").alias("provider_rank"),
+        "value",
+        F.col("seq").alias("event_id"),
+    )
+
+
+@query(
+    "a9_attribution_spans",
+    f"""
+    WITH ranked AS ({_MERGE_ORACLE_BODY}),
+    merged AS (SELECT symbol, bucket, provider_rank FROM ranked WHERE rn = 1),
+    chg AS (
+      SELECT symbol, bucket, provider_rank,
+             CASE WHEN lag(provider_rank) OVER (PARTITION BY symbol ORDER BY bucket)
+                       IS DISTINCT FROM provider_rank THEN 1 ELSE 0 END AS c
+      FROM merged),
+    runs AS (
+      SELECT symbol, bucket, provider_rank,
+             sum(c) OVER (PARTITION BY symbol ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS run_idx
+      FROM chg)
+    SELECT symbol, run_idx::BIGINT AS run_idx, provider_rank,
+           epoch(min(bucket))::BIGINT AS span_start,
+           epoch(max(bucket))::BIGINT AS span_end,
+           count(*)::BIGINT AS n_candles
+    FROM runs GROUP BY symbol, run_idx, provider_rank
+    """,
+)
+def a9_attribution_spans(spark, sf):
+    """A9/W4: provider span RLE over the merged series, via the engine's
+    build_attribution operator (lag -> change-flag -> run-id -> groupBy)."""
+    m = _minute_merged(spark, sf).withColumn(
+        "provider_rank", F.col("priority")
+    )
+    attr = build_attribution(
+        m.select("symbol", "ts", F.col("provider_rank").alias("provider"))
+    )
+    return attr.select(
+        "symbol",
+        F.col("run_idx").cast("long").alias("run_idx"),
+        F.col("provider").alias("provider_rank"),
+        F.unix_timestamp("span_start").alias("span_start"),
+        F.unix_timestamp("span_end").alias("span_end"),
+        "n_candles",
+    )
+
+
+@query(
+    "p7_monotonic_gate",
+    """
+    WITH arr AS (
+      SELECT event_id, user_id, ts,
+             (event_id * 2654435761) % 4294967296 AS arrival
+      FROM events),
+    g AS (
+      SELECT event_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY arrival
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM arr)
+    SELECT event_id FROM g WHERE hwm IS NULL OR ts >= hwm
+    """,
+)
+def p7_monotonic_gate(spark, sf):
+    """P7/T8: drop-older-keep-equal monotonic gate (batch analog). Arrival
+    order is a deterministic Knuth-hash permutation of event_id so the feed
+    is genuinely out-of-order (the raw table is ts-sorted)."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "arrival", (F.col("event_id") * 2654435761) % 4294967296
+    )
+    return monotonic_gate(
+        ev, key="user_id", order_col="arrival", ts_col="ts"
+    ).select("event_id")
+
+
+@query(
+    "o6_interval_infer",
+    """
+    WITH td AS (SELECT DISTINCT event_type, ts FROM events),
+    d0 AS (
+      SELECT event_type,
+             floor(epoch(ts))::BIGINT
+               - lag(floor(epoch(ts))::BIGINT)
+                 OVER (PARTITION BY event_type ORDER BY ts) AS delta
+      FROM td),
+    pos AS (SELECT event_type, delta FROM d0 WHERE delta > 0),
+    counts AS (SELECT event_type, delta, count(*) AS n FROM pos GROUP BY 1, 2),
+    best AS (SELECT event_type, max(n) AS maxn FROM counts GROUP BY 1),
+    cands AS (
+      SELECT c.event_type, count(*) AS n_cands, min(c.delta) AS mode_delta
+      FROM counts c JOIN best b ON c.event_type = b.event_type AND c.n = b.maxn
+      GROUP BY 1),
+    med AS (
+      SELECT event_type, delta AS median_delta FROM (
+        SELECT event_type, delta,
+               row_number() OVER (PARTITION BY event_type ORDER BY delta) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM pos) t
+      WHERE rn = cast(floor((n + 1) / 2.0) AS BIGINT))
+    SELECT c.event_type AS symbol,
+           (CASE WHEN c.n_cands = 1 THEN c.mode_delta
+                 ELSE m.median_delta END)::BIGINT AS step_seconds
+    FROM cands c JOIN med m ON c.event_type = m.event_type
+    """,
+)
+def o6_interval_infer(spark, sf):
+    """O6: modal / lower-median step inference via estimate_step_seconds."""
+    ev = _event_candles(spark, sf)
+    return estimate_step_seconds(ev, key="symbol")
+
+
+@query(
+    "s3_latest_quote",
+    """
+    SELECT user_id, event_id, value AS price
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def s3_latest_quote(spark, sf):
+    """S3: point-in-time quote lookup = latest row per key (window rank)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("value").alias("price"))
+    )
+
+
+@query(
+    "p5_adjusted_preference",
+    """
+    WITH f AS (
+      SELECT event_id, event_type,
+             (user_id % 2 = 0) AS adjusted,
+             max(user_id % 2 = 0) OVER (PARTITION BY event_type) AS any_adj
+      FROM events)
+    SELECT event_id FROM f WHERE adjusted = any_adj
+    """,
+)
+def p5_adjusted_preference(spark, sf):
+    """P5: prefer-adjusted filter — if any contributing source is adjusted,
+    keep only adjusted rows (history.rs:188-203 semantics on a synthetic
+    adjusted flag user_id%2=0)."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "adjusted", F.col("user_id") % 2 == 0
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("any_adj", F.max("adjusted").over(w))
+        .filter(F.col("adjusted") == F.col("any_adj"))
+        .select("event_id")
+    )
+
+
+@query(
+    "s12_download_summary",
+    """
+    SELECT event_type AS symbol,
+           count(*)::BIGINT AS n_bars,
+           floor(epoch(min(ts)))::BIGINT AS first_ts,
+           floor(epoch(max(ts)))::BIGINT AS last_ts,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s12_download_summary(spark, sf):
+    """S12: bulk multi-symbol download -> per-symbol aggregate report."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count("*").alias("n_bars"),
+        F.unix_timestamp(F.min("ts")).alias("first_ts"),
+        F.unix_timestamp(F.max("ts")).alias("last_ts"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (functions.text)
+# ---------------------------------------------------------------------------
+
+from borsa_spark.functions import dedup as _dd  # noqa: E402
+from borsa_spark.functions import similarity as _sim  # noqa: E402
+from borsa_spark.functions import text as _tx  # noqa: E402
+
+
+@query(
+    "f1_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS canonical_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def f1_exact_dedup(spark, sf):
+    """Exact dedup: hash-groupBy on md5(text), canonical = min id."""
+    return _dd.exact_dedup_map(load_table(spark, sf, "documents"))
+
+
+@query(
+    "f2_text_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(regexp_extract_all(lower(text), '{_tx.TOKEN_REGEX}'))::BIGINT
+             AS n_regex_tokens,
+           len(regexp_extract_all(text, '{_tx.PUNCT_CLASS}'))::BIGINT AS n_punct,
+           round(len(list_distinct(string_split(text, ' ')))
+                 * 1.0 / len(string_split(text, ' ')), 4) AS distinct_ratio,
+           round(least(1.0, len(string_split(text, ' ')) / 50.0)
+                 * (len(list_distinct(string_split(text, ' ')))
+                    * 1.0 / len(string_split(text, ' '))), 4) AS quality_score
+    FROM documents
+    """,
+)
+def f2_text_stats(spark, sf):
+    """Token counting (whitespace + BPE-ish regex), punctuation ratio,
+    lexical diversity, quality score — all JVM-side expressions."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        _tx.token_count(t).cast("long").alias("n_tokens"),
+        _tx.regex_token_count(t).cast("long").alias("n_regex_tokens"),
+        _tx.punct_count(t).cast("long").alias("n_punct"),
+        F.round(_tx.distinct_token_ratio(t), 4).alias("distinct_ratio"),
+        _tx.quality_score(t).alias("quality_score"),
+    )
+
+
+@query(
+    "f3_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def f3_fingerprint(spark, sf):
+    """Document fingerprinting: md5 of normalized text."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", _tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "f4_lang_guess",
+    f"""
+    SELECT doc_id, {_tx.sql_lang_guess('text')} AS lang_guess FROM documents
+    """,
+)
+def f4_lang_guess(spark, sf):
+    """Language-ID heuristic: argmax of per-language stopword hits."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", _tx.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup (functions.dedup)
+# ---------------------------------------------------------------------------
+
+_SH_CTE = _dd.sql_shingles(3)
+
+_JACCARD_SQL = f"""
+    WITH sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+@query("f5_ngram_jaccard_pairs", _JACCARD_SQL)
+def f5_ngram_jaccard_pairs(spark, sf):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    sh = _dd.shingles(load_table(spark, sf, "documents"), 3)
+    return _dd.jaccard_pairs(sh, 0.5)
+
+
+_SIG_SQL = _dd.sql_minhash_signature("sh")
+
+
+def _sql_band_selects() -> str:
+    parts = []
+    for b in range(_dd.LSH_BANDS):
+        key = " || '_' || ".join(
+            f"h{b * _dd.LSH_ROWS + r}::VARCHAR" for r in range(_dd.LSH_ROWS)
+        )
+        parts.append(f"SELECT id, {b} AS band, {key} AS band_key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "f6_minhash_signature",
+    f"""
+    WITH sh AS ({_SH_CTE})
+    {_SIG_SQL}
+    """,
+)
+def f6_minhash_signature(spark, sf):
+    """MinHash signatures (12 portable affine-permutation hashes)."""
+    sh = _dd.shingles(load_table(spark, sf, "documents"), 3)
+    return _dd.minhash_signature(sh)
+
+
+@query(
+    "f7_minhash_dedup_pairs",
+    f"""
+    WITH sh AS ({_SH_CTE}),
+    sig AS ({_SIG_SQL}),
+    bands AS ({_sql_band_selects()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)
+    SELECT c.id_a, c.id_b, v.jaccard
+    FROM cand c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+)
+def f7_minhash_dedup_pairs(spark, sf):
+    """MinHash+LSH near-dup pipeline: banded candidates verified by exact
+    Jaccard — candidate generation is equi-joins only (scale path)."""
+    return _dd.minhash_dedup_pairs(load_table(spark, sf, "documents"), 3, 0.5)
+
+
+@query(
+    "f8_simhash",
+    f"""
+    WITH sh AS ({_SH_CTE})
+    {_dd.sql_simhash('sh')}
+    """,
+)
+def f8_simhash(spark, sf):
+    """32-bit SimHash per document from shingle hashes."""
+    sh = _dd.shingles(load_table(spark, sf, "documents"), 3)
+    return _dd.simhash(sh)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search (functions.similarity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f10_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    sims AS (
+      SELECT q_id, c_id,
+             round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 4)
+               AS cosine_sim
+      FROM q, c WHERE q_id != c_id)
+    SELECT q_id, c_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine_sim DESC, c_id ASC) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def f10_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 for the first 10 vectors (ANN baseline)."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    out = _sim.brute_force_topk(q, c, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_PLANES = _sim._lcg_planes(8, 64)
+
+
+@query(
+    "f11_lsh_ann_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sim.sql_hyperplane_bucket('embedding', _PLANES)} AS bucket
+      FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 4) AS cosine_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id)
+    SELECT q_id, c_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine_sim DESC, c_id ASC) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def f11_lsh_ann_topk(spark, sf):
+    """LSH-bucketed ANN top-5: 8 fixed hyperplanes -> 256 buckets ->
+    in-bucket brute force. The scale path (equi-join on bucket)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = _sim.lsh_topk(emb, _PLANES, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
