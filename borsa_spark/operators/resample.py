@@ -120,11 +120,14 @@ def _saturated(total: Column) -> Column:
     )
 
 
-def _resample_by(df: DataFrame, bucket: Column) -> DataFrame:
+def _resample_by(
+    df: DataFrame, bucket: Column, keys: list[str] | None = None
+) -> DataFrame:
+    keys = SERIES_KEYS if keys is None else keys
     ord_key = F.struct(F.col("ts"), F.coalesce(F.col("seq"), F.lit(0)))
     agg = (
         df.withColumn("__bucket", bucket)
-        .groupBy(*SERIES_KEYS, "__bucket")
+        .groupBy(*keys, "__bucket")
         .agg(
             F.min_by("open", ord_key).alias("open"),
             F.max("high").alias("high"),
@@ -143,40 +146,47 @@ def _resample_by(df: DataFrame, bucket: Column) -> DataFrame:
         .withColumnRenamed("__bucket", "ts")
     )
     return agg.select(
-        "provider", "symbol", "kind", "ts", "open", "high", "low", "close",
+        *keys, "kind", "ts", "open", "high", "low", "close",
         "close_unadj", "volume", "currency", "adjusted", "timezone",
         "utc_offset_seconds", "seq",
     )
 
 
-def resample_to_daily(df: DataFrame) -> DataFrame:
+def resample_to_daily(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """A2/A5: daily OHLCV buckets (resample.rs:350-371)."""
-    return _resample_by(df, _bucket_expr("daily"))
+    return _resample_by(df, _bucket_expr("daily"), keys)
 
 
-def resample_to_weekly(df: DataFrame) -> DataFrame:
+def resample_to_weekly(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """A3/A5: Monday-start weekly buckets (resample.rs:401-419)."""
-    return _resample_by(df, _bucket_expr("weekly"))
+    return _resample_by(df, _bucket_expr("weekly"), keys)
 
 
-def resample_to_minutes(df: DataFrame, minutes: int) -> DataFrame:
+def resample_to_minutes(
+    df: DataFrame, minutes: int, keys: list[str] | None = None
+) -> DataFrame:
     """A4/A5: arbitrary-minute buckets (resample.rs:447-480).
 
     ``minutes <= 0`` is a passthrough, matching resample.rs:448-450.
     """
     if minutes <= 0:
         return df
-    return _resample_by(df, _bucket_expr("minutes", minutes))
+    return _resample_by(df, _bucket_expr("minutes", minutes), keys)
 
 
-def resample(df: DataFrame, plan: str, minutes: int | None = None) -> DataFrame:
+def resample(
+    df: DataFrame,
+    plan: str,
+    minutes: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Apply a ResamplePlan by name: 'daily' | 'weekly' | 'minutes'."""
     if plan == "daily":
-        return resample_to_daily(df)
+        return resample_to_daily(df, keys)
     if plan == "weekly":
-        return resample_to_weekly(df)
+        return resample_to_weekly(df, keys)
     if plan == "minutes":
         if minutes is None:
             raise ValueError("minutes plan requires a minutes value")
-        return resample_to_minutes(df, minutes)
+        return resample_to_minutes(df, minutes, keys)
     raise ValueError(f"unknown resample plan {plan!r}")

@@ -1,0 +1,19 @@
+from borsa_spark.router.history import HistoryRequest, HistoryResult, history, plan_history
+from borsa_spark.router.info import download, info
+from borsa_spark.router.quotes import quote, quote_or_raise, quotes
+from borsa_spark.router.search import search
+from borsa_spark.router.tables import capability_scan
+
+__all__ = [
+    "HistoryRequest",
+    "HistoryResult",
+    "capability_scan",
+    "download",
+    "history",
+    "info",
+    "plan_history",
+    "quote",
+    "quote_or_raise",
+    "quotes",
+    "search",
+]
