@@ -1,0 +1,81 @@
+"""Stream fan-in (T1) + allowed-symbol filter (P6) + candle windowing (T12).
+
+Reference: per-provider sessions push into one mpsc(1024) channel
+(borsa/src/router/stream.rs:56); each session drops symbols outside its
+allow-set (session.rs:64-69). CandleUpdate bars carry `is_final` set by the
+provider on bar close (connector.rs:270-288).
+
+Spark mapping:
+- fan-in = `union` of per-source streaming DataFrames (backpressure is
+  native to micro-batching — the reference's bounded-channel blocking, T9,
+  has no analog to implement);
+- allow filter = `filter(symbol isin allowed)` per source BEFORE the union
+  so it prunes at the source;
+- candle bars = watermark + tumbling window aggregation. In append mode the
+  bar emits once, when the watermark passes the window end — that IS
+  `is_final=true`. In update mode partial bars stream out with
+  `is_final=false` until closed. This is the Spark-native upgrade over the
+  reference's provider-computed bars (SURVEY §2.8 note).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fan_in(
+    sources: list[DataFrame], allowed: dict[int, list[str]] | None = None
+) -> DataFrame:
+    """Union per-provider streams; optional per-source allow-sets (P6).
+
+    ``allowed[i]`` restricts source i to those symbols; omitted indexes pass
+    everything (session.rs:64-69 drop-branch).
+    """
+    pruned = []
+    for i, src in enumerate(sources):
+        if allowed and i in allowed:
+            src = src.filter(F.col("symbol").isin(allowed[i]))
+        pruned.append(src)
+    return reduce(lambda a, b: a.unionByName(b), pruned)
+
+
+def candle_stream(
+    updates: DataFrame,
+    interval_seconds: int,
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str | None = "volume",
+) -> DataFrame:
+    """T12: tick stream -> OHLCV bars at a tumbling interval.
+
+    Emits one row per (symbol, window) with open/high/low/close from
+    event-time ordering. Run with outputMode('append') for final bars only
+    (is_final=true semantics) or 'update' for partial bars.
+    """
+    win = F.window(F.col(ts_col), f"{interval_seconds} seconds")
+    ord_key: Column = F.struct(F.col(ts_col), F.col("seq")) if "seq" in updates.columns else F.col(ts_col)
+    aggs = [
+        F.min_by(price_col, ord_key).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ord_key).alias("close"),
+        F.count("*").alias("n_ticks"),
+    ]
+    if volume_col is not None and volume_col in updates.columns:
+        aggs.append(F.sum(volume_col).alias("volume"))
+    return (
+        updates.withWatermark(ts_col, watermark)
+        .groupBy(F.col("symbol"), win.alias("window"))
+        .agg(*aggs)
+        .select(
+            "symbol",
+            F.col("window.start").alias("ts"),
+            F.col("window.end").alias("window_end"),
+            "open", "high", "low", "close", "n_ticks",
+            *( ["volume"] if volume_col is not None and "volume" in updates.columns else [] ),
+        )
+    )

@@ -1,0 +1,220 @@
+"""Streaming layer tests: supervisor SM scenarios (ports of the reference's
+supervisor_sm_tests / failover / startup-fail suites), plus real Structured
+Streaming runs of the monotonic gate, fan-in, and candle windowing using
+file sources + availableNow triggers.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from borsa_spark.errors import AllProvidersFailed, ProviderTimeout, UnsupportedError
+from borsa_spark.streaming import (
+    BackoffTick,
+    NotifyInitial,
+    PreemptSessions,
+    PState,
+    RequestStart,
+    ScheduleBackoffTick,
+    SessionEnded,
+    Shutdown,
+    StartFailed,
+    StartSucceeded,
+    StopAll,
+    candle_stream,
+    collapse_stream_errors,
+    fan_in,
+    jitter_wait,
+    make_supervisor,
+    streaming_monotonic_gate,
+)
+
+
+class TestSupervisorSM:
+    def test_startup_first_success_notifies(self):
+        sm = make_supervisor([["AAPL"], ["AAPL"]])
+        sm, actions = sm.handle(BackoffTick())  # kick off first round
+        starts = [a for a in actions if isinstance(a, RequestStart)]
+        assert starts and starts[0].id == 0 and starts[0].symbols == ("AAPL",)
+        # provider 1 must NOT start for AAPL: provider 0 (earlier in chain)
+        # is already Connecting it (coverage planning, T7)
+        assert all(a.id == 0 for a in starts)
+        sm, actions = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        assert any(isinstance(a, NotifyInitial) and a.ok for a in actions)
+        assert sm.providers[0].state is PState.ACTIVE
+
+    def test_startup_all_fail_collapses(self):
+        # router_stream_startup_all_fail.rs
+        sm = make_supervisor([["AAPL"], ["AAPL"]])
+        sm, actions = sm.handle(BackoffTick())
+        sm, actions = sm.handle(StartFailed(id=0, error=ProviderTimeout("p0")))
+        # failure of 0 frees AAPL -> provider 1 starts
+        starts = [a for a in actions if isinstance(a, RequestStart)]
+        assert [a.id for a in starts] == [1]
+        sm, actions = sm.handle(StartFailed(id=1, error=ProviderTimeout("p1")))
+        notify = [a for a in actions if isinstance(a, NotifyInitial)]
+        assert notify and not notify[0].ok
+        assert isinstance(notify[0].error, AllProvidersFailed)
+
+    def test_failover_then_failback_preempts(self):
+        # router_stream_failover_failback.rs: primary fails, backup takes
+        # over; primary recovers -> backup session preempted.
+        sm = make_supervisor([["AAPL"], ["AAPL"]])
+        sm, _ = sm.handle(BackoffTick())
+        sm, actions = sm.handle(StartFailed(id=0, error=ProviderTimeout("p0")))
+        sm, actions = sm.handle(StartSucceeded(id=1, symbols=("AAPL",)))
+        assert sm.providers[1].state is PState.ACTIVE
+        # tick clears provider 0's cooldown and retries it
+        sm, actions = sm.handle(BackoffTick())
+        starts = [a for a in actions if isinstance(a, RequestStart)]
+        assert [a.id for a in starts] == [0]  # primary retried
+        sm, actions = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        pre = [a for a in actions if isinstance(a, PreemptSessions)]
+        assert pre and pre[0].provider_ids == (1,)
+
+    def test_backoff_growth_and_reset(self):
+        # get past startup with a success, then fail repeatedly while RUNNING
+        sm = make_supervisor([["AAPL"]], min_backoff_ms=500, factor=2,
+                             max_backoff_ms=4000)
+        sm, _ = sm.handle(BackoffTick())
+        sm, _ = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        sm, _ = sm.handle(SessionEnded(id=0))
+        for expect in (1000, 2000, 4000, 4000):
+            sm, actions = sm.handle(BackoffTick())  # retries the provider
+            ticks = [a for a in actions if isinstance(a, ScheduleBackoffTick)]
+            assert ticks[-1].delay_ms == expect
+            sm, _ = sm.handle(StartFailed(id=0, error=ProviderTimeout("x")))
+        # success from cooldown resets to min (supervisor_sm.rs:337-339)
+        sm, _ = sm.handle(BackoffTick())
+        sm, _ = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        assert sm.backoff_ms == 500
+
+    def test_session_end_cooldown_and_restart(self):
+        # router_stream_cooldown.rs
+        sm = make_supervisor([["AAPL"]])
+        sm, _ = sm.handle(BackoffTick())
+        sm, _ = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        sm, actions = sm.handle(SessionEnded(id=0))
+        assert sm.providers[0].state is PState.IN_COOLDOWN
+        assert not any(isinstance(a, RequestStart) for a in actions)
+        sm, actions = sm.handle(BackoffTick())
+        starts = [a for a in actions if isinstance(a, RequestStart)]
+        assert [a.id for a in starts] == [0]
+
+    def test_per_provider_symbol_subsets(self):
+        # router_stream_per_provider_subsets.rs: each provider only gets its
+        # allowed symbols; uncovered symbols go to the next in chain.
+        sm = make_supervisor(
+            [["AAPL", "MSFT"], ["AAPL", "MSFT", "GOOG"]],
+            provider_allow=[{"AAPL"}, {"MSFT", "GOOG"}],
+        )
+        sm, actions = sm.handle(BackoffTick())
+        starts = {a.id: a.symbols for a in actions if isinstance(a, RequestStart)}
+        assert starts[0] == ("AAPL",)
+        assert set(starts[1]) == {"MSFT", "GOOG"}
+
+    def test_shutdown_stops_all(self):
+        sm = make_supervisor([["AAPL"]])
+        sm, _ = sm.handle(BackoffTick())
+        sm, actions = sm.handle(Shutdown())
+        assert any(isinstance(a, StopAll) for a in actions)
+        # terminal: further events are no-ops
+        sm2, actions2 = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        assert actions2 == []
+
+    def test_collapse_rules(self):
+        assert isinstance(collapse_stream_errors("s", []), UnsupportedError)
+        e = ProviderTimeout("x")
+        assert collapse_stream_errors("s", [e]) is e
+        assert isinstance(
+            collapse_stream_errors("s", [e, e]), AllProvidersFailed
+        )
+
+    def test_jitter_bounds(self):
+        rng = random.Random(42)
+        for _ in range(100):
+            v = jitter_wait(1000, 20, rng)
+            assert 1000 <= v < 1200
+        assert jitter_wait(1000, 0, rng) == 1000
+
+
+@pytest.fixture()
+def stream_rows(spark, tmp_path):
+    """A deterministic out-of-order tick feed written as a file source."""
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        # (provider, symbol, ts, price, seq) — AAPL arrives out of order
+        ("p0", "AAPL", ts(0), 10.0, 0),
+        ("p0", "AAPL", ts(30), 11.0, 1),
+        ("p0", "AAPL", ts(10), 9.0, 2),   # older than HWM(30) -> dropped
+        ("p0", "AAPL", ts(30), 12.0, 3),  # equal -> allowed
+        ("p0", "AAPL", ts(95), 13.0, 4),
+        ("p0", "MSFT", ts(5), 20.0, 5),
+        ("p0", "MSFT", ts(4), 19.0, 6),   # older -> dropped
+        ("p1", "GOOG", ts(7), 30.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "provider string, symbol string, ts timestamp, price double, seq long"
+    )
+    path = str(tmp_path / "ticks")
+    df.repartition(1).write.parquet(path)
+    return path, df.schema
+
+
+def _run_stream(spark, stream_df, tmp_path, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+class TestStructuredStreaming:
+    def test_streaming_monotonic_gate(self, spark, stream_rows, tmp_path):
+        path, schema = stream_rows
+        src = spark.readStream.schema(schema).parquet(path)
+        gated = streaming_monotonic_gate(src)
+        out = _run_stream(spark, gated, tmp_path, "gate_out", "append")
+        kept = sorted(r.seq for r in out.collect())
+        assert kept == [0, 1, 3, 4, 5, 7]
+
+    def test_fan_in_with_allow_sets(self, spark, stream_rows, tmp_path):
+        path, schema = stream_rows
+        s0 = spark.readStream.schema(schema).parquet(path).filter(
+            F.col("provider") == "p0"
+        )
+        s1 = spark.readStream.schema(schema).parquet(path).filter(
+            F.col("provider") == "p1"
+        )
+        merged = fan_in([s0, s1], allowed={0: ["AAPL"], 1: ["GOOG"]})
+        out = _run_stream(spark, merged, tmp_path, "fanin_out")
+        symbols = {r.symbol for r in out.collect()}
+        assert symbols == {"AAPL", "GOOG"}  # MSFT pruned by allow-set
+
+    def test_candle_stream_final_bars(self, spark, stream_rows, tmp_path):
+        path, schema = stream_rows
+        src = spark.readStream.schema(schema).parquet(path)
+        bars = candle_stream(src, interval_seconds=60, watermark="10 seconds")
+        out = _run_stream(spark, bars, tmp_path, "bars_out", "append")
+        rows = {(r.symbol, r.ts.second + r.ts.minute * 60): r for r in out.collect()}
+        aapl0 = rows[("AAPL", 0)]
+        # window [0,60): ticks at 0,30,10,30 -> open by event time=10.0@t0,
+        # high=12, low=9, close = max event-time (30, seq 3) -> 12
+        assert (float(aapl0.open), float(aapl0.high), float(aapl0.low),
+                float(aapl0.close), aapl0.n_ticks) == (10.0, 12.0, 9.0, 12.0, 4)
+        # the [60,120) bar is NOT final: max event time 95 puts the watermark
+        # at 85 < 120, so append mode withholds it — is_final semantics
+        assert ("AAPL", 60) not in rows
+        assert rows[("MSFT", 0)].n_ticks == 2
