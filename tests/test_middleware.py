@@ -1,0 +1,164 @@
+"""Middleware tests — ports of borsa-middleware/tests/ behaviors
+(cache TTL/LRU/negative/keys, quota windows + slice alignment, blacklist)."""
+
+from __future__ import annotations
+
+import pytest
+
+from borsa_spark.errors import (
+    NotFoundError,
+    ProviderTimeout,
+    QuotaExceeded,
+    RateLimited,
+    TemporarilyBlacklisted,
+)
+from borsa_spark.middleware import (
+    Blacklist,
+    MiddlewareStack,
+    QuotaGuard,
+    TTLCache,
+    history_key,
+)
+
+
+class Clock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+class TestTTLCache:
+    def test_hit_within_ttl_miss_after(self):
+        clock = Clock()
+        c = TTLCache(ttls={"quote": 2.0}, clock=clock)
+        calls = []
+        fn = lambda: calls.append(1) or "v"  # noqa: E731
+        assert c.get_or_compute(("quote", "AAPL"), fn) == "v"
+        assert c.get_or_compute(("quote", "AAPL"), fn) == "v"
+        assert len(calls) == 1
+        clock.t = 2.1
+        c.get_or_compute(("quote", "AAPL"), fn)
+        assert len(calls) == 2
+
+    def test_lru_eviction(self):
+        c = TTLCache(max_size=2, ttls={"quote": 100.0}, clock=Clock())
+        c.get_or_compute(("quote", "A"), lambda: 1)
+        c.get_or_compute(("quote", "B"), lambda: 2)
+        c.get_or_compute(("quote", "A"), lambda: 0)  # touch A
+        c.get_or_compute(("quote", "C"), lambda: 3)  # evicts B (LRU)
+        calls = []
+        c.get_or_compute(("quote", "B"), lambda: calls.append(1) or 9)
+        assert calls  # B was recomputed
+        calls2 = []
+        c.get_or_compute(("quote", "A"), lambda: calls2.append(1) or 9)
+        # A itself was evicted when B re-entered (size 2: [C, B])
+        assert calls2
+
+    def test_negative_caching_permanent_only(self):
+        clock = Clock()
+        c = TTLCache(ttls={"quote": 100.0}, default_negative_ttl=5.0, clock=clock)
+        calls = []
+
+        def not_found():
+            calls.append(1)
+            raise NotFoundError("nope")
+
+        with pytest.raises(NotFoundError):
+            c.get_or_compute(("quote", "GHOST"), not_found)
+        with pytest.raises(NotFoundError):
+            c.get_or_compute(("quote", "GHOST"), not_found)
+        assert len(calls) == 1  # served from the negative store
+        clock.t = 5.1
+        with pytest.raises(NotFoundError):
+            c.get_or_compute(("quote", "GHOST"), not_found)
+        assert len(calls) == 2
+
+        def transient():
+            calls.append(1)
+            raise ProviderTimeout("slow")
+
+        with pytest.raises(ProviderTimeout):
+            c.get_or_compute(("quote", "SLOW"), transient)
+        with pytest.raises(ProviderTimeout):
+            c.get_or_compute(("quote", "SLOW"), transient)
+        assert len(calls) == 4  # transient errors never cached
+
+    def test_history_key_flags_distinct(self):
+        k1 = history_key("AAPL", "EQUITY", "1d", auto_adjust=True)
+        k2 = history_key("AAPL", "EQUITY", "1d", auto_adjust=False)
+        k3 = history_key("AAPL", "EQUITY", "1d", auto_adjust=True,
+                         include_actions=True)
+        assert len({k1, k2, k3}) == 3
+
+
+class TestQuota:
+    def test_window_budget_and_realignment(self):
+        clock = Clock()
+        q = QuotaGuard(limit=2, window_s=100.0, clock=clock)
+        q.should_allow_call()
+        q.should_allow_call()
+        with pytest.raises(QuotaExceeded) as ei:
+            q.should_allow_call()
+        assert ei.value.remaining == 0
+        assert ei.value.reset_in_s == pytest.approx(100.0)
+        # jump 2.5 windows: boundary realigns to whole windows (t=200)
+        clock.t = 250.0
+        q.should_allow_call()
+        assert q.last_reset == pytest.approx(200.0)
+
+    def test_even_spread_slices(self):
+        clock = Clock()
+        q = QuotaGuard(limit=24, window_s=86_400.0, even_spread_hourly=True,
+                       clock=clock)
+        q.should_allow_call()  # slice budget = 1/h
+        with pytest.raises(QuotaExceeded) as ei:
+            q.should_allow_call()
+        # slice exhausted but window has room -> temporary block w/ remaining
+        assert ei.value.remaining == 23
+        assert 0 < ei.value.reset_in_s <= 3600.0
+        clock.t = 3600.0  # next slice
+        q.should_allow_call()
+
+
+class TestBlacklist:
+    def test_rate_limit_gates_then_expires(self):
+        clock = Clock()
+        b = Blacklist(default_window_s=60.0, clock=clock)
+        assert b.remaining_s() is None
+        b.handle_error(RateLimited("429"))
+        with pytest.raises(TemporarilyBlacklisted):
+            b.check("prov")
+        clock.t = 60.1
+        b.check("prov")  # expired -> no raise
+
+
+class TestStackOrdering:
+    def test_cache_hit_skips_quota(self):
+        clock = Clock()
+        stack = MiddlewareStack(
+            cache=TTLCache(ttls={"quote": 100.0}, clock=clock),
+            quota=QuotaGuard(limit=1, window_s=100.0, clock=clock),
+        )
+        assert stack.call(("quote", "A"), lambda: "v") == "v"
+        # quota is now exhausted, but the cache hit must not consume it
+        assert stack.call(("quote", "A"), lambda: "w") == "v"
+        with pytest.raises(QuotaExceeded):
+            stack.call(("quote", "B"), lambda: "x")
+
+    def test_blacklist_before_quota(self):
+        clock = Clock()
+        q = QuotaGuard(limit=10, window_s=100.0, clock=clock)
+        b = Blacklist(default_window_s=60.0, clock=clock)
+        stack = MiddlewareStack(blacklist=b, quota=q, connector="p")
+
+        def ratelimited():
+            raise RateLimited("429")
+
+        with pytest.raises(RateLimited):
+            stack.call(("quote", "A"), ratelimited)
+        with pytest.raises(TemporarilyBlacklisted):
+            stack.call(("quote", "A"), lambda: "v")
+        # the blacklisted call must NOT have consumed quota
+        assert q.calls_in_window == 1
