@@ -22,6 +22,7 @@ HEADLINE = [
     "rel_q3_top_orders",
     "rel_q5_region_revenue",
     "rel_q6_revenue_filter",
+    "hist_e2e_daily_merge",
     "a2_ohlc_daily",
     "a4_ohlc_hourly",
     "j1_merge_first_wins",

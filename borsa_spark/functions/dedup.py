@@ -186,14 +186,53 @@ def minhash_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
+def verify_jaccard(cands: DataFrame, sh: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs.
+
+    Intersections come from candidates ⨝ shingles(id_a) ⨝ shingles(id_b,
+    shingle) — the second join is an equi-join on (id_b, shingle), so cost is
+    O(|candidates| x avg shingles), never the full shingle self-join. This is
+    the property that keeps the pipeline linear-ish at 100 TB: LSH bounds the
+    pair space, and verification only touches that space.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        persist_shingles: bool = True) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signature -> banded
-    candidates -> exact-Jaccard verification (>= threshold)."""
+    candidates -> exact-Jaccard verification (>= threshold), with the
+    verifier bounded to the candidate set.
+
+    The shingle table feeds four consumers (signature, sizes, both verify
+    sides); ``persist_shingles`` materializes it once instead of re-running
+    the explode+distinct per consumer — at cluster scale this is the
+    checkpoint you'd put on stable storage between the two phases.
+    """
     sh = shingles(df, n, text_col, id_col)
+    if persist_shingles:
+        sh = sh.persist()
     cands = minhash_candidates(minhash_signature(sh))
-    verified = jaccard_pairs(sh, threshold)
-    return cands.join(verified, ["id_a", "id_b"], "inner")
+    return verify_jaccard(cands, sh, threshold)
 
 
 SIMHASH_BITS = 32

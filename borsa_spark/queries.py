@@ -700,6 +700,279 @@ def f8_simhash(spark, sf):
     return _dd.simhash(sh)
 
 
+_SIMHASH_SQL = f"""
+    WITH sh AS ({_SH_CTE}),
+    sim AS ({_dd.sql_simhash('sh')})
+"""
+
+
+@query(
+    "f9_simhash_near_pairs",
+    f"""
+    {_SIMHASH_SQL},
+    bands AS (
+      SELECT id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_key
+      FROM sim, (SELECT unnest([0,1,2,3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+    SELECT id_a, id_b, hamming::BIGINT AS hamming FROM cand WHERE hamming <= 6
+    """,
+)
+def f9_simhash_near_pairs(spark, sf):
+    """SimHash near-dup pairs: byte-band candidates + exact hamming <= 6."""
+    sim = _dd.simhash(_dd.shingles(load_table(spark, sf, "documents"), 3))
+    out = _dd.simhash_near_pairs(sim, max_hamming=6)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Router end-to-end queries (exercise the real planner + router code)
+# ---------------------------------------------------------------------------
+
+
+def _event_catalog(spark: SparkSession, sf: str):
+    """Three fixture providers carved from events (user_id % 3), native 1m."""
+    from borsa_spark.sources.provider import Catalog, fixture_source
+
+    ev = load_table(spark, sf, "events")
+    cat = Catalog()
+    for p in range(3):
+        candles = ev.filter(F.col("user_id") % 3 == p).select(
+            F.lit(f"prov{p}").alias("provider"),
+            F.col("event_type").alias("symbol"),
+            F.lit("EQUITY").alias("kind"),
+            F.col("ts"),
+            F.col("value").cast("decimal(38,9)").alias("open"),
+            F.col("value").cast("decimal(38,9)").alias("high"),
+            F.col("value").cast("decimal(38,9)").alias("low"),
+            F.col("value").cast("decimal(38,9)").alias("close"),
+            F.lit(None).cast("decimal(38,9)").alias("close_unadj"),
+            F.lit(1).cast("long").alias("volume"),
+            F.lit("USD").alias("currency"),
+            F.lit(True).alias("adjusted"),
+            F.lit(None).cast("string").alias("timezone"),
+            F.lit(None).cast("long").alias("utc_offset_seconds"),
+            F.col("event_id").alias("seq"),
+            F.lit("1m").alias("interval"),
+        )
+        cat.register(
+            fixture_source(f"prov{p}", history_intervals=("1m",), history=candles)
+        )
+    return cat
+
+
+@query(
+    "hist_e2e_daily_merge",
+    """
+    WITH c AS (
+      SELECT event_type AS symbol, 'prov' || (user_id % 3) AS provider,
+             (user_id % 3)::BIGINT AS priority,
+             date_trunc('day', ts) AS bucket, ts, value, event_id
+      FROM events),
+    num AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY provider, symbol, bucket
+                                ORDER BY ts ASC, event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY provider, symbol, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM c),
+    r AS (
+      SELECT symbol, provider, priority, bucket,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_z = 1 THEN value END) AS close,
+             count(*)::BIGINT AS volume, min(event_id) AS seq
+      FROM num GROUP BY symbol, provider, priority, bucket),
+    m AS (
+      SELECT *, row_number() OVER (PARTITION BY symbol, bucket
+                                   ORDER BY priority ASC, seq ASC) AS rn
+      FROM r)
+    SELECT symbol, provider, epoch(bucket)::BIGINT AS bucket_ts,
+           round(open, 2) AS open, round(high, 2) AS high,
+           round(low, 2) AS low, round(close, 2) AS close, volume
+    FROM m WHERE rn = 1
+    """,
+)
+def hist_e2e_daily_merge(spark, sf):
+    """FLAGSHIP end-to-end: the real history router (plan: 1m native ->
+    ResamplePlan.Daily per provider; execute: 3 scans -> per-provider daily
+    resample -> adjustedness -> first-wins merge) vs a from-scratch SQL
+    oracle. Exercises plans.intervals, operators.resample, operators.merge,
+    router.history on the driver's events table."""
+    from borsa_spark.router import HistoryRequest, history
+
+    cat = _event_catalog(spark, sf)
+    symbols = [r[0] for r in
+               load_table(spark, sf, "events").select("event_type").distinct().collect()]
+    res = history(
+        spark, cat, HistoryRequest(symbol=symbols[0], interval="1d"),
+        symbols=symbols,
+    )
+    return res.candles.select(
+        "symbol",
+        "provider",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        F.round(F.col("open").cast("double"), 2).alias("open"),
+        F.round(F.col("high").cast("double"), 2).alias("high"),
+        F.round(F.col("low").cast("double"), 2).alias("low"),
+        F.round(F.col("close").cast("double"), 2).alias("close"),
+        "volume",
+    )
+
+
+@query(
+    "j3_search_dedup",
+    """
+    WITH res AS (
+      SELECT 'prov' || (user_id % 2) AS provider, event_type AS symbol,
+             'EX' || (user_id % 4) AS exchange, event_id,
+             (user_id % 2) * 1048576 + event_id AS orig_idx
+      FROM events WHERE event_type LIKE '%i%'),
+    ranked AS (
+      SELECT *,
+             CASE exchange WHEN 'EX1' THEN 0 WHEN 'EX3' THEN 1
+                  ELSE 4611686018427387904 END AS ex_rank,
+             min(orig_idx) OVER (PARTITION BY symbol) AS first_seen
+      FROM res),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY symbol
+                                   ORDER BY ex_rank, orig_idx) AS rn
+      FROM ranked)
+    SELECT symbol, provider, exchange, first_seen FROM best WHERE rn = 1
+    """,
+)
+def j3_search_dedup(spark, sf):
+    """J3 via the real search router: two providers expose events-derived
+    search tables; exchange preference [EX1, EX3]; dedup keeps the
+    preferred-exchange row per symbol, ordered by first-seen."""
+    from borsa_spark.plans import RoutingPolicy
+    from borsa_spark.router import search as search_router
+    from borsa_spark.sources.provider import Catalog, fixture_source
+
+    ev = load_table(spark, sf, "events")
+    cat = Catalog()
+    for p in range(2):
+        tbl = ev.filter(F.col("user_id") % 2 == p).select(
+            F.lit(f"prov{p}").alias("provider"),
+            F.lit("i").alias("query"),
+            F.col("event_type").alias("symbol"),
+            F.lit("EQUITY").alias("kind"),
+            F.concat(F.lit("EX"), (F.col("user_id") % 4).cast("string")).alias(
+                "exchange"
+            ),
+            F.col("event_type").alias("name"),
+            F.col("event_id").cast("int").alias("result_idx"),
+        )
+        cat.register(fixture_source(f"prov{p}", search=tbl))
+    cat.policy = RoutingPolicy().exchanges_global(["EX1", "EX3"])
+    out = search_router(spark, cat, "i")
+    return out.select("symbol", "provider", "exchange", "first_seen")
+
+
+@query(
+    "s5_capability_first_provider",
+    """
+    WITH t AS (
+      SELECT event_type AS symbol, 'prov' || (user_id % 3) AS provider,
+             (user_id % 3)::BIGINT AS priority, event_id, value
+      FROM events),
+    best AS (SELECT symbol, min(priority) AS bp FROM t GROUP BY symbol)
+    SELECT t.symbol, t.provider, t.event_id, t.value
+    FROM t JOIN best ON t.symbol = best.symbol AND t.priority = best.bp
+    """,
+)
+def s5_capability_first_provider(spark, sf):
+    """S5-S8 macro-family semantics via capability_scan: per symbol, ALL rows
+    of the highest-priority provider that has any rows — wholesale, no
+    row mixing."""
+    from borsa_spark.router import capability_scan
+    from borsa_spark.sources.provider import Catalog, fixture_source
+
+    ev = load_table(spark, sf, "events")
+    cat = Catalog()
+    for p in range(3):
+        tbl = ev.filter(F.col("user_id") % 3 == p).select(
+            F.lit(f"prov{p}").alias("provider"),
+            F.col("event_type").alias("symbol"),
+            "event_id",
+            "value",
+        )
+        cat.register(fixture_source(f"prov{p}", earnings=tbl))
+    out = capability_scan(cat, "earnings")
+    return out.select("symbol", "provider", "event_id", "value")
+
+
+@query(
+    "j2_info_join",
+    """
+    WITH q AS (
+      SELECT symbol, price FROM (
+        SELECT event_type AS symbol, value AS price,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    p AS (
+      SELECT event_type AS symbol,
+             count(*)::BIGINT AS profile_n_events,
+             round(avg(value), 4) AS profile_avg_value
+      FROM events GROUP BY event_type)
+    SELECT q.symbol, round(q.price, 2) AS price,
+           p.profile_n_events, p.profile_avg_value
+    FROM q LEFT JOIN p ON q.symbol = p.symbol
+    """,
+)
+def j2_info_join(spark, sf):
+    """J2 via the real info router: latest-quote side LEFT-joined with a
+    profile side, both events-derived."""
+    from borsa_spark.router import info as info_router
+    from borsa_spark.sources.provider import Catalog, fixture_source
+
+    ev = load_table(spark, sf, "events")
+    quotes_tbl = ev.select(
+        F.lit("prov0").alias("provider"),
+        F.col("event_type").alias("symbol"),
+        F.lit("EQUITY").alias("kind"),
+        F.lit(None).cast("string").alias("shortname"),
+        F.col("value").cast("decimal(38,9)").alias("price"),
+        F.lit(None).cast("decimal(38,9)").alias("previous_close"),
+        F.lit("USD").alias("currency"),
+        F.lit(None).cast("string").alias("exchange"),
+        F.lit("REGULAR").alias("market_state"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    # latest row per symbol is what the quote table holds conceptually; keep
+    # (ts, event_id) so the router's min-priority pick is deterministic after
+    # we reduce to one row per symbol here.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("symbol").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    quotes_tbl = (
+        quotes_tbl.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "ts", "event_id")
+    )
+    profile_tbl = ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    ).withColumn("provider", F.lit("prov0"))
+    cat = Catalog()
+    cat.register(
+        fixture_source("prov0", quote=quotes_tbl, profile=profile_tbl)
+    )
+    symbols = [r[0] for r in ev.select("event_type").distinct().collect()]
+    out, _warnings = info_router(spark, cat, symbols)
+    return out.select(
+        "symbol",
+        F.round(F.col("price").cast("double"), 2).alias("price"),
+        F.col("profile_n_events"),
+        F.col("profile_avg_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search (functions.similarity)
 # ---------------------------------------------------------------------------
@@ -764,3 +1037,42 @@ def f11_lsh_ann_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     out = _sim.lsh_topk(emb, _PLANES, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "f12_embedding_near_dup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sim.sql_hyperplane_bucket('embedding', _PLANES)} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 4) AS cosine_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+          >= 0.40
+    """,
+)
+def f12_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidate join +
+    cosine >= 0.40 (the near-duplicate detection path for embedding-heavy
+    training corpora; same equi-join scale shape as f11)."""
+    emb = load_table(spark, sf, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        _sim.hyperplane_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+    )
+    a = b.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("q_emb"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("c_emb"), "bucket")
+    cos = _sim.cosine(F.col("q_emb"), F.col("c_emb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.40)
+        .select(
+            "id_a", "id_b", F.round(cos, 4).alias("cosine_sim"),
+        )
+    )
