@@ -1,0 +1,217 @@
+"""Stream planner + controller tests — ports of the reference's stream
+planning scenarios (strict rejection, per-symbol primary, grouping) and
+controller failover behavior with fake and real sessions."""
+
+from __future__ import annotations
+
+import pytest
+
+from borsa_spark.errors import ProviderTimeout, UnsupportedError
+from borsa_spark.plans import RoutingPolicy
+from borsa_spark.sources.provider import Catalog, Source
+from borsa_spark.streaming import (
+    StreamInstrument,
+    StrictSymbolsRejected,
+    launch_plan,
+    plan_stream,
+)
+
+I = StreamInstrument
+
+
+def stream_source(name, kinds=None, marker=object()):
+    from borsa_spark.sources.provider import ALL_KINDS
+
+    return Source(
+        name=name,
+        kinds=frozenset(kinds) if kinds else ALL_KINDS,
+        tables={"stream_quotes": marker},
+    )
+
+
+class TestStreamPlanner:
+    def test_single_group_fallback_mode(self, ):
+        cat = Catalog().register(stream_source("p0")).register(stream_source("p1"))
+        plans = plan_stream(cat, [I("AAPL"), I("MSFT")])
+        assert len(plans) == 1
+        p = plans[0]
+        assert p.providers == ["p0", "p1"]
+        assert p.primary is None
+        assert p.required_symbols == {"AAPL", "MSFT"}
+        assert p.provider_symbols == [{"AAPL", "MSFT"}, {"AAPL", "MSFT"}]
+
+    def test_grouping_by_kind_exchange(self):
+        cat = Catalog().register(stream_source("p0"))
+        plans = plan_stream(
+            cat,
+            [I("AAPL", "EQUITY"), I("BTC-USD", "CRYPTO"), I("ETH-USD", "CRYPTO")],
+        )
+        assert len(plans) == 2
+        by_kind = {p.kind: p for p in plans}
+        assert by_kind["CRYPTO"].required_symbols == {"BTC-USD", "ETH-USD"}
+
+    def test_per_symbol_primary_mode(self):
+        # router_stream_failback_priority.rs shape: AAPL prefers p1,
+        # MSFT prefers p0 -> two supervisors, chains primary-first.
+        cat = Catalog().register(stream_source("p0")).register(stream_source("p1"))
+        cat.policy = (
+            RoutingPolicy()
+            .providers_for_symbol("AAPL", ["p1", "p0"])
+            .providers_for_symbol("MSFT", ["p0", "p1"])
+        )
+        plans = plan_stream(cat, [I("AAPL"), I("MSFT")])
+        assert len(plans) == 2
+        by_primary = {p.primary: p for p in plans}
+        assert by_primary["p1"].required_symbols == {"AAPL"}
+        assert by_primary["p1"].providers == ["p1", "p0"]
+        assert by_primary["p0"].required_symbols == {"MSFT"}
+        assert by_primary["p0"].providers == ["p0", "p1"]
+        # allow-sets are filtered to the primary group's symbols
+        assert by_primary["p1"].provider_symbols == [{"AAPL"}, {"AAPL"}]
+
+    def test_strict_rejection(self):
+        # router_stream_strict_symbols_rejected.rs: strict rule names only
+        # p0 for GHOST... actually: strict rule excludes every provider for
+        # the symbol -> rejected.
+        cat = Catalog().register(stream_source("p0")).register(stream_source("p1"))
+        cat.policy = RoutingPolicy().providers_for_symbol(
+            "BLOCKED", ["nonexistent"], strict=True
+        )
+        cat.policy.providers.rules[0].providers = []  # empty strict rule
+        with pytest.raises(StrictSymbolsRejected) as ei:
+            plan_stream(cat, [I("AAPL"), I("BLOCKED")])
+        assert ei.value.rejected == ["BLOCKED"]
+
+    def test_no_provider_unsupported(self):
+        cat = Catalog().register(
+            stream_source("p0", kinds={"CRYPTO"})
+        )
+        with pytest.raises(UnsupportedError):
+            plan_stream(cat, [I("AAPL", "EQUITY")])
+
+    def test_kind_filtering_of_providers(self):
+        cat = Catalog().register(
+            stream_source("crypto_only", kinds={"CRYPTO"})
+        ).register(stream_source("generic"))
+        plans = plan_stream(cat, [I("AAPL", "EQUITY")])
+        assert plans[0].providers == ["generic"]
+
+
+class FakeHandle:
+    def __init__(self):
+        self.stopped = False
+
+    def stop(self):
+        self.stopped = True
+
+
+class TestController:
+    def _mk(self, fail=frozenset(), providers=("p0", "p1")):
+        cat = Catalog()
+        for p in providers:
+            cat.register(stream_source(p))
+        plans = plan_stream(cat, [I("AAPL")])
+        log = []
+
+        def start_fn(name, symbols):
+            log.append(("start", name, symbols))
+            if name in fail:
+                raise ProviderTimeout("boom", connector=name)
+            return FakeHandle()
+
+        def stop_fn(name, handle):
+            log.append(("stop", name))
+            handle.stop()
+
+        ctl = launch_plan(plans[0], start_fn, stop_fn,
+                          min_backoff_ms=100, jitter_percent=0)
+        return ctl, log
+
+    def test_happy_path_starts_primary_only(self):
+        ctl, log = self._mk()
+        assert ctl.initial_result == (True, None)
+        assert [e for e in log if e[0] == "start"] == [("start", "p0", ("AAPL",))]
+        assert 0 in ctl.sessions
+
+    def test_failover_to_backup(self):
+        ctl, log = self._mk(fail={"p0"})
+        assert ctl.initial_result == (True, None)
+        starts = [e[1] for e in log if e[0] == "start"]
+        assert starts == ["p0", "p1"]
+        assert 1 in ctl.sessions and 0 not in ctl.sessions
+
+    def test_all_fail_reports_error(self):
+        ctl, log = self._mk(fail={"p0", "p1"})
+        ok, err = ctl.initial_result
+        assert not ok and err is not None
+
+    def test_failback_preempts_backup(self):
+        ctl, log = self._mk(fail={"p0"})
+        # p1 active; now let p0 recover: clear the failure set by rebinding
+        ctl.start_fn = lambda name, symbols: FakeHandle()
+        ctl.advance_ms(1000)  # tick clears cooldown and retries p0
+        starts = [e[1] for e in log if e[0] == "start"]
+        # p0 was retried (via new start_fn, not logged) and preempted p1
+        stops = [e[1] for e in log if e[0] == "stop"]
+        assert "p1" in stops
+        assert 0 in ctl.sessions and 1 not in ctl.sessions
+
+    def test_shutdown_stops_sessions(self):
+        ctl, log = self._mk()
+        h = ctl.sessions[0]
+        ctl.shutdown()
+        assert h.stopped and not ctl.sessions and ctl.stopped
+        ctl.advance_ms(10_000)  # ticks after stop are no-ops
+        assert not ctl.sessions
+
+    def test_session_end_then_restart_after_backoff(self):
+        ctl, log = self._mk()
+        ctl.session_ended("p0")
+        assert 0 not in ctl.sessions
+        ctl.advance_ms(99)
+        assert 0 not in ctl.sessions  # backoff not elapsed
+        ctl.advance_ms(10)
+        assert 0 in ctl.sessions  # restarted after the tick
+
+
+class TestControllerWithSpark:
+    def test_real_streaming_query_failover(self, spark, tmp_path):
+        """p0's start raises; p1 runs a real file-stream query to a memory
+        sink — the failover path drives an actual StreamingQuery."""
+        import pyspark.sql.functions as F
+
+        from borsa_spark.errors import ProviderTimeout
+
+        df = spark.createDataFrame(
+            [("AAPL", 1.0), ("AAPL", 2.0), ("MSFT", 9.0)], "symbol string, price double"
+        )
+        src_path = str(tmp_path / "ticks")
+        df.repartition(1).write.parquet(src_path)
+
+        cat = Catalog().register(stream_source("p0")).register(stream_source("p1"))
+        plans = plan_stream(cat, [I("AAPL")])
+
+        def start_fn(name, symbols):
+            if name == "p0":
+                raise ProviderTimeout("connect failed", connector="p0")
+            stream = (
+                spark.readStream.schema(df.schema).parquet(src_path)
+                .filter(F.col("symbol").isin(list(symbols)))
+            )
+            return (
+                stream.writeStream.format("memory")
+                .queryName("ctl_out")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        ctl = launch_plan(plans[0], start_fn, min_backoff_ms=100, jitter_percent=0)
+        assert ctl.initial_result == (True, None)
+        q = ctl.sessions[1]
+        q.awaitTermination(120)
+        rows = spark.table("ctl_out").collect()
+        assert {r.symbol for r in rows} == {"AAPL"}
+        assert len(rows) == 2
+        ctl.shutdown()
