@@ -164,6 +164,7 @@ def history(
     resampling: str | None = None,
     auto_resample_subdaily_to_daily: bool = False,
     symbols: list[str] | None = None,
+    validate_currency: bool = False,
 ) -> HistoryResult:
     """Full history pipeline; returns merged candles + actions + attribution.
 
@@ -174,6 +175,11 @@ def history(
     ``symbols`` widens the scan to a symbol batch sharing ``req``'s plan
     (bulk download path — every operator downstream is symbol-partitioned,
     so a batch costs the same number of shuffles as one symbol).
+
+    ``validate_currency`` enforces the reference's currency invariant before
+    merging (merge.rs:55-68): a mixed-currency input raises CurrencyError
+    blaming the faulty provider (R9, history.rs:223-274). Opt-in because it
+    is an *action* (a tiny O(providers) aggregation job) on the lazy path.
     """
     plans, warnings = plan_history(catalog, req)
 
@@ -220,6 +226,23 @@ def history(
         union = reduce(lambda a, b: a.unionByName(b), frames)
     else:
         raise UnsupportedError(f"unknown merge strategy {strategy!r}")
+
+    if validate_currency:
+        from borsa_spark.operators.validate import (
+            check_series_currency_uniform,
+            identify_faulty_provider,
+        )
+        from borsa_spark.errors import CurrencyError
+
+        try:
+            check_series_currency_uniform(union)
+        except CurrencyError:
+            blamed = identify_faulty_provider(
+                union, {s.name: i for i, s, _, _ in plans}
+            )
+            raise CurrencyError(
+                "Connector provided mixed-currency history", connector=blamed
+            ) from None
 
     union = _apply_adjustedness(union, prefer_adjusted)
     merged = merge_candles(union)

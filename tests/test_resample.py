@@ -166,3 +166,82 @@ def test_multi_series_independent(spark):
     )
     out = resample_to_daily(df).collect()
     assert len(out) == 3
+
+
+def test_tz_daily_across_dst_spring_forward(spark):
+    """DST hard part (SURVEY §7.3): buckets around the US spring-forward
+    transition (2024-03-10, America/New_York). Candles on either side of the
+    transition bucket to their own local midnights — 05:00Z before (EST) and
+    04:00Z after (EDT)."""
+    import datetime as dt
+
+    def at(iso):
+        return int(dt.datetime.fromisoformat(iso + "+00:00").timestamp())
+
+    rows = [
+        # 2024-03-09 23:00 local (EST, UTC-5) = 03-10 04:00Z -> day 03-09
+        candle(sec=at("2024-03-10T04:00:00"), o=1,
+               timezone="America/New_York", seq=0),
+        # 2024-03-10 01:30 local (EST) = 06:30Z -> day 03-10 (midnight EST=05Z)
+        candle(sec=at("2024-03-10T06:30:00"), o=2,
+               timezone="America/New_York", seq=1),
+        # 2024-03-10 15:00 local (EDT, UTC-4) = 19:00Z -> same day 03-10
+        candle(sec=at("2024-03-10T19:00:00"), o=3,
+               timezone="America/New_York", seq=2),
+        # 2024-03-11 08:00 local (EDT) = 12:00Z -> day 03-11 (midnight=04Z)
+        candle(sec=at("2024-03-11T12:00:00"), o=4,
+               timezone="America/New_York", seq=3),
+    ]
+    out = resample_to_daily(make_candles(spark, rows)).orderBy("ts").collect()
+    got = [(int(r.ts.timestamp()), float(r.open), float(r.close)) for r in out]
+    assert got == [
+        (at("2024-03-09T05:00:00"), 1.0, 1.0),
+        (at("2024-03-10T05:00:00"), 2.0, 3.0),  # 23h day, midnight still EST
+        (at("2024-03-11T04:00:00"), 4.0, 4.0),  # midnight now EDT
+    ]
+
+
+def test_tz_daily_across_dst_fall_back(spark):
+    """Fall-back (2024-11-03): the 25-hour local day buckets once, at the
+    EDT midnight (04:00Z)."""
+    import datetime as dt
+
+    def at(iso):
+        return int(dt.datetime.fromisoformat(iso + "+00:00").timestamp())
+
+    rows = [
+        # 2024-11-03 00:30 EDT = 04:30Z
+        candle(sec=at("2024-11-03T04:30:00"), o=1,
+               timezone="America/New_York", seq=0),
+        # 2024-11-03 01:30 (second occurrence, EST) = 06:30Z -> same local day
+        candle(sec=at("2024-11-03T06:30:00"), o=2,
+               timezone="America/New_York", seq=1),
+        # 2024-11-03 23:00 EST = 11-04 04:00Z -> still local day 11-03
+        candle(sec=at("2024-11-04T04:00:00"), o=3,
+               timezone="America/New_York", seq=2),
+    ]
+    out = resample_to_daily(make_candles(spark, rows)).orderBy("ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert int(r.ts.timestamp()) == at("2024-11-03T04:00:00")
+    assert (float(r.open), float(r.close), r.volume) == (1.0, 3.0, None)
+
+
+def test_tz_weekly_monday_local(spark):
+    """Weekly buckets at market-local Monday midnight (resample.rs:401-419).
+    Tokyo (UTC+9, no DST): Sunday 20:00Z is already Monday 05:00 local."""
+    import datetime as dt
+
+    def at(iso):
+        return int(dt.datetime.fromisoformat(iso + "+00:00").timestamp())
+
+    rows = [
+        # 2024-01-07 (Sun) 20:00Z = Mon 05:00 JST -> week of Mon 01-08 JST
+        candle(sec=at("2024-01-07T20:00:00"), o=1, timezone="Asia/Tokyo", seq=0),
+        # 2024-01-10 (Wed) 12:00Z -> same week
+        candle(sec=at("2024-01-10T12:00:00"), o=2, timezone="Asia/Tokyo", seq=1),
+    ]
+    out = resample_to_weekly(make_candles(spark, rows)).collect()
+    assert len(out) == 1
+    # Monday 2024-01-08 00:00 JST = 2024-01-07 15:00Z
+    assert int(out[0].ts.timestamp()) == at("2024-01-07T15:00:00")

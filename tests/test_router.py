@@ -355,3 +355,44 @@ class TestInfoDownload:
         candles, failed = download(spark, cat, ["AAPL", "MSFT", "GHOST"])
         assert candles.count() == 6
         assert [r.symbol for r in failed.collect()] == ["GHOST"]
+
+
+class TestCurrencyValidation:
+    def test_mixed_currency_blames_deviating_provider(self, spark):
+        # R9 (history.rs:223-274): provA consistent USD (reference currency,
+        # highest priority), provB consistent EUR -> provB blamed.
+        from borsa_spark.errors import CurrencyError
+
+        a = [candle("provA", sec=0, o=1.0, currency="USD")]
+        b = [candle("provB", sec=DAY, o=2.0, currency="EUR")]
+        cat = Catalog().register(
+            hist_source(spark, "provA", a)
+        ).register(hist_source(spark, "provB", b))
+        with pytest.raises(CurrencyError) as ei:
+            history(spark, cat, HistoryRequest(symbol="AAPL"),
+                    validate_currency=True)
+        assert ei.value.connector == "provB"
+
+    def test_internally_inconsistent_provider_blamed_first(self, spark):
+        from borsa_spark.errors import CurrencyError
+
+        a = [candle("provA", sec=0, o=1.0, currency="USD"),
+             candle("provA", sec=DAY, o=2.0, currency="GBP", seq=1)]
+        b = [candle("provB", sec=2 * DAY, o=3.0, currency="EUR")]
+        cat = Catalog().register(
+            hist_source(spark, "provB", b)
+        ).register(hist_source(spark, "provA", a))
+        with pytest.raises(CurrencyError) as ei:
+            history(spark, cat, HistoryRequest(symbol="AAPL"),
+                    validate_currency=True)
+        assert ei.value.connector == "provA"
+
+    def test_uniform_currency_passes(self, spark):
+        a = [candle("provA", sec=0, o=1.0, currency="USD")]
+        b = [candle("provB", sec=DAY, o=2.0, currency="USD")]
+        cat = Catalog().register(
+            hist_source(spark, "provA", a)
+        ).register(hist_source(spark, "provB", b))
+        res = history(spark, cat, HistoryRequest(symbol="AAPL"),
+                      validate_currency=True)
+        assert res.candles.count() == 2
