@@ -215,6 +215,63 @@ def rel_q6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS = left-semi join; the orders side is filtered
+    before the join so the semi-join probe is small."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "rel_q13_customer_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) cc
+    GROUP BY c_count
+    """,
+)
+def rel_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-condition filter + double
+    aggregation. The non-equi predicate lives in the join condition (NOT the
+    WHERE), preserving customers with zero qualifying orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 # ---------------------------------------------------------------------------
 # Domain operators over the events stream table
 # ---------------------------------------------------------------------------
