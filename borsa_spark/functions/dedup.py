@@ -71,9 +71,15 @@ def exact_dedup_map(df: DataFrame, text_col: str = "text",
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Distinct word n-gram shingles per document, HASHED to int64:
+    (id, shingle BIGINT).
 
-    Documents with fewer than n words yield no shingles.
+    Hashing at the explode (md5 -> 60-bit int, portable to the oracle) means
+    every downstream shuffle and join moves 8-byte longs instead of shingle
+    strings — at 100 TB of documents that is the difference between
+    shuffling the corpus and shuffling a fingerprint of it. Collisions
+    (2^-60) are identical in both engines, so the oracle comparison is
+    unaffected. Documents with fewer than n words yield no shingles.
     """
     words = F.split(F.col(text_col), " ")
     # guard: sequence(1, 0) in Spark yields a *descending* [1, 0], not empty
@@ -84,8 +90,9 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(grams, token_hash64)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        df.select(F.col(id_col).alias("id"), F.explode(hashed).alias("shingle"))
         .distinct()
     )
 
@@ -99,7 +106,7 @@ def sql_shingles(n: int = 3, table: str = "documents",
     """
     parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     return f"""
-      SELECT DISTINCT id, shingle FROM (
+      SELECT DISTINCT id, {sql_token_hash64('shingle')} AS shingle FROM (
         SELECT {id_col} AS id,
                unnest(list_transform(
                  generate_series(1, greatest(len(w) - {n - 1}, 0)),
@@ -139,9 +146,10 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
 def minhash_signature(sh: DataFrame) -> DataFrame:
     """MinHash signatures: (id, h0..h{NUM_HASHES-1}).
 
-    h_i = min over shingles of ((a_i * t + b_i) mod p), t = md5-int64 mod p.
+    h_i = min over shingles of ((a_i * t + b_i) mod p), t = hashed-shingle
+    mod p (shingles arrive pre-hashed to int64).
     """
-    t = token_hash64(F.col("shingle")) % MINHASH_P
+    t = F.col("shingle") % MINHASH_P
     aggs = [
         F.min((F.lit(a) * t + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -150,7 +158,7 @@ def minhash_signature(sh: DataFrame) -> DataFrame:
 
 
 def sql_minhash_signature(shingle_cte: str = "sh") -> str:
-    t = f"({sql_token_hash64('shingle')} % {MINHASH_P})"
+    t = f"(shingle % {MINHASH_P})"
     cols = ", ".join(
         f"min(({a} * {t} + {b}) % {MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -228,6 +236,12 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     the explode+distinct per consumer — at cluster scale this is the
     checkpoint you'd put on stable storage between the two phases.
     """
+    # Widen a narrow input before the explode: a single small parquet file
+    # scans as one partition, serializing the shingle/hash work. At cluster
+    # scale inputs arrive already-parallel and this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        df = df.repartition(parallelism)
     sh = shingles(df, n, text_col, id_col)
     if persist_shingles:
         sh = sh.persist()
@@ -241,10 +255,10 @@ SIMHASH_BITS = 32
 def simhash(sh: DataFrame) -> DataFrame:
     """32-bit SimHash per document from shingle hashes: (id, simhash).
 
-    bit_j = 1 iff sum over shingles of (2*((t >> j) & 1) - 1) > 0.
-    One groupBy with 32 conditional-sum aggregates — no row blowup.
+    bit_j = 1 iff sum over shingles of (2*((t >> j) & 1) - 1) > 0, t the
+    pre-hashed shingle. One groupBy with 32 conditional-sum aggregates.
     """
-    t = token_hash64(F.col("shingle"))
+    t = F.col("shingle")
     aggs = [
         F.sum(F.shiftright(t, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
@@ -257,7 +271,7 @@ def simhash(sh: DataFrame) -> DataFrame:
 
 
 def sql_simhash(shingle_cte: str = "sh") -> str:
-    t = sql_token_hash64("shingle")
+    t = "shingle"
     sums = ", ".join(
         f"sum((({t} >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
     )

@@ -183,6 +183,17 @@ def history(
     """
     plans, warnings = plan_history(catalog, req)
 
+    # When every provider shares one (interval, resample) plan — the common
+    # case under a uniform policy — defer the resample until after the union
+    # so ONE aggregation keyed (provider, symbol, bucket) covers all
+    # providers instead of N separate stages. Semantics are identical: the
+    # resampler never mixes series across the provider key.
+    uniform_plan = (
+        strategy == "deep"
+        and len({(eff, rp) for _, _, eff, rp in plans}) == 1
+        and plans[0][3] is not None
+    )
+
     frames: list[DataFrame] = []
     actions_frames: list[DataFrame] = []
     errors: list[BorsaSparkError] = []
@@ -191,7 +202,7 @@ def history(
         attempted += 1
         try:
             df = _scan_provider(source, req, eff_interval, symbols)
-            if rplan is not None:
+            if rplan is not None and not uniform_plan:
                 df = resample(df, rplan.kind, rplan.minutes)
             df = df.withColumn("priority", F.lit(idx))
             frames.append(df)
@@ -224,6 +235,12 @@ def history(
         union = chosen
     elif strategy == "deep":
         union = reduce(lambda a, b: a.unionByName(b), frames)
+        if uniform_plan:
+            rplan = plans[0][3]
+            union = resample(
+                union, rplan.kind, rplan.minutes,
+                keys=["priority", "provider", "symbol"],
+            )
     else:
         raise UnsupportedError(f"unknown merge strategy {strategy!r}")
 
