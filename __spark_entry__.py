@@ -17,46 +17,25 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: merged multi-provider daily series with provider attribution."""
-    from pyspark.sql import functions as F
-
-    from borsa_spark.operators import (
-        build_attribution,
-        merge_history,
-        monotonic_gate,
-        resample_to_daily,
-    )
+    """Flagship: the full history router over a 3-provider events-derived
+    catalog — planning (largest-divisor interval pushdown), per-provider
+    scans, daily resample, adjustedness filter, first-wins priority merge,
+    currency validation, attribution — one declarative Spark program."""
+    from borsa_spark.queries import _event_catalog
+    from borsa_spark.router import HistoryRequest, history
     from borsa_spark.sources import load_table
 
     ev = load_table(spark, SF0001, "events")
-    candles = ev.select(
-        F.concat(F.lit("prov"), (F.col("user_id") % 2).cast("string")).alias(
-            "provider"
-        ),
-        F.col("event_type").alias("symbol"),
-        F.lit("EQUITY").alias("kind"),
-        F.col("ts"),
-        F.col("value").cast("decimal(38,9)").alias("open"),
-        F.col("value").cast("decimal(38,9)").alias("high"),
-        F.col("value").cast("decimal(38,9)").alias("low"),
-        F.col("value").cast("decimal(38,9)").alias("close"),
-        F.lit(None).cast("decimal(38,9)").alias("close_unadj"),
-        F.lit(1).cast("long").alias("volume"),
-        F.lit("USD").alias("currency"),
-        F.lit(True).alias("adjusted"),
-        F.lit(None).cast("string").alias("timezone"),
-        F.lit(None).cast("long").alias("utc_offset_seconds"),
-        F.col("event_id").alias("seq"),
+    symbols = [r[0] for r in ev.select("event_type").distinct().collect()]
+    cat = _event_catalog(spark, SF0001)
+    res = history(
+        spark,
+        cat,
+        HistoryRequest(symbol=symbols[0], interval="1d"),
+        symbols=symbols,
+        validate_currency=True,
     )
-    gated = monotonic_gate(candles, key="symbol", order_col="seq")
-    daily = resample_to_daily(gated)
-    merged, _, _flags = merge_history(daily, priorities={"prov0": 0, "prov1": 1})
-    attr = build_attribution(merged)
-    return merged.join(
-        attr.select("symbol", "provider", "run_idx"),
-        ["symbol", "provider"],
-        "left_semi",
-    ).orderBy("symbol", "ts")
+    return res.candles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,6 +38,50 @@ HEADLINE = [
 ]
 
 
+def stream_gate_bench(spark, sf_dir: str) -> float:
+    """Structured Streaming headline: events as a file stream through the
+    stateful monotonic gate (applyInPandasWithState) + watermark candle
+    bars, availableNow trigger. Measures the stream-processor path the
+    batch queries can't."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+    from borsa_spark.streaming import candle_stream, streaming_monotonic_gate
+
+    work = tempfile.mkdtemp(prefix="bench_stream_", dir=os.path.dirname(
+        os.path.abspath(__file__)))
+    try:
+        src = os.path.join(work, "src")
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("symbol"),
+            "ts",
+            F.col("value").alias("price"),
+            F.col("event_id").alias("seq"),
+        )
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        t0 = time.time()
+        stream = spark.readStream.schema(schema).parquet(src)
+        gated = streaming_monotonic_gate(stream, key="symbol")
+        bars = candle_stream(gated, interval_seconds=3600,
+                             watermark="60 seconds")
+        q = (
+            bars.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from borsa_spark.queries import QUERIES
@@ -56,6 +100,8 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["t1_stream_gate_candles"] = stream_gate_bench(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
