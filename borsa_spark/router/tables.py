@@ -97,10 +97,12 @@ def option_chain(catalog, symbols=None, expiry=None, **kw):
     return capability_scan(catalog, "option_chain", symbols, filters=filters, **kw)
 
 
-def news(catalog, symbols=None, count=None, **kw):
-    """News scan; ``count`` caps stories per symbol by recency
+def news(catalog, symbols=None, count=None, tab=None, **kw):
+    """News scan; ``count`` caps stories per symbol by recency, ``tab``
+    selects news|press_releases|all
     (NewsRequest{count, tab} — borsa-middleware/src/cache.rs:86-91)."""
-    df = capability_scan(catalog, "news", symbols, **kw)
+    filters = {"tab": tab} if tab is not None and tab != "all" else None
+    df = capability_scan(catalog, "news", symbols, filters=filters, **kw)
     if count is not None:
         w = Window.partitionBy("symbol").orderBy(F.col("ts").desc())
         df = (
@@ -109,6 +111,13 @@ def news(catalog, symbols=None, count=None, **kw):
             .drop("__rn")
         )
     return df
+
+
+def option_expirations(catalog, symbols=None, **kw):
+    """S8: available option expiry dates per symbol — distinct expiries from
+    the winning provider's chain (connector.rs options expirations)."""
+    df = capability_scan(catalog, "option_chain", symbols, **kw)
+    return df.select("symbol", "expiry").distinct().orderBy("symbol", "expiry")
 
 
 def _simple(capability: str):

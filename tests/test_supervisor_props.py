@@ -1,0 +1,108 @@
+"""Model-based property test for the supervisor state machine — the port of
+the reference's stateful stream model props
+(borsa/tests/router/stream/router_stream_model_prop.rs shape): drive the SM
+with random event walks and assert structural invariants after every step.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from borsa_spark.errors import ProviderTimeout
+from borsa_spark.streaming import (
+    BackoffTick,
+    NotifyInitial,
+    PreemptSessions,
+    PState,
+    RequestStart,
+    ScheduleBackoffTick,
+    SessionEnded,
+    StartFailed,
+    StartSucceeded,
+    make_supervisor,
+)
+
+N_PROVIDERS = 3
+SYMBOLS = ["A", "B", "C"]
+
+# a step: which provider event to fire next
+step_st = st.one_of(
+    st.just(("tick",)),
+    st.tuples(st.just("succeed"), st.integers(0, N_PROVIDERS - 1)),
+    st.tuples(st.just("fail"), st.integers(0, N_PROVIDERS - 1)),
+    st.tuples(st.just("end"), st.integers(0, N_PROVIDERS - 1)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(steps=st.lists(step_st, min_size=1, max_size=30))
+def test_supervisor_invariants_under_random_walk(steps):
+    sm = make_supervisor(
+        [list(SYMBOLS) for _ in range(N_PROVIDERS)],
+        min_backoff_ms=100,
+        max_backoff_ms=1600,
+        factor=2,
+    )
+    connecting: set[int] = set()  # providers with an outstanding start request
+
+    def run(event):
+        nonlocal sm
+        sm, actions = sm.handle(event)
+        # --- invariants on the action list ---
+        for a in actions:
+            if isinstance(a, RequestStart):
+                p = sm.providers[a.id]
+                # a start request marks the provider Connecting with exactly
+                # the requested symbols, all allowed and required
+                assert p.state is PState.CONNECTING
+                assert p.symbols == a.symbols
+                assert set(a.symbols) <= set(sm.provider_allow[a.id])
+                assert set(a.symbols) <= set(sm.required_symbols)
+                assert len(a.symbols) > 0
+                # coverage planning (supervisor_sm.rs:304-328): a requested
+                # symbol is never already covered by an EARLIER-in-chain
+                # (higher-priority) provider. Overlap with LOWER-priority
+                # coverage is deliberate — that's the failback path (the
+                # primary reconnects, then preempts on success).
+                for j, pj in enumerate(sm.providers):
+                    if j < a.id and pj.state in (
+                        PState.ACTIVE, PState.CONNECTING,
+                    ):
+                        assert not (set(a.symbols) & set(pj.symbols))
+                connecting.add(a.id)
+            elif isinstance(a, ScheduleBackoffTick):
+                assert sm.min_backoff_ms <= a.delay_ms <= sm.max_backoff_ms
+            elif isinstance(a, PreemptSessions):
+                for pid in a.provider_ids:
+                    # only lower-priority (higher index) overlapping actives
+                    # are preempted; by the time the action list is emitted
+                    # they are still marked ACTIVE (controller stops them)
+                    assert sm.providers[pid].state is PState.ACTIVE
+        # --- global invariants ---
+        assert sm.min_backoff_ms <= sm.backoff_ms <= sm.max_backoff_ms
+        return actions
+
+    run(BackoffTick())  # arm the first round
+    for step in steps:
+        if step[0] == "tick":
+            run(BackoffTick())
+        else:
+            kind, pid = step
+            p = sm.providers[pid]
+            if kind == "succeed" and p.state is PState.CONNECTING:
+                connecting.discard(pid)
+                run(StartSucceeded(id=pid, symbols=p.symbols))
+                assert sm.providers[pid].state is PState.ACTIVE
+            elif kind == "fail" and p.state is PState.CONNECTING:
+                connecting.discard(pid)
+                run(StartFailed(id=pid, error=ProviderTimeout("x")))
+                if sm.phase.value != "terminated":
+                    assert sm.providers[pid].state in (
+                        PState.IN_COOLDOWN, PState.CONNECTING,
+                    )
+            elif kind == "end" and p.state is PState.ACTIVE:
+                run(SessionEnded(id=pid))
+                assert sm.providers[pid].state in (
+                    PState.IN_COOLDOWN, PState.CONNECTING,
+                )
