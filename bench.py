@@ -64,6 +64,11 @@ def stream_gate_bench(spark, sf_dir: str) -> float:
         ev.write.parquet(src)
         schema = spark.read.parquet(src).schema
 
+        # the stateful path keys on ~5 symbols here; 32 shuffle partitions
+        # would be 27 empty state-store tasks per batch
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
         t0 = time.time()
         stream = spark.readStream.schema(schema).parquet(src)
         gated = streaming_monotonic_gate(stream, key="symbol")
@@ -77,7 +82,9 @@ def stream_gate_bench(spark, sf_dir: str) -> float:
             .start()
         )
         q.awaitTermination(300)
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return dt
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -57,14 +57,31 @@ def merge_candles(candles: DataFrame, priority_col: str = "priority") -> DataFra
 
     Input must carry ``priority_col``; returns the winning candle per
     (symbol, ts) with provider retained for attribution, close_unadj cleared.
+
+    Expressed as ``min_by(row, (priority, seq))`` AGGREGATION rather than a
+    window ``row_number() = 1``: an argmin aggregate gets map-side partial
+    combine, so a hot symbol's rows collapse to one row per (ts) per map
+    task BEFORE the shuffle — a window would move every replica of the hot
+    key to a single reducer. Determinism: (priority, seq) is a total order
+    within a (symbol, ts) group (priorities are distinct per provider, seq
+    is the within-provider input order).
     """
-    w = Window.partitionBy("symbol", "ts").orderBy(
-        F.col(priority_col).asc(), F.coalesce(F.col("seq"), F.lit(0)).asc()
+    ord_key = F.struct(
+        F.col(priority_col),
+        F.coalesce(F.col("seq"), F.lit(0)).alias("__seq"),
     )
+    payload = F.struct(*[F.col(c) for c in candles.columns])
+    winner = (
+        candles.groupBy("symbol", "ts")
+        .agg(F.min_by(payload, ord_key).alias("__w"))
+    )
+    out_cols = [
+        F.col(f"__w.{c}").alias(c)
+        for c in candles.columns
+        if c not in ("symbol", "ts")
+    ]
     return (
-        candles.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        winner.select("symbol", "ts", *out_cols)
         .withColumn("close_unadj", F.lit(None).cast("decimal(38,9)"))
     )
 
