@@ -42,6 +42,26 @@ def fan_in(
     return reduce(lambda a, b: a.unionByName(b), pruned)
 
 
+def streaming_exact_dedup(
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop replays of the same key within the
+    watermark horizon (`dropDuplicatesWithinWatermark`).
+
+    This is the compatibility-mode alternative to the monotonic gate for
+    sources that re-deliver identical updates (at-least-once feeds), and the
+    streaming form of the training-pipeline exact dedup: key on the content
+    hash to dedup documents as they arrive. State is bounded by the
+    watermark (the gate's state never expires without TTL).
+    """
+    return updates.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def candle_stream(
     updates: DataFrame,
     interval_seconds: int,

@@ -218,3 +218,32 @@ class TestStructuredStreaming:
         # at 85 < 120, so append mode withholds it — is_final semantics
         assert ("AAPL", 60) not in rows
         assert rows[("MSFT", 0)].n_ticks == 2
+
+
+class TestStreamingExactDedup:
+    def test_replays_dropped_within_watermark(self, spark, tmp_path):
+        import datetime as dt
+
+        from borsa_spark.streaming.fanin import streaming_exact_dedup
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        rows = [
+            ("AAPL", ts(0), 10.0, 0),
+            ("AAPL", ts(0), 10.0, 1),   # exact replay -> dropped
+            ("AAPL", ts(5), 11.0, 2),
+            ("MSFT", ts(0), 20.0, 3),
+            ("MSFT", ts(0), 20.0, 4),   # replay -> dropped
+        ]
+        df = spark.createDataFrame(
+            rows, "symbol string, ts timestamp, price double, seq long"
+        )
+        path = str(tmp_path / "replays")
+        df.repartition(1).write.parquet(path)
+        src = spark.readStream.schema(df.schema).parquet(path)
+        deduped = streaming_exact_dedup(src, ["symbol", "ts", "price"])
+        out = _run_stream(spark, deduped, tmp_path, "dedup_out")
+        assert sorted((r.symbol, r.price) for r in out.collect()) == [
+            ("AAPL", 10.0), ("AAPL", 11.0), ("MSFT", 20.0),
+        ]
