@@ -19,17 +19,17 @@ merge_history (merge.rs:28-110):
   (ts, kind-rank, payload) order (merge.rs:173-279).
 
 Determinism at scale: Spark's ``dropDuplicates`` keeps an *arbitrary* row and
-is therefore wrong here (SURVEY §4.2) — we use ``row_number()`` over an
-explicit ``(priority, seq)`` ordering, which is total and stable regardless of
-partitioning. One shuffle on (symbol, ts); at 100 TB this is the natural key
-with no skew (every timestamp appears at most once per provider).
+is therefore wrong here (SURVEY §4.2) — we use an argmin aggregation
+(``min_by`` over explicit ``(priority, seq)``), which is a total stable order
+regardless of partitioning AND gets map-side partial combine, so hot-key
+replicas collapse before the shuffle (skew-resilient; see merge_candles).
 """
 
 from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ACTION_KIND_RANK = {"dividend": 0, "split": 1, "capital_gain": 2}

@@ -757,6 +757,72 @@ def f8_simhash(spark, sf):
     return _dd.simhash(sh)
 
 
+@query(
+    "f13_corpus_filter",
+    f"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             round(least(1.0, len(string_split(text, ' ')) / 50.0)
+                   * (len(list_distinct(string_split(text, ' ')))
+                      * 1.0 / len(string_split(text, ' '))), 4) AS quality_score,
+             {_tx.sql_lang_guess('text')} AS lang_guess
+      FROM documents)
+    SELECT doc_id, n_tokens, quality_score, lang_guess
+    FROM stats
+    WHERE quality_score >= 0.5 AND n_tokens BETWEEN 10 AND 10000
+      AND lang_guess = 'en'
+    """,
+)
+def f13_corpus_filter(spark, sf):
+    """Training-corpus admission filter: quality score + token-count band +
+    language gate composed into one predicate — the standard pre-training
+    data cleaning pass, entirely JVM-side."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    stats = d.select(
+        "doc_id",
+        _tx.token_count(t).cast("long").alias("n_tokens"),
+        _tx.quality_score(t).alias("quality_score"),
+        _tx.lang_guess(t).alias("lang_guess"),
+    )
+    return stats.filter(
+        (F.col("quality_score") >= 0.5)
+        & F.col("n_tokens").between(10, 10_000)
+        & (F.col("lang_guess") == "en")
+    )
+
+
+@query(
+    "f14_top_tokens",
+    """
+    SELECT token, n FROM (
+      SELECT lower(t.token) AS token, count(*)::BIGINT AS n,
+             row_number() OVER (ORDER BY count(*) DESC, lower(t.token) ASC)
+               AS rnk
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE len(t.token) >= 2
+      GROUP BY lower(t.token)) x
+    WHERE rnk <= 20
+    """,
+)
+def f14_top_tokens(spark, sf):
+    """Corpus-level token frequency top-20 (vocabulary head): explode ->
+    count -> deterministic top-k (count desc, token asc)."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") >= 2)
+    counts = toks.groupBy(F.lower(F.col("token")).alias("token")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token", "n")
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH sh AS ({_SH_CTE}),
     sim AS ({_dd.sql_simhash('sh')})

@@ -14,7 +14,7 @@ win over the reference's per-symbol sequential loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from borsa_spark.errors import UnsupportedError

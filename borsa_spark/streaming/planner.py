@@ -25,7 +25,7 @@ Semantics:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from borsa_spark.errors import BorsaSparkError, UnsupportedError
 from borsa_spark.plans.routing_policy import INF, RoutingContext
