@@ -111,6 +111,110 @@ def sql_hyperplane_bucket(emb_sql: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: argmin squared-L2 centroid per vector.
+
+    ``centroids`` are (centroid_id, vector) literals — in production the
+    output of a KMeans fit (or any deterministic seed-pick); they compile
+    into a JVM-side expression chain, so assignment is a projection over the
+    scan (no shuffle, no UDF).
+    """
+    best_id = F.lit(centroids[0][0])
+    best_d = _sq_l2(F.col(emb_col), centroids[0][1])
+    for cid, cvec in centroids[1:]:
+        d = _sq_l2(F.col(emb_col), cvec)
+        closer = d < best_d
+        best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return vectors.withColumn("centroid_id", best_id)
+
+
+def _sq_l2(emb: Column, plane: list[float]) -> Column:
+    p = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(_d(emb), p, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_ivf_assign(emb_sql: str, centroids: list[tuple[int, list[float]]]) -> str:
+    """DuckDB expression mirroring ivf_assign (nested CASE argmin)."""
+
+    def lit(vec):
+        return "[" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[]"
+
+    def dist(vec):
+        return (
+            f"list_aggregate(list_transform(list_zip({emb_sql}::DOUBLE[], "
+            f"{lit(vec)}), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+        )
+
+    expr = str(centroids[0][0])
+    best = dist(centroids[0][1])
+    for cid, cvec in centroids[1:]:
+        d = dist(cvec)
+        expr = f"(CASE WHEN {d} < {best} THEN {cid} ELSE {expr} END)"
+        best = f"least({d}, {best})"
+    return expr
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id: str = "q_id",
+    q_emb: str = "q_emb",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid; each query probes its
+    ``n_probe`` nearest centroids and brute-forces only those inverted lists.
+
+    Scale shape: corpus assignment is a scan-side projection; the search is
+    an equi-join on centroid_id (shuffle proportional to probed lists, not
+    the corpus). Centroids are literals -> identical in the SQL oracle.
+    """
+    corpus = ivf_assign(vectors, centroids, emb_col).select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), "centroid_id"
+    )
+    # per-query probe set: rank centroids by distance, keep n_probe
+    probes = None
+    for cid, cvec in centroids:
+        row = queries.select(
+            q_id, q_emb,
+            F.lit(cid).alias("centroid_id"),
+            _sq_l2(F.col(q_emb), cvec).alias("__d"),
+        )
+        probes = row if probes is None else probes.unionByName(row)
+    w = Window.partitionBy(q_id).orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+    probed = (
+        probes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select(q_id, q_emb, "centroid_id")
+    )
+    sim = F.round(cosine(F.col(q_emb), F.col("c_emb")), 4)
+    j = (
+        probed.join(corpus, "centroid_id")
+        .filter(F.col(q_id) != F.col("c_id"))
+        .select(q_id, "c_id", sim.alias("cosine_sim"))
+    )
+    wr = Window.partitionBy(q_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "c_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     planes: list[list[float]],

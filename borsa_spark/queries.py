@@ -1163,6 +1163,62 @@ def f11_lsh_ann_topk(spark, sf):
 
 
 @query(
+    "f15_ivf_topk",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS cemb
+               FROM embeddings WHERE vec_id < 8),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[],
+                                      c.cemb::DOUBLE[]) ASC, c.cid ASC) AS rn
+      FROM embeddings e, c),
+    corpus AS (SELECT vec_id AS c_id, embedding AS c_emb, cid AS centroid_id
+               FROM a WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 10),
+    qp AS (
+      SELECT q.q_id, q.q_emb, c.cid AS centroid_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_distance(q.q_emb::DOUBLE[],
+                                      c.cemb::DOUBLE[]) ASC, c.cid ASC) AS rn
+      FROM q, c),
+    probed AS (SELECT q_id, q_emb, centroid_id FROM qp WHERE rn <= 2),
+    sims AS (
+      SELECT p.q_id, s.c_id,
+             round(list_cosine_similarity(p.q_emb::DOUBLE[],
+                                          s.c_emb::DOUBLE[]), 4) AS cosine_sim
+      FROM probed p JOIN corpus s ON p.centroid_id = s.centroid_id
+      WHERE p.q_id != s.c_id)
+    SELECT q_id, c_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine_sim DESC, c_id ASC) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def f15_ivf_topk(spark, sf):
+    """IVF ANN top-5: coarse quantizer (8 deterministic seed centroids =
+    vec_id < 8), corpus assigned to nearest centroid as a scan-side
+    projection, queries probe their 2 nearest inverted lists. The
+    equi-join-on-centroid shape is the third scale path next to brute force
+    (f10) and hyperplane LSH (f11)."""
+    emb = load_table(spark, sf, "embeddings")
+    centroids = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+    ]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = _sim.ivf_topk(emb, q, centroids, k=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "f12_embedding_near_dup",
     f"""
     WITH b AS (

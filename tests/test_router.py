@@ -396,3 +396,50 @@ class TestCurrencyValidation:
         res = history(spark, cat, HistoryRequest(symbol="AAPL"),
                       validate_currency=True)
         assert res.candles.count() == 2
+
+
+class TestActionsAndPolicy:
+    def test_history_merges_and_dedups_actions(self, spark):
+        # A6 through the router: both providers report the same dividend;
+        # output carries it once, plus provB's unique split.
+        from tests.conftest import action, make_actions
+
+        a_candles = [candle("provA", sec=0, o=1.0)]
+        b_candles = [candle("provB", sec=DAY, o=2.0)]
+        a_actions = [action("provA", sec=0, kind="dividend", amount=1.5)]
+        b_actions = [
+            action("provB", sec=0, kind="dividend", amount=1.5),
+            action("provB", sec=DAY, kind="split", amount=None,
+                   currency=None, numerator=2, denominator=1),
+        ]
+        cat = Catalog().register(
+            fixture_source(
+                "provA", history_intervals=("1d",),
+                history=make_candles(spark, a_candles),
+                actions=make_actions(spark, a_actions),
+            )
+        ).register(
+            fixture_source(
+                "provB", history_intervals=("1d",),
+                history=make_candles(spark, b_candles),
+                actions=make_actions(spark, b_actions),
+            )
+        )
+        res = history(spark, cat, HistoryRequest(symbol="AAPL"))
+        acts = res.actions.orderBy("ts").collect()
+        assert [(r.kind, r.numerator) for r in acts] == [
+            ("dividend", None), ("split", 2),
+        ]
+
+    def test_validate_policy_rejects_unknown_connector(self, spark):
+        from borsa_spark.errors import UnsupportedError
+
+        cat = Catalog().register(
+            hist_source(spark, "provA", [candle("provA")])
+        )
+        cat.policy = RoutingPolicy().providers_global(["provA", "ghost"])
+        with pytest.raises(UnsupportedError, match="ghost"):
+            cat.validate_policy()
+        # after a valid policy, validation is a no-op
+        cat.policy = RoutingPolicy().providers_global(["provA"])
+        cat.validate_policy()
