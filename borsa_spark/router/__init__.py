@@ -2,6 +2,7 @@ from borsa_spark.router.history import HistoryRequest, HistoryResult, history, p
 from borsa_spark.router.info import download, info
 from borsa_spark.router.quotes import quote, quote_or_raise, quotes
 from borsa_spark.router.search import search
+from borsa_spark.router.stream import StreamHandle, stream_quotes
 from borsa_spark.router.tables import capability_scan
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "quote_or_raise",
     "quotes",
     "search",
+    "stream_quotes",
+    "StreamHandle",
 ]

@@ -215,3 +215,82 @@ class TestControllerWithSpark:
         assert {r.symbol for r in rows} == {"AAPL"}
         assert len(rows) == 2
         ctl.shutdown()
+
+
+class TestStreamQuotesFacade:
+    def test_end_to_end_merged_stream(self, spark, tmp_path):
+        """Two providers, one symbol each; p0 fails at start -> p1 covers
+        its allow-set; sink holds the merged, gated stream."""
+        import datetime as dt
+
+        import pyspark.sql.functions as F
+
+        from borsa_spark.router.stream import stream_quotes
+        from borsa_spark.sources.provider import Catalog, Source
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        rows = [
+            ("AAPL", ts(0), 10.0, 0),
+            ("AAPL", ts(10), 11.0, 1),
+            ("AAPL", ts(5), 9.0, 2),    # out-of-order -> gated out
+            ("MSFT", ts(0), 20.0, 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "symbol string, ts timestamp, price double, seq long"
+        )
+        src_path = str(tmp_path / "feed")
+        df.repartition(1).write.parquet(src_path)
+
+        def feed():
+            return spark.readStream.schema(df.schema).parquet(src_path)
+
+        cat = Catalog()
+        cat.register(Source(name="p0", tables={"stream_quotes": feed}))
+        cat.register(Source(name="p1", tables={"stream_quotes": feed}))
+
+        handle = stream_quotes(
+            spark,
+            cat,
+            [I("AAPL"), I("MSFT")],
+            sink_dir=str(tmp_path / "sink"),
+        )
+        assert handle.ok
+        handle.process_available()
+        out = handle.output().collect()
+        # p0 covers both symbols (fallback mode, first in chain); the gate
+        # dropped seq=2
+        assert sorted(r.seq for r in out) == [0, 1, 3]
+        handle.stop()
+
+    def test_facade_failover(self, spark, tmp_path):
+        import datetime as dt
+
+        from borsa_spark.errors import ProviderTimeout
+        from borsa_spark.router.stream import stream_quotes
+        from borsa_spark.sources.provider import Catalog, Source
+
+        df = spark.createDataFrame(
+            [("AAPL", dt.datetime(2024, 1, 1), 1.0, 0)],
+            "symbol string, ts timestamp, price double, seq long",
+        )
+        src_path = str(tmp_path / "feed2")
+        df.write.parquet(src_path)
+
+        def bad_feed():
+            raise ProviderTimeout("connect refused", connector="p0")
+
+        def good_feed():
+            return spark.readStream.schema(df.schema).parquet(src_path)
+
+        cat = Catalog()
+        cat.register(Source(name="p0", tables={"stream_quotes": bad_feed}))
+        cat.register(Source(name="p1", tables={"stream_quotes": good_feed}))
+        handle = stream_quotes(
+            spark, cat, [I("AAPL")], sink_dir=str(tmp_path / "sink2")
+        )
+        assert handle.ok  # p1 took over
+        handle.process_available()
+        assert handle.output().count() == 1
+        handle.stop()
