@@ -111,62 +111,47 @@ def sql_hyperplane_bucket(emb_sql: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ivf_assign(
-    vectors: DataFrame,
-    centroids: list[tuple[int, list[float]]],
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """IVF coarse quantization: argmin squared-L2 centroid per vector.
-
-    ``centroids`` are (centroid_id, vector) literals — in production the
-    output of a KMeans fit (or any deterministic seed-pick); they compile
-    into a JVM-side expression chain, so assignment is a projection over the
-    scan (no shuffle, no UDF).
-    """
-    best_id = F.lit(centroids[0][0])
-    best_d = _sq_l2(F.col(emb_col), centroids[0][1])
-    for cid, cvec in centroids[1:]:
-        d = _sq_l2(F.col(emb_col), cvec)
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return vectors.withColumn("centroid_id", best_id)
-
-
-def _sq_l2(emb: Column, plane: list[float]) -> Column:
-    p = F.array(*[F.lit(v) for v in plane])
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two float arrays (float64 fold)."""
     return F.aggregate(
-        F.zip_with(_d(emb), p, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def sql_ivf_assign(emb_sql: str, centroids: list[tuple[int, list[float]]]) -> str:
-    """DuckDB expression mirroring ivf_assign (nested CASE argmin)."""
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    cid_col: str = "cid",
+    cemb_col: str = "cemb",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid id per vector via a
+    BROADCAST join + argmin window.
 
-    def lit(vec):
-        return "[" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[]"
-
-    def dist(vec):
-        return (
-            f"list_aggregate(list_transform(list_zip({emb_sql}::DOUBLE[], "
-            f"{lit(vec)}), p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
-        )
-
-    expr = str(centroids[0][0])
-    best = dist(centroids[0][1])
-    for cid, cvec in centroids[1:]:
-        d = dist(cvec)
-        expr = f"(CASE WHEN {d} < {best} THEN {cid} ELSE {expr} END)"
-        best = f"least({d}, {best})"
-    return expr
+    ``centroids`` is a tiny (cid, cemb) frame — a KMeans fit output or a
+    deterministic seed-pick. A broadcast nested-loop join against ≤ a few
+    thousand centroids never shuffles the corpus; the argmin is a
+    WindowGroupLimit. (Embedding centroids as literal expressions instead
+    blows up the plan — measured 14.9 MiB task binaries and ~20s of codegen
+    for 8x64 floats — so the join form is the right shape at every scale.)
+    """
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy(*vectors.columns).orderBy(
+        sq_l2(F.col(emb_col), F.col(cemb_col)).asc(), F.col(cid_col).asc()
+    )
+    return (
+        joined.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(*vectors.columns, F.col(cid_col).alias("centroid_id"))
+    )
 
 
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: DataFrame,
     k: int = 5,
     n_probe: int = 2,
     id_col: str = "vec_id",
@@ -177,27 +162,21 @@ def ivf_topk(
     """IVF ANN: corpus partitioned by nearest centroid; each query probes its
     ``n_probe`` nearest centroids and brute-forces only those inverted lists.
 
-    Scale shape: corpus assignment is a scan-side projection; the search is
-    an equi-join on centroid_id (shuffle proportional to probed lists, not
-    the corpus). Centroids are literals -> identical in the SQL oracle.
+    Scale shape: centroid assignment is a broadcast join over the scan; the
+    search is an equi-join on centroid_id — shuffle proportional to the
+    probed lists, never the full corpus.
     """
     corpus = ivf_assign(vectors, centroids, emb_col).select(
         F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), "centroid_id"
     )
-    # per-query probe set: rank centroids by distance, keep n_probe
-    probes = None
-    for cid, cvec in centroids:
-        row = queries.select(
-            q_id, q_emb,
-            F.lit(cid).alias("centroid_id"),
-            _sq_l2(F.col(q_emb), cvec).alias("__d"),
-        )
-        probes = row if probes is None else probes.unionByName(row)
-    w = Window.partitionBy(q_id).orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+    probes = queries.crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy(q_id).orderBy(
+        sq_l2(F.col(q_emb), F.col("cemb")).asc(), F.col("cid").asc()
+    )
     probed = (
         probes.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_probe)
-        .select(q_id, q_emb, "centroid_id")
+        .select(q_id, q_emb, F.col("cid").alias("centroid_id"))
     )
     sim = F.round(cosine(F.col(q_emb), F.col("c_emb")), 4)
     j = (

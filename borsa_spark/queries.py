@@ -1206,11 +1206,9 @@ def f15_ivf_topk(spark, sf):
     equi-join-on-centroid shape is the third scale path next to brute force
     (f10) and hyperplane LSH (f11)."""
     emb = load_table(spark, sf, "embeddings")
-    centroids = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.filter(F.col("vec_id") < 8)
-        .select("vec_id", "embedding").collect()
-    ]
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

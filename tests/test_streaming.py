@@ -247,3 +247,31 @@ class TestStreamingExactDedup:
         assert sorted((r.symbol, r.price) for r in out.collect()) == [
             ("AAPL", 10.0), ("AAPL", 11.0), ("MSFT", 20.0),
         ]
+
+
+class TestClockSkew:
+    def test_per_symbol_clocks_do_not_interfere(self, spark, tmp_path):
+        """router_stream_clock_skew.rs: symbols with wildly different clock
+        bases each keep their own high-water mark — one symbol's 'future'
+        clock never drops another's updates."""
+        import datetime as dt
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        rows = [
+            ("FAST", ts(1_000_000), 1.0, 0),   # clock far ahead
+            ("SLOW", ts(10), 2.0, 1),          # clock far behind: still passes
+            ("FAST", ts(1_000_010), 1.1, 2),
+            ("SLOW", ts(5), 2.1, 3),           # older within SLOW -> dropped
+            ("SLOW", ts(20), 2.2, 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "symbol string, ts timestamp, price double, seq long"
+        )
+        path = str(tmp_path / "skew")
+        df.repartition(1).write.parquet(path)
+        src = spark.readStream.schema(df.schema).parquet(path)
+        gated = streaming_monotonic_gate(src)
+        out = _run_stream(spark, gated, tmp_path, "skew_out")
+        assert sorted(r.seq for r in out.collect()) == [0, 1, 2, 4]
