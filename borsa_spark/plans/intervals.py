@@ -13,6 +13,7 @@ Interval vocabulary mirrors the reference's closed enum
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 
 from borsa_spark.errors import UnsupportedError
@@ -34,6 +35,34 @@ def interval_seconds(interval: str) -> int:
     if interval not in INTERVAL_SECONDS:
         raise UnsupportedError(f"unknown interval {interval!r}")
     return INTERVAL_SECONDS[interval]
+
+
+#: Range vocabulary (the reference re-exports the yfinance-style Range enum;
+#: Range::M6 is the download default, borsa/src/router/download.rs:50,156).
+RANGES = ["1d", "5d", "1mo", "3mo", "6mo", "1y", "2y", "5y", "ytd", "max"]
+
+_RANGE_DAYS = {
+    "1d": 1, "5d": 5, "1mo": 30, "3mo": 91, "6mo": 182,
+    "1y": 365, "2y": 730, "5y": 1826,
+}
+
+
+def range_to_bounds(range_key: str, now: _dt.datetime) -> tuple[_dt.datetime | None, _dt.datetime]:
+    """Resolve a Range key to (start, end) request bounds at ``now``.
+
+    'ytd' starts at Jan 1 of now's year; 'max' has no lower bound. The
+    request-flag cache key treats range and explicit period as distinct
+    dimensions (cache.rs:28-64), which this resolution preserves by being
+    applied only when no explicit start/end was given.
+    """
+    if range_key == "max":
+        return None, now
+    if range_key == "ytd":
+        return now.replace(month=1, day=1, hour=0, minute=0, second=0,
+                           microsecond=0), now
+    if range_key not in _RANGE_DAYS:
+        raise UnsupportedError(f"unknown range {range_key!r}")
+    return now - _dt.timedelta(days=_RANGE_DAYS[range_key]), now
 
 
 @dataclass(frozen=True)

@@ -209,3 +209,53 @@ class RoutingPolicy:
         if exchange is not None and rank_map is not None:
             rank = rank_map.get(exchange, INF)
         return (rank, none_penalty, INF, orig_idx)
+
+    # -- config round-trip (routing_policy serde parity,
+    #    borsa-types/tests/routing_policy_serde.rs) --
+
+    def to_dict(self) -> dict:
+        return {
+            "rules": [
+                {
+                    "selector": {
+                        "symbol": r.selector.symbol,
+                        "kind": r.selector.kind,
+                        "exchange": r.selector.exchange,
+                    },
+                    "providers": list(r.providers),
+                    "strict": r.strict,
+                }
+                for r in self.providers.rules
+            ],
+            "global": (
+                {"providers": self.providers.global_rule[0],
+                 "strict": self.providers.global_rule[1]}
+                if self.providers.global_rule is not None
+                else None
+            ),
+            "exchanges": [
+                {"scope": list(scope), "exchanges": lst}
+                for scope, lst in self.exchanges.items()
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> RoutingPolicy:
+        p = cls()
+        g = d.get("global")
+        if g is not None:
+            p.providers.set_global(g["providers"], g.get("strict", False))
+        for r in d.get("rules", []):
+            sel = r.get("selector", {})
+            p.providers.add_rule(
+                Selector(
+                    symbol=sel.get("symbol"),
+                    kind=sel.get("kind"),
+                    exchange=sel.get("exchange"),
+                ),
+                r["providers"],
+                r.get("strict", False),
+            )
+        for e in d.get("exchanges", []):
+            p.exchanges[tuple(e["scope"])] = list(e["exchanges"])
+        return p

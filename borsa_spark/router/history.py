@@ -58,10 +58,25 @@ class HistoryRequest:
     interval: str = "1d"
     start: datetime | None = None
     end: datetime | None = None
+    #: Range key ('6mo', '1y', 'ytd', 'max', ...) — resolved to (start, end)
+    #: at execution time when no explicit period was given (range XOR period,
+    #: cache.rs:28-64; Range::M6 is the download default, download.rs:50).
+    range: str | None = None
     include_prepost: bool = False
     include_actions: bool = True
     auto_adjust: bool = True
     keepna: bool = False
+
+    def resolved(self, now: datetime | None = None) -> "HistoryRequest":
+        """Materialize ``range`` into (start, end) bounds if set."""
+        if self.range is None or self.start is not None or self.end is not None:
+            return self
+        from dataclasses import replace
+
+        from borsa_spark.plans.intervals import range_to_bounds
+
+        start, end = range_to_bounds(self.range, now or datetime.now())
+        return replace(self, start=start, end=end)
 
 
 @dataclass
@@ -181,6 +196,7 @@ def history(
     blaming the faulty provider (R9, history.rs:223-274). Opt-in because it
     is an *action* (a tiny O(providers) aggregation job) on the lazy path.
     """
+    req = req.resolved()
     plans, warnings = plan_history(catalog, req)
 
     # When every provider shares one (interval, resample) plan — the common

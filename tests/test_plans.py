@@ -145,3 +145,54 @@ class TestChooseEffectiveInterval:
     def test_daily_no_intraday_rejected(self):
         with pytest.raises(UnsupportedError):
             choose_effective_interval(["1wk"], "1d")
+
+
+class TestRangeAndSerde:
+    def test_range_to_bounds(self):
+        import datetime as dt
+
+        from borsa_spark.plans.intervals import range_to_bounds
+
+        now = dt.datetime(2024, 7, 1, 12, 30)
+        s, e = range_to_bounds("6mo", now)
+        assert (now - s).days == 182 and e == now
+        s, e = range_to_bounds("ytd", now)
+        assert s == dt.datetime(2024, 1, 1) and e == now
+        s, e = range_to_bounds("max", now)
+        assert s is None and e == now
+        with pytest.raises(UnsupportedError):
+            range_to_bounds("7w", now)
+
+    def test_history_request_range_resolution(self):
+        import datetime as dt
+
+        from borsa_spark.router import HistoryRequest
+
+        req = HistoryRequest(symbol="AAPL", range="1mo")
+        r = req.resolved(now=dt.datetime(2024, 7, 1))
+        assert r.start == dt.datetime(2024, 6, 1) and r.end == dt.datetime(2024, 7, 1)
+        # explicit period wins over range (range XOR period)
+        req2 = HistoryRequest(symbol="AAPL", range="1mo",
+                              start=dt.datetime(2020, 1, 1))
+        assert req2.resolved().start == dt.datetime(2020, 1, 1)
+
+    def test_policy_serde_round_trip(self):
+        import json
+
+        p = (
+            RoutingPolicy()
+            .providers_global(["a", "b"])
+            .providers_for_symbol("AAPL", ["b"], strict=True)
+            .providers_rule(Selector(kind="EQUITY", exchange="NYSE"), ["a"])
+            .exchanges_global(["NYSE", "NASDAQ"])
+            .exchanges_for_kind("CRYPTO", ["BINANCE"])
+        )
+        d = json.loads(json.dumps(p.to_dict()))  # through JSON
+        q = RoutingPolicy.from_dict(d)
+        ctx = RoutingContext(symbol="AAPL", kind="EQUITY", exchange="NYSE")
+        for key in ("a", "b", "zzz"):
+            assert p.providers.provider_rank(ctx, key) == \
+                   q.providers.provider_rank(ctx, key)
+        assert p.exchange_rank_map(RoutingContext(kind="CRYPTO")) == \
+               q.exchange_rank_map(RoutingContext(kind="CRYPTO"))
+        assert q.to_dict() == p.to_dict()
