@@ -99,14 +99,21 @@ def main() -> None:
     # first-touch class loading.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # min of two runs per query: the machine hosts concurrent builders, and
+    # a single sample can be 2-4x off under load; min-of-2 reports the plan,
+    # not the neighbors.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     timings["t1_stream_gate_candles"] = stream_gate_bench(spark, sf_dir)
 
