@@ -181,9 +181,30 @@ def lsh_band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(sig: DataFrame) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band (id_a < id_b)."""
+def minhash_candidates(
+    sig: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band (id_a < id_b).
+
+    ``max_bucket_size`` guards the quadratic hot-bucket blowup at corpus
+    scale: a band key shared by B documents yields B(B-1)/2 candidate pairs,
+    and one pathological bucket (boilerplate, empty-ish docs) can dominate
+    the whole join. Buckets above the cap are EXCLUDED FROM CANDIDATES, not
+    sampled — use `oversized_buckets` to account for what was skipped
+    (never a silent cap), and handle those cohorts with exact dedup (their
+    members are near-identical by construction, so grouping them wholesale
+    is usually the right call anyway).
+    """
     bk = lsh_band_keys(sig)
+    if max_bucket_size is not None:
+        w_count = bk.groupBy("band", "band_key").agg(
+            F.count("*").alias("__n")
+        )
+        bk = (
+            bk.join(w_count, ["band", "band_key"])
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -191,6 +212,17 @@ def minhash_candidates(sig: DataFrame) -> DataFrame:
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def oversized_buckets(sig: DataFrame, max_bucket_size: int) -> DataFrame:
+    """The accounting side of `minhash_candidates(max_bucket_size=...)`:
+    (band, band_key, n_docs) for every bucket the cap excluded."""
+    return (
+        lsh_band_keys(sig)
+        .groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
     )
 
 

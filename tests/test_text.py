@@ -1,0 +1,98 @@
+"""Text-function edge cases: null / empty / whitespace-only documents must
+not crash or emit surprising sentinel values at corpus scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from borsa_spark.functions import text as tx
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat sat of the mat and to in"),
+        (2, ""),
+        (3, None),
+        (4, "   "),
+        (5, "el la de que y el la"),
+        (6, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTextEdgeCases:
+    def test_token_count_handles_null_and_empty(self, docs):
+        out = {
+            r.doc_id: r.n
+            for r in docs.select(
+                "doc_id", tx.token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert out[1] == 9
+        assert out[2] == 1      # single empty token (split semantics)
+        assert out[3] is None   # null text -> null, never a crash or -1
+        assert out[4] == 4      # "   " -> 4 empty tokens
+        assert out[6] == 1
+
+    def test_quality_and_ratio_null_safe(self, docs):
+        out = docs.select(
+            "doc_id",
+            tx.quality_score(F.col("text")).alias("q"),
+            F.round(tx.distinct_token_ratio(F.col("text")), 4).alias("r"),
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[3].q is None and by_id[3].r is None
+        assert 0.0 <= float(by_id[1].q) <= 1.0
+
+    def test_lang_guess_deterministic_on_ties(self, docs):
+        out = {
+            r.doc_id: r.lang
+            for r in docs.select(
+                "doc_id", tx.lang_guess(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert out[1] == "en"
+        assert out[5] == "es"
+        # no stopword hits anywhere -> all-zero tie -> first language wins
+        assert out[6] == "en"
+
+    def test_fingerprint_null_and_normalization(self, docs, spark):
+        out = {
+            r.doc_id: r.fp
+            for r in docs.select(
+                "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert out[3] is None
+        # normalization: case and punctuation don't change the fingerprint
+        same = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "hello world")], "doc_id long, text string"
+        )
+        fps = [r.fp for r in same.select(
+            tx.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestLshBucketGuard:
+    def test_hot_bucket_excluded_and_accounted(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        # 6 near-identical docs (one hot bucket) + 2 distinct similar docs
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, base) for i in range(6)]
+        rows += [(10, "one two three four five six seven"),
+                 (11, "one two three four five six eight")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = dd.minhash_signature(dd.shingles(docs, 3))
+
+        uncapped = dd.minhash_candidates(sig)
+        assert uncapped.count() == 15 + 1  # C(6,2) hot + 1 normal pair
+
+        capped = dd.minhash_candidates(sig, max_bucket_size=3)
+        pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert pairs == {(10, 11)}  # hot cohort excluded wholesale
+
+        over = dd.oversized_buckets(sig, max_bucket_size=3).collect()
+        assert over and all(r.n_docs == 6 for r in over)
