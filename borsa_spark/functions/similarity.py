@@ -71,6 +71,66 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    queries_pd,
+    corpus: DataFrame,
+    k: int = 5,
+    c_id: str = "c_id",
+    c_emb: str = "c_emb",
+) -> DataFrame:
+    """Arrow/numpy brute-force top-k: one BLAS matmul per Arrow batch.
+
+    ``queries_pd`` is a pandas DataFrame (q_id, q_emb as lists) — small
+    enough to ship in the UDF closure (the broadcast side). Each corpus
+    batch of B vectors costs one (Q x D) @ (D x B) matmul instead of Q*B*D
+    scalar fold steps; per-batch top-k via argpartition keeps only Q*k rows
+    per batch, and a final JVM window reduces across batches. This is the
+    wide-embedding scale path (D >= 512) where the JVM fold's per-element
+    expression cost dominates; results are rounded to 4 decimals and
+    rank-tied exactly like brute_force_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = np.asarray(queries_pd["q_id"])
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in queries_pd["q_emb"]])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[c_emb]]
+            )
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qn @ cn.T  # (Q, B)
+            cids = np.asarray(pdf[c_id])
+            kk = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {
+                "q_id": np.repeat(q_ids, kk),
+                c_id: cids[idx].ravel(),
+                "cosine_sim": np.round(
+                    np.take_along_axis(sims, idx, axis=1).ravel(), 4
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.mapInPandas(
+        fn, schema=f"q_id long, {c_id} long, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(c_id).asc()
+    )
+    return (
+        partial.filter(F.col("q_id") != F.col(c_id))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", c_id, "cosine_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplane) bucketing
 # ---------------------------------------------------------------------------

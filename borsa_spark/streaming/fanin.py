@@ -97,5 +97,12 @@ def candle_stream(
             F.col("window.end").alias("window_end"),
             "open", "high", "low", "close", "n_ticks",
             *( ["volume"] if volume_col is not None and "volume" in updates.columns else [] ),
+            # CANDLE_UPDATES parity (connector.rs:270-288): the requested
+            # interval travels with each bar; in append mode a bar emits only
+            # once the watermark closes its window, which IS is_final=true
+            # (update mode re-emits partial bars — set is_final there by
+            # comparing window_end to the batch watermark in foreachBatch).
+            F.lit(f"{interval_seconds}s").alias("interval"),
+            F.lit(True).alias("is_final"),
         )
     )

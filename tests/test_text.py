@@ -96,3 +96,33 @@ class TestLshBucketGuard:
 
         over = dd.oversized_buckets(sig, max_bucket_size=3).collect()
         assert over and all(r.n_docs == 6 for r in over)
+
+
+class TestVectorizedTopK:
+    def test_matches_jvm_brute_force(self, spark):
+        """The numpy-matmul path must agree exactly with the JVM fold path
+        (same rounding, same rank tie-breaks) on real driver embeddings."""
+        from pyspark.sql import functions as F
+
+        from borsa_spark.functions.similarity import (
+            brute_force_topk,
+            brute_force_topk_vectorized,
+        )
+        from borsa_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+        jvm = {
+            (r.q_id, r.rank): (r.c_id, r.cosine_sim)
+            for r in brute_force_topk(q, c, k=5).collect()
+        }
+        vec = {
+            (r.q_id, r.rank): (r.c_id, r.cosine_sim)
+            for r in brute_force_topk_vectorized(q.toPandas(), c, k=5).collect()
+        }
+        assert jvm == vec
