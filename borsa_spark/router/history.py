@@ -239,6 +239,15 @@ def history(
         raise collapse_errors(attempted, errors, f"history({req.symbol})")
 
     if strategy == "fallback":
+        if symbols is not None and len(symbols) > 1:
+            # Fallback semantics are per-request (first provider with data
+            # for THE symbol, history.rs:481-519); applying them wholesale
+            # to a batch would silently drop symbols only covered by
+            # later-in-chain providers. Deep handles batches correctly.
+            raise UnsupportedError(
+                "fallback strategy is per-symbol; use strategy='deep' for "
+                "symbol batches (or issue per-symbol fallback requests)"
+            )
         # Sequential first-non-empty (history.rs:481-519). LIMIT-1 probes in
         # priority order; each probe is a tiny job thanks to pushdown.
         chosen = None

@@ -443,3 +443,11 @@ class TestActionsAndPolicy:
         # after a valid policy, validation is a no-op
         cat.policy = RoutingPolicy().providers_global(["provA"])
         cat.validate_policy()
+
+
+def test_fallback_with_symbol_batch_rejected(spark):
+    a = [candle("provA", sec=0, o=1.0)]
+    cat = Catalog().register(hist_source(spark, "provA", a))
+    with pytest.raises(UnsupportedError, match="per-symbol"):
+        history(spark, cat, HistoryRequest(symbol="AAPL"),
+                strategy="fallback", symbols=["AAPL", "MSFT"])
