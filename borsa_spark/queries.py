@@ -318,6 +318,41 @@ def rel_q12(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "rel_q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    """,
+)
+def rel_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share over a part-dimension
+    broadcast join (covers the last driver table, `part`)."""
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
     "rel_q13_customer_distribution",
     """
     SELECT c_count, count(*)::BIGINT AS custdist FROM (

@@ -69,12 +69,17 @@ def candle_stream(
     ts_col: str = "ts",
     price_col: str = "price",
     volume_col: str | None = "volume",
+    final_mode: bool = True,
 ) -> DataFrame:
     """T12: tick stream -> OHLCV bars at a tumbling interval.
 
     Emits one row per (symbol, window) with open/high/low/close from
-    event-time ordering. Run with outputMode('append') for final bars only
-    (is_final=true semantics) or 'update' for partial bars.
+    event-time ordering. ``final_mode=True`` is for outputMode('append'):
+    every emitted bar is watermark-closed, so ``is_final`` is true.
+    Pass ``final_mode=False`` when running in 'update' mode — partial bars
+    re-emit as ticks arrive and Spark does not expose per-row closedness,
+    so ``is_final`` is false for every row (a bar's final form is the last
+    re-emission; downstream keyed upserts make that the surviving value).
     """
     win = F.window(F.col(ts_col), f"{interval_seconds} seconds")
     ord_key: Column = F.struct(F.col(ts_col), F.col("seq")) if "seq" in updates.columns else F.col(ts_col)
@@ -98,11 +103,9 @@ def candle_stream(
             "open", "high", "low", "close", "n_ticks",
             *( ["volume"] if volume_col is not None and "volume" in updates.columns else [] ),
             # CANDLE_UPDATES parity (connector.rs:270-288): the requested
-            # interval travels with each bar; in append mode a bar emits only
-            # once the watermark closes its window, which IS is_final=true
-            # (update mode re-emits partial bars — set is_final there by
-            # comparing window_end to the batch watermark in foreachBatch).
+            # interval travels with each bar; is_final truthfulness depends
+            # on the output mode (see final_mode in the docstring).
             F.lit(f"{interval_seconds}s").alias("interval"),
-            F.lit(True).alias("is_final"),
+            F.lit(bool(final_mode)).alias("is_final"),
         )
     )
