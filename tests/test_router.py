@@ -451,3 +451,39 @@ def test_fallback_with_symbol_batch_rejected(spark):
     with pytest.raises(UnsupportedError, match="per-symbol"):
         history(spark, cat, HistoryRequest(symbol="AAPL"),
                 strategy="fallback", symbols=["AAPL", "MSFT"])
+
+
+class TestMockSources:
+    def test_fixture_connector_history_and_quote(self, spark):
+        # borsa-mock fixtures through the real routers
+        from borsa_spark.sources.mock import fixture_mock_source
+
+        cat = Catalog().register(fixture_mock_source(spark))
+        res = history(spark, cat, HistoryRequest(symbol="AAPL"))
+        rows = res.candles.collect()
+        assert [float(r.close) for r in rows] == [141.0, 142.0]
+        q = quote(spark, cat, "BTC-USD").collect()
+        assert len(q) == 1 and float(q[0].price) == 65000.0
+        assert q[0].exchange is None  # crypto quote has no exchange
+
+    def test_scripted_source_fail_then_recover(self, spark):
+        # dynamic.rs Return/Fail scripting: provider errors -> warning +
+        # fallback to the healthy provider; after recovery it wins again.
+        from borsa_spark.errors import ProviderTimeout
+        from borsa_spark.sources.mock import ScriptedSource, fixture_history_df
+
+        flaky = ScriptedSource("flaky").script(
+            "history", ProviderTimeout("boom", connector="flaky")
+        )
+        steady = ScriptedSource("steady").script(
+            "history", fixture_history_df(spark, "steady")
+        )
+        cat = Catalog().register(flaky).register(steady)
+        res = history(spark, cat, HistoryRequest(symbol="AAPL"))
+        assert {str(r.provider) for r in res.candles.collect()} == {"steady"}
+        assert any("flaky" in w for w in res.warnings)
+        assert flaky.calls == ["history"]
+
+        flaky.script("history", fixture_history_df(spark, "flaky"))
+        res2 = history(spark, cat, HistoryRequest(symbol="AAPL"))
+        assert {str(r.provider) for r in res2.candles.collect()} == {"flaky"}
