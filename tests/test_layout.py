@@ -46,3 +46,37 @@ def test_merge_over_bucketed_table_has_no_shuffle(spark, bucketed_table):
     out = merged.collect()
     assert len(out) == 10
     assert {str(r.provider) for r in out} == {"provA"}
+
+
+def test_partitioned_bucketed_write_prunes_partitions(spark):
+    """partition_cols + bucketing: a date-partition filter must prune at
+    the scan (PartitionFilters), and the merge stays shuffle-free."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        candle("provA", symbol="AAPL", sec=i * DAY, o=float(i), seq=i)
+        for i in range(6)
+    ]
+    df = make_candles(spark, rows).withColumn("dt", F.to_date("ts"))
+    write_bucketed_candles(df, "candles_part", buckets=4,
+                           partition_cols=["dt"])
+    try:
+        t = read_candles_table(spark, "candles_part").filter(
+            F.col("dt") >= "1970-01-04"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            t.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [isnotnull(dt" in plan
+        assert t.count() == 3
+        merged = merge_candles(with_priority(t.drop("dt"), {"provA": 0}))
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            merged.explain("formatted")
+        assert "Exchange" not in buf2.getvalue()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS candles_part")

@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the perf claims in SCALE.md must stay
+true as code evolves — pushdown reaches the scan, dims broadcast, the merge
+partially aggregates, and bucketed layouts stay shuffle-free."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from borsa_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_q6_filters_pushed_to_scan(self, spark):
+        plan = plan_of(spark, "rel_q6_revenue_filter")
+        assert "PushedFilters:" in plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "LessThan(l_quantity" in plan
+
+    def test_q1_column_pruning_and_partial_agg(self, spark):
+        plan = plan_of(spark, "rel_q1_pricing_summary")
+        # 7 of 11 lineitem columns read
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).count(":") == 7
+        assert "partial_" in plan  # map-side combine
+
+    def test_q3_broadcasts_dims_and_takeordered(self, spark):
+        plan = plan_of(spark, "rel_q3_top_orders")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "TakeOrderedAndProject" in plan  # top-k without global sort
+
+    def test_merge_is_partial_aggregation(self, spark):
+        plan = plan_of(spark, "j1_merge_first_wins")
+        assert "partial_min_by" in plan  # skew-resilient argmin merge
+        assert "row_number" not in plan
+
+    def test_monotonic_gate_single_window_no_udf(self, spark):
+        plan = plan_of(spark, "p7_monotonic_gate")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_events_scan_prunes_columns(self, spark):
+        plan = plan_of(spark, "s12_download_summary")
+        # only event_type, ts, value should be read (not user_id/event_id)
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m is not None
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert "user_id" not in cols
