@@ -275,3 +275,34 @@ class TestClockSkew:
         gated = streaming_monotonic_gate(src)
         out = _run_stream(spark, gated, tmp_path, "skew_out")
         assert sorted(r.seq for r in out.collect()) == [0, 1, 2, 4]
+
+
+class TestRocksDBStateStore:
+    def test_gate_on_rocksdb_provider(self, spark, stream_rows, tmp_path):
+        """The stateful gate must run on RocksDBStateStoreProvider — the
+        off-heap state backend for production scale (HDFSBacked keeps all
+        state on the JVM heap; at millions of symbols that's the first thing
+        to fall over)."""
+        path, schema = stream_rows
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            src = spark.readStream.schema(schema).parquet(path)
+            gated = streaming_monotonic_gate(src)
+            out = _run_stream(spark, gated, tmp_path, "gate_rocks", "append")
+            assert sorted(r.seq for r in out.collect()) == [0, 1, 3, 4, 5, 7]
+        finally:
+            if prev:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
