@@ -1,5 +1,5 @@
 from borsa_spark.router.history import HistoryRequest, HistoryResult, history, plan_history
-from borsa_spark.router.info import download, info
+from borsa_spark.router.info import download, fast_info, info
 from borsa_spark.router.quotes import quote, quote_or_raise, quotes
 from borsa_spark.router.search import search
 from borsa_spark.router.stream import StreamHandle, stream_quotes
@@ -10,6 +10,7 @@ __all__ = [
     "HistoryResult",
     "capability_scan",
     "download",
+    "fast_info",
     "history",
     "info",
     "plan_history",

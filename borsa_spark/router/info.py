@@ -104,6 +104,32 @@ def info(
     return out, warnings
 
 
+def fast_info(
+    spark: SparkSession,
+    catalog: Catalog,
+    symbols: list[str],
+    kind: str | None = None,
+) -> DataFrame:
+    """The light Info subset (FastInfo, borsa/src/router/info.rs:222-251):
+    quote-derived fields only — no profile/analyst/esg joins, one window
+    over the quote union."""
+    from pyspark.sql import Window
+
+    ctx = RoutingContext(kind=kind)
+    union = _quote_union(catalog, ctx, enforce_exchange=False).filter(
+        F.col("symbol").isin(symbols)
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("priority").asc())
+    return (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol", "shortname", "price", "previous_close", "currency",
+            "exchange", "market_state",
+        )
+    )
+
+
 def download(
     spark: SparkSession,
     catalog,

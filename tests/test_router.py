@@ -487,3 +487,15 @@ class TestMockSources:
         flaky.script("history", fixture_history_df(spark, "flaky"))
         res2 = history(spark, cat, HistoryRequest(symbol="AAPL"))
         assert {str(r.provider) for r in res2.candles.collect()} == {"flaky"}
+
+
+def test_fast_info_quote_subset(spark):
+    from borsa_spark.router import fast_info
+    from borsa_spark.sources.mock import fixture_mock_source
+
+    cat = Catalog().register(fixture_mock_source(spark))
+    out = fast_info(spark, cat, ["AAPL", "BTC-USD"]).collect()
+    by_sym = {r.symbol: r for r in out}
+    assert float(by_sym["AAPL"].price) == 190.0
+    assert by_sym["AAPL"].shortname == "Apple Inc."
+    assert by_sym["BTC-USD"].exchange is None
