@@ -1,0 +1,22 @@
+# Developer entry points (the reference's justfile:1-24 analog).
+
+.PHONY: test oracle bench demo smoke all
+
+test:
+	python -m pytest tests/ -q
+
+oracle:
+	python tools/check_oracle.py /root/testdata/sf0.01
+
+bench:
+	python bench.py
+
+demo:
+	python examples/demo.py
+
+smoke:
+	python -c "import importlib; m = importlib.import_module('__spark_entry__'); \
+	from borsa_spark.session import get_spark; s = get_spark('smoke'); \
+	print('entry rows:', m.entry(s).count())"
+
+all: test oracle bench
