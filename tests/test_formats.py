@@ -67,3 +67,54 @@ class TestFormatLoaders:
             assert by_seq[1].price == 100.0 + 0.07
         finally:
             q.stop()
+
+
+class TestLiveFacade:
+    def test_rate_feed_through_stream_quotes_facade(self, spark, tmp_path):
+        """The full live path with zero infrastructure: rate-source feed ->
+        planner -> supervised per-provider query -> allow filter -> gate ->
+        parquet sink fan-in."""
+        import time
+
+        from borsa_spark.router.stream import stream_quotes
+        from borsa_spark.sources.provider import Catalog, Source
+        from borsa_spark.streaming import StreamInstrument as I
+
+        cat = Catalog().register(
+            Source(
+                name="live",
+                tables={
+                    "stream_quotes": lambda: rate_quote_stream(
+                        spark, ["AAPL", "MSFT"], rows_per_second=200
+                    )
+                },
+            )
+        )
+        handle = stream_quotes(
+            spark,
+            cat,
+            [I("AAPL")],
+            sink_dir=str(tmp_path / "live_sink"),
+            trigger_available_now=False,  # continuous micro-batches
+        )
+        assert handle.ok
+        try:
+            deadline = time.time() + 60
+            rows = []
+            while time.time() < deadline:
+                try:
+                    rows = handle.output().collect()
+                except Exception:  # noqa: BLE001 - sink not yet materialized
+                    rows = []
+                if len(rows) >= 5:
+                    break
+                time.sleep(1)
+            assert len(rows) >= 5
+            assert {r.symbol for r in rows} == {"AAPL"}  # MSFT pruned (P6)
+            # monotonic gate held: per-symbol ts never decreases in seq order
+            ordered = sorted(rows, key=lambda r: r.seq)
+            assert all(
+                a.ts <= b.ts for a, b in zip(ordered, ordered[1:])
+            )
+        finally:
+            handle.stop()
