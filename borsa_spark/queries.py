@@ -688,6 +688,186 @@ def s12_download_summary(spark, sf):
     )
 
 
+@query(
+    "a6_actions_dedup",
+    """
+    SELECT DISTINCT event_type AS symbol,
+           date_trunc('minute', ts) AS action_min,
+           CASE user_id % 3 WHEN 0 THEN 'dividend' WHEN 1 THEN 'split'
+                            ELSE 'capital_gain' END AS kind,
+           CASE WHEN user_id % 3 = 1 THEN NULL
+                ELSE round(value, 2) END AS amount,
+           CASE WHEN user_id % 3 = 1 THEN NULL ELSE 'USD' END AS currency,
+           CASE WHEN user_id % 3 = 1 THEN (user_id % 5 + 1)::INT
+                ELSE NULL END AS numerator,
+           CASE WHEN user_id % 3 = 1 THEN 1 ELSE NULL END AS denominator
+    FROM events
+    """,
+)
+def a6_actions_dedup(spark, sf):
+    """A6: corporate-action dedup by full identity through the real
+    dedup_actions operator (merge.rs:264-279); duplicate (ts, kind, payload)
+    rows from different providers collapse to one."""
+    from borsa_spark.operators import dedup_actions
+
+    ev = load_table(spark, sf, "events")
+    is_split = F.col("user_id") % 3 == 1
+    actions = ev.select(
+        F.concat(F.lit("prov"), (F.col("user_id") % 2).cast("string")).alias(
+            "provider"
+        ),
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("minute", "ts").alias("ts"),
+        F.when(F.col("user_id") % 3 == 0, "dividend")
+        .when(is_split, "split")
+        .otherwise("capital_gain")
+        .alias("kind"),
+        F.when(is_split, None).otherwise(F.round("value", 2)).alias("amount"),
+        F.when(is_split, None).otherwise(F.lit("USD")).alias("currency"),
+        F.when(is_split, (F.col("user_id") % 5 + 1).cast("int")).alias(
+            "numerator"
+        ),
+        F.when(is_split, F.lit(1)).alias("denominator"),
+    )
+    out = dedup_actions(actions)
+    # provider is an arbitrary survivor under identity dedup — project the
+    # identity columns so the comparison is deterministic
+    return out.select(
+        "symbol", F.col("ts").alias("action_min"), "kind", "amount",
+        "currency", "numerator", "denominator",
+    ).distinct()
+
+
+@query(
+    "a8_quotes_batch_failures",
+    """
+    WITH requested AS (
+      SELECT unnest(['click','view','purchase','signup','error',
+                     'GHOST1','GHOST2']) AS symbol),
+    best AS (
+      SELECT event_type AS symbol, round(value, 2) AS price FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY (user_id % 3) ASC, ts DESC,
+                                           event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT r.symbol,
+           b.price,
+           (b.symbol IS NULL) AS failed
+    FROM requested r LEFT JOIN best b ON r.symbol = b.symbol
+    """,
+)
+def a8_quotes_batch_failures(spark, sf):
+    """A8 via the real quotes() router: batch lookup over a 3-provider
+    catalog; unknown symbols surface in the failures anti-join, found
+    symbols carry the min-priority provider's latest price."""
+    from pyspark.sql import Window as W
+
+    from borsa_spark.router import quotes as quotes_router
+    from borsa_spark.sources.provider import Catalog, fixture_source
+
+    ev = load_table(spark, sf, "events")
+    cat = Catalog()
+    for p in range(3):
+        w = W.partitionBy("event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        tbl = (
+            ev.filter(F.col("user_id") % 3 == p)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.lit(f"prov{p}").alias("provider"),
+                F.col("event_type").alias("symbol"),
+                F.lit("EQUITY").alias("kind"),
+                F.lit(None).cast("string").alias("shortname"),
+                F.col("value").cast("decimal(38,9)").alias("price"),
+                F.lit(None).cast("decimal(38,9)").alias("previous_close"),
+                F.lit("USD").alias("currency"),
+                F.lit(None).cast("string").alias("exchange"),
+                F.lit(None).cast("string").alias("market_state"),
+                F.lit(None).cast("long").alias("day_volume"),
+            )
+        )
+        cat.register(fixture_source(f"prov{p}", quote=tbl))
+    requested = ["click", "view", "purchase", "signup", "error",
+                 "GHOST1", "GHOST2"]
+    best, failures = quotes_router(spark, cat, requested)
+    ok = best.select(
+        "symbol",
+        F.round(F.col("price").cast("double"), 2).alias("price"),
+        F.lit(False).alias("failed"),
+    )
+    bad = failures.select(
+        "symbol",
+        F.lit(None).cast("double").alias("price"),
+        F.lit(True).alias("failed"),
+    )
+    return ok.unionByName(bad)
+
+
+@query(
+    "p4_exchange_enforcement",
+    """
+    WITH q AS (
+      SELECT event_type AS symbol, 'prov' || (user_id % 3) AS provider,
+             (user_id % 3)::BIGINT AS priority,
+             CASE WHEN user_id % 4 = 3 THEN NULL
+                  ELSE 'EX' || (user_id % 4) END AS exchange,
+             round(value, 2) AS price, event_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, user_id % 3
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    surviving AS (
+      SELECT * FROM q WHERE exchange IS NULL OR exchange = 'EX1'),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY symbol
+                                   ORDER BY priority ASC, event_id DESC) AS rn
+      FROM surviving)
+    SELECT symbol, provider, exchange, price FROM best WHERE rn = 1
+    """,
+)
+def p4_exchange_enforcement(spark, sf):
+    """P4 (core.rs:276-296): requesting exchange EX1 — providers whose quote
+    reports a different exchange are treated as NotFound (drop), quotes with
+    no exchange pass through; the best surviving provider wins."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("event_type", F.col("user_id") % 3).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    q = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.concat(F.lit("prov"), (F.col("user_id") % 3).cast("string"))
+            .alias("provider"),
+            (F.col("user_id") % 3).cast("long").alias("priority"),
+            F.when(
+                F.col("user_id") % 4 == 3, F.lit(None)
+            ).otherwise(
+                F.concat(F.lit("EX"), (F.col("user_id") % 4).cast("string"))
+            ).alias("exchange"),
+            F.round("value", 2).alias("price"),
+            F.col("event_id"),
+        )
+    )
+    surviving = q.filter(
+        F.col("exchange").isNull() | (F.col("exchange") == "EX1")
+    )
+    wbest = W.partitionBy("symbol").orderBy(
+        F.col("priority").asc(), F.col("event_id").desc()
+    )
+    return (
+        surviving.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select("symbol", "provider", "exchange", "price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis (functions.text)
 # ---------------------------------------------------------------------------
