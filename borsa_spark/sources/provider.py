@@ -137,6 +137,26 @@ class Catalog:
         return out
 
 
+def catalog_df(spark, catalog: Catalog):
+    """S2: the provider capability/interval registry as a DataFrame
+    (schemas.SOURCE_CATALOG) — the queryable form of the planner's metadata
+    (`provider_intervals(provider, kind, interval)` in SURVEY §2.1), e.g.
+    for joining eligibility into data-side reports."""
+    from borsa_spark import schemas
+
+    rows = [
+        (
+            s.name,
+            i,
+            sorted(s.kinds),
+            sorted(s.capabilities()),
+            list(s.history_intervals),
+        )
+        for i, s in enumerate(catalog.sources)
+    ]
+    return spark.createDataFrame(rows, schema=schemas.SOURCE_CATALOG)
+
+
 def fixture_source(
     name: str,
     kinds: frozenset[str] | None = None,

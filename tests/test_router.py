@@ -499,3 +499,23 @@ def test_fast_info_quote_subset(spark):
     assert float(by_sym["AAPL"].price) == 190.0
     assert by_sym["AAPL"].shortname == "Apple Inc."
     assert by_sym["BTC-USD"].exchange is None
+
+
+def test_catalog_df_registry(spark):
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources.mock import fixture_mock_source
+    from borsa_spark.sources.provider import catalog_df
+
+    cat = Catalog().register(fixture_mock_source(spark)).register(
+        fixture_source("other", history_intervals=("1m", "1d"),
+                       history=make_candles(spark, [candle()]))
+    )
+    df = catalog_df(spark, cat)
+    rows = {r.provider: r for r in df.collect()}
+    assert rows["mock"].registration_idx == 0
+    assert "history" in rows["mock"].capabilities
+    assert rows["other"].history_intervals == ["1m", "1d"]
+    # queryable: which providers can serve 1m natively?
+    fast = df.filter(F.array_contains("history_intervals", "1m"))
+    assert [r.provider for r in fast.collect()] == ["other"]
