@@ -269,10 +269,13 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     checkpoint you'd put on stable storage between the two phases.
     """
     # Widen a narrow input before the explode: a single small parquet file
-    # scans as one partition, serializing the shingle/hash work. At cluster
-    # scale inputs arrive already-parallel and this is a no-op.
+    # scans as one partition, serializing the shingle/hash work. Probe the
+    # *file list* (pure metadata, no job, no .rdd plan conversion) rather
+    # than df.rdd.getNumPartitions(), which forces plan analysis outside
+    # Catalyst. Derived inputs (no leaf files) are left to AQE to split.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, parallelism // 2):
         df = df.repartition(parallelism)
     sh = shingles(df, n, text_col, id_col)
     if persist_shingles:

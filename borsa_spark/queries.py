@@ -1215,14 +1215,14 @@ def hist_e2e_daily_merge(spark, sf):
     resample -> adjustedness -> first-wins merge) vs a from-scratch SQL
     oracle. Exercises plans.intervals, operators.resample, operators.merge,
     router.history on the driver's events table."""
-    from borsa_spark.router import HistoryRequest, history
+    from borsa_spark.router import ALL_SYMBOLS, HistoryRequest, history
 
     cat = _event_catalog(spark, sf)
-    symbols = [r[0] for r in
-               load_table(spark, sf, "events").select("event_type").distinct().collect()]
+    # ALL_SYMBOLS: no driver-side symbol enumeration — the router scans the
+    # full catalog with the symbol predicate omitted (VERDICT r1 nit #2).
     res = history(
-        spark, cat, HistoryRequest(symbol=symbols[0], interval="1d"),
-        symbols=symbols,
+        spark, cat, HistoryRequest(symbol=ALL_SYMBOLS, interval="1d"),
+        symbols=ALL_SYMBOLS,
     )
     return res.candles.select(
         "symbol",
@@ -1376,8 +1376,8 @@ def j2_info_join(spark, sf):
     cat.register(
         fixture_source("prov0", quote=quotes_tbl, profile=profile_tbl)
     )
-    symbols = [r[0] for r in ev.select("event_type").distinct().collect()]
-    out, _warnings = info_router(spark, cat, symbols)
+    symbols_df = ev.select(F.col("event_type").alias("symbol")).distinct()
+    out, _warnings = info_router(spark, cat, symbols_df)
     return out.select(
         "symbol",
         F.round(F.col("price").cast("double"), 2).alias("price"),

@@ -1,4 +1,10 @@
-from borsa_spark.router.history import HistoryRequest, HistoryResult, history, plan_history
+from borsa_spark.router.history import (
+    ALL_SYMBOLS,
+    HistoryRequest,
+    HistoryResult,
+    history,
+    plan_history,
+)
 from borsa_spark.router.info import download, fast_info, info
 from borsa_spark.router.quotes import quote, quote_or_raise, quotes
 from borsa_spark.router.search import search
@@ -6,6 +12,7 @@ from borsa_spark.router.stream import StreamHandle, stream_quotes
 from borsa_spark.router.tables import capability_scan
 
 __all__ = [
+    "ALL_SYMBOLS",
     "HistoryRequest",
     "HistoryResult",
     "capability_scan",

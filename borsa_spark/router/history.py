@@ -89,11 +89,17 @@ class HistoryResult:
     warnings: list[str] = field(default_factory=list)
 
 
+#: Sentinel for ``symbols=``: scan every symbol the provider carries, with
+#: no driver-side symbol list at all (the 100 TB shape — a ``collect()`` to
+#: enumerate symbols before the scan would be a driver materialization).
+ALL_SYMBOLS = "*"
+
+
 def _scan_provider(
     source: Source,
     req: HistoryRequest,
     interval: str,
-    symbols: list[str] | None = None,
+    symbols: list[str] | str | None = None,
 ) -> DataFrame:
     """One provider scan with every predicate pushed to the source.
 
@@ -103,7 +109,9 @@ def _scan_provider(
     df = source.table("history")
     if "interval" in df.columns:
         df = df.filter(F.col("interval") == interval).drop("interval")
-    if symbols is not None:
+    if symbols == ALL_SYMBOLS:
+        pass  # full-catalog scan: no symbol predicate
+    elif symbols is not None:
         df = df.filter(F.col("symbol").isin(symbols))
     else:
         df = df.filter(F.col("symbol") == req.symbol)
@@ -178,7 +186,7 @@ def history(
     prefer_adjusted: bool = True,
     resampling: str | None = None,
     auto_resample_subdaily_to_daily: bool = False,
-    symbols: list[str] | None = None,
+    symbols: list[str] | str | None = None,
     validate_currency: bool = False,
 ) -> HistoryResult:
     """Full history pipeline; returns merged candles + actions + attribution.
@@ -189,7 +197,9 @@ def history(
 
     ``symbols`` widens the scan to a symbol batch sharing ``req``'s plan
     (bulk download path — every operator downstream is symbol-partitioned,
-    so a batch costs the same number of shuffles as one symbol).
+    so a batch costs the same number of shuffles as one symbol). Pass
+    ``ALL_SYMBOLS`` ("*") to scan every symbol the providers carry without
+    enumerating them on the driver.
 
     ``validate_currency`` enforces the reference's currency invariant before
     merging (merge.rs:55-68): a mixed-currency input raises CurrencyError
@@ -224,11 +234,12 @@ def history(
             frames.append(df)
             if req.include_actions and source.supports("actions"):
                 adf = source.table("actions")
-                adf = (
-                    adf.filter(F.col("symbol").isin(symbols))
-                    if symbols is not None
-                    else adf.filter(F.col("symbol") == req.symbol)
-                )
+                if symbols == ALL_SYMBOLS:
+                    pass
+                elif symbols is not None:
+                    adf = adf.filter(F.col("symbol").isin(symbols))
+                else:
+                    adf = adf.filter(F.col("symbol") == req.symbol)
                 actions_frames.append(adf)
         except BorsaSparkError as e:
             e.connector = e.connector or source.name
@@ -239,7 +250,7 @@ def history(
         raise collapse_errors(attempted, errors, f"history({req.symbol})")
 
     if strategy == "fallback":
-        if symbols is not None and len(symbols) > 1:
+        if symbols == ALL_SYMBOLS or (symbols is not None and len(symbols) > 1):
             # Fallback semantics are per-request (first provider with data
             # for THE symbol, history.rs:481-519); applying them wholesale
             # to a batch would silently drop symbols only covered by

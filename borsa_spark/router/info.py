@@ -49,18 +49,32 @@ def _try_scan(catalog, capability, symbols, prefix: str,
 def info(
     spark: SparkSession,
     catalog: Catalog,
-    symbols: list[str],
+    symbols: "list[str] | DataFrame",
     kind: str | None = None,
 ) -> tuple[DataFrame, list[str]]:
-    """J2: the composed Info view for a set of symbols + warnings."""
+    """J2: the composed Info view for a set of symbols + warnings.
+
+    ``symbols`` may be a driver-side list or a one-column ``symbol``
+    DataFrame; the DataFrame form keeps the symbol universe distributed
+    (no collect) — the side tables are restricted by left-semi join.
+    """
     warnings: list[str] = []
     from pyspark.sql import Window
 
+    symbols_df = (
+        symbols.select("symbol").distinct()
+        if isinstance(symbols, DataFrame)
+        else None
+    )
+
+    def _restrict(df: DataFrame) -> DataFrame:
+        if symbols_df is not None:
+            return df.join(symbols_df, "symbol", "left_semi")
+        return df.filter(F.col("symbol").isin(symbols))
+
     ctx = RoutingContext(kind=kind)
     try:
-        quotes = _quote_union(catalog, ctx, enforce_exchange=False).filter(
-            F.col("symbol").isin(symbols)
-        )
+        quotes = _restrict(_quote_union(catalog, ctx, enforce_exchange=False))
         w = Window.partitionBy("symbol").orderBy(F.col("priority").asc())
         quotes = (
             quotes.withColumn("__rn", F.row_number().over(w))
@@ -71,7 +85,11 @@ def info(
         warnings.append(f"[quote] {e.message}")
         quotes = None
 
-    base = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    base = (
+        symbols_df
+        if symbols_df is not None
+        else spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    )
     out = base
     if quotes is not None:
         out = out.join(

@@ -28,7 +28,7 @@ from borsa_spark.sources.provider import Catalog
 def capability_scan(
     catalog: Catalog,
     capability: str,
-    symbols: list[str] | None = None,
+    symbols: "list[str] | str | DataFrame | None" = None,
     kind: str | None = None,
     filters: dict[str, object] | None = None,
     group_keys: list[str] | None = None,
@@ -39,6 +39,10 @@ def capability_scan(
     (default: per symbol). ``filters`` are pushed-down equality predicates,
     e.g. {"quarterly": True} for statement tables or
     {"expiry": date} for option chains (connector.rs:52-306).
+
+    ``symbols`` may be a list (IN predicate), "*" (no symbol predicate), or
+    a one-column ``symbol`` DataFrame (left-semi join — keeps the symbol set
+    distributed instead of collected to the driver).
     """
     ctx = RoutingContext(kind=kind)
     eligible = catalog.eligible(ctx, capability)
@@ -49,7 +53,11 @@ def capability_scan(
     frames = []
     for idx, source in eligible:
         df = source.table(capability)
-        if symbols is not None:
+        if isinstance(symbols, DataFrame):
+            df = df.join(symbols.select("symbol"), "symbol", "left_semi")
+        elif symbols == "*":
+            pass  # full-catalog scan
+        elif symbols is not None:
             df = df.filter(F.col("symbol").isin(symbols))
         for col, val in (filters or {}).items():
             df = df.filter(F.col(col) == F.lit(val))
