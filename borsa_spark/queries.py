@@ -29,6 +29,7 @@ from borsa_spark.operators import (
     build_attribution,
     estimate_step_seconds,
     monotonic_gate,
+    resample_to_daily,
 )
 from borsa_spark.operators.merge import merge_candles
 from borsa_spark.sources import load_table
@@ -459,6 +460,148 @@ def a4_ohlc_hourly(spark, sf):
 def a3_ohlc_weekly(spark, sf):
     """A1/A3: Monday-start weekly buckets (both engines truncate to Monday)."""
     return _ohlc(spark, sf, "week")
+
+
+# ---------------------------------------------------------------------------
+# A5: timezone / fixed-offset aware resampling (resample.rs:183-320)
+# ---------------------------------------------------------------------------
+
+#: Events span 2024-01-01..01-30 (no DST). Shifting ts by +307 days lands the
+#: data on 2024-11-03..12-02, which crosses the Nov-3 US/Cuba fall-back.
+#: America/Havana's transition is 01:00 -> 00:00, so its local MIDNIGHT is
+#: ambiguous on that date — exercising the reference's Ambiguous -> dt1
+#: (earlier instant) rule (resample.rs:216-226). Spark's to_utc_timestamp
+#: (java.time) picks the earlier offset natively; DuckDB/ICU picks the LATER,
+#: so the oracle encodes the rule explicitly: if (chosen - 1h) maps to the
+#: same local midnight, the earlier instant wins.
+_A5_SHIFT_DAYS = 307
+
+_A5_TZ_CASE = (
+    "CASE WHEN event_type IN ('click','error') THEN 'America/Havana' "
+    "ELSE 'America/New_York' END"
+)
+
+_A5_TZ_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type AS symbol,
+             ts + INTERVAL {_A5_SHIFT_DAYS} DAY AS ts,
+             value, user_id, event_id,
+             {_A5_TZ_CASE} AS tz
+      FROM events),
+    b AS (
+      SELECT *,
+             date_trunc('day', timezone(tz, timezone('UTC', ts))) AS local_mid,
+             timezone('UTC', timezone(tz,
+               date_trunc('day', timezone(tz, timezone('UTC', ts))))) AS d
+      FROM e),
+    amb AS (
+      SELECT *, CASE WHEN timezone(tz, timezone('UTC', d - INTERVAL 1 HOUR))
+                          = local_mid
+                     THEN d - INTERVAL 1 HOUR ELSE d END AS bucket
+      FROM b),
+    r AS (
+      SELECT symbol, bucket, value, user_id,
+             row_number() OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts ASC, event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM amb)
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_z = 1 THEN value END), 2) AS close,
+           sum(user_id)::BIGINT AS volume
+    FROM r GROUP BY symbol, bucket
+"""
+
+
+def _a5_candles(spark: SparkSession, sf: str, tz_expr, offset_expr) -> DataFrame:
+    """Candle-shaped frame from events with series-level tz/offset metadata
+    (constant per symbol, as HistoryMeta is constant per series)."""
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    return ev.select(
+        F.lit("prov").alias("provider"),
+        F.col("event_type").alias("symbol"),
+        F.lit("equity").alias("kind"),
+        (F.col("ts") + F.expr(f"INTERVAL {_A5_SHIFT_DAYS} DAYS")).alias("ts"),
+        v.alias("open"), v.alias("high"), v.alias("low"), v.alias("close"),
+        F.lit(None).cast("decimal(38,9)").alias("close_unadj"),
+        F.col("user_id").cast("long").alias("volume"),
+        F.lit("USD").alias("currency"),
+        F.lit(True).alias("adjusted"),
+        tz_expr.alias("timezone"),
+        offset_expr.alias("utc_offset_seconds"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _a5_project(out: DataFrame) -> DataFrame:
+    return out.select(
+        "symbol",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        F.round(F.col("open").cast("double"), 2).alias("open"),
+        F.round(F.col("high").cast("double"), 2).alias("high"),
+        F.round(F.col("low").cast("double"), 2).alias("low"),
+        F.round(F.col("close").cast("double"), 2).alias("close"),
+        "volume",
+    )
+
+
+@query("a5_tz_daily", _A5_TZ_ORACLE)
+def a5_tz_daily(spark, sf):
+    """A5: IANA-timezone daily buckets across a DST fall-back, including the
+    ambiguous-local-midnight -> earlier-offset rule (resample.rs:212-243;
+    Havana's 01:00->00:00 transition makes Nov 3's midnight ambiguous)."""
+    tz = F.expr(_A5_TZ_CASE)
+    base = _a5_candles(spark, sf, tz, F.lit(None).cast("long"))
+    return _a5_project(resample_to_daily(base))
+
+
+#: Per-symbol fixed offsets; 19800 (+05:30) exercises a half-hour offset.
+_A5_OFFSET_CASE = (
+    "CASE event_type WHEN 'click' THEN -18000 WHEN 'error' THEN 19800 "
+    "WHEN 'purchase' THEN 0 WHEN 'signup' THEN 32400 ELSE -14400 END"
+)
+
+_A5_OFFSET_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type AS symbol,
+             ts + INTERVAL {_A5_SHIFT_DAYS} DAY AS ts,
+             value, user_id, event_id,
+             ({_A5_OFFSET_CASE})::BIGINT AS off
+      FROM events),
+    b AS (
+      SELECT *,
+             floor((floor(epoch(ts))::BIGINT + off) / 86400)::BIGINT * 86400
+               - off AS bucket_ts
+      FROM e),
+    r AS (
+      SELECT symbol, bucket_ts, value, user_id,
+             row_number() OVER (PARTITION BY symbol, bucket_ts
+                                ORDER BY ts ASC, event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY symbol, bucket_ts
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM b)
+    SELECT symbol, bucket_ts,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_z = 1 THEN value END), 2) AS close,
+           sum(user_id)::BIGINT AS volume
+    FROM r GROUP BY symbol, bucket_ts
+"""
+
+
+@query("a5_offset_daily", _A5_OFFSET_ORACLE)
+def a5_offset_daily(spark, sf):
+    """A5: fixed-utc-offset daily buckets — shift, floor, shift back
+    (resample.rs:183-188), incl. a +05:30 half-hour offset series."""
+    base = _a5_candles(
+        spark, sf, F.lit(None).cast("string"), F.expr(_A5_OFFSET_CASE).cast("long")
+    )
+    return _a5_project(resample_to_daily(base))
 
 
 _MERGE_ORACLE_BODY = """

@@ -227,6 +227,34 @@ def test_tz_daily_across_dst_fall_back(spark):
     assert (float(r.open), float(r.close), r.volume) == (1.0, 3.0, None)
 
 
+def test_tz_daily_ambiguous_midnight_earlier_offset(spark):
+    """Havana's fall-back is 01:00 -> 00:00, so local midnight on the
+    transition date occurs TWICE; the bucket must map to the EARLIER
+    instant (Ambiguous -> dt1, resample.rs:216-226). 2024-11-03 00:00
+    America/Havana is 04:00Z (CDT, -04) or 05:00Z (CST, -05); the bucket
+    is pinned at 04:00Z."""
+    import datetime as dt
+
+    def at(iso):
+        return int(dt.datetime.fromisoformat(iso + "+00:00").timestamp())
+
+    rows = [
+        # 00:30 local, first pass (CDT) = 04:30Z
+        candle(sec=at("2024-11-03T04:30:00"), o=1,
+               timezone="America/Havana", seq=0),
+        # 00:30 local, second pass (CST) = 05:30Z — same local day
+        candle(sec=at("2024-11-03T05:30:00"), o=2,
+               timezone="America/Havana", seq=1),
+        # 12:00 local (CST) = 17:00Z — same local day
+        candle(sec=at("2024-11-03T17:00:00"), o=3,
+               timezone="America/Havana", seq=2),
+    ]
+    out = resample_to_daily(make_candles(spark, rows)).collect()
+    assert len(out) == 1
+    assert int(out[0].ts.timestamp()) == at("2024-11-03T04:00:00")
+    assert (float(out[0].open), float(out[0].close)) == (1.0, 3.0)
+
+
 def test_tz_weekly_monday_local(spark):
     """Weekly buckets at market-local Monday midnight (resample.rs:401-419).
     Tokyo (UTC+9, no DST): Sunday 20:00Z is already Monday 05:00 local."""
