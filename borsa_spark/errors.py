@@ -104,16 +104,18 @@ def collapse_errors(attempted: int, errors: list[BorsaSparkError],
 
     Rules (reference borsa/src/router/util.rs:30-60):
     - nothing attempted -> Unsupported
+    - every error is a ProviderTimeout -> AllProvidersTimedOut (checked
+      FIRST, before the single-error shortcut — util.rs:40-48 collapses
+      even a lone timeout)
     - exactly one error -> itself
-    - all attempted timed out -> AllProvidersTimedOut
     - otherwise -> AllProvidersFailed
     """
     if attempted == 0 or not errors:
         return UnsupportedError(capability)
-    if len(errors) == 1:
-        return errors[0]
     if len(errors) == attempted and all(
         isinstance(e, ProviderTimeout) for e in errors
     ):
         return AllProvidersTimedOut(capability)
+    if len(errors) == 1:
+        return errors[0]
     return AllProvidersFailed(errors)

@@ -462,6 +462,87 @@ def a3_ohlc_weekly(spark, sf):
     return _ohlc(spark, sf, "week")
 
 
+@query(
+    "t12_candles_vs_batch",
+    """
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 60 SECOND AS w FROM events),
+    e AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+             ts, value, event_id
+      FROM events),
+    r AS (
+      SELECT symbol, bucket, value,
+             row_number() OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts ASC, event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM e)
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_z = 1 THEN value END), 2) AS close,
+           count(*)::BIGINT AS n_ticks
+    FROM r
+    WHERE bucket + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    GROUP BY symbol, bucket
+    """,
+)
+def t12_candles_vs_batch(spark, sf):
+    """T12: is_final <=> watermark-closed. Drains `candle_stream` (hourly
+    bars, 60 s watermark) over the events file-stream with an availableNow
+    trigger in append mode, so every emitted bar is final; the oracle is
+    the equivalent batch aggregation restricted to buckets whose window end
+    the final watermark (max event time - 60 s) passed. Closes the loop on
+    the reference's provider-final bars (connector.rs:270-288) against
+    Spark's watermark semantics."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("event_id").alias("seq"),
+    )
+    work = tempfile.mkdtemp(prefix="sp_t12_")
+    name = f"t12_bars_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src = f"{work}/src"
+        ev.write.parquet(src)  # micros-normalized copy for the file stream
+        schema = spark.read.parquet(src).schema
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        from borsa_spark.streaming import candle_stream
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        bars = candle_stream(stream, interval_seconds=3600,
+                             watermark="60 seconds")
+        q = (
+            bars.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(name).select(
+        "symbol",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        F.round("open", 2).alias("open"),
+        F.round("high", 2).alias("high"),
+        F.round("low", 2).alias("low"),
+        F.round("close", 2).alias("close"),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A5: timezone / fixed-offset aware resampling (resample.rs:183-320)
 # ---------------------------------------------------------------------------
@@ -780,6 +861,66 @@ def s3_latest_quote(spark, sf):
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", F.col("value").alias("price"))
+    )
+
+
+@query(
+    "s11_option_latest",
+    """
+    WITH o AS (
+      SELECT event_type AS symbol,
+             CASE WHEN user_id % 2 = 0 THEN 'CALL' ELSE 'PUT' END AS right_,
+             ((user_id % 5) * 10 + 100)::BIGINT AS strike,
+             event_type || '-' || ((user_id % 5) * 10 + 100)::VARCHAR || '-' ||
+               CASE WHEN user_id % 2 = 0 THEN 'C' ELSE 'P' END
+               AS contract_symbol,
+             ts, value, event_id
+      FROM events),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY symbol, contract_symbol
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM o)
+    SELECT symbol, contract_symbol, right_, strike,
+           epoch(date_trunc('second', ts))::BIGINT AS ts_epoch,
+           round(value, 2)        AS price,
+           round(value * 0.99, 2) AS bid,
+           round(value * 1.01, 2) AS ask
+    FROM r WHERE rn = 1
+    """,
+)
+def s11_option_latest(spark, sf):
+    """S11 batch analog: latest option update per (underlying, contract) —
+    the option-chain snapshot a drained OptionUpdate stream converges to
+    (connector.rs:235-249; contract synthesis mirrors the fixture
+    convention)."""
+    ev = load_table(spark, sf, "events")
+    strike = (F.col("user_id") % 5) * 10 + 100
+    right = F.when(F.col("user_id") % 2 == 0, "CALL").otherwise("PUT")
+    o = ev.select(
+        F.col("event_type").alias("symbol"),
+        right.alias("right_"),
+        strike.cast("long").alias("strike"),
+        F.concat_ws(
+            "-",
+            F.col("event_type"),
+            strike.cast("string"),
+            F.when(F.col("user_id") % 2 == 0, "C").otherwise("P"),
+        ).alias("contract_symbol"),
+        "ts", "value", "event_id",
+    )
+    w = Window.partitionBy("symbol", "contract_symbol").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol", "contract_symbol", "right_", "strike",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.round("value", 2).alias("price"),
+            F.round(F.col("value") * 0.99, 2).alias("bid"),
+            F.round(F.col("value") * 1.01, 2).alias("ask"),
+        )
     )
 
 

@@ -31,6 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from borsa_spark.router.deadline import Deadline, provider_call_with_timeout
 from borsa_spark.errors import (
     BorsaSparkError,
     NotFoundError,
@@ -188,6 +189,8 @@ def history(
     auto_resample_subdaily_to_daily: bool = False,
     symbols: list[str] | str | None = None,
     validate_currency: bool = False,
+    provider_timeout: float | None = None,
+    request_timeout: float | None = None,
 ) -> HistoryResult:
     """Full history pipeline; returns merged candles + actions + attribution.
 
@@ -205,8 +208,16 @@ def history(
     merging (merge.rs:55-68): a mixed-currency input raises CurrencyError
     blaming the faulty provider (R9, history.rs:223-274). Opt-in because it
     is an *action* (a tiny O(providers) aggregation job) on the lazy path.
+
+    ``provider_timeout`` bounds each provider *invocation* wall-clock (R7,
+    core.rs:346-361); a stalled connector becomes a ProviderTimeout warning
+    and the chain proceeds. ``request_timeout`` is the whole-request budget
+    (config.rs:142): each call gets min(provider_timeout, remaining), and
+    an exhausted budget raises RequestTimeout. Both default to None (no
+    thread wrapper) because fixture catalogs cannot stall.
     """
     req = req.resolved()
+    deadline = Deadline(request_timeout, f"history({req.symbol})")
     plans, warnings = plan_history(catalog, req)
 
     # When every provider shares one (interval, resample) plan — the common
@@ -226,8 +237,16 @@ def history(
     attempted = 0
     for idx, source, eff_interval, rplan in plans:
         attempted += 1
+        # Outside the try: an exhausted *request* budget aborts the whole
+        # fan-out (RequestTimeout), it is not a per-provider failure.
+        budget = deadline.clamp(provider_timeout)
         try:
-            df = _scan_provider(source, req, eff_interval, symbols)
+            df = provider_call_with_timeout(
+                source.name, "history", budget,
+                lambda s=source, e=eff_interval: _scan_provider(
+                    s, req, e, symbols
+                ),
+            )
             if rplan is not None and not uniform_plan:
                 df = resample(df, rplan.kind, rplan.minutes)
             df = df.withColumn("priority", F.lit(idx))

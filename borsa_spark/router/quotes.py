@@ -52,9 +52,31 @@ def quote(
     symbol: str,
     kind: str | None = None,
     exchange: str | None = None,
+    strategy: str = "priority",
+    provider_timeout: float | None = None,
 ) -> DataFrame:
-    """Best quote for one symbol: highest-priority surviving provider row."""
+    """Best quote for one symbol.
+
+    ``strategy='priority'`` (PriorityWithFallback, core.rs:499-558) is the
+    declarative path: highest-priority surviving provider row out of one
+    union — over table sources the "try next on failure" loop collapses
+    into a window filter.
+
+    ``strategy='latency'`` (R4, core.rs:560-616) is a wall-clock race:
+    every eligible provider's fetch runs concurrently, each bounded by
+    ``provider_timeout``, and the first *successful* response wins —
+    completion order, not priority order, decides, so a slow high-priority
+    provider loses to a fast low-priority one. Failures (NotFound /
+    timeout / provider errors) accumulate; if nobody wins they collapse
+    exactly like the sequential chain. The fetch here is the provider
+    *invocation plus a usable-row probe* — the Spark analog of the
+    reference's async quote call returning a value.
+    """
     ctx = RoutingContext(symbol=symbol, kind=kind, exchange=exchange)
+    if strategy == "latency":
+        return _quote_latency_race(
+            spark, catalog, ctx, symbol, provider_timeout
+        )
     union = _quote_union(catalog, ctx).filter(F.col("symbol") == symbol)
     w = Window.partitionBy("symbol").orderBy(F.col("priority").asc())
     return (
@@ -62,6 +84,43 @@ def quote(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _quote_latency_race(
+    spark: SparkSession,
+    catalog: Catalog,
+    ctx: RoutingContext,
+    symbol: str,
+    provider_timeout: float | None,
+) -> DataFrame:
+    """R4: race per-provider quote fetches; first usable response wins."""
+    from borsa_spark.router.deadline import race_providers
+
+    eligible = catalog.eligible(ctx, "quote")
+    if not eligible:
+        raise UnsupportedError("quote: no eligible provider")
+
+    def make_fetch(idx: int, source) -> tuple[str, object]:
+        def fetch() -> DataFrame:
+            df = source.table("quote").filter(F.col("symbol") == symbol)
+            if ctx.exchange is not None:
+                df = df.filter(
+                    F.col("exchange").isNull()
+                    | (F.col("exchange") == ctx.exchange)
+                )
+            df = df.withColumn("priority", F.lit(idx))
+            # Usable-response probe: the reference's racing future resolves
+            # with the quote VALUE; an empty scan is this source's NotFound.
+            # One LIMIT-1 job over a single-symbol pushed-down scan.
+            if df.isEmpty():
+                raise NotFoundError(f"quote for {symbol}")
+            return df
+
+        return source.name, fetch
+
+    calls = [make_fetch(idx, source) for idx, source in eligible]
+    _winner, df = race_providers(calls, "quote", provider_timeout)
+    return df
 
 
 def quotes(

@@ -95,6 +95,33 @@ CANDLE_UPDATES = T.StructType(
     ]
 )
 
+#: Streaming option updates (S11). OptionUpdate is the paft market/options
+#: type re-exported at borsa-core/src/types.rs:47 and streamed via
+#: OptionStreamProvider (borsa-core/src/connector.rs:235-249); the stream
+#: router multiplexes it with the same machinery as quotes, keyed on the
+#: UNDERLYING security symbol with event time `ts`
+#: (borsa/src/router/streaming/mod.rs:44-56, stream.rs:480-521).
+#: `contract_symbol` identifies the contract; strike/expiry/right describe
+#: it; greeks beyond implied_volatility are omitted (optional in paft).
+OPTION_UPDATES = T.StructType(
+    [
+        T.StructField("provider", T.StringType(), False),
+        T.StructField("symbol", T.StringType(), False),  # underlying
+        T.StructField("contract_symbol", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),  # CALL | PUT
+        T.StructField("strike", MONEY, False),
+        T.StructField("expiry", T.DateType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("price", MONEY, True),
+        T.StructField("bid", MONEY, True),
+        T.StructField("ask", MONEY, True),
+        T.StructField("volume", T.LongType(), True),
+        T.StructField("open_interest", T.LongType(), True),
+        T.StructField("implied_volatility", T.DoubleType(), True),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
 #: Search results per provider (core.rs:298-332).
 SEARCH_RESULTS = T.StructType(
     [

@@ -6,14 +6,14 @@ scriptable dynamic mock whose per-capability behaviors are
 Return/Fail/Hang and stream behaviors Success/Fail/Hang/Manual
 (borsa-mock/src/dynamic.rs:14-35). This module is the Spark-native
 counterpart: the fixture data reproduces the reference values verbatim so
-golden expectations line up, and `ScriptedSource` raises or returns per
-capability under test control. (`Hang` simulates a network stall for the
-reference's timeout machinery; table-backed scans have no hang mode — see
-COVERAGE.md §2.11 R7 — so scripting supports Return and Fail.)
+golden expectations line up, and `ScriptedSource` raises, returns, or
+hangs per capability under test control (`Hang` simulates the network
+stall the R7 timeout machinery must bound, dynamic.rs:25-35).
 """
 
 from __future__ import annotations
 
+import threading
 from datetime import datetime
 from decimal import Decimal
 from typing import Callable
@@ -81,10 +81,34 @@ def fixture_mock_source(spark: SparkSession, name: str = "mock") -> Source:
     )
 
 
+class Hang:
+    """dynamic.rs:25-35: simulate a network stall during the provider call.
+
+    The stall is finite (``seconds``) so abandoned worker threads drain
+    after the timeout wrapper gives up on them; ``release()`` (or the
+    shared Event) ends it early. If the stall elapses *without* a timeout
+    wrapper having abandoned the call, the behavior raises — a hang that
+    "succeeds" means the test forgot the timeout."""
+
+    def __init__(self, seconds: float = 30.0):
+        self.seconds = seconds
+        self.released = threading.Event()
+
+    def release(self) -> None:
+        self.released.set()
+
+    def __call__(self) -> None:
+        self.released.wait(self.seconds)
+        raise RuntimeError(
+            "Hang elapsed without being timed out — wrap the provider call "
+            "in provider_call_with_timeout"
+        )
+
+
 class ScriptedSource(Source):
-    """Scriptable mock: per-capability behavior Return(df) | Fail(error)
-    (dynamic.rs:14-22). Behaviors can be swapped between calls to script
-    failover / recovery scenarios; every table access is recorded."""
+    """Scriptable mock: per-capability behavior Return(df) | Fail(error) |
+    Hang (dynamic.rs:14-22). Behaviors can be swapped between calls to
+    script failover / recovery scenarios; every table access is recorded."""
 
     def __init__(self, name: str, kinds=None, history_intervals=("1d",)):
         super().__init__(
@@ -111,7 +135,7 @@ class ScriptedSource(Source):
             return super().table(capability)
         if isinstance(b, BorsaSparkError):
             raise b
-        df = b() if callable(b) else b
+        df = b() if callable(b) else b  # Hang blocks here until released
         if "provider" not in df.columns:
             df = df.withColumn("provider", F.lit(self.name))
         return df

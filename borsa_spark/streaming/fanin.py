@@ -42,6 +42,31 @@ def fan_in(
     return reduce(lambda a, b: a.unionByName(b), pruned)
 
 
+def option_stream(
+    sources: list[DataFrame],
+    allowed: dict[int, list[str]] | None = None,
+    gate: bool = True,
+) -> DataFrame:
+    """S11: multiplexed option-update stream (stream.rs:480-521).
+
+    The reference streams OptionUpdate through the SAME generic machinery
+    as quotes — fan-in of per-provider sessions, per-session allow-sets,
+    and the monotonic gate keyed on the update's ``stream_symbol()``, which
+    for options is the UNDERLYING security symbol
+    (streaming/mod.rs:44-56). Contract identity (``contract_symbol``)
+    rides along as payload; gating is per-underlying event time, exactly
+    the reference semantics.
+
+    Input frames must be OPTION_UPDATES-shaped (schemas.py).
+    """
+    merged = fan_in(sources, allowed)
+    if gate:
+        from borsa_spark.streaming.gate import streaming_monotonic_gate
+
+        merged = streaming_monotonic_gate(merged, key="symbol")
+    return merged
+
+
 def streaming_exact_dedup(
     updates: DataFrame,
     keys: list[str],

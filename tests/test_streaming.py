@@ -220,6 +220,79 @@ class TestStructuredStreaming:
         assert rows[("MSFT", 0)].n_ticks == 2
 
 
+class TestOptionStream:
+    """S11: OptionUpdate multiplex — fan-in + allow-sets + per-underlying
+    monotonic gate, mirroring router_stream_candles.rs's delivered-updates
+    shape for the option update type (connector.rs:235-249,
+    streaming/mod.rs:44-56)."""
+
+    @pytest.fixture()
+    def option_rows(self, spark, tmp_path):
+        import datetime as dt
+        from decimal import Decimal
+
+        from borsa_spark import schemas
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        def upd(provider, sym, contract, right, strike, sec, price, seq):
+            return (
+                provider, sym, contract, right, Decimal(strike),
+                dt.date(2024, 6, 21), ts(sec), Decimal(price),
+                Decimal(price) - Decimal("0.05"),
+                Decimal(price) + Decimal("0.05"),
+                100, 5000, 0.25, seq,
+            )
+
+        rows = [
+            # p0: AAPL contracts interleave; gate is per UNDERLYING, so the
+            # C150 update at t=10 arrives after the P140 at t=30 -> dropped
+            # even though it is a different contract (reference gates on
+            # stream_symbol, not contract).
+            upd("p0", "AAPL", "AAPL240621C150", "CALL", "150", 0, "5.00", 0),
+            upd("p0", "AAPL", "AAPL240621P140", "PUT", "140", 30, "3.00", 1),
+            upd("p0", "AAPL", "AAPL240621C150", "CALL", "150", 10, "5.10", 2),
+            upd("p0", "AAPL", "AAPL240621C150", "CALL", "150", 30, "5.20", 3),
+            upd("p0", "MSFT", "MSFT240621C400", "CALL", "400", 5, "7.00", 4),
+            # p1 streams TSLA, but the allow-set only admits GOOG from p1
+            upd("p1", "TSLA", "TSLA240621C200", "CALL", "200", 7, "9.00", 5),
+            upd("p1", "GOOG", "GOOG240621P100", "PUT", "100", 8, "2.00", 6),
+        ]
+        df = spark.createDataFrame(rows, schema=schemas.OPTION_UPDATES)
+        path = str(tmp_path / "opts")
+        df.repartition(1).write.parquet(path)
+        return path, schemas.OPTION_UPDATES
+
+    def test_fan_in_allow_set_and_gate(self, spark, option_rows, tmp_path):
+        from borsa_spark.streaming import option_stream
+
+        path, schema = option_rows
+        src = spark.readStream.schema(schema).parquet(path)
+        p0 = src.filter(F.col("provider") == "p0")
+        p1 = src.filter(F.col("provider") == "p1")
+        out_df = option_stream([p0, p1], allowed={1: ["GOOG"]})
+        out = _run_stream(spark, out_df, tmp_path, "opt_out", "append")
+        kept = sorted(r.seq for r in out.collect())
+        # seq 2 dropped (older than AAPL HWM 30); seq 3 kept (equal ts);
+        # seq 5 dropped by p1's allow-set.
+        assert kept == [0, 1, 3, 4, 6]
+        by_seq = {r.seq: r for r in out.collect()}
+        assert by_seq[3].contract_symbol == "AAPL240621C150"
+        assert float(by_seq[6].strike) == 100.0
+
+    def test_ungated_passthrough_keeps_all_allowed(
+        self, spark, option_rows, tmp_path
+    ):
+        from borsa_spark.streaming import option_stream
+
+        path, schema = option_rows
+        src = spark.readStream.schema(schema).parquet(path)
+        out_df = option_stream([src], gate=False)
+        out = _run_stream(spark, out_df, tmp_path, "opt_raw", "append")
+        assert sorted(r.seq for r in out.collect()) == list(range(7))
+
+
 class TestStreamingExactDedup:
     def test_replays_dropped_within_watermark(self, spark, tmp_path):
         import datetime as dt
