@@ -39,7 +39,11 @@ from borsa_spark.errors import (
     collapse_errors,
 )
 from borsa_spark.operators.attribution import build_attribution
-from borsa_spark.operators.merge import dedup_actions, merge_candles
+from borsa_spark.operators.merge import (
+    dedup_actions,
+    merge_candles,
+    merged_series_flags,
+)
 from borsa_spark.operators.resample import resample
 from borsa_spark.plans.intervals import ResamplePlan, choose_effective_interval
 from borsa_spark.plans.routing_policy import RoutingContext
@@ -82,12 +86,19 @@ class HistoryRequest:
 
 @dataclass
 class HistoryResult:
-    """Result + warnings envelope (borsa-types/src/reports.rs:16-52)."""
+    """Result + warnings envelope (borsa-types/src/reports.rs:16-52).
+
+    ``flags`` is the per-symbol merged-series metadata the reference
+    returns on HistoryResponse (merge.rs:99-109): ``adjusted`` = AND over
+    contributing providers, ``timezone``/``utc_offset_seconds`` = first
+    contributing provider's non-null meta by priority. One row per symbol.
+    """
 
     candles: DataFrame
     actions: DataFrame | None
     attribution: DataFrame
     warnings: list[str] = field(default_factory=list)
+    flags: DataFrame | None = None
 
 
 #: Sentinel for ``symbols=``: scan every symbol the provider carries, with
@@ -319,6 +330,10 @@ def history(
     union = _apply_adjustedness(union, prefer_adjusted)
     merged = merge_candles(union)
     attribution = build_attribution(merged)
+    # Per-symbol merged-series metadata (merge.rs:99-109), computed on the
+    # post-adjustedness union so only actual contributors participate in
+    # the AND. Lazy like everything else — no job unless the caller acts.
+    series_flags = merged_series_flags(merged, union)
 
     actions = None
     if actions_frames:
@@ -363,4 +378,5 @@ def history(
         actions=actions,
         attribution=attribution,
         warnings=warnings,
+        flags=series_flags,
     )

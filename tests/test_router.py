@@ -56,6 +56,48 @@ class TestHistoryRouter:
             ("provB", ts(3 * DAY), ts(4 * DAY)),
         ]
 
+    def test_history_surfaces_merged_series_flags(self, spark):
+        # merge.rs:99-109: HistoryResponse.adjusted = AND over contributing
+        # series; meta = first contributor's non-null tz/offset by priority.
+        # Contributors are post-filter_adjustedness (history.rs:188-203):
+        # surviving series always share the top-priority series' flag, so
+        # the AND reads True iff the surviving set is adjusted.
+        a = [
+            candle("provA", "AAPL", sec=0, o=1.0, adjusted=True,
+                   timezone="America/New_York"),
+            candle("provA", "GOOG", sec=0, o=5.0, adjusted=False),
+        ]
+        b = [
+            # contributes day 1 to AAPL; tz must still come from provA
+            candle("provB", "AAPL", sec=DAY, o=2.0, adjusted=True,
+                   timezone="Asia/Tokyo"),
+            candle("provB", "MSFT", sec=0, o=3.0, adjusted=False,
+                   utc_offset_seconds=3600),
+            candle("provB", "GOOG", sec=DAY, o=6.0, adjusted=False),
+        ]
+        cat = Catalog().register(
+            hist_source(spark, "provA", a)
+        ).register(hist_source(spark, "provB", b))
+
+        res = history(
+            spark, cat, HistoryRequest(symbol="AAPL"),
+            symbols=["AAPL", "MSFT", "GOOG"],
+        )
+        assert {str(r.provider) for r in res.candles.collect()} == {
+            "provA", "provB",
+        }
+        flags = {r.symbol: r for r in res.flags.collect()}
+        # AAPL: both providers contribute, both adjusted -> True; meta from
+        # the first (priority-0) contributor.
+        assert flags["AAPL"].adjusted is True
+        assert flags["AAPL"].timezone == "America/New_York"
+        # MSFT: single unadjusted contributor -> False, offset meta surfaces.
+        assert flags["MSFT"].adjusted is False
+        assert flags["MSFT"].utc_offset_seconds == 3600
+        # GOOG: no adjusted series exists anywhere -> both unadjusted
+        # providers contribute and the AND is False.
+        assert flags["GOOG"].adjusted is False
+
     def test_policy_priority_controls_merge_winner(self, spark):
         a = [candle("provA", sec=0, o=1.0)]
         b = [candle("provB", sec=0, o=2.0)]
