@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Spark-side plumbing is REAL (schemas, Arrow-batched mapInPandas pipelines,
-partition sizing); the codec layer is STUBBED because no image/audio
-libraries exist in this container: each decode function first tries the real
-library (PIL/soundfile) and otherwise uses DETERMINISTIC FAKES derived from
-the payload bytes — clearly marked, same output schema, so swapping in real
-codecs changes no plan shape.
+partition sizing). The codec layer has one REAL path and one stub:
+
+- Uncompressed 24-bit BMP and binary PPM (P6) decode is implemented here in
+  pure Python + numpy (header parse + pixel math, no external libs) —
+  `image_features` dispatches on the payload's magic bytes and emits
+  decoder='bmp'/'ppm' with true width/height/mean-luma.
+- Everything else (JPEG/PNG/audio) would need PIL/soundfile, which this
+  container lacks: those decodes are DETERMINISTIC FAKES derived from the
+  payload bytes — clearly marked (decoder='fake-deterministic'), same
+  output schema, so swapping in real codecs changes no plan shape.
 
 Design for 100 TB of media:
 - payloads stay in `binary` columns; nothing ever collects to the driver;
@@ -22,8 +27,10 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,12 +69,104 @@ def _fake_dims(digest: bytes) -> tuple[int, int, int]:
     return w, h, ch
 
 
+# ---------------------------------------------------------------------------
+# Real codecs: uncompressed 24-bit BMP and binary PPM (P6). Pure header
+# parse + numpy pixel math — no image library required.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, float]:
+    """Decode an uncompressed 24-bit BMP: (width, height, channels,
+    mean_luma). Handles the 14-byte file header, BITMAPINFOHEADER, 4-byte
+    row padding, and bottom-up vs top-down row order (irrelevant to the
+    mean but validated for size). mean_luma = mean over pixels of the
+    channel average, scaled to [0, 1]."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP core header")
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
+    need = pixel_off + stride * n_rows
+    if width <= 0 or n_rows == 0 or len(data) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * n_rows, offset=pixel_off
+    ).reshape(n_rows, stride)[:, :row_bytes]
+    mean_luma = float(rows.astype(np.float64).mean() / 255.0)
+    return width, n_rows, 3, mean_luma
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, int, float]:
+    """Decode a binary PPM (P6, maxval <= 255): (width, height, channels,
+    mean_luma). Honors whitespace/comment-tolerant headers."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":  # comment line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255:
+        raise ValueError("unsupported PPM header")
+    n = width * height * 3
+    if len(data) < pos + n:
+        raise ValueError("truncated PPM payload")
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return width, height, 3, float(px.astype(np.float64).mean() / maxval)
+
+
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Fixture encoder: solid-color uncompressed 24-bit bottom-up BMP with
+    correct row padding — the test/oracle side of `decode_bmp`."""
+    row = bytes((rgb[2], rgb[1], rgb[0])) * width  # BGR order
+    stride = (len(row) + 3) & ~3
+    padded = row + b"\x00" * (stride - len(row))
+    pixels = padded * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return header + pixels
+
+
+def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Fixture encoder: solid-color binary PPM (P6) with a comment line in
+    the header to exercise the tolerant parser."""
+    header = f"P6\n# fixture\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
 def image_features(assets: DataFrame) -> DataFrame:
     """Decode + feature-extract images: (asset_id, width, height, n_channels,
     mean_luma, sha256, decoder).
 
-    STUB: without PIL the decode is a deterministic fake (hash-derived dims
-    and luma); the mapInPandas shape, schema, and batch handling are real.
+    REAL decode for uncompressed BMP (magic ``BM``) and binary PPM (``P6``)
+    via the pure-Python codecs above; other formats fall back to PIL when
+    available, else the deterministic fake (decoder column says which path
+    produced each row). The mapInPandas shape, schema, and batch handling
+    are identical across paths.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,15 +175,21 @@ def image_features(assets: DataFrame) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(data).digest()
-                if _HAVE_PIL:  # pragma: no cover
+                if data[:2] == b"BM":
+                    w, h, ch, luma = decode_bmp(data)
+                    dec = "bmp"
+                elif data[:2] == b"P6":
+                    w, h, ch, luma = decode_ppm(data)
+                    dec = "ppm"
+                elif _HAVE_PIL:  # pragma: no cover - PIL absent here
                     raise NotImplementedError(
                         "real PIL decode path not exercised in this container"
                     )
-                w, h, ch = _fake_dims(digest)
-                luma = sum(digest[:16]) / (16 * 255.0)
-                out.append(
-                    (asset_id, w, h, ch, luma, digest.hex(), "fake-deterministic")
-                )
+                else:
+                    w, h, ch = _fake_dims(digest)
+                    luma = sum(digest[:16]) / (16 * 255.0)
+                    dec = "fake-deterministic"
+                out.append((asset_id, w, h, ch, luma, digest.hex(), dec))
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -1397,6 +1397,61 @@ def f14_top_tokens(spark, sf):
     )
 
 
+@query(
+    "f16_media_features",
+    """
+    SELECT doc_id AS asset_id,
+           (4 + doc_id % 13)::BIGINT AS width,
+           (4 + doc_id % 7)::BIGINT  AS height,
+           3::BIGINT                 AS n_channels,
+           round(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
+                 / 3.0 / 255.0, 4)   AS mean_luma,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS decoder
+    FROM documents
+    """,
+)
+def f16_media_features(spark, sf):
+    """Multimodal: REAL image decode end-to-end. Synthesizes one
+    solid-color image per document (even doc_ids -> 24-bit BMP with row
+    padding, odd -> binary PPM with a header comment), runs the pure-Python
+    codecs inside `image_features`'s mapInPandas stage, and checks the
+    decoded (dims, channels, mean-luma, decoder) against an ANALYTIC oracle
+    computed from doc_id alone — the encoder parameters, never the bytes.
+    A decoder that misparses padding, BGR order, or the PPM header fails
+    the hash-match."""
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 7
+                rgb = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                data = (
+                    mm.encode_bmp(w, h, rgb)
+                    if did % 2 == 0
+                    else mm.encode_ppm(w, h, rgb)
+                )
+                out.append((did, data))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    feats = mm.image_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.round("mean_luma", 4).alias("mean_luma"),
+        "decoder",
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH sh AS ({_SH_CTE}),
     sim AS ({_dd.sql_simhash('sh')})

@@ -7,11 +7,68 @@ import pytest
 from borsa_spark import schemas
 from borsa_spark.functions.multimodal import (
     audio_features,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
     image_features,
     media_batch_conf,
     resize_images,
     sample_video_frames,
 )
+
+
+class TestRealCodecs:
+    """Pure-Python BMP/PPM decode — golden bytes, padding, header comments,
+    round-trips with the fixture encoders, and error paths."""
+
+    def test_bmp_golden_2x2_with_padding(self):
+        # 2x2 24-bit BMP: width*3 = 6 bytes/row, stride pads to 8. Pixels
+        # bottom-up, BGR: row0(bottom) = red,green; row1(top) = blue,white.
+        import struct
+
+        red, green, blue, white = (
+            b"\x00\x00\xff", b"\x00\xff\x00", b"\xff\x00\x00", b"\xff\xff\xff",
+        )
+        pad = b"\x00\x00"
+        pixels = red + green + pad + blue + white + pad
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0
+        )
+        w, h, ch, luma = decode_bmp(hdr + dib + pixels)
+        assert (w, h, ch) == (2, 2, 3)
+        # channel sum = 255*(1+1+1+3) = 1530 over 12 samples
+        assert luma == pytest.approx(1530 / 12 / 255.0)
+
+    def test_ppm_golden_with_comment(self):
+        data = b"P6\n# a comment\n3 1\n255\n" + bytes([10, 20, 30] * 3)
+        w, h, ch, luma = decode_ppm(data)
+        assert (w, h, ch) == (3, 1, 3)
+        assert luma == pytest.approx(20 / 255.0)
+
+    @pytest.mark.parametrize("width,height,rgb", [
+        (1, 1, (0, 0, 0)),
+        (5, 3, (255, 0, 128)),   # 5*3=15 bytes/row -> stride 16 (padding)
+        (4, 7, (17, 34, 51)),    # 12 bytes/row -> no padding
+        (13, 2, (200, 100, 50)),
+    ])
+    def test_encode_decode_round_trip(self, width, height, rgb):
+        expect_luma = sum(rgb) / 3.0 / 255.0
+        for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+            w, h, ch, luma = dec(enc(width, height, rgb))
+            assert (w, h, ch) == (width, height, 3)
+            assert luma == pytest.approx(expect_luma, abs=1e-12)
+
+    def test_error_paths(self):
+        with pytest.raises(ValueError):
+            decode_bmp(b"BMxx")  # truncated
+        with pytest.raises(ValueError):
+            decode_bmp(b"NOPE" + b"\x00" * 60)
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")  # grayscale PGM, not P6
+        with pytest.raises(ValueError):
+            decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # short pixel data
 
 
 @pytest.fixture()
@@ -36,6 +93,20 @@ class TestMultimodal:
         assert out1[1].sha256 != out1[2].sha256
         assert 16 <= out1[1].width < 256
         assert out1[1].decoder == "fake-deterministic"
+
+    def test_image_features_real_codecs_in_pipeline(self, spark):
+        rows = [
+            (10, "image", "image/bmp", encode_bmp(5, 3, (255, 0, 128)),
+             None, None, None, None, None),
+            (11, "image", "image/x-portable-pixmap",
+             encode_ppm(4, 2, (30, 60, 90)), None, None, None, None, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        out = {r.asset_id: r for r in image_features(assets).collect()}
+        assert (out[10].width, out[10].height, out[10].decoder) == (5, 3, "bmp")
+        assert out[10].mean_luma == pytest.approx((255 + 0 + 128) / 3 / 255.0)
+        assert (out[11].width, out[11].height, out[11].decoder) == (4, 2, "ppm")
+        assert out[11].mean_luma == pytest.approx(60 / 255.0)
 
     def test_audio_features_window_count(self, assets):
         out = {r.asset_id: r for r in audio_features(assets).collect()}

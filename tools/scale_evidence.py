@@ -1,0 +1,173 @@
+"""Scale evidence for the LLM-pipeline operators (VERDICT r1, next #7).
+
+Generates a deterministic 10x corpus (sf1-equivalent: 50k documents, 20k
+embeddings) from the driver's sf0.1 tables, then runs the three scale-path
+pipelines — f7 MinHash+LSH dedup, f11 hyperplane-LSH ANN, f15 IVF ANN — at
+sf0.01 / sf0.1 / sf1x10 and prints one JSON line per (query, sf) with
+wall-clock and output size. Also exercises the LSH hot-bucket guard for
+real: the generated corpus embeds a 300-member near-identical boilerplate
+cohort whose band buckets blow past ``max_bucket_size=64``, so
+``oversized_buckets`` must report non-empty accounting while the capped
+candidate join stays bounded.
+
+Usage: python tools/scale_evidence.py [out_json]
+Writes scale_data/ under the repo (gitignored); results land in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SCALE_DIR = os.path.join(os.path.dirname(__file__), "..", "scale_data", "sf1")
+REPLICAS = 10
+BOILERPLATE_N = 300
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    if os.path.exists(os.path.join(SCALE_DIR, "embeddings.parquet")):
+        return
+
+    base = "/root/testdata/sf0.1"
+    docs = load_table(spark, base, "documents")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+
+    # 10x documents: replica 0 keeps the original text (so every original
+    # near-dup pair survives); replicas 1..9 append a replica-specific token
+    # to 70% of docs (fresh content) and keep 30% verbatim (exact+near dups
+    # across replicas — the tail dedup must find). doc_id namespaced by
+    # replica. Deterministic: everything derives from (doc_id, rep).
+    d10 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.when(
+                (F.col("rep") == 0) | (F.col("doc_id") % 10 < 3),
+                F.col("text"),
+            )
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep"))
+            )
+            .alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    # Hot-bucket cohort: B near-identical boilerplate docs (identical but
+    # for a trailing counter token, so 3-gram shingle sets overlap almost
+    # completely -> same MinHash bands -> one bucket of size ~B).
+    boiler_text = (
+        "this document is boilerplate generated text used to exercise the "
+        "hot bucket guard of the lsh dedup pipeline at corpus scale"
+    )
+    boiler = spark.range(BOILERPLATE_N).select(
+        (F.col("id") + 90_000_000).alias("doc_id"),
+        F.concat(F.lit(boiler_text), F.lit(" v"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+    )
+    out_docs = (
+        d10.unionByName(boiler)
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    out_docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SCALE_DIR, "documents.parquet")
+    )
+
+    # 10x embeddings: deterministic per-(vec_id, rep) perturbation of each
+    # component, scaled small so cluster structure (labels) survives.
+    emb = load_table(spark, base, "embeddings")
+    e10 = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(1000)
+                        ).cast("float")
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.01
+                    * F.when(F.col("rep") == 0, 0.0).otherwise(1.0)
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    e10.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SCALE_DIR, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from borsa_spark.functions import dedup as dd
+    from borsa_spark.queries import QUERIES
+    from borsa_spark.session import get_spark
+    from borsa_spark.sources import load_table
+
+    spark = get_spark("scale-evidence")
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm codegen
+    generate(spark)
+
+    results = []
+    tiers = [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+    ]
+    for qname in ("f7_minhash_dedup_pairs", "f11_lsh_ann_topk", "f15_ivf_topk"):
+        fn = QUERIES[qname]
+        for tier, path in tiers:
+            t0 = time.time()
+            n = fn(spark, path).count()
+            dt = round(time.time() - t0, 3)
+            rec = {"query": qname, "sf": tier, "rows": n, "sec": dt}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    # Hot-bucket guard on the 10x corpus: cap at 64, so the 300-member
+    # boilerplate cohort must surface in oversized_buckets (accounting),
+    # while capped candidates stay bounded.
+    docs = load_table(spark, os.path.abspath(SCALE_DIR), "documents")
+    sh = dd.shingles(docs, 3).persist()
+    sig = dd.minhash_signature(sh)
+    t0 = time.time()
+    over = dd.oversized_buckets(sig, 64).agg(
+        F.count("*").alias("n_buckets"), F.max("n_docs").alias("max_docs")
+    ).collect()[0]
+    capped = dd.minhash_candidates(sig, max_bucket_size=64).count()
+    dt = round(time.time() - t0, 3)
+    guard = {
+        "query": "hot_bucket_guard",
+        "sf": "sf1x10",
+        "oversized_buckets": over.n_buckets,
+        "largest_bucket_docs": over.max_docs,
+        "capped_candidates": capped,
+        "sec": dt,
+    }
+    results.append(guard)
+    print(json.dumps(guard), flush=True)
+    sh.unpersist()
+
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
