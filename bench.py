@@ -29,6 +29,7 @@ HEADLINE = [
     "a9_attribution_spans",
     "p7_monotonic_gate",
     "s3_latest_quote",
+    "a5_tz_daily",
     "f1_exact_dedup",
     "f2_text_stats",
     "f7_minhash_dedup_pairs",

@@ -1,5 +1,6 @@
-"""Top-level streaming API: `stream_quotes` (reference Borsa::stream_quotes,
-borsa/src/router/stream.rs:377-406 over the generic engine at :16-326).
+"""Top-level streaming API: `stream_updates` + the `stream_quotes` /
+`stream_candles` / `stream_options` wrappers (reference Borsa::stream_*,
+borsa/src/router/stream.rs:377-521 over the generic engine at :16-326).
 
 Ties the pieces together end-to-end:
 planner (grouping, eligibility, strict rejection, primary assignment) ->
@@ -65,25 +66,31 @@ class StreamHandle:
         )
 
 
-def stream_quotes(
+def stream_updates(
     spark: SparkSession,
     catalog: Catalog,
     instruments: list[StreamInstrument],
     sink_dir: str,
+    capability: str = "stream_quotes",
     enforce_monotonic: bool = True,
     trigger_available_now: bool = True,
     min_backoff_ms: int = 500,
     max_backoff_ms: int = 30_000,
 ) -> StreamHandle:
-    """Plan + supervise + run the multi-provider quote stream.
+    """Plan + supervise + run a multi-provider update stream.
 
-    Each Source must expose a ``stream_quotes`` table entry that is a
-    zero-arg factory returning a *streaming* DataFrame (e.g. a
-    ``readStream`` on the provider's feed) in QUOTE_UPDATES shape.
+    The generic engine behind stream_quotes / stream_candles /
+    stream_options (stream.rs:16-326 + the StreamUpdateKind adapters,
+    streaming/mod.rs:72-130): the machinery is update-type-agnostic, only
+    the capability (and therefore each source's table schema — QUOTE /
+    CANDLE / OPTION _UPDATES) changes. Each Source must expose a
+    ``capability`` table entry that is a zero-arg factory returning a
+    *streaming* DataFrame in the matching shape.
     ``stream_enforce_monotonic_timestamps`` maps to ``enforce_monotonic``
-    (borsa-types/src/config.rs:145-149, default on).
+    (borsa-types/src/config.rs:145-149, default on); for options the gate
+    keys on the UNDERLYING symbol, matching stream_symbol().
     """
-    plans = plan_stream(catalog, instruments, "stream_quotes")
+    plans = plan_stream(catalog, instruments, capability)
 
     os.makedirs(sink_dir, exist_ok=True)
     controllers: list[StreamController] = []
@@ -93,10 +100,10 @@ def stream_quotes(
     def make_start_fn(plan):
         def start_fn(provider: str, symbols: tuple[str, ...]):
             source = catalog.get(provider)
-            df = source.table("stream_quotes")
+            df = source.table(capability)
             if not df.isStreaming:
                 raise ProviderTimeout(
-                    f"{provider}: stream_quotes table is not streaming",
+                    f"{provider}: {capability} table is not streaming",
                     connector=provider,
                 )
             df = df.filter(F.col("symbol").isin(list(symbols)))  # P6
@@ -145,3 +152,49 @@ def stream_quotes(
         handle.stop()
         raise errors[0] if errors else BorsaSparkError("stream startup failed")
     return handle
+
+
+def stream_quotes(
+    spark: SparkSession,
+    catalog: Catalog,
+    instruments: list[StreamInstrument],
+    sink_dir: str,
+    **kw,
+) -> StreamHandle:
+    """Borsa::stream_quotes (stream.rs:377-406): tick updates."""
+    return stream_updates(
+        spark, catalog, instruments, sink_dir,
+        capability="stream_quotes", **kw,
+    )
+
+
+def stream_candles(
+    spark: SparkSession,
+    catalog: Catalog,
+    instruments: list[StreamInstrument],
+    sink_dir: str,
+    **kw,
+) -> StreamHandle:
+    """Borsa::stream_candles (stream.rs:408-478): provider bar streams in
+    CANDLE_UPDATES shape (is_final per provider). For Spark-computed bars
+    from ticks, compose `streaming.candle_stream` on a tick stream
+    instead."""
+    return stream_updates(
+        spark, catalog, instruments, sink_dir,
+        capability="stream_candles", **kw,
+    )
+
+
+def stream_options(
+    spark: SparkSession,
+    catalog: Catalog,
+    instruments: list[StreamInstrument],
+    sink_dir: str,
+    **kw,
+) -> StreamHandle:
+    """Borsa::stream_options (stream.rs:480-521): OPTION_UPDATES streams,
+    gated per UNDERLYING symbol (streaming/mod.rs:44-56)."""
+    return stream_updates(
+        spark, catalog, instruments, sink_dir,
+        capability="stream_options", **kw,
+    )

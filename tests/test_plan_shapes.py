@@ -60,3 +60,25 @@ class TestPlanShapes:
         assert m is not None
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert "user_id" not in cols
+
+    def test_a5_tz_single_aggregation_no_python(self, spark):
+        # tz-aware bucketing is pure JVM expressions: exactly one shuffle
+        # (the groupBy), map-side partial combine, no Python in the path.
+        plan = plan_of(spark, "a5_tz_daily")
+        assert "partial_" in plan
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange") <= 2  # agg shuffle (+AQE reuse line)
+
+    def test_s11_latest_uses_window_group_limit(self, spark):
+        # latest-per-contract should push the rank-1 limit into the shuffle
+        # (WindowGroupLimit), not materialize full per-key sorts first.
+        plan = plan_of(spark, "s11_option_latest")
+        assert "WindowGroupLimit" in plan
+        assert "EvalPython" not in plan
+
+    def test_f16_single_arrow_python_stage(self, spark):
+        # encode (fixture gen) + decode are two mapInPandas stages and the
+        # only Python in the plan; everything around them is JVM-side.
+        plan = plan_of(spark, "f16_media_features")
+        assert plan.count("ArrowEvalPython") <= 2
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan

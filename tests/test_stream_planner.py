@@ -264,6 +264,51 @@ class TestStreamQuotesFacade:
         assert sorted(r.seq for r in out) == [0, 1, 3]
         handle.stop()
 
+    def test_stream_options_facade_gates_on_underlying(self, spark, tmp_path):
+        """S11 through the generic facade: OPTION_UPDATES feed, gate keyed
+        on the underlying symbol across interleaved contracts."""
+        import datetime as dt
+        from decimal import Decimal
+
+        from borsa_spark import schemas
+        from borsa_spark.router.stream import stream_options
+        from borsa_spark.sources.provider import Catalog, Source
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        def upd(contract, right, strike, sec, price, seq):
+            return (
+                "p0", "AAPL", contract, right, Decimal(strike),
+                dt.date(2024, 6, 21), ts(sec), Decimal(price),
+                None, None, 10, 100, 0.2, seq,
+            )
+
+        rows = [
+            upd("AAPL240621C150", "CALL", "150", 0, "5.00", 0),
+            upd("AAPL240621P140", "PUT", "140", 30, "3.00", 1),
+            # older than the underlying's HWM(30) -> gated out even though
+            # it is a different contract
+            upd("AAPL240621C150", "CALL", "150", 10, "5.10", 2),
+        ]
+        df = spark.createDataFrame(rows, schema=schemas.OPTION_UPDATES)
+        src_path = str(tmp_path / "opt_feed")
+        df.repartition(1).write.parquet(src_path)
+
+        def feed():
+            return spark.readStream.schema(df.schema).parquet(src_path)
+
+        cat = Catalog()
+        cat.register(Source(name="p0", tables={"stream_options": feed}))
+        handle = stream_options(
+            spark, cat, [I("AAPL")], sink_dir=str(tmp_path / "opt_sink")
+        )
+        assert handle.ok
+        handle.process_available()
+        out = handle.output().collect()
+        assert sorted(r.seq for r in out) == [0, 1]
+        handle.stop()
+
     def test_facade_failover(self, spark, tmp_path):
         import datetime as dt
 
