@@ -284,6 +284,82 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     return verify_jaccard(cands, sh, threshold)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair graph: (id, component) where component
+    is the minimum node id in the connected component — the step that turns
+    "these documents are pairwise similar" into "keep one per group".
+
+    Hash-min label propagation: every node starts labeled with itself; each
+    round a node takes the min label over itself and its neighbors; stop at
+    fixpoint. Each round is one equi-join + one groupBy (both keyed on the
+    node id), so at cluster scale the cost is O(diameter) shuffles over the
+    EDGE table (bounded: near-dup graphs have tiny components, so diameter
+    is small; pathological chains are capped by ``max_iters`` — production
+    graphs beyond that want the large-star/small-star O(log n) variant).
+    Intermediate labels are persisted per round and lineage is cut with
+    localCheckpoint so the loop does not rebuild a growing plan.
+
+    ``pairs``: (id_a, id_b, ...) undirected edges; ``nodes``: (id) the node
+    universe (isolated docs become singleton components).
+
+    Raises RuntimeError if ``max_iters`` rounds do not converge — loud, not
+    a silent partial clustering.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).persist()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("comp").alias("ncomp")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("ncomp").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "component diameter exceeds the cap; raise max_iters or use a "
+            "star-contraction variant"
+        )
+    finally:
+        edges.unpersist()
+
+
 SIMHASH_BITS = 32
 
 

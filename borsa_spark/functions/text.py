@@ -109,3 +109,37 @@ def sql_lang_guess(text_sql: str) -> str:
         )
         case = f"CASE WHEN {conds} THEN '{lg}' ELSE {case} END"
     return case
+
+
+def split_assign(id_col: Column, weights: dict[str, float] | None = None,
+                 salt: str = "split") -> Column:
+    """Deterministic, engine-portable train/valid/test assignment.
+
+    bucket = portable 60-bit md5 hash of "salt:id" mod 10_000; cut points
+    from cumulative weights. Properties a training pipeline needs: stable
+    across runs, partitionings, and engines (no rand(), no row order
+    dependence), and re-salting produces an independent split. SQL
+    equivalent (DuckDB):
+    ``('0x' || substr(md5('salt:' || id::VARCHAR), 1, 15))::BIGINT % 10000``.
+    """
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(10_000),
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = int(round(acc * 10_000))
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return (expr.otherwise(last) if expr is not None else F.lit(last))

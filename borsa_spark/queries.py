@@ -1260,6 +1260,73 @@ def f5_ngram_jaccard_pairs(spark, sf):
     return _dd.jaccard_pairs(sh, 0.5)
 
 
+_DUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+    SELECT id AS doc_id, min(comp)::BIGINT AS component
+    FROM cc GROUP BY id
+"""
+
+
+@query("f17_dup_clusters", _DUP_CLUSTERS_SQL)
+def f17_dup_clusters(spark, sf):
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph (component = min doc_id). The Spark side is hash-min label
+    propagation to a fixpoint (`dedup.dup_clusters`); the oracle is a
+    DuckDB recursive CTE computing min-reachable-id per node — two utterly
+    different algorithms, same fixpoint, hash-compared."""
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 3)
+    pairs = _dd.jaccard_pairs(sh, 0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = _dd.dup_clusters(pairs, nodes)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@query(
+    "f18_corpus_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def f18_corpus_split(spark, sf):
+    """Deterministic train/valid/test split (90/5/5): portable md5-bucket
+    assignment — stable across runs, partitionings, and engines; no rand(),
+    no row-order dependence. The split a 100 TB pipeline can re-derive
+    from doc_id alone without a membership table."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", _tx.split_assign(F.col("doc_id")).alias("split")
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 

@@ -126,3 +126,61 @@ class TestVectorizedTopK:
             for r in brute_force_topk_vectorized(q.toPandas(), c, k=5).collect()
         }
         assert jvm == vec
+
+
+class TestDupClusters:
+    def test_chain_and_singletons(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        # chain 1-2-3 (diameter 2), pair 10-11, isolated 20
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 20)], "id long"
+        )
+        out = {r.id: r.comp for r in dd.dup_clusters(pairs, nodes).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_long_chain_converges(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        n = 12  # diameter 11 -> needs several propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        out = {r.id: r.comp for r in dd.dup_clusters(pairs, nodes).collect()}
+        assert out == {i: 0 for i in range(n)}
+
+    def test_non_convergence_is_loud(self, spark):
+        import pytest
+
+        from borsa_spark.functions import dedup as dd
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dd.dup_clusters(pairs, nodes, max_iters=2)
+
+    def test_split_assign_is_deterministic_and_salted(self, spark):
+        from borsa_spark.functions import text as tx
+        from pyspark.sql import functions as F
+
+        ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+        a = ids.select("doc_id", tx.split_assign(F.col("doc_id")).alias("s"))
+        b = ids.select("doc_id", tx.split_assign(F.col("doc_id")).alias("s"))
+        assert a.exceptAll(b).isEmpty()  # stable across evaluations
+        frac = a.groupBy("s").count().collect()
+        by = {r.s: r["count"] for r in frac}
+        assert 0.85 < by["train"] / 2000 < 0.95  # ~90/5/5
+        resalted = ids.select(
+            "doc_id", tx.split_assign(F.col("doc_id"), salt="other").alias("s")
+        )
+        # a different salt reassigns a meaningful share of docs
+        moved = a.join(resalted.withColumnRenamed("s", "s2"), "doc_id").filter(
+            "s != s2"
+        ).count()
+        assert moved > 0
