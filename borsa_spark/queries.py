@@ -1327,6 +1327,66 @@ def f18_corpus_split(spark, sf):
     )
 
 
+@query(
+    "f19_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, lower(t.token) AS token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE len(t.token) >= 2),
+    tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf
+      FROM toks GROUP BY 1, 2),
+    df AS (
+      SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ((SELECT n_docs FROM n) * 1.0 / df.df), 4)
+               AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ((SELECT n_docs FROM n) * 1.0
+                                                  / df.df) DESC,
+                                         tf.token ASC) AS rnk
+      FROM tf JOIN df USING (token))
+    SELECT doc_id, token, score, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def f19_tfidf_top_terms(spark, sf):
+    """TF-IDF top-3 terms per document, linear-IDF variant (tf * N/df):
+    no transcendentals, so the score is a correctly-rounded IEEE division
+    in both engines and hash-matches exactly. Shape: token explode -> tf
+    groupBy -> df groupBy -> broadcast-joinable df table -> per-doc top-k
+    window. At corpus scale df is vocabulary-sized (broadcast), tf is the
+    big table, and the window partitions by doc_id — no skew."""
+    d = load_table(spark, sf, "documents")
+    n_docs = d.count()  # one tiny job; the corpus row count is a scalar
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.lower(F.col("tok")).alias("token")).filter(
+        F.length("token") >= 2
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "raw", F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("raw").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "token", F.round("raw", 4).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 
