@@ -288,3 +288,79 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine_sim", "rank")
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as a DataFrame program: (cid, cemb) after ``iters``
+    rounds, seeded deterministically with the k lowest-id vectors.
+
+    Each round is two shuffles: assign (broadcast centroids -> argmin over
+    round(L2^2, 4), ties to lower cid) and recompute (posexplode ->
+    per-(cid, dim) mean -> rebuild array ordered by dim). Centroid
+    components are ROUNDED to 6 decimals each round — float summation
+    order differs across engines/partitionings, and snapping to 6dp makes
+    the fixpoint reproducible bit-for-bit (the oracle runs the identical
+    rounded recurrence). At corpus scale the centroid table is k rows
+    (always broadcast) and the recompute shuffle is k*dim rows.
+
+    The trained centroids drop into `ivf_topk` in place of the seed
+    centroids — same (cid, cemb) contract.
+    """
+    e = emb.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    cents = (
+        e.filter(F.col("__vid") < k)
+        .select(F.col("__vid").alias("cid"), F.col("__v").alias("cemb"))
+    )
+    for _ in range(iters):
+        dist = F.round(sq_l2(F.col("__v"), F.col("cemb")), 4)
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("__d", dist)
+            .groupBy("__vid")
+            .agg(
+                F.min_by("cid", F.struct(F.col("__d"), F.col("cid"))).alias("cid"),
+                F.any_value("__v").alias("__v"),
+            )
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.getField("cval"),
+                ).alias("cemb")
+            )
+        )
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Final cluster assignment against (cid, cemb): (vec_id, cluster)."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    dist = F.round(sq_l2(F.col("__v"), F.col("cemb")), 4)
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("__d", dist)
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct(F.col("__d"), F.col("cid"))).alias("cluster"))
+    )

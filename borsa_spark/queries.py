@@ -1856,6 +1856,65 @@ def j2_info_join(spark, sf):
 # Training-data pipeline: similarity search (functions.similarity)
 # ---------------------------------------------------------------------------
 
+_KM_DIST = (
+    "round(list_sum(list_transform(range(1, len(e.v) + 1), "
+    "i -> (e.v[i] - c.cemb[i]) * (e.v[i] - c.cemb[i]))), 4)"
+)
+
+
+def _kmeans_round_sql(src_cents: str, n: int) -> str:
+    """One Lloyd round: assign against ``src_cents`` -> recomputed c{n}."""
+    return f"""
+    d{n} AS (
+      SELECT e.vec_id, c.cid, {_KM_DIST} AS d
+      FROM e CROSS JOIN {src_cents} c),
+    a{n} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM d{n}) t WHERE rn = 1),
+    m{n} AS (
+      SELECT a{n}.cid, t.pos, round(avg(e.v[t.pos]), 6) AS cval
+      FROM a{n} JOIN e USING (vec_id),
+           unnest(range(1, len(e.v) + 1)) AS t(pos)
+      GROUP BY 1, 2),
+    c{n} AS (SELECT cid, list(cval ORDER BY pos) AS cemb FROM m{n} GROUP BY cid)
+    """
+
+
+_KMEANS_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cemb FROM e WHERE vec_id < 8),
+    {_kmeans_round_sql('c0', 1)},
+    {_kmeans_round_sql('c1', 2)},
+    d3 AS (
+      SELECT e.vec_id, c.cid, {_KM_DIST} AS d
+      FROM e CROSS JOIN c2 c)
+    SELECT vec_id, cid AS cluster FROM (
+      SELECT vec_id, cid, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+      FROM d3) t WHERE rn = 1
+"""
+
+
+@query("f20_kmeans_clusters", _KMEANS_SQL)
+def f20_kmeans_clusters(spark, sf):
+    """Lloyd's k-means (k=8, 2 rounds, deterministic lowest-id seeds) as a
+    DataFrame program, final assignment hash-matched against the identical
+    rounded recurrence unrolled in SQL. Centroid components snap to 6dp and
+    distances to 4dp each round, so both engines walk the same fixpoint
+    despite differing float summation orders. The trained centroids drop
+    into ivf_topk in place of the seed centroids (same (cid, cemb)
+    contract)."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = _sim.kmeans_centroids(emb, k=8, iters=2)
+    out = _sim.kmeans_assign(emb, cents)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
 
 @query(
     "f10_cosine_topk",
