@@ -64,6 +64,36 @@ def main() -> None:
     print("== minhash near-dup pairs ==")
     pairs.show(5)
 
+    # merged-series flags (round 2): adjusted AND-over-contributors + meta
+    print("== merged-series flags ==")
+    res.flags.show(5)
+
+    # R7/R4 (round 2): a hanging provider times out, the chain proceeds;
+    # a latency race returns the fastest success
+    from borsa_spark.errors import ProviderTimeout  # noqa: F401
+    from borsa_spark.sources.mock import Hang, ScriptedSource, fixture_quotes_df
+    from borsa_spark.sources.provider import Catalog
+
+    hang = Hang(seconds=10.0)
+    slow = ScriptedSource("slow").script("quote", hang)
+    fast = ScriptedSource("fast").script("quote", fixture_quotes_df(spark, "fast"))
+    qcat = Catalog().register(slow).register(fast)
+    q = quote(spark, qcat, "AAPL", strategy="latency", provider_timeout=2.0)
+    print("== latency-race quote winner ==")
+    q.select("provider", "symbol", "price").show(1)
+    hang.release()
+
+    # k-means-trained IVF (round 2)
+    from borsa_spark.functions.similarity import ivf_topk, kmeans_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    print("== IVF top-3 with trained centroids ==")
+    ivf_topk(emb, qs, cents, k=3, n_probe=2).show(6)
+
     spark.stop()
 
 

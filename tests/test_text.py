@@ -184,3 +184,33 @@ class TestDupClusters:
             "s != s2"
         ).count()
         assert moved > 0
+
+
+class TestKMeansIvf:
+    def test_trained_centroids_drop_into_ivf(self, spark):
+        """kmeans_centroids output satisfies ivf_topk's (cid, cemb)
+        contract and returns full top-k for every query."""
+        from pyspark.sql import functions as F
+
+        from borsa_spark.functions.similarity import (
+            ivf_topk,
+            kmeans_assign,
+            kmeans_centroids,
+        )
+        from borsa_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = kmeans_centroids(emb, k=4, iters=2)
+        assert cents.count() <= 4  # empty clusters may drop out
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        out = ivf_topk(emb, q, cents, k=3, n_probe=2)
+        got = {(r.q_id, r.rank): r.c_id for r in out.collect()}
+        assert len(got) == 9  # 3 queries x top-3
+
+        # every vector lands in exactly one cluster
+        assign = kmeans_assign(emb, cents)
+        n = emb.count()
+        assert assign.count() == n
+        assert assign.select("vec_id").distinct().count() == n
