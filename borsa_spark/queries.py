@@ -630,6 +630,49 @@ def _a5_project(out: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "a7_volume_saturation",
+    """
+    WITH c AS (
+      SELECT event_type AS symbol, date_trunc('day', ts) AS bucket,
+             4611686018427387904 + user_id AS volume
+      FROM events)
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           least(sum(volume::HUGEINT),
+                 9223372036854775807::HUGEINT)::BIGINT AS volume
+    FROM c GROUP BY symbol, bucket
+    """,
+)
+def a7_volume_saturation(spark, sf):
+    """A7: saturating volume sums through the REAL resampler — every
+    symbol-day sums multiple ~2^62 volumes, so the u128-style accumulator
+    (DECIMAL(38,0)) overflows int64 and must clamp at LongType max
+    (resample.rs:176-179). DuckDB's HUGEINT sum provides the independent
+    clamp check."""
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    base = ev.select(
+        F.lit("prov").alias("provider"),
+        F.col("event_type").alias("symbol"),
+        F.lit("equity").alias("kind"),
+        "ts",
+        v.alias("open"), v.alias("high"), v.alias("low"), v.alias("close"),
+        F.lit(None).cast("decimal(38,9)").alias("close_unadj"),
+        (F.lit(4611686018427387904) + F.col("user_id")).alias("volume"),
+        F.lit("USD").alias("currency"),
+        F.lit(True).alias("adjusted"),
+        F.lit(None).cast("string").alias("timezone"),
+        F.lit(None).cast("long").alias("utc_offset_seconds"),
+        F.col("event_id").alias("seq"),
+    )
+    out = resample_to_daily(base)
+    return out.select(
+        "symbol",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        "volume",
+    )
+
+
 @query("a5_tz_daily", _A5_TZ_ORACLE)
 def a5_tz_daily(spark, sf):
     """A5: IANA-timezone daily buckets across a DST fall-back, including the
