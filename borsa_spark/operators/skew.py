@@ -1,0 +1,95 @@
+"""Skew-resilient two-phase ("salted") aggregation.
+
+The scale problem: a groupBy over a key with a few hot values (one symbol
+carrying half the ticks, one boilerplate doc hash) funnels the hot key's
+entire input through a single reducer task. AQE's skew handling
+(``spark.sql.adaptive``) splits skewed *joins*, and map-side partial
+aggregation already bounds shuffle volume to one row per (mapper, key) —
+but when the DISTINCT VALUE COUNT per hot key is huge (e.g. collecting
+per-key distincts or high-cardinality sub-aggregations), the final reduce
+still concentrates on one task.
+
+Salting fixes the reduce: phase 1 groups by (key, salt) with salt =
+pmod(hash(row-identity), buckets), spreading each hot key over ``buckets``
+reducers; phase 2 re-aggregates the per-salt partials by key. Correct for
+ALGEBRAIC aggregates — ones with a partial/merge decomposition: sum, count,
+min, max, and anything built from them (avg = sum/count). NOT valid for
+holistic aggregates (median, exact distinct) — use approx variants there.
+
+This is the explicit, composable form of what the resample/merge pipelines
+get implicitly from min_by partial aggregation; reach for it when profiling
+shows a straggling final-aggregation task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (phase-1 partial, phase-2 merge) per supported algebraic aggregate.
+_MERGES = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 32,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output column -> (fn, input)
+    with fn in {sum, count, min, max, avg}.
+
+    ``salt_on`` is the expression hashed into the salt (default: a uniform
+    per-row spread via ``spark_partition_id`` + a monotonic id would be
+    non-deterministic; we hash all non-key columns' first input instead).
+    Pass an explicit column (e.g. the event id) for a documented spread.
+
+    Example::
+
+        salted_agg(ticks, ["symbol"],
+                   {"n": ("count", "*"), "vol": ("sum", "volume"),
+                    "hi": ("max", "price")},
+                   buckets=64, salt_on=F.col("seq"))
+    """
+    if salt_on is None:
+        first_in = next(
+            (c for _, (_, c) in sorted(aggs.items()) if c != "*"), None
+        )
+        if first_in is None:
+            raise ValueError("salt_on required when all aggs are count(*)")
+        salt_on = F.col(first_in)
+    salted = df.withColumn("__salt", F.pmod(F.hash(salt_on), F.lit(buckets)))
+
+    partial_exprs: list[Column] = []
+    merge_exprs: list[Column] = []
+    avg_parts: list[str] = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            partial_exprs.append(
+                (F.count("*") if col == "*" else F.count(col)).alias(f"__p_{out}")
+            )
+            merge_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "avg":
+            partial_exprs.append(F.sum(col).alias(f"__ps_{out}"))
+            partial_exprs.append(F.count(col).alias(f"__pc_{out}"))
+            avg_parts.append(out)
+        elif fn in _MERGES:
+            partial_exprs.append(_MERGES[fn](col).alias(f"__p_{out}"))
+            merge_exprs.append(_MERGES[fn](f"__p_{out}").alias(out))
+        else:
+            raise ValueError(
+                f"{fn!r} is not algebraic-decomposable here; supported: "
+                "sum, count, min, max, avg"
+            )
+    for out in avg_parts:
+        merge_exprs.append(
+            (F.sum(f"__ps_{out}") / F.sum(f"__pc_{out}")).alias(out)
+        )
+
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)

@@ -155,3 +155,71 @@ def test_dedup_actions_idempotent(spark):
     once = dedup_actions(df)
     twice = dedup_actions(once)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark):
+        """Two-phase salted aggregation must be value-identical to the
+        single-phase groupBy for every supported algebraic aggregate."""
+        from pyspark.sql import functions as F
+
+        from borsa_spark.operators.skew import salted_agg
+        from borsa_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        plain = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("user_id").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.avg("value").alias("m"),
+        )
+        salted = salted_agg(
+            ev, ["event_type"],
+            {"n": ("count", "*"), "s": ("sum", "user_id"),
+             "lo": ("min", "value"), "hi": ("max", "value"),
+             "m": ("avg", "value")},
+            buckets=16, salt_on=F.col("event_id"),
+        )
+        p = {r.event_type: (r.n, r.s, round(r.lo, 9), round(r.hi, 9))
+             for r in plain.collect()}
+        s = {r.event_type: (r.n, r.s, round(r.lo, 9), round(r.hi, 9))
+             for r in salted.collect()}
+        assert p == s
+        pm = {r.event_type: r.m for r in plain.collect()}
+        sm = {r.event_type: r.m for r in salted.collect()}
+        for k in pm:
+            assert abs(pm[k] - sm[k]) < 1e-9  # avg: float merge order
+
+    def test_two_shuffle_plan(self, spark):
+        """The salted plan has exactly the two intended aggregations."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from borsa_spark.operators.skew import salted_agg
+        from borsa_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        out = salted_agg(ev, ["event_type"], {"s": ("sum", "user_id")},
+                         salt_on=F.col("event_id"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        import re
+
+        n_exchanges = len(set(re.findall(r"Exchange \((\d+)\)", plan)))
+        assert n_exchanges <= 2
+        assert "partial_" in plan
+
+    def test_holistic_rejected(self, spark):
+        import pytest
+
+        from borsa_spark.operators.skew import salted_agg
+        from borsa_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        with pytest.raises(ValueError, match="not algebraic"):
+            salted_agg(ev, ["event_type"], {"p50": ("median", "value")})
