@@ -125,18 +125,23 @@ def info(
 def fast_info(
     spark: SparkSession,
     catalog: Catalog,
-    symbols: list[str],
+    symbols: "list[str] | DataFrame",
     kind: str | None = None,
 ) -> DataFrame:
     """The light Info subset (FastInfo, borsa/src/router/info.rs:222-251):
     quote-derived fields only — no profile/analyst/esg joins, one window
-    over the quote union."""
+    over the quote union. ``symbols`` may be a one-column ``symbol``
+    DataFrame (left-semi restriction, no driver list)."""
     from pyspark.sql import Window
 
     ctx = RoutingContext(kind=kind)
-    union = _quote_union(catalog, ctx, enforce_exchange=False).filter(
-        F.col("symbol").isin(symbols)
-    )
+    union = _quote_union(catalog, ctx, enforce_exchange=False)
+    if isinstance(symbols, DataFrame):
+        union = union.join(
+            symbols.select("symbol").distinct(), "symbol", "left_semi"
+        )
+    else:
+        union = union.filter(F.col("symbol").isin(symbols))
     w = Window.partitionBy("symbol").orderBy(F.col("priority").asc())
     return (
         union.withColumn("__rn", F.row_number().over(w))
@@ -163,10 +168,28 @@ def download(
     ONE history pipeline over symbol IN (...). For the common case of a
     uniform policy that's a single Spark program for the whole batch — the
     reference's per-symbol task fan-out becomes data parallelism.
+
+    ``symbols=ALL_SYMBOLS`` ("*") downloads every symbol the providers
+    carry under the catalog-wide plan (valid when routing is uniform —
+    per-symbol policy rules need an explicit list to plan against); the
+    failure report is empty by definition (no requested universe).
     """
+    from borsa_spark.router.history import (
+        ALL_SYMBOLS,
+        HistoryRequest,
+        history,
+        plan_history,
+    )
+
+    if symbols == ALL_SYMBOLS:
+        res = history(
+            spark, catalog,
+            HistoryRequest(symbol=ALL_SYMBOLS, interval=interval),
+            symbols=ALL_SYMBOLS, **history_kwargs,
+        )
+        return res.candles, spark.createDataFrame([], "symbol string")
     if len(set(symbols)) != len(symbols):
         raise ValueError("duplicate symbols in download request")
-    from borsa_spark.router.history import HistoryRequest, history, plan_history
 
     groups: dict[tuple, list[str]] = {}
     warnings: list[str] = []

@@ -561,3 +561,29 @@ def test_catalog_df_registry(spark):
     # queryable: which providers can serve 1m natively?
     fast = df.filter(F.array_contains("history_intervals", "1m"))
     assert [r.provider for r in fast.collect()] == ["other"]
+
+
+class TestSymbolUniverseForms:
+    def test_download_all_symbols(self, spark):
+        from borsa_spark.router import ALL_SYMBOLS
+
+        a = [candle("provA", "AAPL", sec=0, o=1.0),
+             candle("provA", "MSFT", sec=0, o=2.0)]
+        cat = Catalog().register(hist_source(spark, "provA", a))
+        candles, failed = download(spark, cat, ALL_SYMBOLS)
+        assert {str(r.symbol) for r in candles.collect()} == {"AAPL", "MSFT"}
+        assert failed.count() == 0
+
+    def test_fast_info_dataframe_symbols(self, spark):
+        from borsa_spark.router import fast_info
+        from borsa_spark.sources.mock import ScriptedSource, fixture_quotes_df
+
+        src = ScriptedSource("q").script(
+            "quote", fixture_quotes_df(spark, "q")
+        )
+        cat = Catalog().register(src)
+        wanted = spark.createDataFrame(
+            [("AAPL",), ("MSFT",)], "symbol string"
+        )
+        out = fast_info(spark, cat, wanted)
+        assert {str(r.symbol) for r in out.collect()} == {"AAPL", "MSFT"}

@@ -214,3 +214,42 @@ class TestKMeansIvf:
         n = emb.count()
         assert assign.count() == n
         assert assign.select("vec_id").distinct().count() == n
+
+
+class TestDupClustersRandomized:
+    def test_matches_union_find_on_random_graph(self, spark):
+        """Seeded random graph vs a pure-Python union-find reference."""
+        import random
+
+        from borsa_spark.functions import dedup as dd
+
+        rng = random.Random(20260813)
+        n = 40
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(45)})
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        # canonicalize to min-id per component
+        comp_min: dict[int, int] = {}
+        for i in range(n):
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        want = {i: comp_min[find(i)] for i in range(n)}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {r.id: r.comp
+               for r in dd.dup_clusters(pairs, nodes, max_iters=40).collect()}
+        assert got == want
