@@ -30,6 +30,7 @@ from borsa_spark.operators import (
     estimate_step_seconds,
     monotonic_gate,
     resample_to_daily,
+    resample_to_minutes,
 )
 from borsa_spark.operators.merge import merge_candles
 from borsa_spark.sources import load_table
@@ -669,6 +670,63 @@ def a7_volume_saturation(spark, sf):
     return out.select(
         "symbol",
         F.unix_timestamp("ts").alias("bucket_ts"),
+        "volume",
+    )
+
+
+@query(
+    "a10_rollup_cascade",
+    """
+    WITH e AS (
+      SELECT event_type AS symbol, date_trunc('day', ts) AS bucket, ts, value,
+             user_id, event_id,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts ASC, event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events)
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_z = 1 THEN value END), 2) AS close,
+           sum(user_id)::BIGINT AS volume
+    FROM e GROUP BY symbol, bucket
+    """,
+)
+def a10_rollup_cascade(spark, sf):
+    """Tiered rollup correctness: hourly bars CASCADED to daily
+    (resample applied to the previous tier's bars, not raw rows) must
+    equal the direct daily aggregation — the algebraic property that lets
+    a continuous-aggregate store serve coarse intervals from fine tiers.
+    The oracle computes daily DIRECTLY from raw events; any
+    non-composability in open/close ordering, volume summing, or bucket
+    math breaks the hash."""
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    base = ev.select(
+        F.lit("prov").alias("provider"),
+        F.col("event_type").alias("symbol"),
+        F.lit("equity").alias("kind"),
+        "ts",
+        v.alias("open"), v.alias("high"), v.alias("low"), v.alias("close"),
+        F.lit(None).cast("decimal(38,9)").alias("close_unadj"),
+        F.col("user_id").cast("long").alias("volume"),
+        F.lit("USD").alias("currency"),
+        F.lit(True).alias("adjusted"),
+        F.lit(None).cast("string").alias("timezone"),
+        F.lit(None).cast("long").alias("utc_offset_seconds"),
+        F.col("event_id").alias("seq"),
+    )
+    hourly = resample_to_minutes(base, 60)
+    daily = resample_to_daily(hourly)
+    return daily.select(
+        "symbol",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        F.round(F.col("open").cast("double"), 2).alias("open"),
+        F.round(F.col("high").cast("double"), 2).alias("high"),
+        F.round(F.col("low").cast("double"), 2).alias("low"),
+        F.round(F.col("close").cast("double"), 2).alias("close"),
         "volume",
     )
 
