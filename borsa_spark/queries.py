@@ -1488,6 +1488,97 @@ def f19_tfidf_top_terms(spark, sf):
     )
 
 
+@query(
+    "f21_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    s AS (
+      SELECT user_id, ts, event_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS session_no
+      FROM o)
+    SELECT user_id, session_no,
+           epoch(date_trunc('second', min(ts)))::BIGINT AS session_start,
+           epoch(date_trunc('second', max(ts)))::BIGINT AS session_end,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def f21_sessionize(spark, sf):
+    """Gap-based sessionization (30 min inactivity closes a session): the
+    lag-flag + running-sum pattern, then per-session aggregates. One
+    shuffle on user_id serves both windows and the final groupBy — the
+    partitioning reuse that matters when userspace is 10^9 keys."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "session_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.unix_timestamp(F.max("ts")).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "w6_rolling_features",
+    """
+    WITH b AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+             round(avg(value), 6) AS m
+      FROM events GROUP BY 1, 2)
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           round(avg(m) OVER w, 4) AS ma7,
+           round(min(m) OVER w, 4) AS lo7,
+           round(max(m) OVER w, 4) AS hi7,
+           count(*) OVER w AS n7
+    FROM b
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket ASC
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w6_rolling_features(spark, sf):
+    """Rolling 7-bucket features over hourly means (moving avg/min/max +
+    support count): the rowsBetween window family, partitioned by symbol,
+    ordered by bucket. The hourly pre-aggregate is snapped to 6dp so the
+    rolling avg divides identical operands in both engines."""
+    ev = load_table(spark, sf, "events")
+    b = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return b.select(
+        "symbol",
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        F.round(F.avg("m").over(w), 4).alias("ma7"),
+        F.round(F.min("m").over(w), 4).alias("lo7"),
+        F.round(F.max("m").over(w), 4).alias("hi7"),
+        F.count("*").over(w).alias("n7"),
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 
