@@ -1579,6 +1579,72 @@ def w6_rolling_features(spark, sf):
     )
 
 
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "f22_normalized_dedup",
+    f"""
+    SELECT md5({_NORM_SQL}) AS norm_hash,
+           min(doc_id) AS canonical_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def f22_normalized_dedup(spark, sf):
+    """Canonicalizing dedup: texts that differ only in case, punctuation,
+    or whitespace collapse to one group (lower -> strip non-alnum ->
+    collapse spaces -> trim -> md5 -> keep-min-id). The normalization is
+    pure JVM expressions; the grouping is the same balanced hash-groupBy
+    as exact dedup, keyed on a 32-byte digest."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "f23_quality_median_gate",
+    """
+    WITH m AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars, round(m.med, 1) AS lang_median
+    FROM documents d JOIN m USING (lang)
+    WHERE d.n_chars > m.med
+    """,
+)
+def f23_quality_median_gate(spark, sf):
+    """Adaptive quality gate: keep documents longer than their LANGUAGE's
+    median length — thresholds derived from the corpus itself, not
+    hardcoded. Exact linear-interpolation percentile (verified convention-
+    identical between Spark `percentile` and DuckDB `quantile_cont`);
+    medians are a per-lang scalar table, broadcast into the filter join."""
+    d = load_table(spark, sf, "documents")
+    med = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    return (
+        d.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") > F.col("med"))
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.round("med", 1).alias("lang_median"),
+        )
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 
