@@ -1645,6 +1645,77 @@ def f23_quality_median_gate(spark, sf):
     )
 
 
+_PIPE_SQL = f"""
+    WITH RECURSIVE sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+    canon AS (
+      SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id),
+    med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, c.component,
+           CASE WHEN b.bucket < 9000 THEN 'train'
+                WHEN b.bucket < 9500 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN canon c USING (doc_id)
+    JOIN med m USING (lang)
+    JOIN (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % 10000 AS bucket
+          FROM documents) b USING (doc_id)
+    WHERE d.doc_id = c.component AND d.n_chars > m.med
+"""
+
+
+@query("f24_corpus_prep_e2e", _PIPE_SQL)
+def f24_corpus_prep_e2e(spark, sf):
+    """The end-to-end training-data prep pipeline in ONE DAG: near-dup
+    clustering (keep the min-id canonical per component) -> per-language
+    median quality gate -> deterministic split assignment. Composes the
+    individually-verified f17/f23/f18 operators; the oracle recomposes the
+    same stages in SQL, so any interaction bug between stages (join
+    granularity, filter ordering) breaks the hash. At 100 TB each stage
+    keys on doc_id or lang — the cluster step dominates and everything
+    after it is broadcast-or-semi-join over survivors."""
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 3)
+    pairs = _dd.jaccard_pairs(sh, 0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = _dd.dup_clusters(pairs, nodes).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    return (
+        docs.join(comp, "doc_id")
+        .filter(F.col("doc_id") == F.col("component"))
+        .join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") > F.col("med"))
+        .select(
+            "doc_id", "component",
+            _tx.split_assign(F.col("doc_id")).alias("split"),
+        )
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 
