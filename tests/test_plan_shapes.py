@@ -82,3 +82,24 @@ class TestPlanShapes:
         plan = plan_of(spark, "f16_media_features")
         assert plan.count("ArrowEvalPython") <= 2
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+    def test_sessionize_single_shuffle(self, spark):
+        # lag window, running-sum window, and the session aggregate all
+        # reuse ONE user_id exchange (HashPartitioning(user_id) satisfies
+        # the (user_id, session_no) clustering requirement).
+        import re
+
+        plan = plan_of(spark, "f21_sessionize")
+        assert len(set(re.findall(r"Exchange \((\d+)\)", plan))) == 1
+        assert "EvalPython" not in plan
+
+    def test_rollup_cascade_two_tiers_two_shuffles(self, spark):
+        import re
+
+        plan = plan_of(spark, "a10_rollup_cascade")
+        assert len(set(re.findall(r"Exchange \((\d+)\)", plan))) <= 2
+        assert "partial_" in plan
+
+    def test_quality_gate_broadcasts_medians(self, spark):
+        plan = plan_of(spark, "f23_quality_median_gate")
+        assert "BroadcastHashJoin" in plan
