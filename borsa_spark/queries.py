@@ -1026,6 +1026,31 @@ def s11_option_latest(spark, sf):
 
 
 @query(
+    "s14_json_props_extract",
+    """
+    SELECT event_type,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+           count(*) FILTER (WHERE json_extract(props, '$.k')::BIGINT >= 50)
+             ::BIGINT AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def s14_json_props_extract(spark, sf):
+    """Semi-structured payload extraction: parse the events `props` JSON
+    column JVM-side (`get_json_object`, no Python) and aggregate the
+    extracted field — the schema-on-read path a provider's raw payloads
+    take before they become typed tables."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.when(k >= 50, 1)).alias("n_high"),
+    )
+
+
+@query(
     "p5_adjusted_preference",
     """
     WITH f AS (
