@@ -58,6 +58,32 @@ class StreamHandle:
         for ctl in self.controllers:
             ctl.shutdown()
 
+    def progress(self) -> list[dict]:
+        """Per-session lastProgress snapshots (batch id, input rows, state
+        rows/memory per stateful operator) — the observability surface a
+        production stream needs for state-growth and lag alerts."""
+        out = []
+        for ctl in self.controllers:
+            for pid, q in ctl.sessions.items():
+                lp = getattr(q, "lastProgress", None)
+                if not lp:
+                    continue
+                out.append(
+                    {
+                        "provider": ctl.providers[pid],
+                        "batch_id": lp.get("batchId"),
+                        "num_input_rows": lp.get("numInputRows"),
+                        "state": [
+                            {
+                                "rows": so.get("numRowsTotal"),
+                                "mem_bytes": so.get("memoryUsedBytes"),
+                            }
+                            for so in lp.get("stateOperators", [])
+                        ],
+                    }
+                )
+        return out
+
     @property
     def ok(self) -> bool:
         return all(

@@ -309,6 +309,33 @@ class TestStreamQuotesFacade:
         assert sorted(r.seq for r in out) == [0, 1]
         handle.stop()
 
+    def test_handle_progress_surfaces_state_metrics(self, spark, tmp_path):
+        import datetime as dt
+
+        from borsa_spark.router.stream import stream_quotes
+        from borsa_spark.sources.provider import Catalog, Source
+
+        df = spark.createDataFrame(
+            [("AAPL", dt.datetime(2024, 1, 1), 1.0, 0)],
+            "symbol string, ts timestamp, price double, seq long",
+        )
+        src_path = str(tmp_path / "feed_m")
+        df.write.parquet(src_path)
+
+        def feed():
+            return spark.readStream.schema(df.schema).parquet(src_path)
+
+        cat = Catalog().register(Source(name="p0", tables={"stream_quotes": feed}))
+        handle = stream_quotes(
+            spark, cat, [I("AAPL")], sink_dir=str(tmp_path / "sink_m")
+        )
+        handle.process_available()
+        prog = handle.progress()
+        assert prog and prog[0]["provider"] == "p0"
+        assert prog[0]["num_input_rows"] is not None
+        assert isinstance(prog[0]["state"], list)  # gate state operator
+        handle.stop()
+
     def test_facade_failover(self, spark, tmp_path):
         import datetime as dt
 
