@@ -226,6 +226,54 @@ class TestLatencyRace:
         assert (winner, value) == ("b", "fast-value")
 
 
+class TestFetchStrategyContrast:
+    """router_quote_concurrency.rs: under the DEFAULT PriorityWithFallback
+    strategy a faster lower-priority provider must NOT beat a slower
+    higher-priority success — the exact inverse of the latency race."""
+
+    def test_slow_high_priority_wins_under_priority_strategy(self, spark):
+        from borsa_spark.router import quote
+        from borsa_spark.sources.mock import ScriptedSource, fixture_quotes_df
+
+        slow_df = fixture_quotes_df(spark, "slowprov")
+
+        def slow_fetch():
+            time.sleep(0.3)
+            return slow_df
+
+        slow = ScriptedSource("slowprov").script("quote", slow_fetch)
+        fast = ScriptedSource("fastprov").script(
+            "quote", fixture_quotes_df(spark, "fastprov")
+        )
+        cat = Catalog().register(slow).register(fast)  # slow = priority 0
+        out = quote(spark, cat, "AAPL").collect()  # default: priority
+        assert [str(r.provider) for r in out] == ["slowprov"]
+
+
+class TestCapabilityHotSwap:
+    """router_quote_provider_hot_swap.rs: a capability disappearing between
+    calls surfaces as a routing error, never a crash."""
+
+    def test_dropped_capability_errors_cleanly(self, spark):
+        from borsa_spark.errors import UnsupportedError
+        from borsa_spark.router import quote
+        from borsa_spark.sources.mock import ScriptedSource, fixture_quotes_df
+
+        src = ScriptedSource("hot").script(
+            "quote", fixture_quotes_df(spark, "hot")
+        )
+        cat = Catalog().register(src)
+        assert quote(spark, cat, "AAPL").count() == 1  # capability present
+
+        # hot-swap: capability vanishes before the next call
+        del src.behaviors["quote"]
+        del src.tables["quote"]
+        with pytest.raises(UnsupportedError):
+            quote(spark, cat, "AAPL")
+        with pytest.raises(UnsupportedError):
+            quote(spark, cat, "AAPL", strategy="latency")
+
+
 class TestDeadline:
     def test_no_budget_passes_provider_timeout_through(self):
         d = Deadline(None)
