@@ -1741,6 +1741,37 @@ def f24_corpus_prep_e2e(spark, sf):
     )
 
 
+@query(
+    "f25_embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 4) AS l2,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE))
+                 / len(embedding), 4) AS mean_comp
+    FROM embeddings
+    """,
+)
+def f25_embedding_norms(spark, sf):
+    """Embedding hygiene stats: per-vector L2 norm + component mean — the
+    pre-normalization audit a similarity pipeline runs before indexing
+    (catching zero/degenerate vectors). Sequential array folds, so the
+    float math is order-identical cross-engine."""
+    emb = load_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    mean = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(
+        "embedding"
+    )
+    return emb.select(
+        "vec_id", "label",
+        F.round(l2, 4).alias("l2"),
+        F.round(mean, 4).alias("mean_comp"),
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 
