@@ -98,15 +98,39 @@ class AllProvidersTimedOut(BorsaSparkError):
     retry_class = RetryClass.TRANSIENT
 
 
+def flatten(err: BorsaSparkError) -> list[BorsaSparkError]:
+    """Unwrap nested AllProvidersFailed aggregates into a flat list
+    (error.rs:168-178)."""
+    if isinstance(err, AllProvidersFailed):
+        out: list[BorsaSparkError] = []
+        for e in err.errors:
+            out.extend(flatten(e))
+        return out
+    return [err]
+
+
+def is_actionable(err: BorsaSparkError) -> bool:
+    """Whether an error should surface to users as actionable
+    (error.rs:155-166): capability absence and benign not-founds are not;
+    aggregates classify by their contents."""
+    if isinstance(err, (UnsupportedError, NotFoundError)):
+        return False
+    if isinstance(err, AllProvidersFailed):
+        return any(is_actionable(e) for e in err.errors)
+    return True
+
+
 def collapse_errors(attempted: int, errors: list[BorsaSparkError],
-                    capability: str) -> BorsaSparkError:
+                    capability: str,
+                    not_found_what: str | None = None) -> BorsaSparkError:
     """Collapse per-provider errors into one actionable error.
 
     Rules (reference borsa/src/router/util.rs:30-60):
     - nothing attempted -> Unsupported
-    - every error is a ProviderTimeout -> AllProvidersTimedOut (checked
-      FIRST, before the single-error shortcut — util.rs:40-48 collapses
-      even a lone timeout)
+    - every error is a ProviderTimeout -> AllProvidersTimedOut (even a
+      lone timeout, util.rs:40-48)
+    - ``not_found_what`` given and every error is a NotFound ->
+      NotFound(what) (util.rs:49-56)
     - exactly one error -> itself
     - otherwise -> AllProvidersFailed
     """
@@ -116,6 +140,10 @@ def collapse_errors(attempted: int, errors: list[BorsaSparkError],
         isinstance(e, ProviderTimeout) for e in errors
     ):
         return AllProvidersTimedOut(capability)
+    if not_found_what is not None and all(
+        isinstance(e, NotFoundError) for e in errors
+    ):
+        return NotFoundError(not_found_what)
     if len(errors) == 1:
         return errors[0]
     return AllProvidersFailed(errors)

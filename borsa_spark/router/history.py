@@ -277,7 +277,10 @@ def history(
             warnings.append(f"[{source.name}] {e.message}")
 
     if not frames:
-        raise collapse_errors(attempted, errors, f"history({req.symbol})")
+        raise collapse_errors(
+            attempted, errors, f"history({req.symbol})",
+            not_found_what=f"history for {req.symbol}",
+        )
 
     if strategy == "fallback":
         if symbols == ALL_SYMBOLS or (symbols is not None and len(symbols) > 1):

@@ -136,13 +136,19 @@ def jitter_wait(base_ms: int, jitter_percent: int, rng: random.Random | None = N
 
 
 def collapse_stream_errors(capability: str, errors: list[BorsaSparkError]) -> BorsaSparkError:
-    """0 -> Unsupported, 1 -> itself, n -> AllProvidersFailed
-    (streaming/error.rs:3-16)."""
-    if not errors:
+    """Flatten nested aggregates, keep only ACTIONABLE errors, then
+    0 -> Unsupported, 1 -> itself, n -> AllProvidersFailed
+    (streaming/error.rs:3-16 + error.rs:155-178)."""
+    from borsa_spark.errors import flatten, is_actionable
+
+    actionable = [
+        e for err in errors for e in flatten(err) if is_actionable(e)
+    ]
+    if not actionable:
         return UnsupportedError(capability)
-    if len(errors) == 1:
-        return errors[0]
-    return AllProvidersFailed(errors)
+    if len(actionable) == 1:
+        return actionable[0]
+    return AllProvidersFailed(actionable)
 
 
 @dataclass(frozen=True)

@@ -290,3 +290,47 @@ class TestDeadline:
         time.sleep(0.03)
         with pytest.raises(RequestTimeout):
             d.clamp(1.0)
+
+
+class TestActionableCollapse:
+    def test_all_not_found_collapses_to_not_found(self):
+        from borsa_spark.errors import NotFoundError
+
+        err = collapse_errors(
+            2, [NotFoundError("a"), NotFoundError("b")], "history",
+            not_found_what="history for X",
+        )
+        assert isinstance(err, NotFoundError)
+        assert "history for X" in err.message
+
+    def test_flatten_and_actionable(self):
+        from borsa_spark.errors import (
+            AllProvidersFailed,
+            DataError,
+            NotFoundError,
+            UnsupportedError,
+            flatten,
+            is_actionable,
+        )
+
+        nested = AllProvidersFailed(
+            [NotFoundError("x"),
+             AllProvidersFailed([DataError("d"), UnsupportedError("u")])]
+        )
+        flat = flatten(nested)
+        assert [type(e).__name__ for e in flat] == [
+            "NotFoundError", "DataError", "UnsupportedError",
+        ]
+        assert is_actionable(nested)  # contains one actionable (DataError)
+        assert not is_actionable(
+            AllProvidersFailed([NotFoundError("x"), UnsupportedError("u")])
+        )
+
+    def test_stream_collapse_filters_non_actionable(self):
+        from borsa_spark.errors import DataError, NotFoundError
+        from borsa_spark.streaming import collapse_stream_errors
+
+        out = collapse_stream_errors(
+            "stream_quotes", [NotFoundError("x"), DataError("d")]
+        )
+        assert isinstance(out, DataError)  # NotFound filtered out
