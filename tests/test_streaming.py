@@ -133,6 +133,19 @@ class TestSupervisorSM:
             collapse_stream_errors("s", [e, e]), AllProvidersFailed
         )
 
+    def test_downstream_closed_stops_all_sessions(self):
+        # T9 downstream-drop: the consumer going away shuts the supervisor
+        # down (session.rs:80-85 -> supervisor DownstreamClosed -> StopAll);
+        # no further session-end bookkeeping is expected.
+        from borsa_spark.streaming import DownstreamClosed
+
+        sm = make_supervisor([["AAPL"]])
+        sm, _ = sm.handle(BackoffTick())
+        sm, _ = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+        sm, actions = sm.handle(DownstreamClosed())
+        assert any(isinstance(a, StopAll) for a in actions)
+        assert sm.phase.value == "shutting_down"
+
     def test_jitter_bounds(self):
         rng = random.Random(42)
         for _ in range(100):
