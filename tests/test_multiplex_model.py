@@ -90,6 +90,67 @@ action_st = st.one_of(
 )
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    pre_steps=st.lists(action_st, min_size=0, max_size=20),
+    post_steps=st.lists(action_st, min_size=0, max_size=10),
+)
+def test_downstream_drop_always_terminates(pre_steps, post_steps):
+    """downstream_drop_prop.rs: the consumer going away at ANY point puts
+    the supervisor into shutdown (StopAll emitted exactly once) and no
+    event delivered afterwards ever requests a new session start."""
+    from borsa_spark.streaming import DownstreamClosed, StopAll
+
+    sm = make_supervisor(
+        [list(SYMBOLS) for _ in range(N_PROVIDERS)],
+        min_backoff_ms=1, max_backoff_ms=1, factor=1,
+    )
+    sm, _ = sm.handle(BackoffTick())
+
+    def feed(sm, step):
+        kind = step[0]
+        if kind == "tick":
+            return sm.handle(BackoffTick())
+        if kind == "start_ok":
+            pid = step[1]
+            if sm.providers[pid].state is PState.CONNECTING:
+                return sm.handle(
+                    StartSucceeded(id=pid, symbols=sm.providers[pid].symbols)
+                )
+        elif kind == "start_fail":
+            pid = step[1]
+            if sm.providers[pid].state is PState.CONNECTING:
+                return sm.handle(StartFailed(id=pid, error=ProviderTimeout("x")))
+        elif kind in ("fail_session", "partition"):
+            pids = [step[1]] if kind == "fail_session" else step[1]
+            actions = []
+            for pid in pids:
+                if sm.providers[pid].state is PState.ACTIVE:
+                    sm, a = sm.handle(SessionEnded(id=pid))
+                    actions.extend(a)
+            return sm, actions
+        return sm, []
+
+    for step in pre_steps:
+        sm, _ = feed(sm, step)
+
+    was_terminal = sm.phase.value in ("terminated", "shutting_down")
+    sm, actions = sm.handle(DownstreamClosed())
+    if was_terminal:
+        # startup already collapsed (all providers failed) or a prior
+        # shutdown: the drop is a no-op on a dead supervisor.
+        assert not any(isinstance(a, StopAll) for a in actions)
+    else:
+        assert sum(isinstance(a, StopAll) for a in actions) == 1
+        assert sm.phase.value == "shutting_down"
+
+    for step in post_steps:
+        sm, actions = feed(sm, step)
+        assert not any(isinstance(a, RequestStart) for a in actions), (
+            f"start requested after downstream drop: {step}"
+        )
+
+
 @settings(max_examples=250, deadline=None)
 @given(steps=st.lists(action_st, min_size=1, max_size=60))
 def test_delivered_updates_match_reference_model(steps):
