@@ -133,6 +133,24 @@ class TestController:
         assert [e for e in log if e[0] == "start"] == [("start", "p0", ("AAPL",))]
         assert 0 in ctl.sessions
 
+    def test_rapid_flapping_no_session_leak(self):
+        # router_stream_rapid_flapping.rs: a provider whose sessions keep
+        # dying reconnects through cooldown every time, at most one live
+        # session exists at any point, and every started handle is either
+        # the live one or was stopped/ended — no leaked resources.
+        ctl, log = self._mk(providers=("p0",))
+        for flap in range(3):
+            assert len(ctl.sessions) == 1
+            ctl.session_ended("p0")  # session dies
+            assert len(ctl.sessions) == 0
+            ctl.advance_ms(60_000)  # cooldown elapses -> reconnect
+        starts = [e for e in log if e[0] == "start"]
+        assert len(starts) == 4  # initial + 3 reconnects
+        assert len(ctl.sessions) == 1  # exactly one live at the end
+        ctl.shutdown()
+        assert len(ctl.sessions) == 0
+        assert ctl.stopped
+
     def test_failover_to_backup(self):
         ctl, log = self._mk(fail={"p0"})
         assert ctl.initial_result == (True, None)
