@@ -1051,6 +1051,66 @@ def s14_json_props_extract(spark, sf):
 
 
 @query(
+    "o7_asof_join",
+    """
+    WITH trades AS (
+      SELECT event_type AS symbol, ts, event_id AS trade_id,
+             round(value, 2) AS trade_px
+      FROM events WHERE event_id % 2 = 0),
+    quotes_all AS (
+      SELECT event_type AS symbol, ts, event_id, round(value, 2) AS quote_px
+      FROM events WHERE event_id % 2 = 1),
+    quotes AS (
+      -- unique (symbol, ts): keep the max-event_id row (deterministic)
+      SELECT symbol, ts, quote_px FROM (
+        SELECT *, row_number() OVER (PARTITION BY symbol, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM quotes_all) q WHERE rn = 1)
+    SELECT t.symbol,
+           epoch(date_trunc('second', t.ts))::BIGINT AS trade_ts,
+           t.trade_id, t.trade_px,
+           q.quote_px AS quote_px_right,
+           epoch(date_trunc('second', q.ts))::BIGINT AS quote_ts_right
+    FROM trades t
+    ASOF LEFT JOIN quotes q
+      ON t.symbol = q.symbol AND t.ts >= q.ts
+    """,
+)
+def o7_asof_join(spark, sf):
+    """As-of join (trades x latest quote at-or-before the trade): Spark has
+    no native ASOF JOIN, so this is the union + last_value(ignorenulls)
+    formulation (operators/asof.py) — one shuffle on the key, no per-key
+    range explosion. The oracle is DuckDB's BUILT-IN ASOF LEFT JOIN: two
+    completely different algorithms, hash-compared."""
+    from borsa_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_type").alias("symbol"), "ts",
+        F.col("event_id").alias("trade_id"),
+        F.round("value", 2).alias("trade_px"),
+    )
+    quotes_all = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_type").alias("symbol"), "ts", "event_id",
+        F.round("value", 2).alias("quote_px"),
+    )
+    w = Window.partitionBy("symbol", "ts").orderBy(F.col("event_id").desc())
+    quotes = (
+        quotes_all.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "event_id")
+    )
+    out = asof_join(trades, quotes, on="symbol")
+    return out.select(
+        "symbol",
+        F.unix_timestamp("ts").alias("trade_ts"),
+        "trade_id", "trade_px",
+        "quote_px_right",
+        F.unix_timestamp("ts_right").alias("quote_ts_right"),
+    )
+
+
+@query(
     "p5_adjusted_preference",
     """
     WITH f AS (

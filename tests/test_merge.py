@@ -223,3 +223,77 @@ class TestSaltedAgg:
         ev = load_table(spark, "/root/testdata/sf0.001", "events")
         with pytest.raises(ValueError, match="not algebraic"):
             salted_agg(ev, ["event_type"], {"p50": ("median", "value")})
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        import datetime as dt
+
+        def ts(s):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+        trades = spark.createDataFrame(
+            [("A", ts(10), 1), ("A", ts(20), 2), ("A", ts(5), 3),
+             ("B", ts(10), 4)],
+            "symbol string, ts timestamp, trade_id long",
+        )
+        quotes = spark.createDataFrame(
+            [("A", ts(8), 100.0), ("A", ts(20), 200.0), ("A", ts(15), 150.0)],
+            "symbol string, ts timestamp, px double",
+        )
+        return trades, quotes
+
+    def test_backward_match_with_equal_ts(self, spark):
+        from borsa_spark.operators.asof import asof_join
+
+        trades, quotes = self._frames(spark)
+        out = {r.trade_id: r for r in asof_join(trades, quotes).collect()}
+        assert out[1].px_right == 100.0      # ts10 -> quote@8
+        assert out[2].px_right == 200.0      # ts20 -> quote@20 (equal matches)
+        assert out[3].px_right is None       # ts5 -> nothing before it
+        assert out[4].px_right is None       # symbol B has no quotes
+        assert out[1].ts_right is not None and out[3].ts_right is None
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from borsa_spark.operators.asof import asof_join
+
+        trades, quotes = self._frames(spark)
+        out = {r.trade_id: r
+               for r in asof_join(trades, quotes, tolerance=1.0).collect()}
+        assert out[1].px_right is None       # quote@8 is 2s stale > 1s
+        assert out[2].px_right == 200.0      # exact-ts match, 0s stale
+        assert out[2].ts_right is not None
+
+    def test_right_seq_breaks_equal_ts_ties(self, spark):
+        import datetime as dt
+
+        from borsa_spark.operators.asof import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        trades = spark.createDataFrame(
+            [("A", t0, 1)], "symbol string, ts timestamp, trade_id long"
+        )
+        quotes = spark.createDataFrame(
+            [("A", t0, 1.0, 0), ("A", t0, 2.0, 1)],
+            "symbol string, ts timestamp, px double, seq long",
+        )
+        out = asof_join(
+            trades, quotes, right_cols=["px"], right_seq="seq"
+        ).collect()
+        assert out[0].px_right == 2.0  # highest seq at the tied ts wins
+
+    def test_one_shuffle_plan(self, spark):
+        import contextlib
+        import io
+        import re
+
+        from borsa_spark.operators.asof import asof_join
+
+        trades, quotes = self._frames(spark)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            asof_join(trades, quotes).explain("formatted")
+        plan = buf.getvalue()
+        # no join operator at all, and a single symbol-keyed exchange
+        assert "Join" not in plan
+        assert len(set(re.findall(r"Exchange \((\d+)\)", plan))) == 1
