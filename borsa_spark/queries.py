@@ -878,6 +878,64 @@ def a9_attribution_spans(spark, sf):
 
 
 @query(
+    "o8_range_join",
+    f"""
+    WITH ranked AS ({_MERGE_ORACLE_BODY}),
+    merged AS (SELECT symbol, bucket, provider_rank FROM ranked WHERE rn = 1),
+    chg AS (
+      SELECT symbol, bucket, provider_rank,
+             CASE WHEN lag(provider_rank) OVER (PARTITION BY symbol ORDER BY bucket)
+                       IS DISTINCT FROM provider_rank THEN 1 ELSE 0 END AS c
+      FROM merged),
+    runs AS (
+      SELECT symbol, bucket, provider_rank,
+             sum(c) OVER (PARTITION BY symbol ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS run_idx
+      FROM chg),
+    spans AS (
+      SELECT symbol, run_idx, provider_rank,
+             min(bucket) AS s, max(bucket) AS e
+      FROM runs GROUP BY 1, 2, 3)
+    SELECT ev.event_id, sp.symbol, sp.provider_rank,
+           epoch(sp.s)::BIGINT AS span_start
+    FROM events ev JOIN spans sp
+      ON sp.symbol = ev.event_type
+     AND date_trunc('minute', ev.ts) BETWEEN sp.s AND sp.e
+    """,
+)
+def o8_range_join(spark, sf):
+    """Range join as provenance lookup: every raw event matched into the
+    attribution span (provider run) covering its minute. Spark-side is the
+    bucketized equi-join (operators/rangejoin.py) — explode intervals to
+    hourly buckets, hash-join, exact post-filter — never the
+    broadcast-nested-loop a naive BETWEEN join plans. The oracle is
+    DuckDB's plain BETWEEN join."""
+    from borsa_spark.operators.rangejoin import range_join
+
+    m = _minute_merged(spark, sf).withColumn(
+        "provider_rank", F.col("priority")
+    )
+    spans = build_attribution(
+        m.select("symbol", "ts", F.col("provider_rank").alias("provider"))
+    ).select(
+        "symbol", F.col("provider").alias("provider_rank"),
+        "span_start", "span_end",
+    )
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("minute", "ts").alias("minute_ts"),
+    )
+    out = range_join(
+        ev, spans, on="symbol", point_ts="minute_ts", bucket_seconds=3600
+    )
+    return out.select(
+        "event_id", "symbol", "provider_rank",
+        F.unix_timestamp("span_start").alias("span_start"),
+    )
+
+
+@query(
     "p7_monotonic_gate",
     """
     WITH arr AS (

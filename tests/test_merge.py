@@ -297,3 +297,51 @@ class TestAsofJoin:
         # no join operator at all, and a single symbol-keyed exchange
         assert "Join" not in plan
         assert len(set(re.findall(r"Exchange \((\d+)\)", plan))) == 1
+
+
+class TestRangeJoin:
+    def test_containment_boundaries_and_multimatch(self, spark):
+        import datetime as dt
+
+        from borsa_spark.operators.rangejoin import range_join
+
+        def ts(s):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+        points = spark.createDataFrame(
+            [("A", ts(0), 1), ("A", ts(100), 2), ("A", ts(7200), 3),
+             ("A", ts(50), 4), ("B", ts(100), 5)],
+            "symbol string, ts timestamp, pid long",
+        )
+        # overlapping intervals: point 4 (t=50) falls in both
+        iv = spark.createDataFrame(
+            [("A", ts(0), ts(100), 10), ("A", ts(40), ts(60), 11)],
+            "symbol string, span_start timestamp, span_end timestamp, iid long",
+        )
+        out = range_join(points, iv, on="symbol", bucket_seconds=60)
+        got = sorted((r.pid, r.iid) for r in out.collect())
+        # pid1 at start boundary (inclusive), pid2 at end boundary
+        # (inclusive), pid4 in both intervals, pid3 & B unmatched
+        assert got == [(1, 10), (2, 10), (4, 10), (4, 11)]
+
+    def test_bucket_size_does_not_change_results(self, spark):
+        import datetime as dt
+
+        from borsa_spark.operators.rangejoin import range_join
+
+        def ts(s):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+        points = spark.createDataFrame(
+            [("A", ts(i * 37), i) for i in range(50)],
+            "symbol string, ts timestamp, pid long",
+        )
+        iv = spark.createDataFrame(
+            [("A", ts(100), ts(900), 1), ("A", ts(850), ts(1500), 2)],
+            "symbol string, span_start timestamp, span_end timestamp, iid long",
+        )
+        a = sorted((r.pid, r.iid) for r in
+                   range_join(points, iv, on="symbol", bucket_seconds=60).collect())
+        b = sorted((r.pid, r.iid) for r in
+                   range_join(points, iv, on="symbol", bucket_seconds=3600).collect())
+        assert a == b and len(a) > 0
