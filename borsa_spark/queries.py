@@ -1681,6 +1681,48 @@ def f21_sessionize(spark, sf):
 
 
 @query(
+    "f26_session_window_native",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS session_no
+      FROM o)
+    SELECT user_id,
+           epoch(date_trunc('second', min(ts)))::BIGINT AS session_start,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def f26_session_window_native(spark, sf):
+    """Spark's NATIVE session_window (gap-close 30 min) validated against
+    the first-principles lag/cumsum sessionization in SQL — two different
+    mechanisms, one fixpoint. Note Spark's session window closes when the
+    next event is >= gap away (strict merge when < gap), hence the
+    oracle's strict ``< INTERVAL 30 MINUTE`` continuation rule."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+@query(
     "w6_rolling_features",
     """
     WITH b AS (
