@@ -345,3 +345,52 @@ class TestRangeJoin:
         b = sorted((r.pid, r.iid) for r in
                    range_join(points, iv, on="symbol", bucket_seconds=3600).collect())
         assert a == b and len(a) > 0
+
+
+class TestAsofVsPandas:
+    def test_matches_pandas_merge_asof_on_random_data(self, spark):
+        """Third independent implementation: pandas.merge_asof (backward,
+        exact matches allowed) on seeded random frames."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(20260813)
+        base = pd.Timestamp("2024-01-01")
+
+        def frame(n, cols):
+            rows = []
+            for i in range(n):
+                rows.append({
+                    "symbol": rng.choice(["A", "B", "C"]),
+                    "ts": base + pd.Timedelta(seconds=rng.randrange(0, 500)),
+                    **{c: float(rng.randrange(100)) for c in cols},
+                    "seq": i,
+                })
+            return pd.DataFrame(rows)
+
+        left_pd = frame(60, ["lv"])
+        right_pd = (
+            frame(40, ["rv"])
+            .sort_values(["symbol", "ts", "seq"])
+            .drop_duplicates(["symbol", "ts"], keep="last")
+            .reset_index(drop=True)
+        )
+
+        want = pd.merge_asof(
+            left_pd.sort_values("ts", kind="stable"),
+            right_pd.sort_values("ts", kind="stable")[["symbol", "ts", "rv"]],
+            on="ts", by="symbol", direction="backward",
+        )
+        want_map = {
+            (r.symbol, r.seq): (None if pd.isna(r.rv) else r.rv)
+            for r in want.itertuples()
+        }
+
+        from borsa_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(left_pd)
+        right = spark.createDataFrame(right_pd[["symbol", "ts", "rv"]])
+        got = asof_join(left, right, on="symbol", right_cols=["rv"])
+        got_map = {(r.symbol, r.seq): r.rv_right for r in got.collect()}
+        assert got_map == want_map

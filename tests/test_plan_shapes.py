@@ -103,3 +103,15 @@ class TestPlanShapes:
     def test_quality_gate_broadcasts_medians(self, spark):
         plan = plan_of(spark, "f23_quality_median_gate")
         assert "BroadcastHashJoin" in plan
+
+    def test_range_join_no_nested_loop(self, spark):
+        # the bucketized formulation must never plan a cartesian /
+        # broadcast-nested-loop join
+        plan = plan_of(spark, "o8_range_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_asof_query_join_free(self, spark):
+        plan = plan_of(spark, "o7_asof_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
