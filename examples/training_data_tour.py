@@ -1,0 +1,72 @@
+"""Training-data pipeline tour: dedup -> cluster -> quality gate -> split,
+plus similarity search — the beyond-reference operator families, composed
+the way a corpus-prep job would.
+
+Run: python examples/training_data_tour.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from borsa_spark.functions import dedup as dd  # noqa: E402
+from borsa_spark.functions import similarity as sim  # noqa: E402
+from borsa_spark.functions import text as tx  # noqa: E402
+from borsa_spark.session import get_spark  # noqa: E402
+from borsa_spark.sources import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("training-data-tour")
+    docs = load_table(spark, SF, "documents")
+
+    # 1. near-dup pairs (MinHash+LSH candidates, exact-Jaccard verify)
+    pairs = dd.minhash_dedup_pairs(docs, n=3, threshold=0.5)
+    print("== near-dup pairs ==")
+    pairs.show(5)
+
+    # 2. connected components -> canonical doc per cluster
+    sh = dd.shingles(docs, 3)
+    exact_pairs = dd.jaccard_pairs(sh, 0.5)
+    comp = dd.dup_clusters(
+        exact_pairs, docs.select(F.col("doc_id").alias("id"))
+    )
+    canonical = comp.filter(F.col("id") == F.col("comp"))
+    print(f"== {canonical.count()} canonical docs of {docs.count()} ==")
+
+    # 3. per-language median quality gate + deterministic split
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    kept = (
+        docs.join(
+            canonical.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        .join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") > F.col("med"))
+        .select("doc_id", tx.split_assign(F.col("doc_id")).alias("split"))
+    )
+    print("== final corpus by split ==")
+    kept.groupBy("split").count().show()
+
+    # 4. similarity: trained k-means centroids feeding IVF top-k
+    emb = load_table(spark, SF, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    print("== IVF ANN top-3 ==")
+    sim.ivf_topk(emb, queries, cents, k=3, n_probe=2).show(9)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
