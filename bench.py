@@ -114,6 +114,14 @@ def main() -> None:
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        # Outlier guard: the machine hosts sibling builds whose bursts can
+        # inflate BOTH samples of one query by 10-100x (observed: a 1.9s
+        # query at 127s). If the best sample is implausibly slow, give the
+        # query one more chance after the burst has likely passed.
+        if best > 15.0:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
     timings["t1_stream_gate_candles"] = stream_gate_bench(spark, sf_dir)
