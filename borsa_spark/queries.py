@@ -1723,6 +1723,64 @@ def f26_session_window_native(spark, sf):
 
 
 @query(
+    "f27_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS s
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id),
+    new AS (
+      SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS s
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.n = n.n AND o.s = n.s THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           coalesce(n.n, 0) - coalesce(o.n, 0) AS delta_n
+    FROM old o FULL OUTER JOIN new n USING (user_id)
+    """,
+)
+def f27_snapshot_diff(spark, sf):
+    """Snapshot diff — the incremental-processing primitive: classify every
+    key across two corpus snapshots as added / removed / changed /
+    unchanged with deltas (what an incremental dedup or training-set
+    refresh consumes instead of reprocessing the world). One full outer
+    join on the key; both sides are pre-aggregated so the join moves one
+    row per key per side."""
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def snap(pred):
+        return ev.filter(pred).groupBy("user_id").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+
+    old = snap(F.col("ts") < cut)
+    new = snap(F.col("ts") >= cut)
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
+    status = (
+        F.when(F.col("o.user_id").isNull(), "added")
+        .when(F.col("n.user_id").isNull(), "removed")
+        .when(
+            (F.col("o.n") == F.col("n.n")) & (F.col("o.s") == F.col("n.s")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        status.alias("status"),
+        (
+            F.coalesce(F.col("n.n"), F.lit(0))
+            - F.coalesce(F.col("o.n"), F.lit(0))
+        ).alias("delta_n"),
+    )
+
+
+@query(
     "w6_rolling_features",
     """
     WITH b AS (
