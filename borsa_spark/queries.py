@@ -1781,6 +1781,65 @@ def f27_snapshot_diff(spark, sf):
 
 
 @query(
+    "o9_pivot_daily_mix",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(*) FILTER (WHERE event_type = 'click')::BIGINT    AS click,
+           count(*) FILTER (WHERE event_type = 'error')::BIGINT    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')::BIGINT   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')::BIGINT     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def o9_pivot_daily_mix(spark, sf):
+    """PIVOT: daily event-mix matrix via Spark's native pivot operator
+    (explicit value list, so no extra distinct-values job) — the
+    wide-format report shape; the oracle is conditional aggregation."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "o10_grouping_sets",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(strftime(ts, '%Y-%m-%d'), '<all>') AS day,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')),
+                            (event_type), ())
+    """,
+)
+def o10_grouping_sets(spark, sf):
+    """GROUPING SETS: per-(type, day), per-type, and grand-total rows in
+    one pass — the multi-granularity report a dashboard reads without
+    three scans. NULL grouping placeholders coalesced to '<all>' so both
+    engines label subtotal rows identically."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = ev.groupingSets(
+        [["event_type", "day"], ["event_type"], []],
+        "event_type", "day",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("day", F.lit("<all>")).alias("day"),
+        "n", "sum_value",
+    )
+
+
+@query(
     "w6_rolling_features",
     """
     WITH b AS (
