@@ -1840,6 +1840,71 @@ def o10_grouping_sets(spark, sf):
 
 
 @query(
+    "o11_unpivot_round_trip",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def o11_unpivot_round_trip(spark, sf):
+    """UNPIVOT closure property: the o9 wide matrix stacked back to long
+    format (minus the zero-filled cells) must equal the plain two-key
+    groupBy — pivot and unpivot are inverses. Uses the native
+    `unpivot`/stack operator."""
+    ev = load_table(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0)
+    )
+    long = wide.unpivot(
+        ["day"], kinds, "event_type", "n"
+    ).filter(F.col("n") > 0)
+    return long.select("day", "event_type", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "o12_upsert_emulation",
+    """
+    WITH base AS (
+      SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS s
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id),
+    changes AS (
+      SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS s
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id)
+    SELECT user_id, n, s, 'kept' AS origin FROM base
+    WHERE user_id NOT IN (SELECT user_id FROM changes)
+    UNION ALL
+    SELECT user_id, n, s, 'upserted' AS origin FROM changes
+    """,
+)
+def o12_upsert_emulation(spark, sf):
+    """MERGE-INTO emulation without a transactional table format: apply a
+    changes batch onto a dimension snapshot as anti-join (keep untouched
+    rows) + union (take changed/new rows wholesale) — the v1 CDC pattern
+    where Delta/Iceberg MERGE is unavailable. Both sides pre-aggregated,
+    one anti-join shuffle on the key."""
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def snap(pred):
+        return ev.filter(pred).groupBy("user_id").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+
+    base = snap(F.col("ts") < cut)
+    changes = snap(F.col("ts") >= cut)
+    kept = base.join(changes, "user_id", "left_anti").withColumn(
+        "origin", F.lit("kept")
+    )
+    return kept.unionByName(changes.withColumn("origin", F.lit("upserted")))
+
+
+@query(
     "w6_rolling_features",
     """
     WITH b AS (
