@@ -2114,6 +2114,83 @@ def f25_embedding_norms(spark, sf):
     )
 
 
+@query(
+    "w7_ewma",
+    """
+    WITH b AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+             round(avg(value), 6) AS m
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT symbol, bucket, m,
+             lag(m, 1) OVER w AS m1, lag(m, 2) OVER w AS m2,
+             lag(m, 3) OVER w AS m3
+      FROM b WINDOW w AS (PARTITION BY symbol ORDER BY bucket ASC))
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           round((m + 0.5 * coalesce(m1, 0) + 0.25 * coalesce(m2, 0)
+                    + 0.125 * coalesce(m3, 0))
+                 / (1 + CASE WHEN m1 IS NULL THEN 0 ELSE 0.5 END
+                      + CASE WHEN m2 IS NULL THEN 0 ELSE 0.25 END
+                      + CASE WHEN m3 IS NULL THEN 0 ELSE 0.125 END),
+                 4) AS ewma
+    FROM l
+    """,
+)
+def w7_ewma(spark, sf):
+    """Exponentially-weighted moving average over hourly means via
+    explicit lag composition (alpha=1/2: weights 1, .5, .25, .125 are
+    exact binary fractions, so the float math is engine-identical),
+    renormalized over the lags present at the series head."""
+    ev = load_table(spark, sf, "events")
+    b = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    w = Window.partitionBy("symbol").orderBy(F.col("bucket").asc())
+    m1, m2, m3 = (F.lag("m", k).over(w) for k in (1, 2, 3))
+    num = (
+        F.col("m")
+        + 0.5 * F.coalesce(m1, F.lit(0.0))
+        + 0.25 * F.coalesce(m2, F.lit(0.0))
+        + 0.125 * F.coalesce(m3, F.lit(0.0))
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(m1.isNull(), 0.0).otherwise(0.5)
+        + F.when(m2.isNull(), 0.0).otherwise(0.25)
+        + F.when(m3.isNull(), 0.0).otherwise(0.125)
+    )
+    return b.select(
+        "symbol",
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        F.round(num / den, 4).alias("ewma"),
+    )
+
+
+@query(
+    "u3_set_difference",
+    """
+    SELECT user_id, floor(value)::BIGINT AS value_bin FROM events
+    WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+    EXCEPT
+    SELECT user_id, floor(value)::BIGINT FROM events
+    WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+    """,
+)
+def u3_set_difference(spark, sf):
+    """U3 set difference as a first-class oracle entry: (user, value-bin)
+    combinations seen in the first three days but never again — EXCEPT in
+    the oracle, distinct + left-anti join (the scalable phrasing) on the
+    Spark side. floor() bins avoid cross-engine half-rounding conventions.
+    """
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-04").cast("timestamp")
+    vb = F.floor("value").cast("long").alias("value_bin")
+    first = ev.filter(F.col("ts") < cut).select("user_id", vb).distinct()
+    second = ev.filter(F.col("ts") >= cut).select("user_id", vb)
+    return first.join(second, ["user_id", "value_bin"], "left_anti")
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 
