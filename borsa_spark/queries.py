@@ -2191,6 +2191,33 @@ def u3_set_difference(spark, sf):
     return first.join(second, ["user_id", "value_bin"], "left_anti")
 
 
+@query("x1_approx_stats")  # sketches are engine-specific: rows-only check
+def x1_approx_stats(spark, sf):
+    """The approximate-aggregate family — what actually runs at 100 TB
+    when exact distinct counts / quantiles would shuffle the world:
+    HyperLogLog++ distinct users and approximate value quantiles per
+    event type. No DuckDB oracle on purpose (sketch results are
+    engine-specific); instead the EXACT counterparts ride along with
+    relative-error columns, and `test_approx_error_bounds` pins the
+    error envelope (HLL++ rsd default 5%)."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )
+    return agg.select(
+        "event_type", "approx_users", "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"), 4,
+        ).alias("users_rel_err"),
+        F.round("approx_p50", 4).alias("approx_p50"),
+        F.round("exact_p50", 4).alias("exact_p50"),
+    )
+
+
 _SIG_SQL = _dd.sql_minhash_signature("sh")
 
 

@@ -253,3 +253,19 @@ class TestDupClustersRandomized:
         got = {r.id: r.comp
                for r in dd.dup_clusters(pairs, nodes, max_iters=40).collect()}
         assert got == want
+
+
+class TestApproxErrorBounds:
+    def test_approx_error_bounds(self, spark):
+        """HLL++ distinct and approx quantiles stay inside their error
+        envelopes against the exact values on real driver data."""
+        from borsa_spark.queries import x1_approx_stats
+
+        rows = x1_approx_stats(spark, "/root/testdata/sf0.01").collect()
+        assert rows
+        for r in rows:
+            assert r.users_rel_err <= 0.10  # HLL++ default rsd 5%, 2x slack
+            # approx quantile with accuracy 10k on ~2k rows is near-exact
+            assert abs(r.approx_p50 - r.exact_p50) <= max(
+                0.05 * abs(r.exact_p50), 0.5
+            )
