@@ -22,17 +22,14 @@ def entry(spark: SparkSession) -> DataFrame:
     scans, daily resample, adjustedness filter, first-wins priority merge,
     currency validation, attribution — one declarative Spark program."""
     from borsa_spark.queries import _event_catalog
-    from borsa_spark.router import HistoryRequest, history
-    from borsa_spark.sources import load_table
+    from borsa_spark.router import ALL_SYMBOLS, HistoryRequest, history
 
-    ev = load_table(spark, SF0001, "events")
-    symbols = [r[0] for r in ev.select("event_type").distinct().collect()]
     cat = _event_catalog(spark, SF0001)
     res = history(
         spark,
         cat,
-        HistoryRequest(symbol=symbols[0], interval="1d"),
-        symbols=symbols,
+        HistoryRequest(symbol=ALL_SYMBOLS, interval="1d"),
+        symbols=ALL_SYMBOLS,  # full-catalog scan, no driver-side symbol list
         validate_currency=True,
     )
     return res.candles
