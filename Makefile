@@ -1,6 +1,13 @@
 # Developer entry points (the reference's justfile:1-24 analog).
 
-.PHONY: test oracle bench demo smoke all
+.PHONY: test oracle bench demo smoke scale tours all
+
+scale:
+	python tools/scale_evidence.py SCALE_EVIDENCE_local.json
+
+tours:
+	python examples/training_data_tour.py
+	python examples/timeseries_tour.py
 
 test:
 	python -m pytest tests/ -q
