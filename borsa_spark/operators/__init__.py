@@ -3,6 +3,7 @@ from borsa_spark.operators.infer import estimate_step_seconds, is_subdaily
 from borsa_spark.operators.merge import dedup_actions, merge_history
 from borsa_spark.operators.monotonic import monotonic_gate
 from borsa_spark.operators.resample import (
+    fill_gaps,
     resample_to_daily,
     resample_to_minutes,
     resample_to_weekly,
@@ -21,6 +22,7 @@ __all__ = [
     "is_subdaily",
     "merge_history",
     "monotonic_gate",
+    "fill_gaps",
     "resample_to_daily",
     "resample_to_minutes",
     "resample_to_weekly",

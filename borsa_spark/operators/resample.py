@@ -28,7 +28,7 @@ exactly that.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LONG_MAX = (1 << 63) - 1
@@ -190,3 +190,57 @@ def resample(
             raise ValueError("minutes plan requires a minutes value")
         return resample_to_minutes(df, minutes, keys)
     raise ValueError(f"unknown resample plan {plan!r}")
+
+
+def fill_gaps(
+    candles: DataFrame,
+    step_seconds: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Gap-fill a bucketed series into a continuous spine: for every key,
+    generate all step-aligned buckets between its min and max ts, carry
+    the last known close forward into missing buckets (open=high=low=
+    close=carried value, volume 0), and flag synthetic rows.
+
+    The spine is built JVM-side per key (`sequence` + `explode` — no
+    driver loop, no cross join with a global calendar); the forward fill
+    is one `last(ignorenulls)` window over the same key partitioning the
+    join used, so the whole op is a single shuffle family. The model-
+    ready "continuous series" a training pipeline feeds to sequence
+    models.
+    """
+    keys = SERIES_KEYS if keys is None else keys
+    spine = (
+        candles.groupBy(*keys)
+        .agg(F.min("ts").alias("__lo"), F.max("ts").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.unix_timestamp("__lo"),
+                    F.unix_timestamp("__hi"),
+                    F.lit(step_seconds),
+                )
+            ).alias("__sec"),
+        )
+        .select(*keys, F.timestamp_seconds(F.col("__sec")).alias("ts"))
+    )
+    joined = spine.join(candles, [*keys, "ts"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("close", ignorenulls=True).over(w)
+    synthetic = F.col("close").isNull()
+    return joined.select(
+        *keys,
+        "ts",
+        F.coalesce("open", carried).alias("open"),
+        F.coalesce("high", carried).alias("high"),
+        F.coalesce("low", carried).alias("low"),
+        F.coalesce("close", carried).alias("close"),
+        F.when(synthetic, F.lit(0)).otherwise(F.col("volume"))
+        .cast("long").alias("volume"),
+        synthetic.alias("is_synthetic"),
+    )

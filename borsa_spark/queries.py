@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from borsa_spark.operators import (
     build_attribution,
     estimate_step_seconds,
+    fill_gaps,
     monotonic_gate,
     resample_to_daily,
     resample_to_minutes,
@@ -728,6 +729,70 @@ def a10_rollup_cascade(spark, sf):
         F.round(F.col("low").cast("double"), 2).alias("low"),
         F.round(F.col("close").cast("double"), 2).alias("close"),
         "volume",
+    )
+
+
+@query(
+    "a11_gap_fill",
+    """
+    WITH b AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket, ts,
+             value, event_id,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events),
+    bars AS (
+      SELECT symbol, bucket,
+             round(max(CASE WHEN rn_z = 1 THEN value END), 2) AS close,
+             count(*)::BIGINT AS volume
+      FROM b GROUP BY 1, 2),
+    spine AS (
+      SELECT symbol, unnest(generate_series(min(bucket), max(bucket),
+                                            INTERVAL 1 HOUR)) AS bucket
+      FROM bars GROUP BY symbol),
+    filled AS (
+      SELECT s.symbol, s.bucket, r.close, r.volume,
+             r.close IS NULL AS is_synthetic
+      FROM spine s LEFT JOIN bars r USING (symbol, bucket))
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           coalesce(close, last_value(close IGNORE NULLS) OVER w) AS close,
+           coalesce(volume, 0)::BIGINT AS volume,
+           is_synthetic
+    FROM filled
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def a11_gap_fill(spark, sf):
+    """Gap-fill: hourly bars expanded to a continuous per-symbol spine
+    (sequence + explode, no driver calendar), missing buckets carry the
+    last close forward with volume 0 and is_synthetic=true — the
+    continuous-series transform sequence models require. One shuffle
+    family: spine build, left join, and forward-fill all key on symbol."""
+    ev = load_table(spark, sf, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("ts"),
+        )
+        .agg(
+            F.round(F.max_by("value", ord_key), 2).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.lit("prov").alias("provider"), "symbol", "ts",
+            F.col("close").alias("open"), F.col("close").alias("high"),
+            F.col("close").alias("low"), "close", "volume",
+        )
+    )
+    out = fill_gaps(bars, 3600, keys=["provider", "symbol"])
+    return out.select(
+        "symbol",
+        F.unix_timestamp("ts").alias("bucket_ts"),
+        F.round(F.col("close").cast("double"), 2).alias("close"),
+        "volume",
+        "is_synthetic",
     )
 
 

@@ -273,3 +273,23 @@ def test_tz_weekly_monday_local(spark):
     assert len(out) == 1
     # Monday 2024-01-08 00:00 JST = 2024-01-07 15:00Z
     assert int(out[0].ts.timestamp()) == at("2024-01-07T15:00:00")
+
+
+def test_fill_gaps_forward_fills_and_flags(spark):
+    from borsa_spark.operators import fill_gaps
+
+    rows = [
+        candle("provA", sec=0, o=1.0, c=1.0, volume=5, seq=0),
+        # gap at t=60
+        candle("provA", sec=120, o=3.0, c=3.0, volume=7, seq=1),
+    ]
+    out = {
+        int(r.ts.timestamp()): r
+        for r in fill_gaps(make_candles(spark, rows), 60).collect()
+    }
+    assert sorted(out) == [0, 60, 120]
+    gap = out[60]
+    assert (float(gap.close), gap.volume, gap.is_synthetic) == (1.0, 0, True)
+    assert float(gap.open) == 1.0  # carried close, not null
+    assert out[0].is_synthetic is False and out[120].is_synthetic is False
+    assert out[120].volume == 7
