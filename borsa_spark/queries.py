@@ -1701,7 +1701,7 @@ def f19_tfidf_top_terms(spark, sf):
     """
     WITH o AS (
       SELECT user_id, ts, event_id, value,
-             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
                   THEN 0 ELSE 1 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
@@ -1710,7 +1710,7 @@ def f19_tfidf_top_terms(spark, sf):
              sum(new_sess) OVER (PARTITION BY user_id
                                  ORDER BY ts ASC, event_id ASC) AS session_no
       FROM o)
-    SELECT user_id, session_no,
+    SELECT user_id, session_no::BIGINT AS session_no,
            epoch(date_trunc('second', min(ts)))::BIGINT AS session_start,
            epoch(date_trunc('second', max(ts)))::BIGINT AS session_end,
            count(*)::BIGINT AS n_events,
@@ -1727,10 +1727,13 @@ def f21_sessionize(spark, sf):
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Full-microsecond gap rule on BOTH engines (oracle uses epoch_us):
+    # second-truncation here could flip a boundary pair on a reseeded
+    # dataset even though none straddle it today.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.withColumn(
         "new_sess",
-        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)),
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
     ).withColumn(
         "session_no",
         F.sum("new_sess").over(
