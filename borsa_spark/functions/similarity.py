@@ -53,11 +53,17 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k nearest corpus vectors per query by cosine (query side is
     broadcast — the corpus scan never shuffles). Rank on rounded similarity
-    with id tie-break for cross-engine determinism."""
-    sim = F.round(cosine(F.col(q_emb), F.col(c_emb)), 4)
+    with id tie-break for cross-engine determinism. Norms are folded once
+    per side before the join (bit-identical to folding per pair, 3x less
+    expression work)."""
+    qn = queries.withColumn("__qn", norm2(F.col(q_emb)))
+    cn = corpus.withColumn("__cn", norm2(F.col(c_emb)))
+    sim = F.round(
+        dot(F.col(q_emb), F.col(c_emb)) / (F.col("__qn") * F.col("__cn")), 4
+    )
     j = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
+        F.broadcast(qn)
+        .crossJoin(cn)
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, sim.alias("cosine_sim"))
     )
@@ -227,7 +233,8 @@ def ivf_topk(
     probed lists, never the full corpus.
     """
     corpus = ivf_assign(vectors, centroids, emb_col).select(
-        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), "centroid_id"
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"),
+        norm2(F.col(emb_col)).alias("__cn"), "centroid_id",
     )
     probes = queries.crossJoin(F.broadcast(centroids))
     w = Window.partitionBy(q_id).orderBy(
@@ -237,8 +244,11 @@ def ivf_topk(
         probes.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_probe)
         .select(q_id, q_emb, F.col("cid").alias("centroid_id"))
+        .withColumn("__qn", norm2(F.col(q_emb)))
     )
-    sim = F.round(cosine(F.col(q_emb), F.col("c_emb")), 4)
+    sim = F.round(
+        dot(F.col(q_emb), F.col("c_emb")) / (F.col("__qn") * F.col("__cn")), 4
+    )
     j = (
         probed.join(corpus, "centroid_id")
         .filter(F.col(q_id) != F.col("c_id"))
@@ -254,29 +264,99 @@ def ivf_topk(
     )
 
 
+def _sub_bucketed(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    max_bucket_size: int | None,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """(id, emb, bucket, sub): LSH bucket plus a deterministic sub-bucket.
+
+    With ``max_bucket_size=None`` sub is always 0 (plain bucketing). With a
+    cap, a bucket holding n vectors is split into ceil(n / cap) sub-buckets
+    by ``id % n_sub`` — every vector keeps a bounded candidate set (cost per
+    original bucket <= n_sub * cap^2, i.e. LINEAR in n at fixed cap) instead
+    of the uncapped n^2. The trade is recall: same-bucket neighbors landing
+    in different sub-buckets are missed. Use `lsh_oversized_buckets` for the
+    accounting of which buckets were split (never a silent cap).
+    """
+    with_b = vectors.select(
+        F.col(id_col), F.col(emb_col),
+        hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    if max_bucket_size is None:
+        return with_b.withColumn("sub", F.lit(0))
+    counts = with_b.groupBy("bucket").agg(F.count("*").alias("__n"))
+    n_sub = F.ceil(F.col("__n") / F.lit(float(max_bucket_size)))
+    return (
+        with_b.join(counts, "bucket")
+        .withColumn("sub", F.pmod(F.col(id_col), n_sub))
+        .drop("__n")
+    )
+
+
+def lsh_oversized_buckets(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    max_bucket_size: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Accounting for `lsh_topk(max_bucket_size=...)`: (bucket, n_vecs,
+    n_subbuckets) for every LSH bucket the cap split."""
+    return (
+        vectors.select(
+            hyperplane_bucket(F.col(emb_col), planes).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
+        .withColumn(
+            "n_subbuckets",
+            F.ceil(F.col("n_vecs") / F.lit(float(max_bucket_size))),
+        )
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     planes: list[list[float]],
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN top-k within LSH buckets: bucket assignment -> same-bucket
     equi-join -> in-bucket brute-force rank. Approximate (misses cross-bucket
-    neighbors) but every stage is a bounded equi-join at scale."""
-    with_b = vectors.select(
-        F.col(id_col), F.col(emb_col),
-        hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
-    )
+    neighbors) but every stage is a bounded equi-join at scale.
+
+    ``max_bucket_size`` is the hot-bucket guard (same hazard as MinHash
+    dedup's `minhash_candidates`): an uncapped bucket of B vectors costs
+    B^2 cosine evaluations, and one dense bucket dominates the join. Capped,
+    oversized buckets split into deterministic sub-buckets (see
+    `_sub_bucketed`) so per-bucket cost is linear in B at fixed cap and
+    every query still gets in-(sub-)bucket neighbors."""
+    # Precompute each vector's norm ONCE before the self-join: cosine's
+    # denominator is norm(a)*norm(b), and folding it per PAIR costs 3 array
+    # aggregates per candidate instead of 1. Same fold order per vector ->
+    # bit-identical result, ~3x less expression work in the join.
+    with_b = _sub_bucketed(
+        vectors, planes, max_bucket_size, id_col, emb_col
+    ).withColumn("__norm", norm2(F.col(emb_col)))
     a = with_b.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"), "bucket"
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"),
+        F.col("__norm").alias("q_n"), "bucket", "sub",
     )
     b = with_b.select(
-        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), "bucket"
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"),
+        F.col("__norm").alias("c_n"), "bucket", "sub",
     )
-    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4)
+    sim = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")), 4
+    )
     j = (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "sub"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", sim.alias("cosine_sim"))
     )
@@ -316,8 +396,13 @@ def kmeans_centroids(
         F.col(id_col).alias("__vid"),
         F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
     )
+    # Seed = the k lowest-id vectors for ANY id space (offset/sparse ids
+    # included) — orderBy+limit compiles to TakeOrderedAndProject, never a
+    # full sort. (A bare filter(id < k) only matches the docstring when ids
+    # are dense from 0.)
     cents = (
-        e.filter(F.col("__vid") < k)
+        e.orderBy("__vid")
+        .limit(k)
         .select(F.col("__vid").alias("cid"), F.col("__v").alias("cemb"))
     )
     for _ in range(iters):

@@ -196,11 +196,18 @@ def fill_gaps(
     candles: DataFrame,
     step_seconds: int,
     keys: list[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Gap-fill a bucketed series into a continuous spine: for every key,
     generate all step-aligned buckets between its min and max ts, carry
     the last known close forward into missing buckets (open=high=low=
     close=carried value, volume 0), and flag synthetic rows.
+
+    Input rows whose ts is NOT min+k*step for their key (mis-bucketed
+    input or a wrong ``step_seconds``) are NEVER silently dropped: the
+    candles side joins the spine FULL OUTER, off-spine rows survive with
+    ``is_off_spine=true``, and ``strict=True`` turns any such row into a
+    ValueError (one O(1)-result validation action).
 
     The spine is built JVM-side per key (`sequence` + `explode` — no
     driver loop, no cross join with a global calendar); the forward fill
@@ -224,8 +231,9 @@ def fill_gaps(
             ).alias("__sec"),
         )
         .select(*keys, F.timestamp_seconds(F.col("__sec")).alias("ts"))
+        .withColumn("__on_spine", F.lit(True))
     )
-    joined = spine.join(candles, [*keys, "ts"], "left")
+    joined = spine.join(candles, [*keys, "ts"], "full_outer")
     w = (
         Window.partitionBy(*keys)
         .orderBy("ts")
@@ -233,7 +241,7 @@ def fill_gaps(
     )
     carried = F.last("close", ignorenulls=True).over(w)
     synthetic = F.col("close").isNull()
-    return joined.select(
+    out = joined.select(
         *keys,
         "ts",
         F.coalesce("open", carried).alias("open"),
@@ -243,4 +251,14 @@ def fill_gaps(
         F.when(synthetic, F.lit(0)).otherwise(F.col("volume"))
         .cast("long").alias("volume"),
         synthetic.alias("is_synthetic"),
+        F.col("__on_spine").isNull().alias("is_off_spine"),
     )
+    if strict:
+        bad = out.filter("is_off_spine").limit(1).count()
+        if bad:
+            raise ValueError(
+                "fill_gaps: input rows are not aligned to "
+                f"min+k*{step_seconds}s for their key (is_off_spine=true); "
+                "fix the bucketing or pass strict=False to keep+flag them"
+            )
+    return out

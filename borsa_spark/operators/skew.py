@@ -44,10 +44,14 @@ def salted_agg(
     """Two-phase aggregation: ``aggs`` maps output column -> (fn, input)
     with fn in {sum, count, min, max, avg}.
 
-    ``salt_on`` is the expression hashed into the salt (default: a uniform
-    per-row spread via ``spark_partition_id`` + a monotonic id would be
-    non-deterministic; we hash all non-key columns' first input instead).
-    Pass an explicit column (e.g. the event id) for a documented spread.
+    ``salt_on`` is the expression hashed into the salt. The default hashes
+    ALL non-key columns together (full row identity): hashing any single
+    value column is a trap — a hot key whose value column is constant (one
+    symbol repeating the same price) would salt into ONE bucket and the
+    mitigation would silently do nothing. The remaining caveat of the
+    default: rows that are EXACT duplicates across every non-key column
+    still share a salt; pass an explicit unique column (event id, seq) for
+    a guaranteed spread on duplicate-heavy data.
 
     Example::
 
@@ -57,12 +61,10 @@ def salted_agg(
                    buckets=64, salt_on=F.col("seq"))
     """
     if salt_on is None:
-        first_in = next(
-            (c for _, (_, c) in sorted(aggs.items()) if c != "*"), None
-        )
-        if first_in is None:
-            raise ValueError("salt_on required when all aggs are count(*)")
-        salt_on = F.col(first_in)
+        non_key = [c for c in df.columns if c not in keys]
+        if not non_key:
+            raise ValueError("salt_on required when df has only key columns")
+        salt_on = F.hash(*[F.col(c) for c in non_key])
     salted = df.withColumn("__salt", F.pmod(F.hash(salt_on), F.lit(buckets)))
 
     partial_exprs: list[Column] = []

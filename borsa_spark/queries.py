@@ -530,7 +530,15 @@ def t12_candles_vs_batch(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        drained = q.awaitTermination(300)
+        if not drained:
+            # Fail LOUDLY: tearing down the source/checkpoint under a
+            # still-running query would surface as a bogus value mismatch
+            # (partial memory table) instead of the real timeout.
+            q.stop()
+            raise TimeoutError(
+                "t12 availableNow drain did not finish within 300 s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
@@ -2849,18 +2857,28 @@ def f10_cosine_topk(spark, sf):
 _PLANES = _sim._lcg_planes(8, 64)
 
 
+_LSH_CAP = 64
+
+
 @query(
     "f11_lsh_ann_topk",
     f"""
-    WITH b AS (
+    WITH b0 AS (
       SELECT vec_id, embedding,
              {_sim.sql_hyperplane_bucket('embedding', _PLANES)} AS bucket
       FROM embeddings),
+    bc AS (
+      SELECT bucket, CAST(CEIL(count(*) / {_LSH_CAP}.0) AS BIGINT) AS n_sub
+      FROM b0 GROUP BY bucket),
+    b AS (
+      SELECT b0.vec_id, b0.embedding, b0.bucket, b0.vec_id % bc.n_sub AS sub
+      FROM b0 JOIN bc USING (bucket)),
     sims AS (
       SELECT a.vec_id AS q_id, c.vec_id AS c_id,
              round(list_cosine_similarity(a.embedding::DOUBLE[],
                                           c.embedding::DOUBLE[]), 4) AS cosine_sim
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id)
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.sub = c.sub
+                       AND a.vec_id != c.vec_id)
     SELECT q_id, c_id, cosine_sim, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY cosine_sim DESC, c_id ASC) AS rank
@@ -2870,9 +2888,10 @@ _PLANES = _sim._lcg_planes(8, 64)
 )
 def f11_lsh_ann_topk(spark, sf):
     """LSH-bucketed ANN top-5: 8 fixed hyperplanes -> 256 buckets ->
-    in-bucket brute force. The scale path (equi-join on bucket)."""
+    in-bucket brute force, hot buckets split at {cap} (the scale guard —
+    uncapped, one dense bucket is quadratic; see lsh_topk docstring)."""
     emb = load_table(spark, sf, "embeddings")
-    out = _sim.lsh_topk(emb, _PLANES, k=5)
+    out = _sim.lsh_topk(emb, _PLANES, k=5, max_bucket_size=_LSH_CAP)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -2954,11 +2973,17 @@ def f12_embedding_near_dup(spark, sf):
         "vec_id", "embedding",
         _sim.hyperplane_bucket(F.col("embedding"), _PLANES).alias("bucket"),
     )
+    b = b.withColumn("__n", _sim.norm2(F.col("embedding")))
     a = b.select(F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("q_emb"), "bucket")
+                 F.col("embedding").alias("q_emb"),
+                 F.col("__n").alias("q_n"), "bucket")
     c = b.select(F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("c_emb"), "bucket")
-    cos = _sim.cosine(F.col("q_emb"), F.col("c_emb"))
+                 F.col("embedding").alias("c_emb"),
+                 F.col("__n").alias("c_n"), "bucket")
+    # norms folded once per vector pre-join (bit-identical, 3x less work)
+    cos = _sim.dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_n") * F.col("c_n")
+    )
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -293,3 +293,32 @@ def test_fill_gaps_forward_fills_and_flags(spark):
     assert float(gap.open) == 1.0  # carried close, not null
     assert out[0].is_synthetic is False and out[120].is_synthetic is False
     assert out[120].volume == 7
+    assert not any(r.is_off_spine for r in out.values())
+
+
+def test_fill_gaps_keeps_and_flags_off_spine_rows(spark):
+    """Mis-aligned input (ts != min+k*step) is kept + flagged, not dropped;
+    strict=True raises instead."""
+    import pytest
+
+    from borsa_spark.operators import fill_gaps
+
+    rows = [
+        candle("provA", sec=0, o=1.0, c=1.0, volume=5, seq=0),
+        candle("provA", sec=90, o=2.0, c=2.0, volume=3, seq=1),  # off-spine
+        candle("provA", sec=120, o=3.0, c=3.0, volume=7, seq=2),
+    ]
+    out = {
+        int(r.ts.timestamp()): r
+        for r in fill_gaps(make_candles(spark, rows), 60).collect()
+    }
+    # spine 0/60/120 plus the preserved off-spine row at 90
+    assert sorted(out) == [0, 60, 90, 120]
+    assert out[90].is_off_spine and not out[90].is_synthetic
+    assert float(out[90].close) == 2.0 and out[90].volume == 3
+    assert out[60].is_synthetic and not out[60].is_off_spine
+    # the synthetic spine row AFTER the off-spine row carries its close
+    assert float(out[60].close) == 1.0
+
+    with pytest.raises(ValueError, match="off_spine"):
+        fill_gaps(make_candles(spark, rows), 60, strict=True)

@@ -164,6 +164,30 @@ def main() -> None:
     print(json.dumps(guard), flush=True)
     sh.unpersist()
 
+    # f11's analog of the guard: hyperplane-LSH ANN splits hot buckets into
+    # sub-buckets (bounded in-bucket join) — account for what was split.
+    from borsa_spark.functions import similarity as sim
+    from borsa_spark.queries import _LSH_CAP, _PLANES
+
+    emb = load_table(spark, os.path.abspath(SCALE_DIR), "embeddings")
+    t0 = time.time()
+    rows = sim.lsh_oversized_buckets(emb, _PLANES, _LSH_CAP).agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n_vecs").alias("max_vecs"),
+        F.sum("n_subbuckets").alias("total_subbuckets"),
+    ).collect()[0]
+    ann_guard = {
+        "query": "lsh_ann_bucket_guard",
+        "sf": "sf1x10",
+        "split_buckets": rows.n_buckets,
+        "largest_bucket_vecs": rows.max_vecs,
+        "total_subbuckets": int(rows.total_subbuckets or 0),
+        "max_bucket_size": _LSH_CAP,
+        "sec": round(time.time() - t0, 3),
+    }
+    results.append(ann_guard)
+    print(json.dumps(ann_guard), flush=True)
+
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
             json.dump(results, f, indent=1)
