@@ -42,10 +42,22 @@ class StreamHandle:
     sink_path: str
     spark: SparkSession
     schema: object = None
+    session_paths: list[str] = field(default_factory=list)
 
     def output(self) -> DataFrame:
-        """The merged fan-in as a batch view of everything delivered so far."""
-        return self.spark.read.schema(self.schema).parquet(self.sink_path)
+        """The merged fan-in as a batch view of everything delivered so far.
+
+        Each provider session owns a sink SUBDIRECTORY (session_*): a
+        FileStreamSink keeps a per-query `_spark_metadata` commit log, and
+        two concurrent queries appending to one directory race on batch
+        ids (observed: "Race while writing batch 0" the moment a plan has
+        two live sessions, e.g. per-symbol primary mode). Reading the list
+        of session dirs unions them through each query's own commit log —
+        same merged view, no shared-log write point."""
+        live = [p for p in self.session_paths if os.path.isdir(p)]
+        if not live:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*live)
 
     def process_available(self, timeout_s: int = 120) -> None:
         """Drain all currently-available source data (availableNow sessions)."""
@@ -121,6 +133,7 @@ def stream_updates(
     os.makedirs(sink_dir, exist_ok=True)
     controllers: list[StreamController] = []
     schema_holder: dict = {}
+    session_paths: list[str] = []
     qid = [0]
 
     def make_start_fn(plan):
@@ -137,9 +150,14 @@ def stream_updates(
                 df = streaming_monotonic_gate(df, key="symbol")
             schema_holder.setdefault("schema", df.schema)
             qid[0] += 1
+            # One subdir per session: concurrent FileStreamSink queries
+            # must not share a `_spark_metadata` log (see StreamHandle.
+            # output); failover restarts get a fresh dir + checkpoint.
+            path = os.path.join(sink_dir, f"session_{provider}_{qid[0]}")
+            session_paths.append(path)
             writer = (
                 df.writeStream.format("parquet")
-                .option("path", sink_dir)
+                .option("path", path)
                 .option(
                     "checkpointLocation",
                     os.path.join(sink_dir, f"_ckpt_{provider}_{qid[0]}"),
@@ -168,6 +186,7 @@ def stream_updates(
         sink_path=sink_dir,
         spark=spark,
         schema=schema_holder.get("schema"),
+        session_paths=session_paths,
     )
     if not handle.ok:
         errors = [
