@@ -8,6 +8,7 @@ scale:
 tours:
 	python examples/training_data_tour.py
 	python examples/timeseries_tour.py
+	python examples/routing_tour.py
 
 test:
 	python -m pytest tests/ -q

@@ -39,7 +39,12 @@ HEADLINE = [
 ]
 
 
-def stream_gate_bench(spark, sf_dir: str) -> float:
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def stream_gate_bench(spark, sf_dir: str, state_store: str | None = None) -> float:
     """Structured Streaming headline: events as a file stream through the
     stateful monotonic gate (applyInPandasWithState) + watermark candle
     bars, availableNow trigger. Measures the stream-processor path the
@@ -69,6 +74,13 @@ def stream_gate_bench(spark, sf_dir: str) -> float:
         # would be 27 empty state-store tasks per batch
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        prev_store = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        if state_store:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", state_store
+            )
 
         t0 = time.time()
         stream = spark.readStream.schema(schema).parquet(src)
@@ -85,6 +97,15 @@ def stream_gate_bench(spark, sf_dir: str) -> float:
         q.awaitTermination(300)
         dt = round(time.time() - t0, 3)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if state_store:
+            if prev_store:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_store
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
         return dt
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -125,6 +146,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timings["t1_stream_gate_candles"] = stream_gate_bench(spark, sf_dir)
+    # same drain on the production state backend (off-heap RocksDB) — at
+    # 100 TB the HDFS-backed heap store is the first scale risk; this pins
+    # both that the config works and what it costs locally.
+    timings["t1_stream_gate_candles_rocksdb"] = stream_gate_bench(
+        spark, sf_dir, state_store=ROCKSDB_PROVIDER
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

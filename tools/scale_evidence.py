@@ -188,6 +188,70 @@ def main() -> None:
     results.append(ann_guard)
     print(json.dumps(ann_guard), flush=True)
 
+    # ------------------------------------------------------------------
+    # Skewed-key evidence: one symbol carries ~50% of a ~3M-row tick table.
+    # Measures (a) plain groupBy vs (b) salted_agg on algebraic aggregates —
+    # map-side partial combine makes BOTH skew-immune (the honest baseline:
+    # salting adds a second shuffle, so it should only be reached for when
+    # partial combine can't help) — and (c) window row_number latest-row vs
+    # (d) max_by aggregation, the real hazard: the window sorts the hot
+    # key's full partition in ONE task, the aggregation partial-combines
+    # map-side (the SCALE.md "merge is an aggregation, not a window" claim,
+    # measured under genuine skew).
+    # ------------------------------------------------------------------
+    from pyspark.sql import Window
+
+    from borsa_spark.operators.skew import salted_agg
+
+    skew_path = os.path.join(os.path.dirname(os.path.abspath(SCALE_DIR)), "skew")
+    if not os.path.exists(skew_path):
+        ev = load_table(spark, "/root/testdata/sf0.1", "events")
+        reps30 = spark.range(30).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(F.broadcast(reps30))
+            .select(
+                F.when(F.pmod(F.xxhash64("event_id", "rep"), F.lit(2)) == 0,
+                       F.lit("HOT"))
+                .otherwise(F.col("event_type")).alias("symbol"),
+                "ts",
+                (F.col("value") + F.col("rep")).alias("price"),
+                (F.col("event_id") * 100 + F.col("rep")).alias("seq"),
+            )
+            .repartition(16)
+            .write.mode("overwrite").parquet(skew_path)
+        )
+    ticks = spark.read.parquet(skew_path)
+    n_rows = ticks.count()
+    hot_share = ticks.filter(F.col("symbol") == "HOT").count() / n_rows
+
+    def timed(label, thunk):
+        t0 = time.time()
+        rows = thunk()
+        rec = {"query": label, "sf": "skew3M", "rows": rows,
+               "sec": round(time.time() - t0, 3)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    timed("skew_groupby_plain", lambda: ticks.groupBy("symbol").agg(
+        F.sum("price"), F.count("*"), F.max("price")).count())
+    timed("skew_groupby_salted", lambda: salted_agg(
+        ticks, ["symbol"],
+        {"total": ("sum", "price"), "n": ("count", "*"),
+         "hi": ("max", "price")},
+        buckets=32).count())
+    w_latest = Window.partitionBy("symbol").orderBy(
+        F.col("ts").desc(), F.col("seq").desc())
+    timed("skew_latest_window", lambda: ticks.withColumn(
+        "__r", F.row_number().over(w_latest)).filter(F.col("__r") == 1)
+        .drop("__r").count())
+    timed("skew_latest_maxby_agg", lambda: ticks.groupBy("symbol").agg(
+        F.max_by(F.struct("price", "seq"), F.struct("ts", "seq"))
+        .alias("latest")).count())
+    meta = {"query": "skew_dataset", "sf": "skew3M", "rows": n_rows,
+            "hot_share": round(hot_share, 4), "sec": 0.0}
+    results.append(meta)
+    print(json.dumps(meta), flush=True)
+
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
             json.dump(results, f, indent=1)
