@@ -111,6 +111,7 @@ def stream_updates(
     sink_dir: str,
     capability: str = "stream_quotes",
     enforce_monotonic: bool = True,
+    dedup_within_watermark: str | None = None,
     trigger_available_now: bool = True,
     min_backoff_ms: int = 500,
     max_backoff_ms: int = 30_000,
@@ -127,7 +128,21 @@ def stream_updates(
     ``stream_enforce_monotonic_timestamps`` maps to ``enforce_monotonic``
     (borsa-types/src/config.rs:145-149, default on); for options the gate
     keys on the UNDERLYING symbol, matching stream_symbol().
+
+    ``dedup_within_watermark`` (e.g. ``"1 hour"``) is the comparison mode
+    the reference's T8 semantics note contrasts with the gate
+    (filters.rs:12-74 note): replay protection via
+    `dropDuplicatesWithinWatermark` on (symbol, ts) instead of per-key
+    monotonicity. The difference is observable with out-of-order data — an
+    older-but-new update is KEPT by dedup mode (only exact re-deliveries
+    drop) but DROPPED by the monotonic gate. Dedup state is bounded by the
+    watermark horizon. Mutually exclusive with ``enforce_monotonic``.
     """
+    if dedup_within_watermark is not None and enforce_monotonic:
+        raise ValueError(
+            "dedup_within_watermark replaces the monotonic gate; pass "
+            "enforce_monotonic=False"
+        )
     plans = plan_stream(catalog, instruments, capability)
 
     os.makedirs(sink_dir, exist_ok=True)
@@ -148,6 +163,13 @@ def stream_updates(
             df = df.filter(F.col("symbol").isin(list(symbols)))  # P6
             if enforce_monotonic:
                 df = streaming_monotonic_gate(df, key="symbol")
+            elif dedup_within_watermark is not None:
+                from borsa_spark.streaming.fanin import streaming_exact_dedup
+
+                df = streaming_exact_dedup(
+                    df, ["symbol", "ts"],
+                    watermark=dedup_within_watermark,
+                )
             schema_holder.setdefault("schema", df.schema)
             qid[0] += 1
             # One subdir per session: concurrent FileStreamSink queries

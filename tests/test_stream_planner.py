@@ -585,6 +585,39 @@ class TestReferenceStreamScenarios:
             for q in ctl.sessions.values()
         )
 
+    def test_dedup_mode_keeps_out_of_order_drops_replays(self, spark, tmp_path):
+        """T8 comparison mode (filters.rs semantics note): replay protection
+        via dropDuplicatesWithinWatermark instead of the monotonic gate. An
+        older-but-NEW update survives (the gate would drop it); an exact
+        (symbol, ts) re-delivery does not."""
+        from borsa_spark.router.stream import stream_quotes
+
+        rows = [
+            ("AAPL", 100, 10.0, 0),
+            ("AAPL", 50, 9.0, 1),    # out-of-order but new -> KEPT here
+            ("AAPL", 100, 10.0, 2),  # exact replay of seq 0's key -> dropped
+            ("MSFT", 10, 20.0, 3),
+        ]
+        feed = _tick_feed(spark, tmp_path, "DD", rows)
+        cat = Catalog().register(Source(name="DD", tables={"stream_quotes": feed}))
+        handle = stream_quotes(
+            spark, cat, [I("AAPL"), I("MSFT")],
+            sink_dir=str(tmp_path / "sink_dd"),
+            enforce_monotonic=False,
+            dedup_within_watermark="1 hour",
+        )
+        handle.process_available()
+        out = sorted(r.seq for r in handle.output().collect())
+        handle.stop()
+        assert out == [0, 1, 3]
+
+        with pytest.raises(ValueError, match="enforce_monotonic"):
+            stream_quotes(
+                spark, cat, [I("AAPL")],
+                sink_dir=str(tmp_path / "sink_dd2"),
+                dedup_within_watermark="1 hour",
+            )
+
     def test_slow_consumer_partial_read_then_stop(self, spark, tmp_path):
         """router_stream_slow_consumer.rs::slow_consumer_handles_backpressure
         / channel_saturation: reading only a few rows while the producer has
