@@ -2992,3 +2992,133 @@ def f12_embedding_near_dup(spark, sf):
             "id_a", "id_b", F.round(cos, 4).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f28-f30: decontamination, per-source caps, n-gram novelty — the remaining
+# standard stages of a web-scale training-data pipeline
+# ---------------------------------------------------------------------------
+
+_SH8_CTE = _dd.sql_shingles(8)
+
+
+@query(
+    "f28_decontaminate",
+    f"""
+    WITH sh AS ({_SH8_CTE}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 7 = 0),
+    hits AS (
+      SELECT s.id, count(*) AS n
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.id % 7 <> 0
+      GROUP BY s.id)
+    SELECT id AS doc_id, n::BIGINT AS n_shared FROM hits
+    """,
+)
+def f28_decontaminate(spark, sf):
+    """Benchmark decontamination: flag corpus documents sharing any 8-gram
+    with the held-out benchmark set (doc_id % 7 == 0 stands in for the
+    eval suite). The canonical pre-training hygiene pass (n-gram overlap
+    against eval sets).
+
+    Scale shape: benchmark n-grams are tiny next to the corpus (eval suites
+    are fixed-size), so the overlap test is a BROADCAST semi-join on the
+    64-bit shingle hash — the corpus shingle table never shuffles; the
+    per-doc count is one groupBy with map-side combine. Emitting counts
+    (not just a flag) keeps the review loop honest: borderline hits can be
+    audited before dropping documents.
+    """
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 8)
+    bench = (
+        sh.filter(F.col("id") % 7 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("id") % 7 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+    )
+
+
+@query(
+    "f29_per_source_cap",
+    """
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             )::BIGINT AS sample_rank
+      FROM documents) t
+    WHERE sample_rank <= 10
+    """,
+)
+def f29_per_source_cap(spark, sf):
+    """Per-source cap sampling: keep at most 10 documents per source,
+    chosen by deterministic hash order (md5 of the doc id — a seedless,
+    engine-portable shuffle), with the doc id as tiebreak. The domain-cap
+    stage that stops one crawl host from dominating the corpus.
+
+    Scale shape: one shuffle on source + a windowed top-N that Spark
+    executes as WindowGroupLimit (rank pushdown) — each partition keeps
+    only 10 rows before the final filter, so a 10M-doc source costs its
+    scan, not its sort. Skew note: a pathological single source is still
+    one partition's sort; cap-by-aggregation (min_by over an array agg) or
+    pre-salting applies if profiling shows a straggler.
+    """
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 10)
+    )
+
+
+@query(
+    "f30_ngram_novelty",
+    f"""
+    WITH sh AS ({_SH_CTE}),
+    df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT sh.id AS doc_id,
+           count(*)::BIGINT AS n_grams,
+           round(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS novelty_ratio
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.id
+    """,
+)
+def f30_ngram_novelty(spark, sf):
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-grams that appear in NO other document — a diversity/quality signal
+    (boilerplate and template text scores ~0, unique prose ~1) used to
+    prioritize data for training mixes.
+
+    Scale shape: document frequency is one groupBy on the hashed shingle
+    (map-side combine; longs, not strings), joined back to the shingle
+    table on the same key — the shuffle partitioning is reused, and the
+    per-doc aggregate combines map-side. novelty is division of exact
+    integers rounded at 4dp, so the cross-engine comparison is stable.
+    """
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 3)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("novelty_ratio"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_grams", "novelty_ratio")
+    )
