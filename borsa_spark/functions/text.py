@@ -111,28 +111,43 @@ def sql_lang_guess(text_sql: str) -> str:
     return case
 
 
-def split_assign(id_col: Column, weights: dict[str, float] | None = None,
-                 salt: str = "split") -> Column:
-    """Deterministic, engine-portable train/valid/test assignment.
-
-    bucket = portable 60-bit md5 hash of "salt:id" mod 10_000; cut points
-    from cumulative weights. Properties a training pipeline needs: stable
-    across runs, partitionings, and engines (no rand(), no row order
-    dependence), and re-salting produces an independent split. SQL
-    equivalent (DuckDB):
-    ``('0x' || substr(md5('salt:' || id::VARCHAR), 1, 15))::BIGINT % 10000``.
+def hash_bucket(id_col: Column, salt: str, n_buckets: int = 10_000) -> Column:
+    """Portable deterministic bucket: 60-bit md5 hash of "salt:id" mod
+    n_buckets — stable across runs, partitionings, and engines (no rand(),
+    no row-order dependence); re-salting gives an independent assignment.
+    SQL equivalent (DuckDB):
+    ``('0x' || substr(md5('salt:' || id::VARCHAR), 1, 15))::BIGINT % n``.
     """
-    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
-    total = sum(weights.values())
-    bucket = F.pmod(
+    return F.pmod(
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 15
             ),
             16, 10,
         ).cast("long"),
-        F.lit(10_000),
+        F.lit(n_buckets),
     )
+
+
+def sql_hash_bucket(id_sql: str, salt: str, n_buckets: int = 10_000) -> str:
+    """DuckDB SQL mirroring hash_bucket()."""
+    return (
+        f"('0x' || substr(md5('{salt}:' || ({id_sql})::VARCHAR), 1, 15))"
+        f"::BIGINT % {n_buckets}"
+    )
+
+
+def split_assign(id_col: Column, weights: dict[str, float] | None = None,
+                 salt: str = "split") -> Column:
+    """Deterministic, engine-portable train/valid/test assignment.
+
+    bucket = `hash_bucket` (portable 60-bit md5 mod 10_000); cut points
+    from cumulative weights. The split a 100 TB pipeline can re-derive
+    from the id alone without a membership table.
+    """
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = hash_bucket(id_col, salt)
     expr = None
     acc = 0.0
     items = list(weights.items())

@@ -3122,3 +3122,228 @@ def f30_ngram_novelty(spark, sf):
         )
         .select(F.col("id").alias("doc_id"), "n_grams", "novelty_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# f31-f34: sampling, repetition quality, dedup survivors, mixture planning —
+# the stages that turn a cleaned corpus into a training mix
+# ---------------------------------------------------------------------------
+
+#: per-language keep rates for the rebalancing sampler (downsample the
+#: dominant language, keep the rest whole).
+_F31_RATES = {"en": 0.5, "de": 1.0, "zh": 0.8, "fr": 1.0, "es": 1.0}
+
+_F31_CASE = " ".join(
+    f"WHEN '{lg}' THEN {int(r * 10_000)}" for lg, r in _F31_RATES.items()
+)
+
+
+@query(
+    "f31_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             {_tx.sql_hash_bucket('doc_id', 'sample31')} AS bucket,
+             CASE lang {_F31_CASE} ELSE 10000 END AS cut
+      FROM documents) t
+    WHERE bucket < cut
+    """,
+)
+def f31_stratified_sample(spark, sf):
+    """Stratified rebalancing sample: keep each document with a
+    per-language probability (en 0.5, zh 0.8, rest 1.0), decided by a
+    deterministic portable hash of the doc id — the language-rebalancing
+    stage of a training-mix builder.
+
+    Scale shape: a pure per-row map (hash, compare, filter) — no shuffle,
+    no sort, no membership table; the same row set is re-derivable on any
+    engine from doc_id alone, and the filter pushes below everything that
+    follows it. Changing the salt draws an independent sample.
+    """
+    docs = load_table(spark, sf, "documents")
+    bucket = _tx.hash_bucket(F.col("doc_id"), "sample31")
+    cut = None
+    for lg, r in _F31_RATES.items():
+        cond, val = F.col("lang") == lg, F.lit(int(r * 10_000))
+        cut = F.when(cond, val) if cut is None else cut.when(cond, val)
+    cut = cut.otherwise(F.lit(10_000))
+    return (
+        docs.filter(bucket < cut).select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "f32_intra_doc_repetition",
+    """
+    SELECT doc_id,
+           n_total::BIGINT  AS n_grams,
+           CASE WHEN n_total > 0
+                THEN round(1.0 - n_distinct * 1.0 / n_total, 4)
+                ELSE 0.0 END AS dup_ratio
+    FROM (
+      SELECT doc_id,
+             greatest(len(w) - 2, 0) AS n_total,
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS n_distinct
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s) t
+    """,
+)
+def f32_intra_doc_repetition(spark, sf):
+    """Within-document repetition: the fraction of a document's word
+    3-grams that are repeats of an earlier 3-gram in the SAME document —
+    the duplicate-n-gram quality rule (Gopher/C4 family) that catches
+    looping or templated generations exact/near dedup can't see (the doc
+    is only similar to itself).
+
+    Scale shape: entirely per-row array math (split, slide, distinct,
+    ratio) inside whole-stage codegen — no explode, no shuffle, nothing
+    leaves the row. At 100 TB this runs at scan speed; compare f30, which
+    needs a corpus-wide shuffle because its signal is cross-document.
+    """
+    docs = load_table(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_total = F.greatest(F.size(words) - 2, F.lit(0))
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_total.cast("long").alias("n_grams"),
+        F.when(
+            n_total > 0, F.round(1.0 - n_distinct / n_total, 4)
+        ).otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+_F33_SQL = f"""
+    WITH RECURSIVE sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+    labeled AS (
+      SELECT id AS doc_id, min(comp)::BIGINT AS component
+      FROM cc GROUP BY id),
+    ranked AS (
+      SELECT l.component, l.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY l.component
+               ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY l.component) AS n_members
+      FROM labeled l JOIN documents d USING (doc_id))
+    SELECT component, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+           n_members::BIGINT AS n_members,
+           (n_members - 1)::BIGINT AS n_dropped
+    FROM ranked WHERE rk = 1
+"""
+
+
+@query("f33_dedup_survivors", _F33_SQL)
+def f33_dedup_survivors(spark, sf):
+    """Dedup survivor selection: for every near-dup cluster (f17's
+    connected components), keep the single best document — longest
+    (n_chars), doc_id as the deterministic tie-break — and account for how
+    many were dropped. The step that turns a pair/cluster report into an
+    actual deduplicated corpus while keeping the best copy, not an
+    arbitrary one.
+
+    Scale shape: clustering is f17's hash-min label propagation; the
+    survivor pick is one row_number window partitioned by component —
+    components are small (they are near-dup groups), so no partition is
+    ever large, and the window rank prunes to 1 row per group before
+    anything downstream. Joining labels to documents is an equi-join on
+    doc_id, the table's natural key.
+    """
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 3)
+    pairs = _dd.jaccard_pairs(sh, 0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labeled = _dd.dup_clusters(pairs, nodes).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    joined = labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "f34_mixture_weights",
+    """
+    WITH per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT source, n_docs, n_tokens,
+             sum(n_tokens) OVER () AS total_tokens,
+             count(*) OVER () AS n_sources
+      FROM per_src)
+    SELECT source,
+           n_docs::BIGINT   AS n_docs,
+           n_tokens::BIGINT AS n_tokens,
+           round((total_tokens * 1.0 / n_sources) / n_tokens, 4) AS weight,
+           round(least(1.0, (total_tokens * 1.0 / n_sources) / n_tokens), 4)
+             AS sample_rate
+    FROM tot
+    """,
+)
+def f34_mixture_weights(spark, sf):
+    """Token-budget mixture planning: per-source token counts and the
+    up/down-weighting factor that would equalize each source's share of
+    the training mix (target = uniform across sources), with the
+    downsample-only rate alongside. The static mixture-planning pass (a
+    DoReMi-style reweighting with a uniform target) run before sampling.
+
+    Scale shape: token counting is a per-row map folded into one groupBy
+    on source with map-side combine; the total is a window over the
+    ALREADY-AGGREGATED per-source table (#sources rows — bounded, not
+    data-sized), so the single-partition window is safe at any corpus
+    size. Output feeds f31-style hash sampling with per-source rates.
+    """
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(_tx.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    target = F.sum("n_tokens").over(w) / F.count("*").over(w)
+    return per_src.select(
+        "source", "n_docs", "n_tokens",
+        F.round(target / F.col("n_tokens"), 4).alias("weight"),
+        F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 4)
+            .alias("sample_rate"),
+    )

@@ -269,3 +269,98 @@ class TestApproxErrorBounds:
             assert abs(r.approx_p50 - r.exact_p50) <= max(
                 0.05 * abs(r.exact_p50), 0.5
             )
+
+
+class TestMixtureAndSampling:
+    """f31-f34 invariants on the real sf0.001 tables (the oracle gate checks
+    exact values at sf0.01; these pin the semantic properties)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_stratified_sample_rates_and_determinism(self, spark):
+        from borsa_spark.queries import QUERIES
+
+        out = QUERIES["f31_stratified_sample"](spark, self.SF)
+        again = QUERIES["f31_stratified_sample"](spark, self.SF)
+        a = sorted(r.doc_id for r in out.collect())
+        b = sorted(r.doc_id for r in again.collect())
+        assert a == b  # no rand(): resampling is exact
+        from borsa_spark.sources import load_table
+        docs = load_table(spark, self.SF, "documents")
+        kept = {r.lang: r.n for r in out.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()}
+        total = {r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()}
+        # keep-all languages must be intact; downsampled en strictly smaller
+        for lg in total:
+            if lg in ("fr", "de", "es"):
+                assert kept.get(lg, 0) == total[lg]
+        assert kept.get("en", 0) < total["en"]
+
+    def test_intra_doc_repetition_bounds(self, spark):
+        from borsa_spark.queries import QUERIES
+
+        rows = QUERIES["f32_intra_doc_repetition"](spark, self.SF).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r.dup_ratio <= 1.0
+            assert r.n_grams >= 0
+
+    def test_repetition_expression_on_synthetic_docs(self, spark):
+        # a doc that is one 3-gram looped 4x has high dup_ratio; a doc of
+        # all-distinct words has 0; short docs (<3 words) report 0 not null
+        df = spark.createDataFrame(
+            [(1, "a b c a b c a b c a b c"),
+             (2, "one two three four five"),
+             (3, "hi"),],
+            "doc_id long, text string",
+        )
+        import borsa_spark.queries as q
+
+        words = F.split(F.col("text"), " ")
+        n_total = F.greatest(F.size(words) - 2, F.lit(0))
+        grams = F.when(
+            F.size(words) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = {
+            r.doc_id: r.ratio
+            for r in df.select(
+                "doc_id",
+                F.when(n_total > 0,
+                       F.round(1.0 - F.size(F.array_distinct(grams)) / n_total, 4)
+                       ).otherwise(F.lit(0.0)).alias("ratio"),
+            ).collect()
+        }
+        assert out[1] > 0.6      # 10 grams, 3 distinct
+        assert out[2] == 0.0
+        assert out[3] == 0.0     # short doc: defined, not null
+
+    def test_dedup_survivors_partition_docs(self, spark):
+        from borsa_spark.queries import QUERIES
+        from borsa_spark.sources import load_table
+
+        surv = QUERIES["f33_dedup_survivors"](spark, self.SF).collect()
+        n_docs = load_table(spark, self.SF, "documents").count()
+        # every doc belongs to exactly one cluster; members sum to the corpus
+        assert sum(r.n_members for r in surv) == n_docs
+        for r in surv:
+            assert r.n_dropped == r.n_members - 1
+            assert r.kept_doc_id >= r.component  # component = min doc_id
+
+    def test_mixture_weights_uniform_target(self, spark):
+        from borsa_spark.queries import QUERIES
+
+        rows = QUERIES["f34_mixture_weights"](spark, self.SF).collect()
+        assert rows
+        for r in rows:
+            assert r.sample_rate <= 1.0
+            assert abs(r.sample_rate - min(1.0, r.weight)) < 1e-9
+        # weights are relative to the uniform target: mean of n_tokens*weight
+        # equals total/n (up to rounding)
+        total = sum(r.n_tokens for r in rows)
+        for r in rows:
+            assert abs(r.weight * r.n_tokens - total / len(rows)) < total * 1e-3
