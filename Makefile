@@ -9,6 +9,7 @@ tours:
 	python examples/training_data_tour.py
 	python examples/timeseries_tour.py
 	python examples/routing_tour.py
+	python examples/market_data_tour.py
 
 test:
 	python -m pytest tests/ -q
