@@ -424,3 +424,55 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_pairs_against(
+    sh: DataFrame,
+    is_existing: "Column",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two partitions of a corpus — new-batch
+    documents against an existing corpus, never new-new or
+    existing-existing. The continuous-ingest shape: every fresh crawl
+    batch is checked against what is already in the training set, and only
+    cross-set pairs matter (in-batch dups are f7's job, corpus-internal
+    dups were resolved when the corpus was built).
+
+    ``sh`` is a shingle table (id, shingle) covering BOTH sides;
+    ``is_existing`` is a boolean Column over ``id`` marking the corpus
+    side. Returns (id_a = new id, id_b = existing id, jaccard).
+
+    Scale shape: signatures and band keys are computed over the union once
+    (at production scale the existing corpus's signatures are precomputed
+    and stored — only the new batch pays the shingle+signature cost); the
+    candidate join is new-bands vs existing-bands on (band, band_key), so
+    its output is bounded by cross-set bucket co-occupancy and is strictly
+    smaller than the full self-join's. Verification is exact Jaccard
+    restricted to candidates (verify_jaccard), same as f7.
+    """
+    sig = minhash_signature(sh)
+    bk = lsh_band_keys(sig)
+    if max_bucket_size is not None:
+        counts = bk.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
+        bk = (
+            bk.join(counts, ["band", "band_key"])
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    flags = sh.select("id").distinct().select(
+        "id", is_existing.alias("__existing")
+    )
+    bk = bk.join(flags, "id")
+    new_bk = bk.filter(~F.col("__existing")).select(
+        F.col("id").alias("id_a"), "band", "band_key"
+    )
+    old_bk = bk.filter(F.col("__existing")).select(
+        F.col("id").alias("id_b"), "band", "band_key"
+    )
+    cands = (
+        new_bk.join(old_bk, ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(cands, sh, threshold)

@@ -3347,3 +3347,54 @@ def f34_mixture_weights(spark, sf):
         F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 4)
             .alias("sample_rate"),
     )
+
+
+@query(
+    "f35_incremental_dedup",
+    f"""
+    WITH sh AS ({_SH_CTE}),
+    sig AS ({_SIG_SQL}),
+    bands AS ({_sql_band_selects()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.id % 5 <> 0 AND b.id % 5 = 0),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT id_a AS new_doc_id, id_b AS corpus_doc_id,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def f35_incremental_dedup(spark, sf):
+    """Incremental dedup: a new crawl batch (doc_id % 5 != 0) checked
+    against the existing corpus (doc_id % 5 == 0) — cross-set near-dup
+    pairs only, via banded MinHash candidates + exact-Jaccard verification
+    (`dedup.minhash_pairs_against`). The continuous-ingest stage: each
+    fresh batch is screened against the accumulated training set before
+    admission, without ever re-pairing the corpus with itself.
+
+    Scale shape: the candidate join is new-bands vs corpus-bands on
+    (band, band_key) — bounded by cross-set bucket co-occupancy, strictly
+    smaller than f7's full self-join; at production scale the corpus
+    signatures are precomputed once and stored, so a batch pays only its
+    own shingle+signature cost plus the banded join. Verification touches
+    candidates only (verify_jaccard's equi-join shape).
+    """
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 3).persist()
+    out = _dd.minhash_pairs_against(sh, F.col("id") % 5 == 0, threshold=0.5)
+    return out.select(
+        F.col("id_a").alias("new_doc_id"),
+        F.col("id_b").alias("corpus_doc_id"),
+        "jaccard",
+    )

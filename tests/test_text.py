@@ -98,6 +98,50 @@ class TestLshBucketGuard:
         assert over and all(r.n_docs == 6 for r in over)
 
 
+class TestIncrementalDedup:
+    def test_cross_set_pairs_match_full_pipeline(self, spark):
+        """pairs_against == the full f7 pair set restricted to cross-set
+        pairs (one side in the corpus, one in the batch), re-oriented so
+        id_a is always the new doc."""
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        sh = dd.shingles(docs, 3).persist()
+        full = dd.verify_jaccard(
+            dd.minhash_candidates(dd.minhash_signature(sh)), sh, 0.5
+        ).collect()
+        expected = set()
+        for r in full:
+            a_old, b_old = r.id_a % 5 == 0, r.id_b % 5 == 0
+            if a_old != b_old:  # exactly one side in the corpus
+                new, old = (r.id_b, r.id_a) if a_old else (r.id_a, r.id_b)
+                expected.add((new, old, r.jaccard))
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.minhash_pairs_against(
+                sh, (F.col("id") % 5) == 0, 0.5
+            ).collect()
+        }
+        sh.unpersist()
+        assert got == expected
+        assert expected  # non-vacuous: sf0.001 has cross-set near-dups
+
+    def test_bucket_cap_applies(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, base) for i in range(6)]  # ids 0,5 corpus; rest new
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dd.shingles(docs, 3)
+        uncapped = dd.minhash_pairs_against(sh, (F.col("id") % 5) == 0, 0.5)
+        assert uncapped.count() == 8  # 4 new docs x 2 corpus docs
+        capped = dd.minhash_pairs_against(
+            sh, (F.col("id") % 5) == 0, 0.5, max_bucket_size=3
+        )
+        assert capped.count() == 0  # hot bucket excluded wholesale
+
+
 class TestVectorizedTopK:
     def test_matches_jvm_brute_force(self, spark):
         """The numpy-matmul path must agree exactly with the JVM fold path
