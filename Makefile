@@ -10,6 +10,7 @@ tours:
 	python examples/timeseries_tour.py
 	python examples/routing_tour.py
 	python examples/market_data_tour.py
+	python examples/streaming_tour.py
 
 test:
 	python -m pytest tests/ -q
