@@ -3398,3 +3398,171 @@ def f35_incremental_dedup(spark, sf):
         F.col("id_b").alias("corpus_doc_id"),
         "jaccard",
     )
+
+
+@query(
+    "f36_leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+    labeled AS (
+      SELECT id AS doc_id, min(comp)::BIGINT AS component
+      FROM cc GROUP BY id),
+    b AS (
+      SELECT doc_id, component,
+             ('0x' || substr(md5('split36:' || component::VARCHAR), 1, 15))
+               ::BIGINT % 10000 AS bucket
+      FROM labeled)
+    SELECT doc_id, component,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def f36_leakage_safe_split(spark, sf):
+    """Leakage-safe corpus split: assign train/valid/test by hashing the
+    near-dup CLUSTER id (f17's connected component), not the document id —
+    every member of a duplicate cluster lands in the same split, so a
+    near-copy of a test document can never leak into train. The
+    contamination-proof version of f18; the delta between them is exactly
+    the documents whose naive split differs from their cluster's.
+
+    Scale shape: clustering is f17's label propagation (shuffles bounded
+    by component diameter); the split itself is the same per-row portable
+    md5 bucket as f18, just keyed on the component — no extra shuffle
+    beyond the label join, stable across engines and re-runs.
+    """
+    docs = load_table(spark, sf, "documents")
+    sh = _dd.shingles(docs, 3)
+    pairs = _dd.jaccard_pairs(sh, 0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labeled = _dd.dup_clusters(pairs, nodes).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        _tx.split_assign(F.col("component"), salt="split36").alias("split"),
+    )
+
+
+@query(
+    "f37_quantized_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+                   AS scale
+          FROM e),
+    qv AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x / scale + 0.5)::BIGINT) AS q
+           FROM s WHERE scale > 0),
+    base AS (SELECT vec_id, q,
+                    list_sum(list_transform(q, x -> x * x))::BIGINT AS qn
+             FROM qv),
+    qs AS (SELECT vec_id AS q_id, q AS qq, qn AS qqn
+           FROM base WHERE vec_id < 10 AND qn > 0),
+    sims AS (
+      SELECT q_id, b.vec_id AS c_id,
+             round(list_sum(list_transform(range(1, len(qq) + 1),
+                                           i -> qq[i] * b.q[i]))
+                   / (sqrt(qqn) * sqrt(b.qn)), 4) AS approx_cos
+      FROM qs, base b WHERE q_id != b.vec_id AND b.qn > 0)
+    SELECT q_id, c_id, approx_cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY approx_cos DESC, c_id ASC) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def f37_quantized_cosine_topk(spark, sf):
+    """Int8-quantized cosine top-k: per-vector symmetric quantization
+    (scale = max|x| / 127, q_i = floor(x/scale + 0.5)) and ranking by the
+    quantized cosine — the scales cancel, so the score is pure integer
+    dot / (sqrt of integer norms), bit-reproducible across engines.
+
+    Scale shape: THE bandwidth lever for ANN at 100 TB — int8 vectors
+    shuffle/broadcast at 1/4 the bytes of float32 (1/8 of double), which
+    is the difference between a broadcastable query set and a shuffled
+    one; candidate scoring is exact integer arithmetic (no float
+    accumulation-order hazard), so map-side combine and re-partitioning
+    never change results. The rank-on-rounded-score + id tie-break
+    pattern matches f10, making recall vs the full-precision baseline
+    directly measurable (same keys, same ranking rule).
+    """
+    emb = load_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (
+        emb.select("vec_id", v.alias("v"))
+        .withColumn(
+            "scale",
+            F.aggregate(
+                F.col("v"), F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            ) / F.lit(127.0),
+        )
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "q",
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("scale") + 0.5).cast("long"),
+            ),
+        )
+        .withColumn(
+            "qn",
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ),
+        )
+        .filter(F.col("qn") > 0)
+        .select("vec_id", "q", "qn")
+    )
+    qs = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("qn").alias("qqn"),
+    )
+    intdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                intdot / (F.sqrt(F.col("qqn")) * F.sqrt(F.col("qn"))), 4
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_cos").desc(), F.col("c_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "approx_cos", "rank")
+    )

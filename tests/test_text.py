@@ -408,3 +408,37 @@ class TestMixtureAndSampling:
         total = sum(r.n_tokens for r in rows)
         for r in rows:
             assert abs(r.weight * r.n_tokens - total / len(rows)) < total * 1e-3
+
+
+class TestQuantizedCosine:
+    def test_recall_vs_full_precision(self, spark):
+        """int8-quantized top-5 must substantially agree with the exact
+        float top-5 on real driver embeddings (the quantization is 7-bit;
+        neighbors are not adversarially close)."""
+        from borsa_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        exact = QUERIES["f10_cosine_topk"](spark, sf).collect()
+        quant = QUERIES["f37_quantized_cosine_topk"](spark, sf).collect()
+        exact_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r.q_id, set()).add(r.c_id)
+        hits = total = 0
+        for r in quant:
+            total += 1
+            hits += r.c_id in exact_sets.get(r.q_id, set())
+        assert total > 0
+        assert hits / total >= 0.8  # >=80% top-5 recall
+
+    def test_quantized_scores_close_to_exact(self, spark):
+        from borsa_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        quant = {(r.q_id, r.c_id): r.approx_cos
+                 for r in QUERIES["f37_quantized_cosine_topk"](spark, sf).collect()}
+        exact = {(r.q_id, r.c_id): r.cosine_sim
+                 for r in QUERIES["f10_cosine_topk"](spark, sf).collect()}
+        common = set(quant) & set(exact)
+        assert common
+        for k in common:
+            assert abs(quant[k] - exact[k]) < 0.02  # 7-bit error envelope
