@@ -32,6 +32,7 @@ HEADLINE = [
     "a5_tz_daily",
     "f1_exact_dedup",
     "f2_text_stats",
+    "f32_intra_doc_repetition",
     "f7_minhash_dedup_pairs",
     "f8_simhash",
     "f10_cosine_topk",

@@ -65,6 +65,24 @@ def main() -> None:
     print("== IVF ANN top-3 ==")
     sim.ivf_topk(emb, queries, cents, k=3, n_probe=2).show(9)
 
+    # 5. continuous ingest: screen a "new batch" against the existing
+    # corpus (cross-set pairs only — in-batch and in-corpus dups are
+    # other stages' jobs)
+    incoming = dd.minhash_pairs_against(sh, (F.col("id") % 5) == 0, 0.5)
+    print("== new-batch docs near-duplicating the corpus ==")
+    incoming.show(5)
+
+    # 6. leakage-safe split + mixture planning (queries f36/f34): whole
+    # dup-clusters share a split; per-source weights hit a uniform target
+    from borsa_spark.queries import QUERIES
+
+    print("== split sizes when keyed by CLUSTER (no cross-split dups) ==")
+    QUERIES["f36_leakage_safe_split"](spark, SF) \
+        .groupBy("split").count().show()
+    print("== per-source mixture weights (uniform token target) ==")
+    QUERIES["f34_mixture_weights"](spark, SF) \
+        .orderBy(F.col("weight").desc()).show(5)
+
     spark.stop()
 
 
