@@ -476,3 +476,49 @@ def minhash_pairs_against(
         .distinct()
     )
     return verify_jaccard(cands, sh, threshold)
+
+
+def shingle_array(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct hashed word n-grams per document as an IN-ROW array:
+    (id, shingles array<long>) — the same values `shingles` explodes, kept
+    inside the row. For per-document signatures (SimHash) this removes the
+    explode + distinct + groupBy shuffle family entirely: the signature
+    becomes a scan-speed projection. Use `shingles` when downstream needs
+    the exploded relation (Jaccard joins, document frequency)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.array_distinct(F.transform(grams, token_hash64))
+    return df.select(F.col(id_col).alias("id"), hashed.alias("shingles"))
+
+
+def simhash_inrow(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash computed entirely in-row: (id, simhash).
+
+    bit_j = 1 iff more than half of the document's distinct shingle hashes
+    have bit j set (identical to `simhash`'s sum-of-±1 rule; ties -> 0).
+    Zero shuffles — at 100 TB this runs at scan speed where the
+    exploded-relation path pays a corpus-sized distinct + groupBy; the
+    32 filtered counts stay inside whole-stage codegen. Documents with
+    fewer than n words have no shingles and are dropped (matching the
+    grouped path, where they produce no group).
+    """
+    arr = shingle_array(df, n, text_col, id_col)
+    ntot = F.size(F.col("shingles"))
+    val = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        cnt = F.size(
+            F.filter(
+                F.col("shingles"),
+                lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        val = val + F.when(cnt * 2 > ntot, F.lit(1 << j)).otherwise(F.lit(0))
+    return arr.filter(ntot > 0).select("id", val.alias("simhash"))

@@ -2360,9 +2360,12 @@ def f7_minhash_dedup_pairs(spark, sf):
     """,
 )
 def f8_simhash(spark, sf):
-    """32-bit SimHash per document from shingle hashes."""
-    sh = _dd.shingles(load_table(spark, sf, "documents"), 3)
-    return _dd.simhash(sh)
+    """32-bit SimHash per document, computed entirely in-row
+    (`dedup.simhash_inrow`): the signature is a pure function of the
+    document, so no explode/distinct/groupBy shuffle exists — scan-speed
+    at any corpus size. The oracle keeps the grouped formulation; both
+    implement the same majority-bit rule over distinct shingle hashes."""
+    return _dd.simhash_inrow(load_table(spark, sf, "documents"), 3)
 
 
 @query(
@@ -2508,8 +2511,14 @@ _SIMHASH_SQL = f"""
     """,
 )
 def f9_simhash_near_pairs(spark, sf):
-    """SimHash near-dup pairs: byte-band candidates + exact hamming <= 6."""
-    sim = _dd.simhash(_dd.shingles(load_table(spark, sf, "documents"), 3))
+    """SimHash near-dup pairs: byte-band candidates + exact hamming <= 6.
+    Signatures come from the shuffle-free in-row path; the only shuffle
+    left in the pipeline is the band-key candidate join itself."""
+    # Persist the signature table: the candidate join reads it twice (a/b
+    # sides), and unlike the grouped path there is no shuffle exchange for
+    # Spark to reuse — without this the in-row hashing would run twice.
+    # (id, simhash) is 12 bytes/doc, trivially cacheable at any corpus size.
+    sim = _dd.simhash_inrow(load_table(spark, sf, "documents"), 3).persist()
     out = _dd.simhash_near_pairs(sim, max_hamming=6)
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 

@@ -442,3 +442,34 @@ class TestQuantizedCosine:
         assert common
         for k in common:
             assert abs(quant[k] - exact[k]) < 0.02  # 7-bit error envelope
+
+
+class TestSimhashInRow:
+    def test_matches_grouped_path(self, spark):
+        """simhash_inrow must be bit-identical to the exploded/grouped
+        formulation on real driver documents (same majority rule, same
+        tie handling, same <n-word drop semantics)."""
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        old = {(r.id, r.simhash)
+               for r in dd.simhash(dd.shingles(docs, 3)).collect()}
+        new = {(r.id, r.simhash)
+               for r in dd.simhash_inrow(docs, 3).collect()}
+        assert new == old and new
+
+    def test_short_and_tied_docs(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        df = spark.createDataFrame(
+            [(1, "a b"),              # <3 words -> dropped
+             (2, "x y z"),           # single shingle -> simhash = its bits
+             (3, None)],             # null text -> dropped
+            "doc_id long, text string",
+        )
+        rows = {r.id: r.simhash for r in dd.simhash_inrow(df, 3).collect()}
+        assert set(rows) == {2}
+        # one shingle: every set bit of the hash wins its majority vote
+        sh = dd.shingles(df.filter("doc_id = 2"), 3).collect()[0].shingle
+        assert rows[2] == sh & 0xFFFFFFFF
