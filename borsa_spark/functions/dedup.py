@@ -522,3 +522,4 @@ def simhash_inrow(df: DataFrame, n: int = 3, text_col: str = "text",
         )
         val = val + F.when(cnt * 2 > ntot, F.lit(1 << j)).otherwise(F.lit(0))
     return arr.filter(ntot > 0).select("id", val.alias("simhash"))
+
