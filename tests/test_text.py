@@ -473,3 +473,48 @@ class TestSimhashInRow:
         # one shingle: every set bit of the hash wins its majority vote
         sh = dd.shingles(df.filter("doc_id = 2"), 3).collect()[0].shingle
         assert rows[2] == sh & 0xFFFFFFFF
+
+
+class TestHashBucketProperties:
+    def test_uniformity_and_salt_independence(self, spark):
+        """hash_bucket must spread sequential ids near-uniformly (each
+        split-relevant decile within 3x of expectation on 10k ids) and
+        re-salting must produce a materially different assignment."""
+        from borsa_spark.functions.text import hash_bucket
+
+        ids = spark.range(10_000)
+        b = ids.select(
+            hash_bucket(F.col("id"), "saltA").alias("a"),
+            hash_bucket(F.col("id"), "saltB").alias("b"),
+        )
+        rows = b.collect()
+        deciles = [0] * 10
+        for r in rows:
+            assert 0 <= r.a < 10_000
+            deciles[r.a // 1000] += 1
+        for d in deciles:
+            assert 300 < d < 3000  # 1000 expected
+        moved = sum(1 for r in rows if (r.a < 9000) != (r.b < 9000))
+        assert moved > 100  # independent draws: ~18% expected to flip
+
+    def test_engine_portability(self, spark):
+        """The Spark expression and the documented SQL form must agree
+        value-for-value (this is what makes f18/f29/f31/f36 oracle-safe)."""
+        import duckdb
+
+        from borsa_spark.functions.text import hash_bucket, sql_hash_bucket
+
+        got = {
+            r.id: r.bkt
+            for r in spark.range(500)
+            .select("id", hash_bucket(F.col("id"), "porta").alias("bkt"))
+            .collect()
+        }
+        want = dict(
+            duckdb.sql(
+                "SELECT id, "
+                + sql_hash_bucket("id", "porta")
+                + " AS bkt FROM range(500) t(id)"
+            ).fetchall()
+        )
+        assert got == want
