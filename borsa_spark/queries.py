@@ -1474,6 +1474,7 @@ def p4_exchange_enforcement(spark, sf):
 # ---------------------------------------------------------------------------
 
 from borsa_spark.functions import dedup as _dd  # noqa: E402
+from borsa_spark.functions import packing as _pk  # noqa: E402
 from borsa_spark.functions import similarity as _sim  # noqa: E402
 from borsa_spark.functions import text as _tx  # noqa: E402
 
@@ -3575,3 +3576,25 @@ def f37_quantized_cosine_topk(spark, sf):
         .filter(F.col("rank") <= 5)
         .select("q_id", "c_id", "approx_cos", "rank")
     )
+
+
+@query(
+    "f38_sequence_packing",
+    _pk.sql_pack_sequences(budget=256, n_streams=8),
+)
+def f38_sequence_packing(spark, sf):
+    """Sequence packing (sample packing): greedy first-overflow-closes-bin
+    assignment of documents into 256-token training bins across 8
+    hash-sharded pack streams (`packing.pack_sequences`). The one
+    corpus-prep stage whose semantics are order-dependent (non-associative
+    reset-on-overflow), implemented as an Arrow-batched applyInPandas per
+    stream; the oracle replays the identical greedy rule with a recursive
+    CTE. Order and stream assignment are both portable md5 derivations, so
+    the packing is engine-reproducible bin-for-bin.
+
+    Scale shape: parallelism = n_streams (set ~2**14 at corpus scale);
+    each stream's packer sees only (id, token-count) pairs, never text, so
+    a stream's Arrow batch is a few MB however large the corpus.
+    """
+    docs = load_table(spark, sf, "documents")
+    return _pk.pack_sequences(docs, budget=256, n_streams=8)

@@ -518,3 +518,50 @@ class TestHashBucketProperties:
             ).fetchall()
         )
         assert got == want
+
+
+class TestSequencePacking:
+    def test_pack_invariants_on_driver_docs(self, spark):
+        """Every doc lands in exactly one bin; bins respect the budget
+        unless they hold a single oversized doc; bin ids are dense per
+        stream."""
+        from borsa_spark.functions.packing import pack_sequences
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = pack_sequences(docs, budget=256, n_streams=4).collect()
+        assert len(out) == docs.count()
+        fills: dict = {}
+        for r in out:
+            fills.setdefault((r.stream_id, r.bin_id), []).append(r.n_tokens)
+        for (_, _), toks in fills.items():
+            assert sum(toks) <= 256 or len(toks) == 1  # oversized solo doc
+        for s in {r.stream_id for r in out}:
+            bins = sorted({r.bin_id for r in out if r.stream_id == s})
+            assert bins == list(range(len(bins)))  # dense from 0
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        from borsa_spark.functions.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, "w " * 9 + "w"),        # 10 tokens
+             (2, "w " * 499 + "w"),      # 500 tokens > budget
+             (3, "w " * 9 + "w")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in
+                pack_sequences(df, budget=20, n_streams=1).collect()}
+        big = rows[2]
+        mates = [r for r in rows.values()
+                 if r.bin_id == big.bin_id and r.doc_id != 2]
+        assert big.n_tokens == 500 and not mates  # alone in its bin
+
+    def test_packing_deterministic_across_partitionings(self, spark):
+        from borsa_spark.functions.packing import pack_sequences
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = {tuple(r) for r in pack_sequences(docs, 256, 4).collect()}
+        b = {tuple(r) for r in
+             pack_sequences(docs.repartition(17), 256, 4).collect()}
+        assert a == b
