@@ -3598,3 +3598,40 @@ def f38_sequence_packing(spark, sf):
     """
     docs = load_table(spark, sf, "documents")
     return _pk.pack_sequences(docs, budget=256, n_streams=8)
+
+
+@query(
+    "x2_approx_error_envelope",
+    """
+    SELECT event_type AS symbol,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           true AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def x2_approx_error_envelope(spark, sf):
+    """Sketch error envelope as an ORACLE-CHECKED property: per symbol,
+    the exact distinct-user count plus a boolean asserting Spark's
+    HyperLogLog++ estimate (rsd=0.05) landed within 5% of it. The oracle
+    cannot reproduce the sketch value (engine-specific — that is why x1 is
+    rows-only), but it CAN assert the envelope: it emits ``true``, so the
+    value-hash gate fails if any group's estimate drifts out of tolerance.
+    Complements x1 by making the approximation's accuracy contract itself
+    driver-verifiable.
+
+    Scale shape: HLL++ is the 100 TB path for distinct counts (fixed
+    ~1.5 KB state per group vs an exact count's full shuffle of distinct
+    keys); the exact count here is the verification harness, not the
+    production plan.
+    """
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__approx"),
+    )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.05
+    )
+    return agg.select("symbol", "exact_users", within.alias("within_5pct"))
