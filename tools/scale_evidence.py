@@ -130,7 +130,13 @@ def main() -> None:
         ("sf0.1", "/root/testdata/sf0.1"),
         ("sf1x10", os.path.abspath(SCALE_DIR)),
     ]
-    for qname in ("f7_minhash_dedup_pairs", "f11_lsh_ann_topk", "f15_ivf_topk"):
+    for qname in (
+        "f7_minhash_dedup_pairs",
+        "f11_lsh_ann_topk",
+        "f15_ivf_topk",
+        "f35_incremental_dedup",
+        "f38_sequence_packing",
+    ):
         fn = QUERIES[qname]
         for tier, path in tiers:
             t0 = time.time()
