@@ -115,3 +115,32 @@ class TestPlanShapes:
         plan = plan_of(spark, "o7_asof_join")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound3PlanShapes:
+    """Pin the SCALE.md claims for the training-mix stages."""
+
+    def test_stratified_sample_is_pure_filter(self, spark):
+        plan = plan_of(spark, "f31_stratified_sample")
+        assert "Exchange" not in plan          # zero shuffle
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_intra_doc_repetition_is_scan_speed(self, spark):
+        plan = plan_of(spark, "f32_intra_doc_repetition")
+        assert "Exchange" not in plan          # in-row array math only
+        assert "Generate" not in plan          # no explode
+
+    def test_simhash_inrow_has_no_shuffle(self, spark):
+        plan = plan_of(spark, "f8_simhash")
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+
+    def test_quantized_cosine_broadcasts_and_rank_pushes(self, spark):
+        plan = plan_of(spark, "f37_quantized_cosine_topk")
+        assert "BroadcastExchange" in plan      # query side broadcast
+        assert "WindowGroupLimit" in plan       # top-5 rank pushdown
+
+    def test_packing_python_is_grouped_arrow_only(self, spark):
+        plan = plan_of(spark, "f38_sequence_packing")
+        assert "FlatMapGroupsInPandas" in plan  # the one sanctioned UDF
+        assert "BatchEvalPython" not in plan    # never row-at-a-time
