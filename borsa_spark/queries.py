@@ -3635,3 +3635,50 @@ def x2_approx_error_envelope(spark, sf):
         <= 0.05
     )
     return agg.select("symbol", "exact_users", within.alias("within_5pct"))
+
+
+@query(
+    "f39_pack_efficiency",
+    f"""
+    WITH packed AS ({_pk.sql_pack_sequences(budget=256, n_streams=8)}),
+    bins AS (
+      SELECT stream_id, bin_id,
+             sum(n_tokens) AS fill,
+             count(*) AS n_docs
+      FROM packed GROUP BY stream_id, bin_id)
+    SELECT stream_id,
+           count(*)::BIGINT AS n_bins,
+           sum(n_docs)::BIGINT AS n_docs,
+           round(avg(least(fill, 256) * 1.0 / 256), 4) AS avg_fill,
+           sum(CASE WHEN fill > 256 THEN 1 ELSE 0 END)::BIGINT
+             AS oversized_bins
+    FROM bins GROUP BY stream_id
+    """,
+)
+def f39_pack_efficiency(spark, sf):
+    """Packing efficiency accounting over f38's bins: per stream, how many
+    bins, how full they are on average (capped at budget — an oversized
+    solo doc counts as a full bin), and how many bins hold an oversized
+    document. The metric that tells you whether the greedy packer is
+    wasting token budget (padding) before you pay for a training run.
+
+    Scale shape: one groupBy over the packer's (id, stream, bin, tokens)
+    output — rows are documents, not tokens — then a #streams-row
+    aggregate. Composes the applyInPandas stage with plain declarative
+    aggregation; the oracle replays pack + aggregation in one SQL.
+    """
+    packed = _pk.pack_sequences(
+        load_table(spark, sf, "documents"), budget=256, n_streams=8
+    )
+    bins = packed.groupBy("stream_id", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count("*").alias("n_docs"),
+    )
+    return bins.groupBy("stream_id").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(F.avg(F.least(F.col("fill"), F.lit(256)) / 256.0), 4)
+            .alias("avg_fill"),
+        F.sum(F.when(F.col("fill") > 256, 1).otherwise(0)).cast("long")
+            .alias("oversized_bins"),
+    )
