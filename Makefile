@@ -1,6 +1,12 @@
 # Developer entry points (the reference's justfile:1-24 analog).
 
-.PHONY: test oracle bench demo smoke scale tours all
+.PHONY: test oracle bench demo smoke scale tours all verify
+
+# The standing gate: full pytest + all-84-query oracle replay (exits
+# nonzero on any red) + driver-contract smoke + bench contract. This is
+# what "done" means for any operator change; run it before every round
+# hand-off. (`make all` is the quicker subset.)
+verify: test oracle smoke bench
 
 scale:
 	python tools/scale_evidence.py SCALE_EVIDENCE_local.json

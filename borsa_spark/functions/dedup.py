@@ -16,15 +16,25 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Mersenne prime 2^31-1; affine coefficients from a fixed LCG (seed 42,
 #: constants from Numerical Recipes) so Spark and SQL use identical values.
 MINHASH_P = 2_147_483_647
-NUM_HASHES = 12
-LSH_BANDS = 3
-LSH_ROWS = 4  # NUM_HASHES = LSH_BANDS * LSH_ROWS
+#: Banding: 12 bands x 5 rows (60 permutations). The S-curve knee sits at
+#: (1/12)^(1/5) ≈ 0.61; recall in the real near-dup regime (jaccard ≥ 0.8)
+#: is ≥ 99.2% and ≥ 1-4e-6 at 0.92, while the candidate rate for unrelated
+#: docs (jaccard ≤ 0.2) stays ≈ 0.4% — the measured fix for the 3x4
+#: scheme's ~2% miss rate at 0.92 (it dropped a 0.9167-jaccard pair at
+#: sf0.1). Wider signatures cost 5x more min-aggregates at signature time
+#: (map-side combined, cheap next to shingle hashing) and 4x more band
+#: rows in the candidate join (still O(docs), not O(shingles)).
+NUM_HASHES = 60
+LSH_BANDS = 12
+LSH_ROWS = 5  # NUM_HASHES = LSH_BANDS * LSH_ROWS
 
 
 def _lcg_coefficients(n: int = NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
@@ -48,7 +58,19 @@ def token_hash64(col: Column) -> Column:
     md5 is bit-identical across engines; 15 hex chars keep the value under
     2^60 (fits int64 in both). SQL equivalent:
     ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+
+    Fast path: set ``BORSA_SPARK_SHINGLE_HASH=xxhash64`` to hash with
+    Spark's native xxhash64 instead — ~3-4x cheaper per shingle at scan
+    time, the production default on a real cluster. Not oracle-portable
+    (DuckDB has no xxhash64), so the correctness gate runs with the md5
+    default; everything downstream (minhash, simhash, jaccard) only needs
+    hash *equality*, so the two modes differ solely in LSH bucket
+    assignment, never in verified-pair semantics. xxhash64 values span the
+    full signed int64 range; minhash pre-reduces t = shingle % p before
+    the affine step, so |a*t| < 2^62 still holds in either mode.
     """
+    if os.environ.get("BORSA_SPARK_SHINGLE_HASH", "md5") == "xxhash64":
+        return F.xxhash64(col)
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -116,14 +138,41 @@ def sql_shingles(n: int = 3, table: str = "documents",
     """
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+#: Above this many documents, `jaccard_pairs` refuses to run without an
+#: explicit opt-in — the full shingle self-join is quadratic in coincident
+#: shingles and exists as a correctness baseline, not a corpus-scale path.
+JACCARD_FULL_JOIN_MAX_DOCS = 100_000
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    threshold: float = 0.5,
+    *,
+    allow_full_self_join: bool = False,
+    max_docs: int = JACCARD_FULL_JOIN_MAX_DOCS,
+) -> DataFrame:
     """Exact n-gram Jaccard similar pairs from a shingle table.
 
     Self-equi-join on shingle (intersection counts), then
     |A∩B| / (|A|+|B|-|A∩B|) >= threshold. (id_a < id_b.)
-    At 100 TB, prepend an LSH band join (minhash_candidates) to bound the
-    pair space; this exact verifier then runs only on candidates.
+
+    This is the CORRECTNESS BASELINE / verifier, deliberately quadratic:
+    at corpus scale use `minhash_dedup_pairs` (LSH-bounded candidates +
+    `verify_jaccard`). To keep the quadratic surface from being called on
+    a full corpus by accident, inputs larger than ``max_docs`` documents
+    raise unless ``allow_full_self_join=True`` — the guard is one linear
+    distinct-count over the shingle table, paid before any join.
     """
+    if not allow_full_self_join:
+        n_docs = sh.select("id").distinct().count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"jaccard_pairs: {n_docs} documents exceeds the full "
+                f"self-join guard ({max_docs}). This operator is the "
+                "quadratic exact baseline; use minhash_dedup_pairs "
+                "(LSH-bounded) at corpus scale, or pass "
+                "allow_full_self_join=True if you really mean it."
+            )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -148,8 +197,15 @@ def minhash_signature(sh: DataFrame) -> DataFrame:
 
     h_i = min over shingles of ((a_i * t + b_i) mod p), t = hashed-shingle
     mod p (shingles arrive pre-hashed to int64).
+
+    t uses pmod, not %: xxhash64-mode shingles are signed, and a signed
+    mod would make every permutation rank the negative-t shingles ahead of
+    all positive-t ones — the minhash would degenerate to a fixed half of
+    each shingle set (same half for every permutation), quietly inflating
+    the miss rate. pmod restores a single [0, p) domain; for the md5 mode
+    (non-negative 60-bit values) pmod ≡ %, so the oracle SQL is unchanged.
     """
-    t = F.col("shingle") % MINHASH_P
+    t = F.pmod(F.col("shingle"), F.lit(MINHASH_P))
     aggs = [
         F.min((F.lit(a) * t + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -164,6 +220,35 @@ def sql_minhash_signature(shingle_cte: str = "sh") -> str:
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
     return f"SELECT id, {cols} FROM {shingle_cte} GROUP BY id"
+
+
+def minhash_signature_inrow(df: DataFrame, n: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures computed entirely in-row from documents:
+    (id, h0..h{NUM_HASHES-1}) — bit-identical to
+    ``minhash_signature(shingles(df))`` (same coefficients, same pmod
+    domain; array_distinct in-row = the exploded distinct per doc).
+
+    The grouped path shuffles the corpus's exploded shingle relation twice
+    (distinct, then groupBy id); this one computes every permutation's min
+    as an array fold at scan speed — zero shuffles, whole-stage codegen.
+    At 100 TB the signature step becomes a map over the document scan.
+    Documents with fewer than n words yield no shingles and are dropped
+    (the grouped path produces no group for them).
+    """
+    arr = shingle_array(df, n, text_col, id_col)
+
+    def perm(a: int, b: int):
+        return lambda s: (
+            F.lit(a) * F.pmod(s, F.lit(MINHASH_P)) + F.lit(b)
+        ) % MINHASH_P
+
+    cols = [
+        F.array_min(F.transform("shingles", perm(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return arr.filter(F.size("shingles") > 0).select("id", *cols)
 
 
 def lsh_band_keys(sig: DataFrame) -> DataFrame:
@@ -280,7 +365,11 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = shingles(df, n, text_col, id_col)
     if persist_shingles:
         sh = sh.persist()
-    cands = minhash_candidates(minhash_signature(sh))
+    # Signatures from the in-row path: saves the exploded relation's
+    # groupBy-by-id shuffle; the sh relation is built only for verify.
+    cands = minhash_candidates(
+        minhash_signature_inrow(df, n, text_col, id_col)
+    )
     return verify_jaccard(cands, sh, threshold)
 
 
@@ -288,20 +377,24 @@ def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
     max_iters: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-dup CLUSTERS from a pair graph: (id, component) where component
     is the minimum node id in the connected component — the step that turns
     "these documents are pairwise similar" into "keep one per group".
 
-    Hash-min label propagation: every node starts labeled with itself; each
-    round a node takes the min label over itself and its neighbors; stop at
-    fixpoint. Each round is one equi-join + one groupBy (both keyed on the
-    node id), so at cluster scale the cost is O(diameter) shuffles over the
-    EDGE table (bounded: near-dup graphs have tiny components, so diameter
-    is small; pathological chains are capped by ``max_iters`` — production
-    graphs beyond that want the large-star/small-star O(log n) variant).
-    Intermediate labels are persisted per round and lineage is cut with
-    localCheckpoint so the loop does not rebuild a growing plan.
+    Two algorithms, same fixpoint:
+
+    - ``"star"`` (default): alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond").
+      Converges in O(log^2 n) rounds REGARDLESS of component diameter —
+      a 10^6-link chain finishes in ~20 rounds where label propagation
+      needs 10^6. Each round is two groupBy+join passes over the edge
+      list, and the edge list *shrinks* toward one star per component,
+      so late rounds are cheap. The 100 TB path.
+    - ``"label_prop"``: hash-min label propagation — one equi-join + one
+      groupBy per round, O(diameter) rounds. Simpler plan per round;
+      fine when components are known-tiny (typical near-dup graphs).
 
     ``pairs``: (id_a, id_b, ...) undirected edges; ``nodes``: (id) the node
     universe (isolated docs become singleton components).
@@ -309,6 +402,10 @@ def dup_clusters(
     Raises RuntimeError if ``max_iters`` rounds do not converge — loud, not
     a silent partial clustering.
     """
+    if algorithm == "star":
+        return _dup_clusters_star(pairs, nodes, max_iters)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}: star | label_prop")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (
         edges.unionByName(
@@ -353,11 +450,106 @@ def dup_clusters(
                 return labels
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} rounds — "
-            "component diameter exceeds the cap; raise max_iters or use a "
-            "star-contraction variant"
+            "component diameter exceeds the cap; raise max_iters or use "
+            "algorithm='star' (O(log^2 n) rounds, diameter-independent)"
         )
     finally:
         edges.unpersist()
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """(count, xor-of-hashes) fingerprint of an edge set — one tiny
+    aggregate job, used as the convergence test between star rounds."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # Order-insensitive hash-sum, accumulated in decimal(38,0) so the
+        # fold cannot overflow int64 under ANSI mode however many edges.
+        # Collision-safe enough for a convergence check (a false
+        # "converged" needs two distinct edge sets with equal count AND
+        # equal hash-sum in the same run).
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _dup_clusters_star(
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round (one "iteration" = large-star then small-star):
+    - large-star: for every node u, connect each strictly-larger neighbor
+      v to m(u) = min(N(u) ∪ {u}).  Implemented as: bidirect the edge
+      list, groupBy(u).min(v) for m, join back, keep v > u rows.
+    - small-star: orient every edge (max, min); for every node u connect
+      each smaller neighbor — and u itself — to its minimum smaller
+      neighbor.  groupBy(u).min(v), join back, emit (v, m) ∪ (u, m).
+
+    The fixpoint is a star per component centered at the component's min
+    node; both operators preserve connectivity (Kiveris et al. 2014), so
+    labels fall straight out of the final edge list. Convergence is
+    detected with a count+hash fingerprint (no edge-set diff join), and
+    every round's output is localCheckpoint'ed so the loop never rebuilds
+    a growing lineage. Rounds needed: O(log^2 n) worst case, 2-4 in
+    practice for near-dup graphs.
+    """
+    # Orient (max, min), drop self-loops/dups: canonical undirected form.
+    e0 = pairs.select(
+        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    edges = e0.localCheckpoint(eager=True)
+    prev = _edge_checksum(edges)
+    if prev[0] == 0:  # no edges: every node is its own component
+        return nodes.select("id", F.col("id").alias("comp"))
+    for _ in range(max_iters):
+        # -- large-star --------------------------------------------------
+        adj = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star --------------------------------------------------
+        # `large` already emits (bigger, smaller); orient defensively anyway.
+        se = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = se.groupBy("u").agg(F.min("v").alias("mv"))  # mv < u
+        small = (
+            se.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("mv").alias("b"))
+            .unionByName(smins.select(F.col("u").alias("a"), F.col("mv").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=True)
+        cur = _edge_checksum(new_edges)
+        edges = new_edges
+        if cur == prev:
+            # Fixpoint: edges form stars (u -> component min). A node may
+            # transiently carry several edges mid-run, but at the fixpoint
+            # min(v) per u IS the component root; take it defensively.
+            labels = edges.groupBy("u").agg(F.min("v").alias("comp")).select(
+                F.col("u").alias("id"), "comp"
+            )
+            return (
+                nodes.join(labels, "id", "left")
+                .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            )
+        prev = cur
+    raise RuntimeError(
+        f"dup_clusters(star) did not converge in {max_iters} rounds — "
+        "unexpected for star contraction (O(log^2 n)); raise max_iters"
+    )
 
 
 SIMHASH_BITS = 32

@@ -207,7 +207,109 @@ class TestDupClusters:
         )
         nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
         with pytest.raises(RuntimeError, match="did not converge"):
-            dd.dup_clusters(pairs, nodes, max_iters=2)
+            dd.dup_clusters(pairs, nodes, max_iters=2, algorithm="label_prop")
+
+
+class TestStarContraction:
+    def test_chain_beyond_label_prop_budget(self, spark):
+        """A 50-link chain has diameter 50: label propagation cannot finish
+        in 20 rounds (loud error), star contraction converges comfortably
+        inside the same budget — the O(log^2 n) vs O(diameter) contrast the
+        default algorithm exists for."""
+        import pytest
+
+        from borsa_spark.functions import dedup as dd
+
+        n = 51  # 50 edges
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dd.dup_clusters(pairs, nodes, max_iters=20, algorithm="label_prop")
+        out = {r.id: r.comp
+               for r in dd.dup_clusters(pairs, nodes, max_iters=20).collect()}
+        assert out == {i: 0 for i in range(n)}
+
+    def test_empty_pairs_all_singletons(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in (3, 7)], "id long")
+        out = {r.id: r.comp for r in dd.dup_clusters(pairs, nodes).collect()}
+        assert out == {3: 3, 7: 7}
+
+    def test_unknown_algorithm_rejected(self, spark):
+        import pytest
+
+        from borsa_spark.functions import dedup as dd
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            dd.dup_clusters(pairs, nodes, algorithm="bogus")
+
+
+class TestJaccardFullJoinGuard:
+    def test_guard_triggers_and_optin_bypasses(self, spark):
+        import pytest
+
+        from borsa_spark.functions import dedup as dd
+
+        base = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [(i, base) for i in range(5)], "doc_id long, text string"
+        )
+        sh = dd.shingles(docs, 3)
+        with pytest.raises(ValueError, match="minhash_dedup_pairs"):
+            dd.jaccard_pairs(sh, 0.5, max_docs=3)
+        assert dd.jaccard_pairs(
+            sh, 0.5, max_docs=3, allow_full_self_join=True
+        ).count() == 10  # C(5,2) identical docs
+        # under the cap: no opt-in needed
+        assert dd.jaccard_pairs(sh, 0.5).count() == 10
+
+
+class TestInRowSignature:
+    def test_matches_grouped_signature(self, spark):
+        """minhash_signature_inrow must be bit-identical to the grouped
+        path (same coefficients, same pmod domain) on real driver docs —
+        the zero-shuffle scan-speed variant is an optimization, never a
+        semantic fork."""
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        g = dd.minhash_signature(dd.shingles(docs, 3)).orderBy("id").collect()
+        i = dd.minhash_signature_inrow(docs, 3).orderBy("id").collect()
+        assert [tuple(r) for r in g] == [tuple(r) for r in i]
+        assert g  # non-vacuous
+
+
+class TestShingleHashModes:
+    def test_xxhash64_mode_same_verified_pairs(self, spark, monkeypatch):
+        """The xxhash64 fast path changes bucket assignment, never verified
+        -pair semantics: on real driver docs the LSH-verified pair set is
+        identical between modes (near-dup pairs here are far above the
+        banding recall knee in both hash spaces)."""
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+        def pairs():
+            sh = dd.shingles(docs, 3)
+            out = dd.verify_jaccard(
+                dd.minhash_candidates(dd.minhash_signature(sh)), sh, 0.5
+            )
+            return {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+
+        monkeypatch.delenv("BORSA_SPARK_SHINGLE_HASH", raising=False)
+        md5_pairs = pairs()
+        monkeypatch.setenv("BORSA_SPARK_SHINGLE_HASH", "xxhash64")
+        xx_pairs = pairs()
+        assert md5_pairs == xx_pairs
+        assert md5_pairs  # non-vacuous
 
     def test_split_assign_is_deterministic_and_salted(self, spark):
         from borsa_spark.functions import text as tx
@@ -261,7 +363,10 @@ class TestKMeansIvf:
 
 
 class TestDupClustersRandomized:
-    def test_matches_union_find_on_random_graph(self, spark):
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("algorithm", ["star", "label_prop"])
+    def test_matches_union_find_on_random_graph(self, spark, algorithm):
         """Seeded random graph vs a pure-Python union-find reference."""
         import random
 
@@ -295,7 +400,8 @@ class TestDupClustersRandomized:
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
         got = {r.id: r.comp
-               for r in dd.dup_clusters(pairs, nodes, max_iters=40).collect()}
+               for r in dd.dup_clusters(pairs, nodes, max_iters=40,
+                                        algorithm=algorithm).collect()}
         assert got == want
 
 

@@ -97,6 +97,10 @@ def main():
             continue
         problems = compare(name, got, want)
         dt = time.time() - t0
+        # Lifetime hygiene: some library paths persist intermediates (e.g.
+        # shingle checkpoints); drop them once the query has materialized so
+        # an 84-query session doesn't accumulate cached blocks.
+        spark.catalog.clearCache()
         if problems:
             failed += 1
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))

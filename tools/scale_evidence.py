@@ -134,6 +134,7 @@ def main() -> None:
         "f7_minhash_dedup_pairs",
         "f11_lsh_ann_topk",
         "f15_ivf_topk",
+        "f17_dup_clusters",
         "f35_incremental_dedup",
         "f38_sequence_packing",
     ):
@@ -145,6 +146,31 @@ def main() -> None:
             rec = {"query": qname, "sf": tier, "rows": n, "sec": dt}
             results.append(rec)
             print(json.dumps(rec), flush=True)
+
+    # Star-contraction worst case: one 200k-link chain (diameter 200k) —
+    # label propagation would need 200k rounds; star contraction converges
+    # in ~log2(n)+2 ≈ 20 (pure-operator simulation: 51→7, 1k→11, 10k→15,
+    # 200k→19 rounds). Verifies diameter-independence with wall-clock.
+    n_chain = 200_000
+    chain = spark.range(n_chain - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    chain_nodes = spark.range(n_chain).select(F.col("id"))
+    t0 = time.time()
+    one_comp = (
+        dd.dup_clusters(chain, chain_nodes, max_iters=40)
+        .filter(F.col("comp") == 0)
+        .count()
+    )
+    rec = {
+        "query": "star_cc_chain",
+        "sf": "chain200k",
+        "rows": one_comp,  # must equal n_chain: a single component
+        "sec": round(time.time() - t0, 3),
+    }
+    assert one_comp == n_chain, rec
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
     # Hot-bucket guard on the 10x corpus: cap at 64, so the 300-member
     # boilerplate cohort must surface in oversized_buckets (accounting),
