@@ -18,6 +18,14 @@ tours:
 	python examples/market_data_tour.py
 	python examples/streaming_tour.py
 
+# Numbered single-topic examples (reference examples/NN_*.rs ports).
+example-tour:
+	python examples/05_options_chain.py
+	python examples/07_financial_snapshot.py
+	python examples/09_stock_comparison.py
+	python examples/15_routing_policy_exchange_and_strict.py
+	python examples/16_rate_limited_middleware.py
+
 test:
 	python -m pytest tests/ -q
 
