@@ -320,8 +320,23 @@ def verify_jaccard(cands: DataFrame, sh: DataFrame,
     O(|candidates| x avg shingles), never the full shingle self-join. This is
     the property that keeps the pipeline linear-ish at 100 TB: LSH bounds the
     pair space, and verification only touches that space.
+
+    The per-doc size table is semi-join pruned to ids that appear in a
+    candidate pair before aggregating: at corpus scale candidates cover a
+    sliver of the corpus, so sizes is an aggregate over that sliver, not a
+    full-corpus groupBy (and the post-prune table is small enough for AQE
+    to broadcast into the final joins).
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -61,6 +61,40 @@ def media_batch_conf(avg_payload_bytes: int, target_batch_bytes: int = 1 << 28):
     return max(1, target_batch_bytes // max(1, avg_payload_bytes))
 
 
+ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+ARROW_BATCH_DEFAULT = 10_000  # Spark's default rows/batch
+
+
+def autotune_arrow_batch(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    target_batch_bytes: int = 1 << 28,
+    sample_rows: int = 256,
+) -> int:
+    """Probe the average payload size from a BOUNDED sample (limit, not a
+    full scan — at 100 TB the probe reads a few row groups, not the table)
+    and set the session's Arrow rows-per-batch so one mapInPandas batch
+    stays near ``target_batch_bytes``. Returns the chosen rows/batch.
+
+    Only ever tunes DOWN from Spark's 10k default: large payloads are the
+    hazard (a 10 MB image x 10k rows = a 100 GB Arrow batch); tiny payloads
+    gain nothing from bigger batches worth a session-wide bump. The conf is
+    session-scoped — callers running mixed media alongside row-sized pandas
+    UDFs should scope the pipeline to its own session (standard practice
+    for per-workload Spark tuning).
+    """
+    row = (
+        assets.select(F.octet_length(F.col(payload_col)).alias("sz"))
+        .limit(sample_rows)
+        .agg(F.avg("sz"))
+        .first()
+    )
+    avg = int(row[0] or 1)
+    rows = min(ARROW_BATCH_DEFAULT, media_batch_conf(avg, target_batch_bytes))
+    assets.sparkSession.conf.set(ARROW_BATCH_KEY, str(rows))
+    return rows
+
+
 def _fake_dims(digest: bytes) -> tuple[int, int, int]:
     # Deterministic fake: dimensions derived from the payload hash.
     w = 16 + digest[0] % 240
@@ -158,7 +192,7 @@ def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return header + bytes(rgb) * (width * height)
 
 
-def image_features(assets: DataFrame) -> DataFrame:
+def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
     """Decode + feature-extract images: (asset_id, width, height, n_channels,
     mean_luma, sha256, decoder).
 
@@ -167,7 +201,15 @@ def image_features(assets: DataFrame) -> DataFrame:
     available, else the deterministic fake (decoder column says which path
     produced each row). The mapInPandas shape, schema, and batch handling
     are identical across paths.
+
+    ``auto_batch`` (default on) probes a bounded payload sample and sizes
+    the Arrow batch so one batch stays ~256 MB however large the images —
+    without it, 10 MB payloads at Spark's 10k-row default would make
+    100 GB batches. Pass False when the caller manages
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` itself.
     """
+    if auto_batch:
+        autotune_arrow_batch(assets)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,9 +245,14 @@ def image_features(assets: DataFrame) -> DataFrame:
     )
 
 
-def audio_features(assets: DataFrame, window_ms: int = 25) -> DataFrame:
+def audio_features(
+    assets: DataFrame, window_ms: int = 25, auto_batch: bool = True
+) -> DataFrame:
     """Audio feature rows; STUB decode (deterministic RMS from payload hash),
-    real windows-count arithmetic from metadata."""
+    real windows-count arithmetic from metadata. ``auto_batch`` sizes the
+    Arrow batch from a sampled payload probe (see image_features)."""
+    if auto_batch:
+        autotune_arrow_batch(assets)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,9 +281,14 @@ def audio_features(assets: DataFrame, window_ms: int = 25) -> DataFrame:
     ).mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    assets: DataFrame, width: int, height: int, auto_batch: bool = True
+) -> DataFrame:
     """Thumbnail pipeline; STUB: emits a deterministic pseudo-thumbnail
-    (hash-expanded bytes of the target size), real batch plumbing."""
+    (hash-expanded bytes of the target size), real batch plumbing.
+    ``auto_batch`` sizes the Arrow batch from a sampled payload probe."""
+    if auto_batch:
+        autotune_arrow_batch(assets)
 
     nbytes = width * height
 

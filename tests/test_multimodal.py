@@ -130,3 +130,44 @@ class TestMultimodal:
         assert media_batch_conf(10 * 1 << 20) == 25  # 10MB payloads -> 25/batch
         assert media_batch_conf(1) == 1 << 28
         assert media_batch_conf(1 << 40) == 1  # never zero
+
+    def test_autotune_probes_and_sets_conf(self, spark):
+        from borsa_spark.functions.multimodal import (
+            ARROW_BATCH_KEY,
+            autotune_arrow_batch,
+        )
+
+        prev = spark.conf.get(ARROW_BATCH_KEY, None)
+        try:
+            # ~1 MB payloads -> 256MB/1MB = 256 rows per batch
+            big = spark.createDataFrame(
+                [(i, bytes([i % 251]) * (1 << 20)) for i in range(4)],
+                "asset_id long, payload binary",
+            )
+            assert autotune_arrow_batch(big) == 256
+            assert spark.conf.get(ARROW_BATCH_KEY) == "256"
+            # tiny payloads: never tunes UP past Spark's default
+            small = spark.createDataFrame(
+                [(1, b"x")], "asset_id long, payload binary"
+            )
+            assert autotune_arrow_batch(small) == 10_000
+        finally:
+            if prev is not None:
+                spark.conf.set(ARROW_BATCH_KEY, prev)
+            else:
+                spark.conf.unset(ARROW_BATCH_KEY)
+
+    def test_image_features_autotunes_by_default(self, spark, assets):
+        from borsa_spark.functions.multimodal import ARROW_BATCH_KEY
+
+        prev = spark.conf.get(ARROW_BATCH_KEY, None)
+        try:
+            spark.conf.unset(ARROW_BATCH_KEY)
+            image_features(assets)  # plan construction runs the probe
+            assert spark.conf.get(ARROW_BATCH_KEY) is not None
+            spark.conf.unset(ARROW_BATCH_KEY)
+            image_features(assets, auto_batch=False)
+            assert spark.conf.get(ARROW_BATCH_KEY, None) is None
+        finally:
+            if prev is not None:
+                spark.conf.set(ARROW_BATCH_KEY, prev)
