@@ -66,6 +66,14 @@ class RequestTimeout(BorsaSparkError):
     retry_class = RetryClass.TRANSIENT
 
 
+class ProviderError(BorsaSparkError):
+    """Provider-side failure (5xx, malformed payload, API error envelope) —
+    transient: the router's retry/fallback layers may try again or move on
+    (error.rs provider-failure kinds)."""
+
+    retry_class = RetryClass.TRANSIENT
+
+
 class RateLimited(BorsaSparkError):
     retry_class = RetryClass.TRANSIENT
 
