@@ -4,6 +4,8 @@ from borsa_spark.sources.rest import (
     UrllibTransport,
     map_http_error,
     rest_source,
+    socket_quote_stream,
+    stream_source,
 )
 from borsa_spark.sources.tables import TABLES, load_table, register_views
 
@@ -16,4 +18,6 @@ __all__ = [
     "UrllibTransport",
     "map_http_error",
     "rest_source",
+    "socket_quote_stream",
+    "stream_source",
 ]

@@ -41,6 +41,8 @@ from dataclasses import dataclass, field
 from typing import Callable, Iterator, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from borsa_spark.errors import (
     BorsaSparkError,
@@ -361,6 +363,63 @@ class RestAdapter:
         return symbols.select("symbol").mapInPandas(
             fetch_partition, schema=HISTORY_SCHEMA
         )
+
+
+def socket_quote_stream(
+    spark: SparkSession, host: str, port: int, provider: str
+) -> DataFrame:
+    """Live tick stream, websocket-analog: Spark's socket source reading
+    one JSON quote-update per line, parsed into the canonical QUOTE_UPDATES
+    shape (reference: the adapter's streaming start —
+    borsa-yfinance/src/adapter.rs:353-379, websocket with fallback).
+
+    The socket source is Spark's testing-grade line transport; a production
+    feed swaps in Kafka (`format("kafka")` + the same from_json projection)
+    without touching anything downstream — the planner, allow-set filters,
+    monotonic gate, and fan-in consume the shape, not the transport.
+    Malformed lines parse to null and are dropped here (the reference's
+    decode-error drop branch); provider attribution is stamped by this
+    session, not trusted from the wire.
+    """
+    from borsa_spark import schemas
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    wire_schema = T.StructType(
+        [f for f in schemas.QUOTE_UPDATES.fields if f.name != "provider"]
+    )
+    return (
+        raw.select(F.from_json(F.col("value"), wire_schema).alias("u"))
+        .select("u.*")
+        .filter(F.col("symbol").isNotNull() & F.col("ts").isNotNull()
+                & F.col("seq").isNotNull())
+        .select(F.lit(provider).alias("provider"), "*")
+    )
+
+
+def stream_source(
+    spark: SparkSession,
+    name: str,
+    host: str,
+    port: int,
+    kinds: frozenset[str] = ALL_KINDS,
+) -> Source:
+    """Mount a live line-protocol feed as a planner-visible streaming
+    Source: `stream_quotes` is a lazy factory, so the TCP connection opens
+    only when the supervisor actually starts this provider's session."""
+    return Source(
+        name=name,
+        kinds=kinds,
+        tables={
+            "stream_quotes": lambda: socket_quote_stream(
+                spark, host, port, name
+            )
+        },
+    )
 
 
 def rest_source(

@@ -145,6 +145,72 @@ class TestRouterMount:
         assert row.provider == "yf" and float(row.price) == 190.5
 
 
+class TestSocketQuoteStream:
+    def test_live_lines_through_gate(self, spark, tmp_path):
+        """A thread-local TCP server plays the role of the provider's
+        websocket: JSON lines stream through the socket source, parse into
+        QUOTE_UPDATES shape, and the monotonic gate drops the out-of-order
+        update — a live end-to-end drive with no network egress."""
+        import socket
+        import threading
+        import time
+
+        from borsa_spark.sources.rest import socket_quote_stream
+        from borsa_spark.streaming import streaming_monotonic_gate
+
+        lines = [
+            b'{"symbol": "AAPL", "ts": "2026-01-01T00:00:10", "price": 1.0, "seq": 1}\n',
+            b'{"symbol": "AAPL", "ts": "2026-01-01T00:00:20", "price": 2.0, "seq": 2}\n',
+            b'not json at all\n',  # malformed: dropped by the parse filter
+            b'{"symbol": "AAPL", "ts": "2026-01-01T00:00:15", "price": 9.0, "seq": 3}\n',  # stale: gated
+            b'{"symbol": "AAPL", "ts": "2026-01-01T00:00:30", "price": 3.0, "seq": 4}\n',
+        ]
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        stop = threading.Event()
+
+        def serve():
+            conn, _ = srv.accept()
+            with conn:
+                for ln in lines:
+                    conn.sendall(ln)
+                stop.wait(60)  # hold the connection open until the drain
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        try:
+            stream = socket_quote_stream(spark, "127.0.0.1", port, "livefeed")
+            gated = streaming_monotonic_gate(stream, key="symbol")
+            q = (
+                gated.writeStream.format("memory")
+                .queryName("socket_gate")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(processingTime="250 milliseconds")
+                .start()
+            )
+            try:
+                t0 = time.time()
+                while time.time() - t0 < 60:
+                    got = spark.table("socket_gate").collect()
+                    if len(got) >= 3:
+                        break
+                    time.sleep(0.5)
+                rows = {r.seq: r for r in spark.table("socket_gate").collect()}
+                assert set(rows) == {1, 2, 4}, rows  # stale seq=3 gated out
+                assert rows[1].provider == "livefeed"
+                assert float(rows[4].price) == 3.0
+            finally:
+                q.stop()
+        finally:
+            stop.set()
+            srv.close()
+
+
 class TestDistributedHistory:
     def _transport(self):
         def hist_doc(base):
