@@ -378,13 +378,18 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     if 0 < n_files < max(2, parallelism // 2):
         df = df.repartition(parallelism)
     sh = shingles(df, n, text_col, id_col)
-    if persist_shingles:
-        sh = sh.persist()
     # Signatures from the in-row path: saves the exploded relation's
     # groupBy-by-id shuffle; the sh relation is built only for verify.
-    cands = minhash_candidates(
-        minhash_signature_inrow(df, n, text_col, id_col)
-    )
+    # Both intermediates persist under the same flag: the band self-join's
+    # broadcast build and stream sides are separate plan instances (no
+    # ReusedExchange — verified by plan probing), so an unpersisted sig
+    # would pay the 60 array-folds twice, and sh feeds differently-pruned
+    # consumers that can never share its explode+distinct.
+    sig = minhash_signature_inrow(df, n, text_col, id_col)
+    if persist_shingles:
+        sh = sh.persist()
+        sig = sig.persist()
+    cands = minhash_candidates(sig)
     return verify_jaccard(cands, sh, threshold)
 
 
