@@ -144,3 +144,44 @@ class TestRound3PlanShapes:
         plan = plan_of(spark, "f38_sequence_packing")
         assert "FlatMapGroupsInPandas" in plan  # the one sanctioned UDF
         assert "BatchEvalPython" not in plan    # never row-at-a-time
+
+
+class TestRound4PlanShapes:
+    """Pin the round-4 dedup plan claims from SCALE.md."""
+
+    def test_minhash_signature_inrow_is_scan_speed(self, spark):
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        sig = dd.minhash_signature_inrow(docs, 3)
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan          # zero shuffle: pure map
+        assert "Generate" not in plan          # no explode
+
+    def test_f7_signature_not_grouped(self, spark):
+        """f7's signature comes from the in-row path: the plan must not
+        contain the 60-aggregate groupBy over the exploded relation (one
+        hash-aggregate family keyed on id would betray the grouped path).
+        The explode ('Generate') that remains belongs to the verify-side
+        shingle relation and the band-key explode, both expected."""
+        plan = plan_of(spark, "f7_minhash_dedup_pairs")
+        # grouped signature would aggregate 60 min() columns; the in-row
+        # path computes them as array_min projections instead
+        assert "array_min" in plan
+
+    def test_star_contraction_rounds_are_logarithmic(self, spark):
+        """A 100-link chain converges within ~log2(n)+2 rounds — pinned by
+        giving star contraction ONLY 10 rounds (label prop would need 100;
+        sim says 100-chain needs 8)."""
+        from pyspark.sql import functions as F
+
+        from borsa_spark.functions import dedup as dd
+
+        n = 101
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        out = dd.dup_clusters(pairs, nodes, max_iters=10)
+        assert out.filter(F.col("comp") == 0).count() == n
