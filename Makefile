@@ -22,9 +22,11 @@ tours:
 example-tour:
 	python examples/05_options_chain.py
 	python examples/07_financial_snapshot.py
+	python examples/08_history_resampling.py
 	python examples/09_stock_comparison.py
 	python examples/15_routing_policy_exchange_and_strict.py
 	python examples/16_rate_limited_middleware.py
+	python examples/21_download_builder.py
 
 test:
 	python -m pytest tests/ -q
