@@ -675,7 +675,11 @@ def minhash_pairs_against(
     flags = sh.select("id").distinct().select(
         "id", is_existing.alias("__existing")
     )
-    bk = bk.join(flags, "id")
+    # Persist the flagged band keys: the new-side and existing-side filters
+    # below are two consumers of this frame, and (exchange-reuse lesson)
+    # Spark will otherwise run the signature groupBy once per side. Three
+    # small columns per (doc, band); harnesses own cache lifetime.
+    bk = bk.join(flags, "id").persist()
     new_bk = bk.filter(~F.col("__existing")).select(
         F.col("id").alias("id_a"), "band", "band_key"
     )
