@@ -20,6 +20,7 @@ tours:
 
 # Numbered single-topic examples (reference examples/NN_*.rs ports).
 example-tour:
+	python examples/02_history_merge.py
 	python examples/05_options_chain.py
 	python examples/07_financial_snapshot.py
 	python examples/08_history_resampling.py
