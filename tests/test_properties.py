@@ -257,3 +257,48 @@ class TestInferProps:
         else:
             want = deltas[(len(deltas) + 1) // 2 - 1]  # lower median
         assert got == {"AAPL": want}
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components vs a pure-Python union-find model
+# ---------------------------------------------------------------------------
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+class TestStarContractionProps:
+    @SETTINGS
+    @given(edges=edges_st)
+    def test_components_match_union_find(self, spark, edges):
+        from borsa_spark.functions.dedup import dup_clusters
+
+        n = 25
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        if not edges:
+            pairs = pairs.filter("id_a != id_a")  # empty frame, same schema
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {r.id: r.comp
+               for r in dup_clusters(pairs, nodes, max_iters=30).collect()}
+        assert got == want
