@@ -252,13 +252,24 @@ def minhash_signature_inrow(df: DataFrame, n: int = 3,
 
 
 def lsh_band_keys(sig: DataFrame) -> DataFrame:
-    """Explode signatures into (id, band, band_key) for the banded LSH join."""
+    """Explode signatures into (id, band, band_key) for the banded LSH join.
+
+    The band key is xxhash64 over the band's row values — an 8-byte join
+    key instead of a ~50-char concat string, so the candidate join
+    shuffles fingerprints, not signature text. The key never reaches any
+    output (it exists to bucket the join; `verify_jaccard` recomputes
+    exact Jaccard on every candidate), so a hash collision can only ADD a
+    candidate pair that verification then scores exactly — correctness is
+    collision-immune and the oracle SQL can keep its own (string) keys.
+    In `oversized_buckets` accounting the key is therefore an opaque
+    bucket id.
+    """
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
         bands.append(
             F.struct(F.lit(b).alias("band"),
-                     F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"))
+                     F.xxhash64(F.lit(b), *cols).alias("key"))
         )
     return (
         sig.select("id", F.explode(F.array(*bands)).alias("bk"))
