@@ -3715,6 +3715,121 @@ def f39_pack_efficiency(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# S2 / R6: effective-interval planning as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+#: Rule-matrix cases: (case_id, supported intervals, requested interval) —
+#: each exercises a distinct branch of choose_effective_interval
+#: (exact hit, largest-divisor pick, no-divisor rejection, daily/weekly
+#: calendar fallbacks, calendar passthrough). Shared literal between the
+#: Spark side (which runs the REAL planner) and the SQL side (which
+#: re-derives the rule from scratch).
+_S2_CASES = [
+    (1, "1m,5m,15m,1h", "1h"),
+    (2, "1m,5m,15m", "1h"),
+    (3, "2m,30m", "90m"),
+    (4, "5m,90m", "30m"),
+    (5, "30m", "5m"),
+    (6, "1m,30m", "1d"),
+    (7, "1d,1m", "1d"),
+    (8, "1d,5m", "1wk"),
+    (9, "5m,90m", "1wk"),
+    (10, "1mo", "1wk"),
+    (11, "1d", "1mo"),
+    (12, "1m", "2m"),
+    (13, "2m", "1m"),
+    (14, "90m,1h", "90m"),
+    (15, "1h,15m", "90m"),
+]
+
+_S2_VALUES = ", ".join(
+    f"({cid}, '{sup}', '{req}')" for cid, sup, req in _S2_CASES
+)
+
+_S2_SQL = f"""
+    WITH cases(case_id, supported, requested) AS (VALUES {_S2_VALUES}),
+    mins(iv, m) AS (VALUES ('1m',1),('2m',2),('5m',5),('15m',15),
+                           ('30m',30),('1h',60),('90m',90)),
+    sup AS (SELECT case_id, unnest(string_split(supported, ',')) AS s
+            FROM cases),
+    sup_m AS (SELECT sup.case_id, s, m FROM sup LEFT JOIN mins ON s = iv),
+    req_m AS (SELECT case_id, m AS rm
+              FROM cases LEFT JOIN mins ON requested = iv),
+    exact AS (SELECT DISTINCT sup.case_id, TRUE AS is_exact
+              FROM sup JOIN cases USING (case_id) WHERE s = requested),
+    best_div AS (
+      SELECT sm.case_id, max_by(sm.s, sm.m) AS div_iv
+      FROM sup_m sm JOIN req_m r USING (case_id)
+      WHERE sm.m IS NOT NULL AND r.rm IS NOT NULL
+        AND sm.m <= r.rm AND r.rm % sm.m = 0
+      GROUP BY sm.case_id),
+    coarsest AS (SELECT case_id, max_by(s, m) AS c_iv
+                 FROM sup_m WHERE m IS NOT NULL GROUP BY case_id),
+    has_1d AS (SELECT DISTINCT case_id FROM sup WHERE s = '1d')
+    SELECT c.case_id::BIGINT AS case_id, c.supported, c.requested,
+      CASE
+        WHEN coalesce(e.is_exact, FALSE) THEN c.requested
+        WHEN r.rm IS NOT NULL THEN coalesce(b.div_iv, 'unsupported')
+        WHEN c.requested = '1d' THEN coalesce(co.c_iv, 'unsupported')
+        WHEN c.requested = '1wk' THEN
+          CASE WHEN h.case_id IS NOT NULL THEN '1d'
+               ELSE coalesce(co.c_iv, 'unsupported') END
+        ELSE c.requested
+      END AS effective,
+      CASE
+        WHEN coalesce(e.is_exact, FALSE) THEN NULL
+        WHEN r.rm IS NOT NULL THEN
+          CASE WHEN b.div_iv IS NOT NULL THEN 'minutes' END
+        WHEN c.requested = '1d' THEN
+          CASE WHEN co.c_iv IS NOT NULL THEN 'daily' END
+        WHEN c.requested = '1wk' THEN
+          CASE WHEN h.case_id IS NOT NULL OR co.c_iv IS NOT NULL
+               THEN 'weekly' END
+        ELSE NULL
+      END AS resample_kind,
+      (CASE WHEN NOT coalesce(e.is_exact, FALSE) AND r.rm IS NOT NULL
+                 AND b.div_iv IS NOT NULL
+            THEN r.rm END)::BIGINT AS resample_minutes
+    FROM cases c
+    LEFT JOIN exact e USING (case_id)
+    LEFT JOIN req_m r USING (case_id)
+    LEFT JOIN best_div b USING (case_id)
+    LEFT JOIN coarsest co USING (case_id)
+    LEFT JOIN has_1d h ON h.case_id = c.case_id
+"""
+
+
+@query("s2_interval_plan", _S2_SQL)
+def s2_interval_plan(spark, sf):
+    """S2/R6 scan-granularity pushdown, oracle-checked: the Spark side runs
+    the REAL planner (`plans.intervals.choose_effective_interval` — the
+    code every history scan goes through) over the rule matrix; the oracle
+    re-derives the largest-divisor + calendar-fallback rules from scratch
+    in SQL over the same literal cases. Two independent implementations of
+    history.rs:38-123's planning rules, hash-compared — the planner branch
+    that decides whether a 60m ask scans 1m bars (60x the I/O) or 30m
+    bars is now pinned by the driver gate, not only pytest.
+    """
+    from borsa_spark.errors import UnsupportedError as _Unsup
+    from borsa_spark.plans.intervals import choose_effective_interval
+
+    rows = []
+    for cid, sup, req in _S2_CASES:
+        try:
+            eff, plan = choose_effective_interval(sup.split(","), req)
+            kind = plan.kind if plan is not None else None
+            minutes = plan.minutes if plan is not None else None
+        except _Unsup:
+            eff, kind, minutes = "unsupported", None, None
+        rows.append((cid, sup, req, eff, kind, minutes))
+    return spark.createDataFrame(
+        rows,
+        "case_id long, supported string, requested string, "
+        "effective string, resample_kind string, resample_minutes long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of
