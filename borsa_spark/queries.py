@@ -3830,6 +3830,136 @@ def s2_interval_plan(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# R1/R2: routing-policy resolution as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+#: Fixed policy: four scoped rules + a global fallback. rule_idx is the
+#: definition order (equal specificity -> later rule wins).
+_R1_RULES = [
+    # (rule_idx, sel_symbol, sel_kind, sel_exchange, providers, strict)
+    (0, "AAPL", None, None, "p2,p1", False),
+    (1, None, "EQUITY", None, "p1,p0", False),
+    (2, None, "EQUITY", "XETRA", "p3", True),
+    (3, "AAPL", None, "XETRA", "p0", False),
+]
+_R1_GLOBAL = ("p0,p1", False)
+_R1_PROVIDERS = ["p0", "p1", "p2", "p3"]
+
+#: Context matrix: each hits a different resolution branch — single rule,
+#: specificity tie-break, equal-specificity later-wins, strict exclusion,
+#: global fallback, no-rule-no-global default.
+_R1_CTXS = [
+    (1, "AAPL", None, None),        # rule 0 (symbol)
+    (2, "MSFT", "EQUITY", None),    # rule 1 (kind)
+    (3, "MSFT", "EQUITY", "XETRA"), # rule 2 (kind+exchange, strict)
+    (4, "AAPL", None, "XETRA"),     # rules 0 vs 3: both spec-2? 0 is spec-1 -> rule 3
+    (5, "AAPL", "EQUITY", "XETRA"), # rules 0,1,2,3 all match: spec-2 tie -> later (3)
+    (6, "MSFT", None, None),        # no rule -> global
+    (7, None, "CRYPTO", None),      # no rule -> global
+]
+
+
+def _r1_sql() -> str:
+    rules = ", ".join(
+        "({}, {}, {}, {}, '{}', {})".format(
+            idx,
+            f"'{s}'" if s else "NULL", f"'{k}'" if k else "NULL",
+            f"'{e}'" if e else "NULL", provs, str(strict).upper(),
+        )
+        for idx, s, k, e, provs, strict in _R1_RULES
+    )
+    ctxs = ", ".join(
+        "({}, {}, {}, {})".format(
+            cid, f"'{s}'" if s else "NULL", f"'{k}'" if k else "NULL",
+            f"'{e}'" if e else "NULL",
+        )
+        for cid, s, k, e in _R1_CTXS
+    )
+    provs = ", ".join(f"('{p}')" for p in _R1_PROVIDERS)
+    g_provs, g_strict = _R1_GLOBAL
+    return f"""
+    WITH rules(rule_idx, sel_symbol, sel_kind, sel_exchange, providers,
+               strict) AS (VALUES {rules}),
+    ctxs(case_id, symbol, kind, exchange) AS (VALUES {ctxs}),
+    provs(provider) AS (VALUES {provs}),
+    matched AS (
+      SELECT c.case_id, r.*,
+             ((sel_symbol IS NOT NULL)::INT + (sel_kind IS NOT NULL)::INT
+              + (sel_exchange IS NOT NULL)::INT) * 1000
+             + (sel_symbol IS NOT NULL)::INT * 100
+             + (sel_kind IS NOT NULL)::INT * 10
+             + (sel_exchange IS NOT NULL)::INT AS spec
+      FROM ctxs c JOIN rules r
+        ON (sel_symbol IS NULL OR sel_symbol = c.symbol)
+       AND (sel_kind IS NULL OR sel_kind = c.kind)
+       AND (sel_exchange IS NULL OR sel_exchange = c.exchange)),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY case_id ORDER BY spec DESC, rule_idx DESC) AS rn
+        FROM matched) WHERE rn = 1),
+    governing AS (
+      SELECT c.case_id,
+             coalesce(b.providers, '{g_provs}') AS providers,
+             coalesce(b.strict, {str(g_strict).upper()}) AS strict
+      FROM ctxs c LEFT JOIN best b USING (case_id))
+    SELECT g.case_id::BIGINT AS case_id, p.provider,
+           (pos > 0 OR NOT g.strict) AS eligible,
+           (pos > 0) AS listed,
+           (CASE WHEN pos > 0 THEN pos - 1 END)::BIGINT AS rank,
+           -- strict is only meaningful for listed providers; FALSE
+           -- elsewhere keeps the column total (NULL booleans hash
+           -- differently across engines)
+           (pos > 0 AND g.strict) AS strict
+    FROM governing g CROSS JOIN provs p
+    CROSS JOIN LATERAL (SELECT list_position(
+        string_split(g.providers, ','), p.provider) AS pos)
+    """
+
+
+@query("r1_policy_resolution", _r1_sql())
+def r1_policy_resolution(spark, sf):
+    """R1/R2 routing-policy resolution, oracle-checked: the Spark side runs
+    the REAL `ProviderPolicy.provider_rank` (specificity ordering, equal-
+    specificity later-rule-wins, strict exclusion, global fallback —
+    borsa-types routing policy semantics) over a 7-context x 4-provider
+    matrix; the oracle re-derives the whole resolution in SQL from the
+    same literal rules. Exercises the exact code path `Catalog.eligible`
+    sorts providers with."""
+    from borsa_spark.plans.routing_policy import (
+        INF,
+        ProviderPolicy,
+        RoutingContext,
+        Selector,
+    )
+
+    pol = ProviderPolicy()
+    for _idx, s, k, e, provs, strict in _R1_RULES:
+        pol.add_rule(
+            Selector(symbol=s, kind=k, exchange=e), provs.split(","), strict
+        )
+    pol.set_global(_R1_GLOBAL[0].split(","), _R1_GLOBAL[1])
+
+    rows = []
+    for cid, s, k, e in _R1_CTXS:
+        ctx = RoutingContext(symbol=s, kind=k, exchange=e)
+        for p in _R1_PROVIDERS:
+            res = pol.provider_rank(ctx, p)
+            eligible = res is not None
+            listed = eligible and res[0] != INF
+            rows.append((
+                cid, p, eligible, listed,
+                res[0] if listed else None,
+                bool(listed and res[1]),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "case_id long, provider string, eligible boolean, listed boolean, "
+        "rank long, strict boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of
