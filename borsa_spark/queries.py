@@ -3960,6 +3960,130 @@ def r1_policy_resolution(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# T5: supervisor backoff schedule as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+_T5_MIN, _T5_FACTOR, _T5_MAX, _T5_ROUNDS = 500, 2, 4000, 6
+
+_T5_SQL = f"""
+    SELECT r AS round,
+           least({_T5_MIN} * power({_T5_FACTOR}, r), {_T5_MAX})::BIGINT
+             AS delay_ms
+    FROM range(1, {_T5_ROUNDS} + 1) t(r)
+    UNION ALL
+    SELECT 0 AS round, {_T5_MIN}::BIGINT AS delay_ms  -- reset-on-success
+"""
+
+
+@query("t5_backoff_schedule", _T5_SQL)
+def t5_backoff_schedule(spark, sf):
+    """T5 exponential backoff, oracle-checked: drive the REAL supervisor
+    state machine (supervisor_sm.rs port) through success -> session end ->
+    {{tick, start-fail}} x N and record every ScheduleBackoffTick delay it
+    emits; the oracle is the closed form min(min_backoff * factor^k, cap)
+    plus the reset-to-min row that a success from cooldown must produce.
+    The retry cadence a 1000-executor deployment would hammer providers
+    with is now hash-pinned, not only asserted in pytest."""
+    from borsa_spark.errors import ProviderTimeout
+    from borsa_spark.streaming import (
+        BackoffTick,
+        ScheduleBackoffTick,
+        SessionEnded,
+        StartFailed,
+        StartSucceeded,
+        make_supervisor,
+    )
+
+    sm = make_supervisor(
+        [["AAPL"]], min_backoff_ms=_T5_MIN, factor=_T5_FACTOR,
+        max_backoff_ms=_T5_MAX,
+    )
+    sm, _ = sm.handle(BackoffTick())
+    sm, _ = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+    sm, _ = sm.handle(SessionEnded(id=0))
+    rows = []
+    for rnd in range(1, _T5_ROUNDS + 1):
+        sm, actions = sm.handle(BackoffTick())
+        ticks = [a for a in actions if isinstance(a, ScheduleBackoffTick)]
+        rows.append((rnd, ticks[-1].delay_ms))
+        sm, _ = sm.handle(StartFailed(id=0, error=ProviderTimeout("x")))
+    # success from cooldown resets the backoff to min
+    sm, _ = sm.handle(BackoffTick())
+    sm, _ = sm.handle(StartSucceeded(id=0, symbols=("AAPL",)))
+    rows.append((0, sm.backoff_ms))
+    return spark.createDataFrame(rows, "round long, delay_ms long")
+
+
+# ---------------------------------------------------------------------------
+# R8: error-collapse rules as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+#: (case_id, attempted, error kinds csv, not_found_what or None)
+_R8_CASES = [
+    (1, 0, "", None),
+    (2, 1, "ProviderTimeout", None),
+    (3, 2, "ProviderTimeout,ProviderTimeout", None),
+    (4, 2, "NotFoundError,NotFoundError", "quote AAPL"),
+    (5, 2, "NotFoundError", None),
+    (6, 2, "ProviderTimeout,NotFoundError", None),
+    (7, 1, "RateLimited", None),
+    (8, 3, "ProviderTimeout,ProviderTimeout", None),  # 2 of 3 timed out
+]
+
+_R8_VALUES = ", ".join(
+    "({}, {}, '{}', {})".format(
+        cid, att, errs, f"'{what}'" if what else "NULL"
+    )
+    for cid, att, errs, what in _R8_CASES
+)
+
+_R8_SQL = f"""
+    WITH cases(case_id, attempted, errs, what) AS (VALUES {_R8_VALUES}),
+    parsed AS (
+      SELECT case_id, attempted, what,
+             CASE WHEN errs = '' THEN [] ELSE string_split(errs, ',') END
+               AS kinds
+      FROM cases)
+    SELECT case_id::BIGINT AS case_id,
+      CASE
+        WHEN attempted = 0 OR len(kinds) = 0 THEN 'UnsupportedError'
+        WHEN len(kinds) = attempted AND len(list_filter(kinds,
+             k -> k = 'ProviderTimeout')) = len(kinds)
+          THEN 'AllProvidersTimedOut'
+        WHEN what IS NOT NULL AND len(list_filter(kinds,
+             k -> k = 'NotFoundError')) = len(kinds)
+          THEN 'NotFoundError'
+        WHEN len(kinds) = 1 THEN kinds[1]
+        ELSE 'AllProvidersFailed'
+      END AS collapsed
+    FROM parsed
+"""
+
+
+@query("r8_error_collapse", _R8_SQL)
+def r8_error_collapse(spark, sf):
+    """R8 error taxonomy collapse, oracle-checked: the REAL
+    `errors.collapse_errors` (reference util.rs:30-60 rules — nothing
+    attempted -> Unsupported, all-timeouts -> AllProvidersTimedOut,
+    all-not-found with a target -> NotFound, singleton -> itself, else
+    AllProvidersFailed) over a case matrix; the oracle re-derives the
+    rules in SQL over the same literal kind lists."""
+    from borsa_spark import errors as E
+
+    mk = {
+        "ProviderTimeout": lambda: E.ProviderTimeout("t"),
+        "NotFoundError": lambda: E.NotFoundError("n"),
+        "RateLimited": lambda: E.RateLimited("r"),
+    }
+    rows = []
+    for cid, att, errs, what in _R8_CASES:
+        errors = [mk[k]() for k in errs.split(",") if k]
+        out = E.collapse_errors(att, errors, "quote", not_found_what=what)
+        rows.append((cid, type(out).__name__))
+    return spark.createDataFrame(rows, "case_id long, collapsed string")
+
+
+# ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of
