@@ -4088,39 +4088,44 @@ def r8_error_collapse(spark, sf):
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of
 # ``__spark_entry__.queries()``.  Rounds 2-3 both recorded the identical
-# 50-name window (registration order), leaving 34 registered queries with no
-# driver CORRECTNESS row even though every oracle-backed one replays green
+# 50-name window (registration order), leaving every later registration with
+# no driver CORRECTNESS row even though every oracle-backed one replays green
 # locally (tools/check_oracle.py).  To get every query witnessed at least
-# once across rounds, rotate: queries that already have a driver row
-# (CORRECTNESS_r03.json) sort last; never-witnessed ones sort first, in
-# registration order.  Semantics of each query are unchanged — this is
-# purely dict ordering.
-_R3_WITNESSED = frozenset(
-    {
-        "rel_q1_pricing_summary", "rel_q3_top_orders", "rel_q5_region_revenue",
-        "rel_q6_revenue_filter", "rel_q4_order_priority",
-        "rel_q10_returned_revenue", "rel_q12_shipmode_priority",
-        "rel_q14_promo_revenue", "rel_q13_customer_distribution",
-        "a2_ohlc_daily", "a4_ohlc_hourly", "a3_ohlc_weekly",
-        "t12_candles_vs_batch", "a7_volume_saturation", "a10_rollup_cascade",
-        "a11_gap_fill", "a5_tz_daily", "a5_offset_daily",
-        "j1_merge_first_wins", "a9_attribution_spans", "o8_range_join",
-        "p7_monotonic_gate", "o6_interval_infer", "s3_latest_quote",
-        "s11_option_latest", "s14_json_props_extract", "o7_asof_join",
-        "p5_adjusted_preference", "s12_download_summary", "a6_actions_dedup",
-        "a8_quotes_batch_failures", "p4_exchange_enforcement",
-        "f1_exact_dedup", "f2_text_stats", "f3_fingerprint", "f4_lang_guess",
-        "f5_ngram_jaccard_pairs", "f17_dup_clusters", "f18_corpus_split",
-        "f19_tfidf_top_terms", "f21_sessionize", "f26_session_window_native",
-        "f27_snapshot_diff", "o9_pivot_daily_mix", "o10_grouping_sets",
-        "o11_unpivot_round_trip", "o12_upsert_emulation",
-        "w6_rolling_features", "f22_normalized_dedup",
-        "f23_quality_median_gate",
-    }
-)
+# once across rounds, rotate: read every CORRECTNESS_r*.json the driver has
+# produced so far, count per-query green witnessings, and sort the registry
+# least-witnessed-first (ties keep registration order).  Self-maintaining:
+# when round N's artifact lands, round N+1's window automatically rotates to
+# whatever is still unwitnessed/least-witnessed.  Semantics of each query
+# are unchanged — this is purely dict ordering.
 
-_witness_order = [n for n in QUERIES if n not in _R3_WITNESSED] + [
-    n for n in QUERIES if n in _R3_WITNESSED
-]
+
+def _witness_counts() -> dict[str, int]:
+    import glob
+    import json as _json
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            # "Witnessed" = the driver recorded a green row: rows matched
+            # and the value-hash (when an oracle applies) matched too.
+            if row.get("rows_match") and row.get("hash_match", True):
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+_seen = _witness_counts()
+_order = list(QUERIES)
+_witness_order = sorted(
+    _order, key=lambda n: (_seen.get(n, 0), _order.index(n))
+)
 QUERIES = {n: QUERIES[n] for n in _witness_order}
 ORACLES = {n: ORACLES[n] for n in _witness_order if n in ORACLES}
