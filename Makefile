@@ -18,16 +18,34 @@ tours:
 	python examples/market_data_tour.py
 	python examples/streaming_tour.py
 
-# Numbered single-topic examples (reference examples/NN_*.rs ports).
+# Numbered single-topic examples (reference examples/NN_*.rs ports — full
+# 00-24 parity; 16 is the rate-limit demo renamed for what it shows here).
 example-tour:
+	python examples/00_tracing.py
+	python examples/01_simple_quote.py
 	python examples/02_history_merge.py
+	python examples/03_search.py
+	python examples/04_price_target.py
 	python examples/05_options_chain.py
+	python examples/06_fundamentals_deep_dive.py
 	python examples/07_financial_snapshot.py
 	python examples/08_history_resampling.py
 	python examples/09_stock_comparison.py
+	python examples/10_analyst_recommendations.py
+	python examples/11_upcoming_events.py
+	python examples/12_per_symbol_priority.py
+	python examples/13_fetch_strategies.py
+	python examples/14_merge_strategies.py
 	python examples/15_routing_policy_exchange_and_strict.py
 	python examples/16_rate_limited_middleware.py
+	python examples/17_streaming.py
+	python examples/18_holders.py
+	python examples/19_news.py
+	python examples/20_esg.py
 	python examples/21_download_builder.py
+	python examples/22_multi_quotes.py
+	python examples/23_dataframe.py
+	python examples/24_quota_middleware.py
 
 test:
 	python -m pytest tests/ -q
