@@ -750,3 +750,90 @@ def simhash_inrow(df: DataFrame, n: int = 3, text_col: str = "text",
         val = val + F.when(cnt * 2 > ntot, F.lit(1 << j)).otherwise(F.lit(0))
     return arr.filter(ntot > 0).select("id", val.alias("simhash"))
 
+
+
+#: Document-frequency ceiling for containment candidate generation: shingles
+#: shared by more documents than this are treated as corpus-common (stop
+#: shingles) and skipped when PAIRING — they still count toward the exact
+#: intersection of any candidate pair. Bounds the candidate join at
+#: O(df_cap * rows-per-shingle) instead of quadratic in hot shingles.
+CONTAINMENT_MAX_SHINGLE_DF = 100
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int = CONTAINMENT_MAX_SHINGLE_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment = |A ∩ B| / min(|A|,|B|).
+
+    Symmetric Jaccard misses subset duplication — a short document pasted
+    inside a much longer one scores jaccard ≈ |A|/|B| (small) but
+    containment ≈ 1. MinHash-LSH banding approximates JACCARD, so its
+    candidate generation also misses those pairs; containment needs its own
+    candidate path. This is the PPJoin-family prefix idea re-expressed
+    relationally: two documents can only have high containment if they
+    share at least one *non-ubiquitous* shingle, so candidates come from an
+    equi-join of the shingle table restricted to shingles with document
+    frequency <= ``max_shingle_df``.
+
+    Scale shape: the df table is one groupBy on the 8-byte shingle hash
+    (map-side combine); the candidate join is per-shingle bounded by the df
+    cap (worst case df_cap ~ 100 rows per shingle key — never a hot-key
+    blowup); the exact intersection then runs only over candidate pairs via
+    the same bounded join as ``verify_jaccard``. A pair ALL of whose shared
+    shingles are corpus-common is not generated — that is the documented
+    cap semantics (such "duplicates" are boilerplate overlap, which the
+    cluster-level dedup is not supposed to merge).
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, containment, jaccard) for
+    pairs with containment >= ``threshold``; both ratios rounded 4dp for
+    cross-engine comparison.
+    """
+    sh = shingles(df, n, text_col, id_col)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    rare = sh.join(dfc.filter(F.col("__df") <= max_shingle_df), "shingle")
+    cands = (
+        rare.select(F.col("id").alias("id_a"), "shingle")
+        .join(rare.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(cont >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

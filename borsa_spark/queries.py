@@ -4084,6 +4084,108 @@ def r8_error_collapse(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# f40-f41: containment dedup and corpus-LM quality — round-4 additions to
+# the training-data family
+# ---------------------------------------------------------------------------
+
+_F40_SQL = f"""
+    WITH sh AS ({_SH_CTE}),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    rare AS (SELECT sh.id, sh.shingle FROM sh JOIN dfc USING (shingle)
+             WHERE df <= 100),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM rare x JOIN rare y USING (shingle) WHERE x.id < y.id),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, i.n_inter::BIGINT AS n_inter,
+           sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+           round(i.n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 4)
+             AS containment,
+           round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.9
+"""
+
+
+@query("f40_containment_pairs", _F40_SQL)
+def f40_containment_pairs(spark, sf):
+    """Asymmetric containment dedup: pairs where the smaller document's
+    shingle set is >= 90% contained in the larger's — the subset-duplicate
+    case (quotes, excerpt reposts, doc-inside-doc) that symmetric
+    Jaccard/MinHash-LSH banding structurally misses. Candidates come from
+    an equi-join on non-ubiquitous shingles (document frequency <= 100),
+    the PPJoin prefix idea as a relational plan; exact intersections run
+    only over that candidate space.
+
+    Scale shape: see ``containment_pairs`` — the df cap bounds every
+    per-shingle join fanout, intersections reuse verify_jaccard's
+    candidates ⨝ shingles ⨝ shingles equi-join shape, and sizes aggregate
+    over the candidate sliver only.
+    """
+    docs = load_table(spark, sf, "documents")
+    return _dd.containment_pairs(docs, n=3, threshold=0.9)
+
+
+_F41_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(ln(c * 1.0 / n)), 4) AS avg_logprob
+    FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@query("f41_unigram_logprob", _F41_SQL)
+def f41_unigram_logprob(spark, sf):
+    """Corpus-LM quality score: per-document mean log-probability under
+    the corpus's own unigram model — the KenLM-perplexity-filter stage of
+    a training pipeline reduced to its self-contained analog (documents
+    full of corpus-typical tokens score high; gibberish and off-
+    distribution text score low; exp(-avg_logprob) is the perplexity).
+
+    Scale shape: tokens are hashed to int64 at the explode (the same
+    portable-hash trick as shingles — every downstream shuffle moves 8
+    bytes, not words); the model is one groupBy on the hashed token with
+    map-side combine; the corpus total is a broadcastable 1-row aggregate;
+    scoring re-joins tokens to the model on the hash key (shuffle
+    partitioning reused) and folds per-doc with map-side combine. Natural
+    log of identical doubles, averaged then rounded 4dp — stable across
+    engines.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("__w")
+    ).select("doc_id", _dd.token_hash64(F.col("__w")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    model = cnt.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("c") / F.col("n")).alias("logp")
+    )
+    return (
+        toks.join(model, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of

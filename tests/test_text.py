@@ -671,3 +671,46 @@ class TestSequencePacking:
         b = {tuple(r) for r in
              pack_sequences(docs.repartition(17), 256, 4).collect()}
         assert a == b
+
+
+class TestContainmentPairs:
+    def test_subset_duplicate_found_despite_low_jaccard(self, spark):
+        """A short doc pasted inside a much longer one: containment = 1.0
+        but jaccard is small — minhash-LSH banding (which approximates
+        jaccard) would never surface it; the df-capped shingle join must."""
+        import borsa_spark.functions.dedup as dd
+
+        small = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (1, small),
+                (2, small + " " + filler),
+                (3, "totally different words here entirely " + filler[:60]),
+            ],
+            "doc_id long, text string",
+        )
+        out = dd.containment_pairs(docs, n=3, threshold=0.9).collect()
+        pairs = {(r.id_a, r.id_b): r for r in out}
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        assert float(r.containment) == 1.0
+        # the small doc's 4 shingles all live in doc 2, but jaccard is tiny
+        assert float(r.jaccard) < 0.5
+        # and the jaccard-based production pipeline at 0.5 misses the pair,
+        # which is exactly why containment needs its own candidate path
+        jacc = dd.minhash_dedup_pairs(docs, n=3, threshold=0.5).collect()
+        assert (1, 2) not in {(x.id_a, x.id_b) for x in jacc}
+
+    def test_df_cap_drops_common_only_pairs(self, spark):
+        """Docs whose ONLY overlap is corpus-ubiquitous shingles are not
+        candidates once those shingles exceed the df cap (documented cap
+        semantics: boilerplate overlap is not subset duplication)."""
+        import borsa_spark.functions.dedup as dd
+
+        boiler = "all rights reserved terms of use"
+        rows = [(i, boiler + f" unique{i} tail{i} words{i}") for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dd.containment_pairs(docs, n=3, threshold=0.5,
+                                   max_shingle_df=3).collect()
+        assert out == []
