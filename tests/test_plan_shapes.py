@@ -163,12 +163,25 @@ class TestRound4PlanShapes:
         """f7's signature comes from the in-row path: the plan must not
         contain the 60-aggregate groupBy over the exploded relation (one
         hash-aggregate family keyed on id would betray the grouped path).
-        The explode ('Generate') that remains belongs to the verify-side
-        shingle relation and the band-key explode, both expected."""
+        The only explodes left are the 12-element band-key arrays."""
         plan = plan_of(spark, "f7_minhash_dedup_pairs")
         # grouped signature would aggregate 60 min() columns; the in-row
         # path computes them as array_min projections instead
         assert "array_min" in plan
+
+    def test_f7_verify_is_array_intersect(self, spark):
+        """The exploded shingle relation must not exist anywhere in f7's
+        plan: verification joins candidate pairs to the (id, shingles
+        array) relation and intersects in-row. A per-shingle explode would
+        reintroduce the corpus-sized verify shuffle family."""
+        plan = plan_of(spark, "f7_minhash_dedup_pairs")
+        assert "array_intersect" in plan
+        # every Generate in the plan is a band-key explode (12-element
+        # array of band structs), never a shingle explode
+        import re
+
+        for args in re.findall(r"Arguments: explode\(([^\n]*)", plan):
+            assert "shingle" not in args, args
 
     def test_star_contraction_rounds_are_logarithmic(self, spark):
         """A 100-link chain converges within ~log2(n)+2 rounds — pinned by

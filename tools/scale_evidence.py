@@ -137,6 +137,8 @@ def main() -> None:
         "f17_dup_clusters",
         "f35_incremental_dedup",
         "f38_sequence_packing",
+        "f40_containment_pairs",
+        "f41_unigram_logprob",
     ):
         fn = QUERIES[qname]
         for tier, path in tiers:
