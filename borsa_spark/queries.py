@@ -4185,6 +4185,67 @@ def f41_unigram_logprob(spark, sf):
     )
 
 
+_F42_SQL = """
+    WITH toks AS (
+      SELECT source,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tok
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t),
+    st AS (SELECT source, tok, count(*) AS c FROM toks
+           GROUP BY source, tok),
+    stot AS (SELECT source, sum(c) AS n FROM st GROUP BY source),
+    ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY tok),
+    ctot AS (SELECT sum(cc) AS nn FROM ct)
+    SELECT st.source, stot.n::BIGINT AS n_tokens,
+           round(sum((st.c * 1.0 / stot.n)
+                     * ln((st.c * 1.0 / stot.n) / (ct.cc * 1.0 / ctot.nn))),
+                 4) AS kl_divergence
+    FROM st
+    JOIN stot USING (source)
+    JOIN ct USING (tok)
+    CROSS JOIN ctot
+    GROUP BY st.source, stot.n
+"""
+
+
+@query("f42_source_kl_divergence", _F42_SQL)
+def f42_source_kl_divergence(spark, sf):
+    """Per-source distribution drift: KL(source unigram || corpus unigram)
+    — the ingest-monitoring stage that flags a crawl source whose token
+    distribution has shifted away from the corpus (spam floods, template
+    takeover, language drift) before it pollutes the training mix. Every
+    source term has corpus support by construction (the corpus contains
+    the source), so the KL sum is always finite.
+
+    Scale shape: one groupBy on (source, hashed token) with map-side
+    combine is the only corpus-sized shuffle; per-source totals and the
+    corpus model derive from that ALREADY-AGGREGATED table (vocab-sized,
+    re-aggregated on its existing key); the final fold is per source
+    (#sources rows). Tokens shuffle as 8-byte hashes throughout.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("__w")
+    ).select("source", _dd.token_hash64(F.col("__w")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
+    ctot = ct.agg(F.sum("cc").alias("nn"))
+    p_s = F.col("c") / F.col("n")
+    p_c = F.col("cc") / F.col("nn")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl_divergence"))
+        .select(
+            "source", F.col("n").cast("long").alias("n_tokens"),
+            "kl_divergence",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
