@@ -86,6 +86,12 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failed += 1
             continue
+        finally:
+            # Lifetime hygiene on EVERY path: some library paths persist
+            # intermediates (e.g. shingle checkpoints); drop them once the
+            # query has materialized (or failed) so a 90+-query session
+            # doesn't accumulate cached blocks.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(got)})")
             continue
@@ -97,10 +103,6 @@ def main():
             continue
         problems = compare(name, got, want)
         dt = time.time() - t0
-        # Lifetime hygiene: some library paths persist intermediates (e.g.
-        # shingle checkpoints); drop them once the query has materialized so
-        # an 84-query session doesn't accumulate cached blocks.
-        spark.catalog.clearCache()
         if problems:
             failed += 1
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
