@@ -714,3 +714,66 @@ class TestContainmentPairs:
         out = dd.containment_pairs(docs, n=3, threshold=0.5,
                                    max_shingle_df=3).collect()
         assert out == []
+
+
+class TestCorpusModelQueries:
+    """Analytic pins for the corpus-LM queries (f41/f42) on constructed
+    corpora with closed-form answers."""
+
+    @staticmethod
+    def _write_docs(spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        )
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_f41_uniform_corpus_closed_form(self, spark, tmp_path):
+        import math
+
+        from borsa_spark.queries import f41_unigram_logprob
+
+        # two docs, vocabulary {a, b}, perfectly uniform: p(a)=p(b)=1/2,
+        # so every doc's mean log-prob is ln(1/2)
+        sf = self._write_docs(spark, tmp_path, [
+            (1, "a a b b", "en", "s1", 7),
+            (2, "b a b a", "en", "s1", 7),
+        ])
+        out = {r.doc_id: r for r in f41_unigram_logprob(spark, sf).collect()}
+        assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+        want = round(math.log(0.5), 4)
+        assert float(out[1].avg_logprob) == want
+        assert float(out[2].avg_logprob) == want
+
+    def test_f42_identical_source_distribution_zero_kl(self, spark, tmp_path):
+        from borsa_spark.queries import f42_source_kl_divergence
+
+        # both sources have the same token distribution -> KL == 0 for each
+        sf = self._write_docs(spark, tmp_path, [
+            (1, "x y x y", "en", "s1", 7),
+            (2, "x y x y", "en", "s2", 7),
+        ])
+        out = {r.source: r for r in
+               f42_source_kl_divergence(spark, sf).collect()}
+        assert float(out["s1"].kl_divergence) == 0.0
+        assert float(out["s2"].kl_divergence) == 0.0
+
+    def test_f42_skewed_source_positive_kl(self, spark, tmp_path):
+        import math
+
+        from borsa_spark.queries import f42_source_kl_divergence
+
+        # s1 emits only 'x', s2 only 'y', corpus is 50/50: each source's
+        # KL = 1.0 * ln(1.0 / 0.5) = ln 2
+        sf = self._write_docs(spark, tmp_path, [
+            (1, "x x x x", "en", "s1", 7),
+            (2, "y y y y", "en", "s2", 7),
+        ])
+        out = {r.source: r for r in
+               f42_source_kl_divergence(spark, sf).collect()}
+        want = round(math.log(2.0), 4)
+        assert float(out["s1"].kl_divergence) == want
+        assert float(out["s2"].kl_divergence) == want
