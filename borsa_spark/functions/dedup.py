@@ -840,7 +840,10 @@ def containment_pairs(
     pairs with containment >= ``threshold``; both ratios rounded 4dp for
     cross-engine comparison.
     """
-    sh = shingles(df, n, text_col, id_col)
+    arr = shingle_array(df, n, text_col, id_col).filter(
+        F.size("shingles") > 0
+    ).persist()
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     rare = sh.join(dfc.filter(F.col("__df") <= max_shingle_df), "shingle")
     cands = (
@@ -850,36 +853,34 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Exact intersections via per-doc arrays (the same explode-free verify
+    # as minhash_dedup_pairs): join candidate pairs to the pruned
+    # (id, shingles) relation twice and size(array_intersect) in codegen.
+    # The exploded relation above exists ONLY for the document-frequency
+    # count and the capped pairing join — the intersection never touches it
+    # (measured at 10x: the exploded-intersection variant spent 10+ minutes
+    # in the candidates ⨝ shingles ⨝ shingles shuffle family; this one
+    # carries each candidate doc's array once).
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sizes = (
-        sh.join(cand_ids, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_sh"))
-    )
-    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
-    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cands.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    cont = F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    slim = arr.join(cand_ids, "id", "left_semi")
+    a = slim.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    b = slim.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    n_inter = F.size(F.array_intersect("__sa", "__sb"))
+    n_a, n_b = F.size("__sa"), F.size("__sb")
+    cont = n_inter / F.least(n_a, n_b)
+    jac = n_inter / (n_a + n_b - n_inter)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cands.join(a, "id_a").join(b, "id_b")
         .filter(cont >= threshold)
         .select(
             "id_a", "id_b",
-            F.col("n_inter").cast("long").alias("n_inter"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
+            n_inter.cast("long").alias("n_inter"),
+            n_a.cast("long").alias("n_a"),
+            n_b.cast("long").alias("n_b"),
             F.round(cont, 4).alias("containment"),
             F.round(jac, 4).alias("jaccard"),
         )
