@@ -752,6 +752,58 @@ def minhash_pairs_against(
     return verify_jaccard(cands, sh, threshold)
 
 
+def minhash_pairs_against_inrow(
+    df: DataFrame,
+    is_existing: "Column",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_shingles: bool = True,
+) -> DataFrame:
+    """``minhash_pairs_against`` re-expressed explode-free: signatures fold
+    in-row from one persisted (id, shingles array) relation and the
+    cross-set candidates verify via ``verify_jaccard_inrow`` — the exploded
+    shingle relation never exists in the plan, mirroring
+    ``minhash_dedup_pairs``'s round-4 shape. ``is_existing`` is a boolean
+    Column over ``id`` marking the corpus side; returns
+    (id_a = new id, id_b = existing id, jaccard).
+    """
+    arr = shingle_array(df, n, text_col, id_col).filter(
+        F.size("shingles") > 0
+    )
+    if persist_shingles:
+        arr = arr.persist()
+    sig = signature_from_array(arr)
+    bk = lsh_band_keys(sig)
+    if max_bucket_size is not None:
+        counts = bk.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
+        bk = (
+            bk.join(counts, ["band", "band_key"])
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    flags = arr.select("id", is_existing.alias("__existing"))
+    # Persist the flagged band keys: the new-side and existing-side filters
+    # below are two consumers of this frame (exchange-reuse lesson).
+    bk = bk.join(flags, "id")
+    if persist_shingles:
+        bk = bk.persist()
+    new_bk = bk.filter(~F.col("__existing")).select(
+        F.col("id").alias("id_a"), "band", "band_key"
+    )
+    old_bk = bk.filter(F.col("__existing")).select(
+        F.col("id").alias("id_b"), "band", "band_key"
+    )
+    cands = (
+        new_bk.join(old_bk, ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard_inrow(cands, arr, threshold)
+
+
 def shingle_array(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct hashed word n-grams per document as an IN-ROW array:

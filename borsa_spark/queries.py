@@ -3418,13 +3418,13 @@ def f35_incremental_dedup(spark, sf):
     candidates only (verify_jaccard's equi-join shape).
     """
     docs = load_table(spark, sf, "documents")
-    # Persist the shingle table: its consumers (signature, sizes, both
-    # verify sides) column-prune the scan differently, so their subplans
-    # never canonicalize equal and ReuseExchange cannot share the
-    # explode+distinct (verified by plan probing, round 4). The harness
-    # owns cache lifetime via clearCache() after each query.
-    sh = _dd.shingles(docs, 3).persist()
-    out = _dd.minhash_pairs_against(sh, F.col("id") % 5 == 0, threshold=0.5)
+    # In-row variant (round 4): one persisted (id, shingles array) relation
+    # feeds the signature fold and the array_intersect verifier — no
+    # exploded shingle relation in the plan. The harness owns cache
+    # lifetime via clearCache() after each query.
+    out = _dd.minhash_pairs_against_inrow(
+        docs, F.col("id") % 5 == 0, threshold=0.5
+    )
     return out.select(
         F.col("id_a").alias("new_doc_id"),
         F.col("id_b").alias("corpus_doc_id"),

@@ -777,3 +777,28 @@ class TestCorpusModelQueries:
         want = round(math.log(2.0), 4)
         assert float(out["s1"].kl_divergence) == want
         assert float(out["s2"].kl_divergence) == want
+
+
+class TestIncrementalInrow:
+    def test_inrow_matches_exploded_cross_set_pairs(self, spark):
+        """minhash_pairs_against_inrow must produce the identical cross-set
+        pair set and jaccard values as the exploded-relation variant."""
+        import borsa_spark.functions.dedup as dd
+
+        base = ("spark rows shuffle join agg window sort merge scan "
+                "filter table column").split()
+        rows = []
+        for i in range(30):
+            words = [base[(i + j) % len(base)] for j in range(12)]
+            if i % 3 == 0:  # near-dups of doc i-1 across the set boundary
+                words = words[:-1] + ["tail"]
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from pyspark.sql import functions as F
+
+        flag = F.col("id") % 5 == 0
+        old = dd.minhash_pairs_against(dd.shingles(docs, 3), flag, 0.5)
+        new = dd.minhash_pairs_against_inrow(docs, flag, threshold=0.5)
+        o = {(r.id_a, r.id_b): float(r.jaccard) for r in old.collect()}
+        n = {(r.id_a, r.id_b): float(r.jaccard) for r in new.collect()}
+        assert o == n and len(n) > 0
