@@ -937,3 +937,24 @@ def containment_pairs(
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def containment_stop_shingles(
+    df: DataFrame,
+    n: int = 3,
+    max_shingle_df: int = CONTAINMENT_MAX_SHINGLE_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Accounting counterpart of ``containment_pairs``'s df cap (the
+    never-a-silent-cap convention, same as ``oversized_buckets``):
+    (shingle, df) for every shingle the cap excluded from PAIRING.
+    A pair whose every shared shingle is on this list is not generated;
+    auditors can join this back to documents to see which cohorts that
+    affects (in practice: corpus-wide boilerplate)."""
+    sh = shingles(df, n, text_col, id_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+    )

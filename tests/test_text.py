@@ -802,3 +802,17 @@ class TestIncrementalInrow:
         o = {(r.id_a, r.id_b): float(r.jaccard) for r in old.collect()}
         n = {(r.id_a, r.id_b): float(r.jaccard) for r in new.collect()}
         assert o == n and len(n) > 0
+
+
+class TestContainmentStopShingles:
+    def test_cap_accounting_reports_excluded_boilerplate(self, spark):
+        import borsa_spark.functions.dedup as dd
+
+        boiler = "all rights reserved terms of use"
+        rows = [(i, boiler + f" unique{i} tail{i} words{i}") for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        over = dd.containment_stop_shingles(docs, n=3,
+                                            max_shingle_df=3).collect()
+        # the 4 boilerplate 3-grams appear in all 8 docs -> df=8 > 3
+        assert len(over) == 4
+        assert all(r.df == 8 for r in over)
