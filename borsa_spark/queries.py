@@ -4246,6 +4246,77 @@ def f42_source_kl_divergence(spark, sf):
     )
 
 
+_F43_SQL = """
+    SELECT doc_id,
+           n_tokens::BIGINT AS n_tokens,
+           round(distinct_ratio, 4) AS distinct_ratio,
+           round(dup3_ratio, 4) AS dup3_ratio,
+           r_len, r_div, r_rep,
+           (r_len AND r_div AND r_rep) AS keep
+    FROM (
+      SELECT doc_id, n_tokens, distinct_ratio, dup3_ratio,
+             n_tokens BETWEEN 25 AND 1000 AS r_len,
+             distinct_ratio >= 0.30 AS r_div,
+             dup3_ratio <= 0.20 AS r_rep
+      FROM (
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio,
+               CASE WHEN len(w) >= 3 THEN
+                 1.0 - len(list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+                   * 1.0 / (len(w) - 2)
+               ELSE 0.0 END AS dup3_ratio
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents) s) t) flags
+"""
+
+
+@query("f43_quality_gate", _F43_SQL)
+def f43_quality_gate(spark, sf):
+    """Ensemble admission gate (C4/Gopher-style): per-document pass/fail
+    on each cheap quality rule — length band, lexical diversity,
+    duplicate-3-gram repetition — plus the conjunction as the keep
+    decision, with every rule's verdict emitted so filtering is auditable
+    (never a silent drop; rejected docs show WHICH rule fired).
+
+    Scale shape: every rule is per-row array math inside whole-stage
+    codegen — no explode, no shuffle, nothing leaves the row. The gate
+    runs at scan speed over 100 TB and composes upstream of the shuffling
+    stages (dedup, corpus-model scoring) so they only pay for admitted
+    documents.
+    """
+    docs = load_table(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n_tokens
+    n_grams = F.greatest(n_tokens - 2, F.lit(0))
+    grams = F.when(
+        n_tokens >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup3_ratio = F.when(
+        n_grams > 0, 1.0 - F.size(F.array_distinct(grams)) / n_grams
+    ).otherwise(F.lit(0.0))
+    r_len = (n_tokens >= 25) & (n_tokens <= 1000)
+    r_div = distinct_ratio >= 0.30
+    r_rep = dup3_ratio <= 0.20
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(dup3_ratio, 4).alias("dup3_ratio"),
+        r_len.alias("r_len"),
+        r_div.alias("r_div"),
+        r_rep.alias("r_rep"),
+        (r_len & r_div & r_rep).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
