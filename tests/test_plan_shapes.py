@@ -198,3 +198,11 @@ class TestRound4PlanShapes:
         nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
         out = dd.dup_clusters(pairs, nodes, max_iters=10)
         assert out.filter(F.col("comp") == 0).count() == n
+
+    def test_quality_gate_is_scan_speed(self, spark):
+        """f43's ensemble gate is pure in-row math: no shuffle, no explode,
+        no Python — the plan is a single scan-project pipeline."""
+        plan = plan_of(spark, "f43_quality_gate")
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
