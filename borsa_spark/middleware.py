@@ -450,3 +450,77 @@ class QuotaLayer:
             return call(key, fn)
 
         return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Quota config/state serde (borsa-types quota_serde.rs parity)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QuotaConfig:
+    """Serializable quota configuration (borsa-types QuotaConfig):
+    limit per window, window seconds, consumption strategy
+    ('unit' | 'weighted' | 'even_spread_hourly')."""
+
+    limit: int
+    window_s: float = 86_400.0
+    strategy: str = "unit"
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({"limit": self.limit, "window_s": self.window_s,
+                           "strategy": self.strategy})
+
+    @classmethod
+    def from_json(cls, s: str) -> "QuotaConfig":
+        import json
+
+        d = json.loads(s)
+        if d.get("strategy", "unit") not in (
+            "unit", "weighted", "even_spread_hourly"
+        ):
+            raise ValueError(f"unknown quota strategy {d['strategy']!r}")
+        return cls(limit=int(d["limit"]), window_s=float(d["window_s"]),
+                   strategy=d.get("strategy", "unit"))
+
+    def guard(self, clock: Callable[[], float] = time.monotonic) -> QuotaGuard:
+        return QuotaGuard(
+            limit=self.limit,
+            window_s=self.window_s,
+            even_spread_hourly=self.strategy == "even_spread_hourly",
+            clock=clock,
+        )
+
+
+@dataclass
+class QuotaState:
+    """Serializable point-in-time quota snapshot (borsa-types QuotaState)."""
+
+    limit: int
+    remaining: int
+    reset_in_s: float
+
+    @classmethod
+    def of(cls, guard: QuotaGuard) -> "QuotaState":
+        now = guard.clock()
+        return cls(
+            limit=guard.limit,
+            remaining=max(0, guard.limit - guard.calls_in_window),
+            reset_in_s=max(0.0, guard.window_s - (now - guard.last_reset)),
+        )
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({"limit": self.limit, "remaining": self.remaining,
+                           "reset_in_s": self.reset_in_s})
+
+    @classmethod
+    def from_json(cls, s: str) -> "QuotaState":
+        import json
+
+        d = json.loads(s)
+        return cls(limit=int(d["limit"]), remaining=int(d["remaining"]),
+                   reset_in_s=float(d["reset_in_s"]))

@@ -242,3 +242,34 @@ class TestConnectorBuilder:
         call = ConnectorBuilder("c").layer(Audit()).build()
         assert call(("q", "A"), lambda: 7) == 7
         assert seen == [("q", "A")]
+
+
+class TestQuotaSerde:
+    """quota_serde.rs ports: config and state survive a JSON round-trip."""
+
+    def test_quota_config_roundtrip(self):
+        from borsa_spark.middleware import QuotaConfig
+
+        cfg = QuotaConfig(limit=500, window_s=120.0, strategy="weighted")
+        de = QuotaConfig.from_json(cfg.to_json())
+        assert de.limit == 500
+        assert de.window_s == 120.0
+        assert de.strategy == "weighted"
+        with pytest.raises(ValueError, match="unknown quota strategy"):
+            QuotaConfig.from_json('{"limit": 1, "window_s": 1, '
+                                  '"strategy": "nope"}')
+
+    def test_quota_state_roundtrip_and_snapshot(self):
+        from borsa_spark.middleware import QuotaConfig, QuotaState
+
+        st = QuotaState(limit=1000, remaining=321, reset_in_s=8.5)
+        de = QuotaState.from_json(st.to_json())
+        assert (de.limit, de.remaining, de.reset_in_s) == (1000, 321, 8.5)
+
+        clock = Clock()
+        guard = QuotaConfig(limit=3, window_s=60.0).guard(clock=clock)
+        guard.should_allow_call()
+        guard.should_allow_call()
+        clock.t = 10.0
+        snap = QuotaState.of(guard)
+        assert (snap.limit, snap.remaining, snap.reset_in_s) == (3, 1, 50.0)
