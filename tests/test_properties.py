@@ -302,3 +302,50 @@ class TestStarContractionProps:
         got = {r.id: r.comp
                for r in dup_clusters(pairs, nodes, max_iters=30).collect()}
         assert got == want
+
+
+# small random corpora over a tiny vocabulary: heavy shingle overlap, so
+# containment/jaccard pairs actually occur
+_vocab = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot"]
+docs_st = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=3, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+class TestContainmentProps:
+    @SETTINGS
+    @given(word_lists=docs_st)
+    def test_matches_brute_force_model(self, spark, word_lists):
+        """containment_pairs == the brute-force set model on every random
+        corpus (df cap set high so nothing is excluded)."""
+        from borsa_spark.functions.dedup import containment_pairs
+
+        def sh3(words):
+            return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+
+        sets = {i: sh3(w) for i, w in enumerate(word_lists)}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a >= b or not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                cont = inter / min(len(sets[a]), len(sets[b]))
+                if cont >= 0.9:
+                    want[(a, b)] = (inter, len(sets[a]), len(sets[b]),
+                                    round(cont, 4))
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in enumerate(word_lists)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b,
+                               float(r.containment))
+            for r in containment_pairs(
+                docs, n=3, threshold=0.9, max_shingle_df=10_000
+            ).collect()
+        }
+        assert got == want
