@@ -4318,6 +4318,80 @@ def f43_quality_gate(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Connector layer: Python Data Source mounts (sources/datasource.py)
+# ---------------------------------------------------------------------------
+
+_C1_SYMS = "click,view,purchase,signup,error"
+_C1_TICKS_SQL = """
+    SELECT event_type AS symbol,
+           epoch_us(ts)::BIGINT AS ts_us,
+           value AS price,
+           event_id AS seq
+    FROM events
+    WHERE event_type IN ('click','view','purchase','signup','error')
+"""
+
+
+def _datasource_ticks(spark: SparkSession, sf: str) -> DataFrame:
+    from borsa_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    return (
+        spark.read.format("borsa_history")
+        .option("path", sf)
+        .option("symbols", _C1_SYMS)
+        .load()
+    )
+
+
+@query("c1_datasource_history", _C1_TICKS_SQL)
+def c1_datasource_history(spark, sf):
+    """Provider history through the first-class Spark mount: the
+    ``borsa_history`` Python Data Source (sources/datasource.py) — one
+    InputPartition per symbol, executor-side Arrow-batch reads, parquet
+    row-group pruning on the symbol predicate. The gate proves the
+    DataSource path end-to-end: partition planning, Arrow ingest, schema.
+
+    Reference: borsa-yfinance/src/lib.rs HistoryProvider::history mounted
+    the Spark way instead of a per-call async client.
+
+    Scale shape: a 10k-symbol universe is 10k partitions of independent
+    I/O spread over executors; stragglers retry per symbol. No driver rows,
+    no shuffle — a pure scan."""
+    return _datasource_ticks(spark, sf)
+
+
+@query(
+    "c2_datasource_daily_ohlc",
+    f"""
+    WITH t AS ({_C1_TICKS_SQL})
+    SELECT symbol,
+           (ts_us // 86400000000)::BIGINT AS day_idx,
+           arg_min(price, ts_us) AS open,
+           max(price) AS high,
+           min(price) AS low,
+           arg_max(price, ts_us) AS close,
+           count(*)::BIGINT AS n_ticks
+    FROM t GROUP BY symbol, day_idx
+    """,
+)
+def c2_datasource_daily_ohlc(spark, sf):
+    """The DataSource composing with the engine: daily OHLC straight off
+    the ``borsa_history`` scan. min_by/max_by picks are exact (ts_us is
+    globally unique), so only one shuffle — the groupBy — and partial
+    aggregation runs map-side inside the per-symbol partitions."""
+    t = _datasource_ticks(spark, sf)
+    day = F.expr("ts_us div 86400000000")  # integer division, JVM-side
+    return t.groupBy("symbol", day.alias("day_idx")).agg(
+        F.min_by("price", "ts_us").alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", "ts_us").alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of
