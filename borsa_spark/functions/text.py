@@ -158,3 +158,57 @@ def split_assign(id_col: Column, weights: dict[str, float] | None = None,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
     return (expr.otherwise(last) if expr is not None else F.lit(last))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: (tag, pattern) — patterns restricted to the regex subset Java
+#: (Spark JVM) and RE2 (DuckDB) agree on: no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII accounting + redaction: (doc_id, n_email, n_ssn,
+    n_phone, n_ipv4, redacted_hash). Detection is `regexp_count` per
+    pattern; redaction replaces each match with `[TAG]` — applied in
+    PII_PATTERNS order, so SSN/PHONE run on email-redacted text (an email
+    local part can contain digit runs; ordering is part of the contract).
+    The hash of the redacted text is emitted instead of the text itself:
+    the gate checks the transform without shipping a second copy of the
+    corpus through the comparator.
+
+    All JVM-side regex at scan speed — the 100 TB shape. A clean corpus
+    yields all-zero counts and redacted_hash == md5(text); behavior on
+    dirty text is pinned by tests/test_retrieval_pii.py on constructed
+    rows (this fixture corpus contains no PII, production corpora do).
+    """
+    t = F.col(text_col)
+    # Column-valued patterns (not F.expr / SQL literals): Spark SQL string
+    # literals eat backslashes, the Python API passes the regex verbatim.
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{tag.lower()}")
+        for tag, pat in PII_PATTERNS
+    ]
+    red = t
+    for tag, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"[{tag}]")
+    return docs.select("doc_id", *counts, F.md5(red).alias("redacted_hash"))
+
+
+def sql_pii_scrub(text_sql: str = "text") -> str:
+    """DuckDB oracle mirroring pii_scrub (same patterns, same order)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_sql}, '{pat}'))::BIGINT AS n_{tag.lower()}"
+        for tag, pat in PII_PATTERNS
+    )
+    red = text_sql
+    for tag, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{tag}]', 'g')"
+    return f"SELECT doc_id, {counts}, md5({red}) AS redacted_hash FROM documents"

@@ -4318,6 +4318,50 @@ def f43_quality_gate(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Retrieval-side corpus ops (functions/retrieval.py) + PII scrub
+# ---------------------------------------------------------------------------
+
+
+def _register_retrieval():
+    from borsa_spark.functions import retrieval as _rt
+    from borsa_spark.functions import text as _tx
+
+    @query("f44_doc_chunks", _rt.sql_doc_chunks(64, 48))
+    def f44_doc_chunks(spark, sf):
+        """Sliding-window chunking (64-token windows, stride 48) — the op
+        that turns documents into training/RAG-sized pieces. In-row
+        arithmetic + one explode, zero shuffles; emits chunk HASHES so
+        downstream dedup moves fixed-size keys, not text."""
+        return _rt.doc_chunks(load_table(spark, sf, "documents"), 64, 48)
+
+    @query("f45_bm25_topk", _rt.sql_bm25_topk())
+    def f45_bm25_topk(spark, sf):
+        """BM25 top-10 per panel query. Corpus stats and the query panel
+        are broadcast; the only shuffle is the (query, doc) tf groupBy.
+        Deterministic rank: (score desc, doc_id asc)."""
+        return _rt.bm25_topk(load_table(spark, sf, "documents"))
+
+    @query("f46_inverted_index", _rt.sql_inverted_index())
+    def f46_inverted_index(spark, sf):
+        """Inverted index with capped postings (true df/cf + first-20 doc
+        ids): explode + two term-keyed groupBys, both map-side
+        combinable. The cap is the scale guard — a stop word's full
+        postings list would be one unbounded hot row."""
+        return _rt.inverted_index(load_table(spark, sf, "documents"))
+
+    @query("f47_pii_scrub", _tx.sql_pii_scrub())
+    def f47_pii_scrub(spark, sf):
+        """PII detect + redact accounting (email/SSN/phone/IPv4), all
+        JVM-side regex at scan speed. This fixture corpus is clean (all
+        zeros, redacted_hash == md5(text)) — dirty-text behavior is
+        pinned by tests/test_retrieval_pii.py on constructed rows."""
+        return _tx.pii_scrub(load_table(spark, sf, "documents"))
+
+
+_register_retrieval()
+
+
+# ---------------------------------------------------------------------------
 # Connector layer: Python Data Source mounts (sources/datasource.py)
 # ---------------------------------------------------------------------------
 
