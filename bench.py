@@ -37,6 +37,10 @@ HEADLINE = [
     "f8_simhash",
     "f10_cosine_topk",
     "f11_lsh_ann_topk",
+    # round 4: connector mount + retrieval ops
+    "c1_datasource_history",
+    "f44_doc_chunks",
+    "f45_bm25_topk",
 ]
 
 

@@ -45,8 +45,10 @@ import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -261,6 +263,120 @@ class BorsaQuoteStreamDataSource(DataSource):
 
 
 def register_datasources(spark) -> None:
-    """Idempotent per-session registration of both formats."""
+    """Idempotent per-session registration of all three formats."""
     spark.dataSource.register(BorsaHistoryDataSource)
     spark.dataSource.register(BorsaQuoteStreamDataSource)
+    spark.dataSource.register(BorsaTickSinkDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Sink: exactly-once micro-batch writer with a commit manifest
+# ---------------------------------------------------------------------------
+
+
+class _TickCommitMessage(WriterCommitMessage):
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class _TickStreamWriter(DataSourceStreamWriter):
+    """Per-task parquet part files + a per-batch MANIFEST commit — the
+    classic two-phase commit a real sink (object store, warehouse table)
+    needs for exactly-once:
+
+    - ``write`` (executor): stage rows to ``part-{batch}-{uuid}.parquet``
+      under ``_staging/`` and return (path, rowcount) as the commit message.
+    - ``commit`` (driver): move every staged part into the data dir and
+      write ``manifest-{batch}.json`` LAST — readers treat a part file
+      without a manifest entry as invisible, so a crash between moves
+      leaves garbage, never phantom rows.
+    - ``abort``: delete staged parts; a retried batch re-stages cleanly.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path", "")
+        if not self.path:
+            raise InvalidArgError("borsa_tick_sink requires option 'path'")
+
+    def write(self, iterator) -> _TickCommitMessage:
+        import json as _json
+        import uuid
+
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        part = f"part-{TaskContext.get().partitionId()}-{uuid.uuid4().hex}.parquet"
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fpath = os.path.join(staging, part)
+        if rows:
+            tbl = pa.table(
+                {
+                    "symbol": [r[0] for r in rows],
+                    "ts_us": [r[1] for r in rows],
+                    "price": [r[2] for r in rows],
+                    "seq": [r[3] for r in rows],
+                },
+                schema=_ARROW_TICK_SCHEMA,
+            )
+            pq.write_table(tbl, fpath)
+        else:
+            fpath = ""
+        return _TickCommitMessage(fpath, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import shutil
+
+        manifest = os.path.join(self.path, f"manifest-{batchId}.json")
+        if os.path.exists(manifest):
+            # Replayed batch (restart raced the checkpoint): already
+            # committed — drop the re-staged parts, keep the first commit.
+            self.abort(messages, batchId)
+            return
+        entries = []
+        for m in messages:
+            if m is None or not m.file:
+                continue
+            final = os.path.join(self.path, os.path.basename(m.file))
+            shutil.move(m.file, final)
+            entries.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(manifest, "w") as f:
+            _json.dump({"batch": batchId, "parts": entries}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.file and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class BorsaTickSinkDataSource(DataSource):
+    """``df.writeStream.format("borsa_tick_sink").option("path", dir)`` —
+    the S13 DataFrame sink generalized to a transactional streaming sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "borsa_tick_sink"
+
+    def schema(self) -> T.StructType:
+        return TICK_SCHEMA
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return _TickStreamWriter(self.options)
+
+
+def read_tick_sink(spark, path: str):
+    """Manifest-aware read-back: only parts named in a manifest are
+    visible (the exactly-once read side of the two-phase commit)."""
+    import glob as _glob
+    import json as _json
+
+    files = []
+    for mf in sorted(_glob.glob(os.path.join(path, "manifest-*.json"))):
+        with open(mf) as f:
+            doc = _json.load(f)
+        files.extend(os.path.join(path, e["file"]) for e in doc["parts"])
+    if not files:
+        return spark.createDataFrame([], TICK_SCHEMA)
+    return spark.read.schema(TICK_SCHEMA).parquet(*files)

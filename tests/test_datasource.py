@@ -189,3 +189,130 @@ class TestQuoteStreamEndToEnd:
             got.exceptAll(batch).count() == 0
             and batch.exceptAll(got).count() == 0
         )
+
+
+class TestTickSink:
+    """Transactional sink: two-phase commit with a manifest; only
+    manifested parts are readable (exactly-once read side)."""
+
+    def test_stream_to_sink_roundtrip(self, registered, tmp_path):
+        spark = registered
+        out = str(tmp_path / "out")
+        sdf = (
+            spark.readStream.format("borsa_quote_stream")
+            .option("path", SF)
+            .option("symbols", SYMS)
+            .option("batch_rows", "400")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("borsa_tick_sink")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        from borsa_spark.sources.datasource import read_tick_sink
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if read_tick_sink(spark, out).count() >= 1000:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        got = read_tick_sink(spark, out)
+        batch = (
+            spark.read.format("borsa_history")
+            .option("path", SF)
+            .option("symbols", SYMS)
+            .load()
+        )
+        assert got.count() == 1000
+        assert got.exceptAll(batch).count() == 0
+
+    def test_unmanifested_parts_invisible(self, registered, tmp_path):
+        # A part file dropped in the dir without a manifest entry must not
+        # be read back: crash-between-moves leaves garbage, never rows.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from borsa_spark.sources.datasource import (
+            _ARROW_TICK_SCHEMA,
+            read_tick_sink,
+        )
+
+        out = tmp_path / "orphan"
+        out.mkdir()
+        pq.write_table(
+            pa.table(
+                {"symbol": ["x"], "ts_us": [1], "price": [1.0], "seq": [1]},
+                schema=_ARROW_TICK_SCHEMA,
+            ),
+            str(out / "part-0-deadbeef.parquet"),
+        )
+        assert read_tick_sink(registered, str(out)).count() == 0
+
+    def test_replayed_batch_commits_once(self, registered, tmp_path):
+        # Direct unit drive of the writer: commit the same batchId twice
+        # (restart raced the checkpoint) -> second commit is dropped.
+        import json
+
+        from borsa_spark.sources.datasource import _TickStreamWriter
+
+        out = tmp_path / "replay"
+        out.mkdir()
+        w = _TickStreamWriter({"path": str(out)})
+
+        class _Ctx:  # stand-in for TaskContext on the driver
+            @staticmethod
+            def partitionId():
+                return 0
+
+        import borsa_spark.sources.datasource as dsmod
+        import pyspark
+
+        orig = pyspark.TaskContext.get
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+        try:
+            m1 = w.write(iter([("a", 1, 1.0, 1)]))
+            w.commit([m1], batchId=7)
+            m2 = w.write(iter([("a", 1, 1.0, 1)]))
+            w.commit([m2], batchId=7)  # replay: must not double-commit
+        finally:
+            pyspark.TaskContext.get = orig
+        manifests = list(out.glob("manifest-*.json"))
+        assert len(manifests) == 1
+        doc = json.loads(manifests[0].read_text())
+        assert len(doc["parts"]) == 1
+        from borsa_spark.sources.datasource import read_tick_sink
+
+        assert read_tick_sink(registered, str(out)).count() == 1
+        # replayed staging file was cleaned up
+        assert list((out / "_staging").glob("*.parquet")) == []
+
+    def test_abort_cleans_staging(self, registered, tmp_path):
+        from borsa_spark.sources.datasource import _TickStreamWriter
+
+        out = tmp_path / "abort"
+        out.mkdir()
+        w = _TickStreamWriter({"path": str(out)})
+
+        class _Ctx:
+            @staticmethod
+            def partitionId():
+                return 3
+
+        import pyspark
+
+        orig = pyspark.TaskContext.get
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+        try:
+            m = w.write(iter([("b", 2, 2.0, 2)]))
+        finally:
+            pyspark.TaskContext.get = orig
+        w.abort([m], batchId=1)
+        assert list((out / "_staging").glob("*.parquet")) == []
+        assert list(out.glob("manifest-*.json")) == []

@@ -139,6 +139,11 @@ def main() -> None:
         "f38_sequence_packing",
         "f40_containment_pairs",
         "f41_unigram_logprob",
+        # round 4 retrieval ops (documents-based, present in the 10x dir)
+        "f44_doc_chunks",
+        "f45_bm25_topk",
+        "f46_inverted_index",
+        "f47_pii_scrub",
     ):
         fn = QUERIES[qname]
         for tier, path in tiers:
