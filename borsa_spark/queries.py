@@ -4361,6 +4361,25 @@ def _register_retrieval():
 _register_retrieval()
 
 
+def _register_ingest():
+    from borsa_spark.streaming.ingest import admission_frame, sql_ingest_admission
+
+    @query("f48_ingest_admission", sql_ingest_admission("doc_id % 2 = 0"))
+    def f48_ingest_admission(spark, sf):
+        """The streaming dedup-admission pipeline's decision, oracle-faced:
+        odd doc_ids arrive as a crawl batch against a corpus pre-seeded
+        with the evens; admitted iff first-of-md5 within the batch, text
+        absent from the corpus, and no verified cross-set near-dup at 0.5
+        (f35's exact pair semantics). The stateful multi-batch form lives
+        in streaming/ingest.py `DedupIngest` (tests/test_ingest.py drives
+        it over a live foreachBatch stream + crash-replay scenarios)."""
+        docs = load_table(spark, sf, "documents")
+        return admission_frame(docs, lambda c: c % 2 == 0, threshold=0.5)
+
+
+_register_ingest()
+
+
 # ---------------------------------------------------------------------------
 # Connector layer: Python Data Source mounts (sources/datasource.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,282 @@
+"""Continuous training-data ingestion: a streaming dedup-admission
+pipeline over ``foreachBatch`` with persisted corpus state.
+
+Each micro-batch of freshly crawled documents is screened before
+admission:
+
+1. **intra-batch exact dedup** — md5(text), first doc_id wins;
+2. **exact-vs-corpus** — md5 anti-join against the stored corpus hashes;
+3. **near-dup-vs-corpus** — the batch's MinHash band keys equi-join the
+   corpus's STORED band keys (precomputed at admission time, never
+   recomputed), candidates verified with exact Jaccard over in-row
+   shingle arrays (functions/dedup.py `verify_jaccard_inrow`).
+
+Survivors are appended to the corpus state — (id, text_md5, shingles)
+arrays plus their band keys — so the next batch pays only its own
+signature cost plus a banded cross-set join. This is the streaming form
+of query f35 (`minhash_pairs_against_inrow`): the corpus side never
+re-pairs with itself, and state grows only by admitted docs.
+
+Exactly-once: ``foreachBatch`` can replay a batch after restart. State
+writes go to PER-BATCH subdirectories (``arrays/batch-{id}/``) in
+overwrite mode, and the commit marker ``_batches/batch-{id}.json`` is
+written LAST: a replay of an uncommitted batch overwrites its own
+partial output (idempotent), and a replay of a committed batch returns
+before touching state — the same manifest discipline as the
+`borsa_tick_sink` two-phase commit.
+
+Scale shape at 100 TB/day ingest: state is partitioned parquet keyed by
+band/bucket; the per-batch work is (batch bands x corpus bands) on
+(band, band_key) — bounded by cross-set bucket co-occupancy — plus one
+broadcast-able md5 anti-join (batch hashes are small; corpus hashes
+prune via the band join's bucket locality). Nothing driver-side except
+the admission-log row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from borsa_spark.functions import dedup as dd
+
+_ARRAYS_SCHEMA = "id long, text_md5 string, shingles array<long>"
+_BANDS_SCHEMA = "id long, band int, band_key long"
+
+
+class DedupIngest:
+    """Stateful dedup-admission over micro-batches. Attach with
+    ``stream.writeStream.foreachBatch(ingest.process_batch)`` or drive
+    batches directly (the unit-test / backfill path)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n: int = 3,
+        threshold: float = 0.5,
+        max_bucket_size: int | None = 64,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.n = n
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
+
+    # -- state ----------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _read_state(self, name: str, schema: str) -> DataFrame:
+        # Only COMMITTED batch dirs are visible: an uncommitted replayed
+        # batch may have partial files on disk, but its marker is absent.
+        base = self._path(name)
+        committed = [
+            os.path.join(base, f"batch-{e['batch']}")
+            for e in self.admission_log()
+        ]
+        committed = [p for p in committed if os.path.exists(p)]
+        if committed:
+            return self.spark.read.schema(schema).parquet(*committed)
+        return self.spark.createDataFrame([], schema)
+
+    def corpus_arrays(self) -> DataFrame:
+        return self._read_state("arrays", _ARRAYS_SCHEMA)
+
+    def corpus_bands(self) -> DataFrame:
+        return self._read_state("bands", _BANDS_SCHEMA)
+
+    def admission_log(self) -> list[dict]:
+        out = []
+        bdir = self._path("_batches")
+        for f in sorted(os.listdir(bdir)):
+            with open(os.path.join(bdir, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    # -- the batch hook -------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(self._path("_batches"), f"batch-{batch_id}.json")
+        if os.path.exists(marker):
+            return  # replayed micro-batch: already admitted, state is final
+
+        docs = batch_df.select("doc_id", "text")
+        n_in = docs.count()
+
+        # 1. intra-batch exact dedup: first doc_id per text hash wins.
+        hashed = docs.withColumn("text_md5", F.md5("text"))
+        first = hashed.groupBy("text_md5").agg(F.min("doc_id").alias("keep_id"))
+        batch_u = (
+            hashed.join(first, "text_md5")
+            .filter(F.col("doc_id") == F.col("keep_id"))
+            .drop("keep_id")
+        )
+
+        # 2. exact-vs-corpus: stored hashes anti-join (id side is tiny per
+        # batch; Spark broadcasts the smaller side under AQE).
+        corpus_arr = self.corpus_arrays()
+        batch_u = batch_u.join(
+            corpus_arr.select("text_md5").distinct(), "text_md5", "left_anti"
+        )
+
+        # 3. near-dup-vs-corpus: batch signatures vs STORED corpus bands.
+        arr = dd.shingle_array(batch_u, self.n, "text", "doc_id").filter(
+            F.size("shingles") > 0
+        ).persist()
+        sig = dd.signature_from_array(arr)
+        bk = dd.lsh_band_keys(sig)
+        if self.max_bucket_size is not None:
+            counts = bk.groupBy("band", "band_key").agg(
+                F.count("*").alias("__n")
+            )
+            bk = (
+                bk.join(counts, ["band", "band_key"])
+                .filter(F.col("__n") <= self.max_bucket_size)
+                .drop("__n")
+            )
+        cands = (
+            bk.select(F.col("id").alias("id_a"), "band", "band_key")
+            .join(
+                self.corpus_bands().select(
+                    F.col("id").alias("id_b"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        both = arr.unionByName(
+            corpus_arr.select("id", "shingles")
+        )
+        dup_ids = (
+            dd.verify_jaccard_inrow(cands, both, self.threshold)
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+        )
+        admitted = batch_u.join(dup_ids, "doc_id", "left_anti").persist()
+        n_admit = admitted.count()
+
+        # 4. write survivors' arrays + bands to this batch's OWN state dir
+        # (overwrite: an uncommitted replay redoes its partial output),
+        # marker LAST.
+        adm_arr = dd.shingle_array(admitted, self.n, "text", "doc_id")
+        adm_hash = admitted.select(
+            F.col("doc_id").alias("id"), "text_md5"
+        )
+        (
+            adm_arr.join(adm_hash, "id")
+            .select("id", "text_md5", "shingles")
+            .write.mode("overwrite")
+            .parquet(self._path(f"arrays/batch-{batch_id}"))
+        )
+        adm_bands = dd.lsh_band_keys(
+            dd.signature_from_array(adm_arr.filter(F.size("shingles") > 0))
+        )
+        adm_bands.write.mode("overwrite").parquet(
+            self._path(f"bands/batch-{batch_id}")
+        )
+
+        with open(marker, "w") as f:
+            json.dump(
+                {
+                    "batch": int(batch_id),
+                    "received": int(n_in),
+                    "admitted": int(n_admit),
+                    "rejected": int(n_in - n_admit),
+                },
+                f,
+            )
+        arr.unpersist()
+        admitted.unpersist()
+
+    # -- attach to a stream --------------------------------------------
+    def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
+        """Start the admission stream: documents stream in, survivors land
+        in corpus state, the per-batch admission log records the rest."""
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .options(**opts)
+            .start()
+        )
+
+
+def sql_ingest_admission(corpus_pred_sql: str, threshold: float = 0.5) -> str:
+    """DuckDB oracle for one ingest batch: documents where NOT
+    ``corpus_pred_sql`` form the batch, the rest are the pre-seeded
+    corpus; a batch doc is admitted iff it is the first of its md5 group
+    within the batch, its text doesn't appear in the corpus, and it has
+    no cross-set near-dup pair at ``threshold`` (f35's exact pair
+    semantics)."""
+    sh = dd.sql_shingles(3)
+    return f"""
+    WITH sh AS ({sh}),
+    batch AS (
+      SELECT doc_id, md5(text) AS text_md5 FROM documents
+      WHERE NOT ({corpus_pred_sql})),
+    corpus AS (
+      SELECT doc_id, md5(text) AS text_md5 FROM documents
+      WHERE ({corpus_pred_sql})),
+    firsts AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY text_md5 ORDER BY doc_id) AS rk
+        FROM batch) WHERE rk = 1),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    xpairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.id IN (SELECT doc_id FROM batch)
+        AND b.id IN (SELECT doc_id FROM corpus)
+      GROUP BY 1, 2),
+    neardup AS (
+      SELECT DISTINCT id_a AS doc_id FROM xpairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {threshold})
+    SELECT b.doc_id, (
+             b.doc_id IN (SELECT doc_id FROM firsts)
+             AND b.text_md5 NOT IN (SELECT text_md5 FROM corpus)
+             AND b.doc_id NOT IN (SELECT doc_id FROM neardup)
+           ) AS admitted
+    FROM batch b
+    """
+
+
+def admission_frame(docs: DataFrame, pred, threshold: float = 0.5) -> DataFrame:
+    """One ingest batch as a pure DataFrame program (no state writes):
+    ``pred`` is a callable Column->Column marking the pre-seeded corpus
+    side (applied to the id column); everything else is the batch. Returns
+    (doc_id, admitted) with the exact decision ``process_batch`` makes —
+    first-of-md5 within the batch, text absent from the corpus, and no
+    verified cross-set near-dup at ``threshold``. The oracle-checkable
+    face of the streaming pipeline (query f48)."""
+    hashed = docs.select("doc_id", "text", F.md5("text").alias("text_md5"))
+    batch = hashed.filter(~pred(F.col("doc_id")))
+    corpus = hashed.filter(pred(F.col("doc_id")))
+    firsts = batch.groupBy("text_md5").agg(F.min("doc_id").alias("keep_id"))
+    near = (
+        dd.minhash_pairs_against_inrow(docs, pred(F.col("id")), threshold=threshold)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    corpus_md5 = corpus.select("text_md5").distinct().withColumn(
+        "__exact", F.lit(True)
+    )
+    out = (
+        batch.join(firsts, "text_md5")
+        .join(corpus_md5, "text_md5", "left")
+        .join(near, "doc_id", "left")
+    )
+    admitted = (
+        (F.col("doc_id") == F.col("keep_id"))
+        & F.col("__exact").isNull()
+        & F.col("__near").isNull()
+    )
+    return out.select("doc_id", admitted.alias("admitted"))

@@ -1,0 +1,128 @@
+"""Streaming dedup-admission ingest (streaming/ingest.py): persisted
+corpus state, exact+near-dup screening per micro-batch, idempotent batch
+replay, and a live foreachBatch drive over a file stream."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from borsa_spark.sources import load_table
+from borsa_spark.streaming.ingest import DedupIngest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BATCH1 = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "sphinx of black quartz judge my vow"),
+]
+BATCH2 = [
+    (10, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (11, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (12, "completely different content about spark partitions"),
+    (13, "completely different content about spark partitions"),  # intra dup
+]
+
+
+class TestDedupIngestBatches:
+    def test_first_batch_admits_all(self, spark, tmp_path):
+        ing = DedupIngest(spark, str(tmp_path / "s1"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        log = ing.admission_log()
+        assert log == [
+            {"batch": 0, "received": 3, "admitted": 3, "rejected": 0}
+        ]
+        assert ing.corpus_arrays().count() == 3
+
+    def test_second_batch_screens_exact_near_and_intra(self, spark, tmp_path):
+        ing = DedupIngest(spark, str(tmp_path / "s2"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        ing.process_batch(_docs(spark, BATCH2), 1)
+        log = ing.admission_log()[1]
+        # 10 exact-dup, 11 near-dup, 13 intra-batch dup -> only 12 admitted
+        assert log == {"batch": 1, "received": 4, "admitted": 1, "rejected": 3}
+        ids = {r.id for r in ing.corpus_arrays().collect()}
+        assert ids == {1, 2, 3, 12}
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        ing = DedupIngest(spark, str(tmp_path / "s3"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        before = ing.corpus_arrays().count()
+        ing.process_batch(_docs(spark, BATCH1), 0)  # foreachBatch replay
+        assert ing.corpus_arrays().count() == before
+        assert len(ing.admission_log()) == 1
+
+    def test_matches_f35_pair_semantics(self, spark, tmp_path):
+        # Ingesting the odd docs against a corpus pre-seeded with the even
+        # docs must reject exactly the docs f35's cross-set pair relation
+        # flags (plus exact/intra dups, of which this corpus has none).
+        from borsa_spark.functions import dedup as dd
+
+        docs = load_table(spark, SF, "documents").limit(200)
+        ing = DedupIngest(spark, str(tmp_path / "s4"))
+        ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        rejected_near = (
+            dd.minhash_pairs_against_inrow(
+                docs, F.col("id") % 2 == 0, threshold=0.5
+            )
+            .select("id_a")
+            .distinct()
+        )
+        want_rejected = {r.id_a for r in rejected_near.collect()}
+        odd_ids = {
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 2 == 1).collect()
+        }
+        got_ids = {r.id for r in ing.corpus_arrays().collect()}
+        got_admitted_odd = got_ids & odd_ids
+        # no exact dups between odd docs in this fixture slice
+        assert got_admitted_odd == odd_ids - want_rejected
+
+
+class TestDedupIngestStream:
+    def test_foreachbatch_drive(self, spark, tmp_path):
+        # Two parquet files arriving one per trigger -> two micro-batches.
+        src = tmp_path / "incoming"
+        src.mkdir()
+        _docs(spark, BATCH1).coalesce(1).write.parquet(str(src / "b1"))
+        _docs(spark, BATCH2).coalesce(1).write.parquet(str(src / "b2"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        ing = DedupIngest(spark, str(tmp_path / "state"))
+        q = ing.attach(stream, str(tmp_path / "ckpt"))
+        deadline = time.time() + 120
+        while time.time() < deadline and len(ing.admission_log()) < 2:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        log = ing.admission_log()
+        assert sum(e["received"] for e in log) == 7
+        assert sum(e["admitted"] for e in log) == 4
+        assert ing.corpus_arrays().count() == 4
+
+
+class TestCrashReplay:
+    def test_uncommitted_replay_does_not_double_state(self, spark, tmp_path):
+        # Crash AFTER state write but BEFORE marker: replay must leave one
+        # copy (per-batch overwrite), not two (append would double).
+        import os
+
+        ing = DedupIngest(spark, str(tmp_path / "s5"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        marker = str(tmp_path / "s5" / "_batches" / "batch-0.json")
+        os.remove(marker)  # simulate crash before commit
+        assert ing.corpus_arrays().count() == 0  # uncommitted: invisible
+        ing.process_batch(_docs(spark, BATCH1), 0)  # replay
+        assert ing.corpus_arrays().count() == 3
+        assert len(ing.admission_log()) == 1
