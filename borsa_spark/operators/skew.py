@@ -95,3 +95,72 @@ def salted_agg(
 
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    buckets: int = 16,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the BIG side, replicate the SMALL
+    side ``buckets`` ways, join on (keys + salt). Result is row-identical
+    to ``big.join(small, on, how)`` for how in {inner, left} — the salt
+    spreads each hot key's probe rows over ``buckets`` reducer tasks
+    instead of funnelling them through one.
+
+    When to reach for this instead of trusting AQE's skew-join split:
+    AQE splits oversized SHUFFLE PARTITIONS of sort-merge joins at runtime,
+    which covers most cases — but it cannot help when the skewed join
+    feeds directly into an aggregation that Catalyst co-partitions with
+    the join (split partitions must be re-coalesced), when the build side
+    is replicated anyway (broadcast is off the table because the small
+    side is 100s of MB), or when a deterministic plan is required (AQE
+    re-plans per run). Salting is the static, predictable form.
+
+    ``how='left'`` is supported because an unmatched big-side row is
+    unmatched in every salt bucket exactly once (its own). Right/full
+    joins would duplicate small-side unmatched rows per bucket — rejected
+    loudly rather than silently wrong.
+
+    NULL join keys never match; with ``how='left'`` they are routed
+    AROUND the join entirely (the classic null-skew fix: a null-heavy key
+    column otherwise concentrates every null row in one reducer).
+
+    ``salt_on`` defaults to full-row hash of the big side's non-key
+    columns (same trap-avoidance as `salted_agg`).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, not {how!r}: right/full "
+            "would replicate unmatched small-side rows per bucket"
+        )
+    if salt_on is None:
+        non_key = [c for c in big.columns if c not in on]
+        if not non_key:
+            raise ValueError("salt_on required when big has only key columns")
+        salt_on = F.hash(*[F.col(c) for c in non_key])
+
+    null_pred = None
+    for k in on:
+        p = F.col(k).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+
+    big_nn = big.filter(~null_pred) if null_pred is not None else big
+    salted_big = big_nn.withColumn(
+        "__salt", F.pmod(F.hash(salt_on), F.lit(buckets))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    joined = salted_big.join(replicated, [*on, "__salt"], how).drop("__salt")
+
+    if how == "left" and null_pred is not None:
+        nulls = big.filter(null_pred)
+        extra = [c for c in joined.columns if c not in big.columns]
+        for c in extra:
+            nulls = nulls.withColumn(c, F.lit(None).cast(dict(joined.dtypes)[c]))
+        joined = joined.unionByName(nulls.select(joined.columns))
+    return joined

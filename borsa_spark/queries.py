@@ -4380,6 +4380,35 @@ def _register_ingest():
 _register_ingest()
 
 
+@query(
+    "o9_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type, count(*)::BIGINT AS n_type
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, d.n_type
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def o9_salted_join(spark, sf):
+    """Skew-resilient salted join (operators/skew.py `salted_join`): the
+    big side salts on row identity, the small dim replicates across salt
+    buckets, and the gate pins row-identity with the plain join. The
+    static alternative to AQE's skew-join split for hot probe keys
+    feeding co-partitioned aggregations (see salted_join docstring)."""
+    from borsa_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_type")
+    )
+    out = salted_join(
+        ev, dim, ["event_type"], "inner", buckets=8,
+        salt_on=F.col("event_id"),
+    )
+    return out.select("event_id", "event_type", "n_type")
+
+
 # ---------------------------------------------------------------------------
 # Connector layer: Python Data Source mounts (sources/datasource.py)
 # ---------------------------------------------------------------------------
