@@ -46,6 +46,8 @@ example-tour:
 	python examples/22_multi_quotes.py
 	python examples/23_dataframe.py
 	python examples/24_quota_middleware.py
+	python examples/25_python_datasource.py
+	python examples/26_dedup_ingest.py
 
 test:
 	python -m pytest tests/ -q
