@@ -4381,6 +4381,85 @@ _register_ingest()
 
 
 @query(
+    "f49_bpe_pair_counts",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    pairs AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS pair
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, n - 1)) AS i
+            FROM t WHERE n >= 2)),
+    counted AS (
+      SELECT pair, count(*)::BIGINT AS n_pair FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT pair, n_pair,
+             row_number() OVER (ORDER BY n_pair DESC, pair ASC) AS rank
+      FROM counted)
+    SELECT rank::BIGINT AS rank, pair, n_pair FROM ranked WHERE rank <= 50
+    """,
+)
+def f49_bpe_pair_counts(spark, sf):
+    """One BPE-trainer merge round as a DataFrame program: count adjacent
+    token pairs corpus-wide, rank the top-50 merge candidates. In-row
+    pair construction (sequence + transform) + one map-side-combinable
+    groupBy; the rank window runs over the pair-vocabulary aggregate
+    (tiny), never the corpus. Deterministic rank: (count desc, pair asc).
+
+    Scale shape: the iterative trainer repeats this with the winning pair
+    merged — each round is the same single-shuffle program; at 100 TB the
+    pair vocab aggregate is the only thing that leaves the scan."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n_pair"))
+    w = Window.orderBy(F.col("n_pair").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "pair", "n_pair")
+    )
+
+
+@query(
+    "f50_curriculum_deciles",
+    """
+    SELECT doc_id, source,
+           ntile(10) OVER (
+             PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+           )::BIGINT AS decile
+    FROM documents
+    """,
+)
+def f50_curriculum_deciles(spark, sf):
+    """Curriculum binning: per-source difficulty deciles by document
+    length (ntile window, doc_id tiebreak so the assignment is total and
+    engine-portable). The op behind length-staged training schedules;
+    one shuffle on source, window over each source partition."""
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id", "source", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
+@query(
     "o9_salted_join",
     """
     WITH dim AS (
