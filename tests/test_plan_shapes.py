@@ -206,3 +206,35 @@ class TestRound4PlanShapes:
         assert "Exchange" not in plan
         assert "Generate" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestRound4RetrievalPlanShapes:
+    """Pin the SCALE.md claims for the round-4 retrieval/connector ops."""
+
+    def test_doc_chunks_zero_shuffle(self, spark):
+        plan = plan_of(spark, "f44_doc_chunks")
+        assert "Exchange" not in plan          # in-row + one explode only
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_pii_scrub_is_scan_speed(self, spark):
+        plan = plan_of(spark, "f47_pii_scrub")
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_bm25_broadcasts_panel_and_stats(self, spark):
+        plan = plan_of(spark, "f45_bm25_topk")
+        assert "BroadcastExchange" in plan     # panel + stats broadcast
+        assert "CartesianProduct" not in plan  # stats ride a broadcast NLJ
+
+    def test_bpe_pairs_single_corpus_shuffle(self, spark):
+        # One corpus-proportional Exchange (the pair groupBy); the rank
+        # window's single-partition Exchange runs over the vocab aggregate.
+        plan = plan_of(spark, "f49_bpe_pair_counts")
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_datasource_history_is_pure_scan(self, spark):
+        plan = plan_of(spark, "c1_datasource_history")
+        assert "Exchange" not in plan          # per-symbol partitions, no shuffle
+        assert "BatchEvalPython" not in plan   # Arrow batch reads
