@@ -109,12 +109,28 @@ def _read_symbol_ticks(path: str, symbol: str) -> pa.Table:
     )
 
 
+def _discover_symbols(path: str) -> list[str]:
+    """``symbols=auto``: resolve the symbol universe from the feed itself
+    (production analog: an index-membership / screener endpoint). Reads
+    only the symbol column's dictionary pages — cheap even on large
+    fixtures — and happens ONCE at planning time on the driver, so the
+    per-symbol partition fan-out still runs on executors."""
+    col = pq.read_table(_events_path(path), columns=["event_type"])
+    return sorted(set(col.column("event_type").to_pylist()))
+
+
 def _parse_symbols(options: dict) -> list[str]:
     raw = options.get("symbols", "")
+    if raw.strip().lower() == "auto":
+        path = options.get("path", "")
+        if not path:
+            raise InvalidArgError("symbols=auto requires option 'path'")
+        return _discover_symbols(path)
     symbols = [s.strip() for s in raw.split(",") if s.strip()]
     if not symbols:
         raise InvalidArgError(
-            "borsa data source requires option 'symbols' (csv, non-empty)"
+            "borsa data source requires option 'symbols' (csv, non-empty, "
+            "or 'auto' to discover the universe from the feed)"
         )
     return symbols
 

@@ -316,3 +316,31 @@ class TestTickSink:
         w.abort([m], batchId=1)
         assert list((out / "_staging").glob("*.parquet")) == []
         assert list(out.glob("manifest-*.json")) == []
+
+
+class TestSymbolAutoDiscovery:
+    def test_auto_matches_explicit_universe(self, registered):
+        auto = (
+            registered.read.format("borsa_history")
+            .option("path", SF)
+            .option("symbols", "auto")
+            .load()
+        )
+        explicit = (
+            registered.read.format("borsa_history")
+            .option("path", SF)
+            .option("symbols", SYMS)
+            .load()
+        )
+        assert auto.rdd.getNumPartitions() == 5
+        assert auto.count() == explicit.count() == 1000
+
+    def test_auto_without_path_raises(self, registered):
+        with pytest.raises(Exception) as ei:
+            (
+                registered.read.format("borsa_history")
+                .option("symbols", "auto")
+                .load()
+                .collect()
+            )
+        assert "path" in str(ei.value)
