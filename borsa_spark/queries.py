@@ -3714,6 +3714,45 @@ def f39_pack_efficiency(spark, sf):
     )
 
 
+@query(
+    "x3_quantile_envelope",
+    """
+    SELECT event_type AS symbol,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS within_rank_window
+    FROM events GROUP BY event_type
+    """,
+)
+def x3_quantile_envelope(spark, sf):
+    """Approx-quantile error envelope, x2's pattern for percentiles: per
+    symbol, exact interpolated median alongside a flag that Spark's
+    approx_percentile landed inside the exact [p45, p55] rank window. The
+    oracle emits the exact median + literal TRUE, so any group where the
+    sketch drifts outside its rank-error contract fails the value-hash
+    gate. Rank-window (not value-epsilon) because approx_percentile's
+    guarantee IS a rank bound (error <= n/accuracy); a value tolerance
+    would be distribution-dependent.
+
+    Scale shape: approx_percentile (GK sketch) is the 100 TB path — fixed
+    sketch per group, mergeable map-side; the exact percentile here is
+    the verification harness, same division of labor as x2."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    agg = ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.expr("percentile(value, 0.5)").alias("__exact"),
+        F.expr("percentile(value, 0.45)").alias("__lo"),
+        F.expr("percentile(value, 0.55)").alias("__hi"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__approx"),
+    )
+    within = (F.col("__approx") >= F.col("__lo")) & (
+        F.col("__approx") <= F.col("__hi")
+    )
+    return agg.select(
+        "symbol",
+        F.round("__exact", 4).alias("exact_p50"),
+        within.alias("within_rank_window"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S2 / R6: effective-interval planning as an oracle-checked query
 # ---------------------------------------------------------------------------
