@@ -96,7 +96,13 @@ class DedupIngest:
         for f in sorted(os.listdir(bdir)):
             with open(os.path.join(bdir, f)) as fh:
                 out.append(json.load(fh))
-        return out
+        # A compaction marker supersedes the batches it folded: if the
+        # process died between writing it and deleting the old markers,
+        # both are on disk — the superseded ones must not double-count.
+        superseded = {
+            b for e in out for b in e.get("compacted_from", [])
+        }
+        return [e for e in out if e["batch"] not in superseded]
 
     # -- the batch hook -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -280,3 +286,52 @@ def admission_frame(docs: DataFrame, pred, threshold: float = 0.5) -> DataFrame:
         & F.col("__near").isNull()
     )
     return out.select("doc_id", admitted.alias("admitted"))
+
+
+def compact_state(ing: DedupIngest) -> dict:
+    """Merge all committed per-batch state dirs into a single compacted
+    batch dir — the OPTIMIZE step for long-running ingest (thousands of
+    micro-batches leave thousands of small parquet dirs; scan planning
+    cost grows with file count, not data size).
+
+    Same two-phase discipline as admission: the compacted data is written
+    to a fresh batch dir under a RESERVED id, its marker is written last
+    (carrying the summed admission totals of everything it replaced), and
+    only then are the replaced batch markers + dirs removed. A crash at
+    any point leaves either the old committed batches (compacted dir
+    invisible without its marker) or the new one (old dirs are garbage,
+    never double-counted: their markers are deleted before their data).
+    """
+    import shutil
+
+    log = ing.admission_log()
+    if len(log) <= 1:
+        return {"compacted": 0}
+    old_ids = [e["batch"] for e in log]
+    new_id = max(old_ids) + 1_000_000  # reserved range, above stream ids
+
+    arrays = ing.corpus_arrays()
+    bands = ing.corpus_bands()
+    arrays.repartition(8).write.mode("overwrite").parquet(
+        ing._path(f"arrays/batch-{new_id}")
+    )
+    bands.repartition(8).write.mode("overwrite").parquet(
+        ing._path(f"bands/batch-{new_id}")
+    )
+    marker = os.path.join(ing._path("_batches"), f"batch-{new_id}.json")
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "batch": new_id,
+                "received": sum(e["received"] for e in log),
+                "admitted": sum(e["admitted"] for e in log),
+                "rejected": sum(e["rejected"] for e in log),
+                "compacted_from": old_ids,
+            },
+            f,
+        )
+    for bid in old_ids:
+        os.remove(os.path.join(ing._path("_batches"), f"batch-{bid}.json"))
+        for name in ("arrays", "bands"):
+            shutil.rmtree(ing._path(f"{name}/batch-{bid}"), ignore_errors=True)
+    return {"compacted": len(old_ids), "into": new_id}

@@ -126,3 +126,48 @@ class TestCrashReplay:
         ing.process_batch(_docs(spark, BATCH1), 0)  # replay
         assert ing.corpus_arrays().count() == 3
         assert len(ing.admission_log()) == 1
+
+
+class TestCompaction:
+    def test_compact_preserves_state_and_log_totals(self, spark, tmp_path):
+        from borsa_spark.streaming.ingest import compact_state
+
+        ing = DedupIngest(spark, str(tmp_path / "s6"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        ing.process_batch(_docs(spark, BATCH2), 1)
+        before_ids = {r.id for r in ing.corpus_arrays().collect()}
+        res = compact_state(ing)
+        assert res["compacted"] == 2
+        assert {r.id for r in ing.corpus_arrays().collect()} == before_ids
+        log = ing.admission_log()
+        assert len(log) == 1
+        assert log[0]["received"] == 7 and log[0]["admitted"] == 4
+        # ingest continues against the compacted state
+        ing.process_batch(
+            _docs(spark, [(20, "the quick brown fox jumps over the lazy dog")]),
+            2,
+        )
+        assert ing.admission_log()[-1]["admitted"] == 0  # still a known dup
+
+    def test_crash_between_marker_and_cleanup_no_double_count(
+        self, spark, tmp_path
+    ):
+        # Simulate: compaction marker written, old markers NOT yet deleted.
+        import json as _json
+
+        from borsa_spark.streaming.ingest import compact_state
+
+        ing = DedupIngest(spark, str(tmp_path / "s7"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        ing.process_batch(_docs(spark, BATCH2), 1)
+        # snapshot old markers, compact, then restore them (the "crash")
+        bdir = tmp_path / "s7" / "_batches"
+        old = {p.name: p.read_text() for p in bdir.glob("batch-*.json")}
+        compact_state(ing)
+        for name, content in old.items():
+            (bdir / name).write_text(content)
+        # also restore old data dirs? they were removed; superseded markers
+        # must be ignored even when their data is gone.
+        log = ing.admission_log()
+        assert len(log) == 1 and "compacted_from" in log[0]
+        assert ing.corpus_arrays().count() == 4  # not 8
