@@ -356,6 +356,57 @@ def rel_q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "rel_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch(o.o_orderdate)::BIGINT AS orderdate_ts,
+           o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def rel_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — a HAVING-filtered
+    self-semi-join on the fact table. The `big` order-key set is a
+    left-semi join (key set is small after the HAVING filter, broadcast
+    under AQE); the quantity re-aggregation then touches only qualifying
+    orders. Deterministic top-100: (o_totalprice desc, o_orderkey asc)."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_ts"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
     "rel_q13_customer_distribution",
     """
     SELECT c_count, count(*)::BIGINT AS custdist FROM (
