@@ -2258,6 +2258,98 @@ def f25_embedding_norms(spark, sf):
 
 
 @query(
+    "w8_rolling_vol",
+    """
+    WITH t AS (
+      SELECT event_type AS symbol, epoch_us(ts)::BIGINT AS ts_us, value AS price,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s,
+             sum(value * value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+      FROM events)
+    SELECT symbol, ts_us,
+           round(sqrt(greatest(0.0, (s2 - s * s / 20) / 19)), 2) AS vol20
+    FROM t WHERE rn >= 20
+    """,
+)
+def w8_rolling_vol(spark, sf):
+    """Rolling 20-tick volatility (sample stddev) per symbol — the
+    market-data window op behind realized-vol monitors. Full windows only
+    (rn >= 20), and the variance is computed from EXPLICIT windowed sums
+    with a clamp at 0, identically in both engines: built-in windowed
+    stddev differs across engines in its sliding update (DuckDB's
+    subtract-on-evict path can go fractionally negative -> NaN), so the
+    formula itself is the portable contract. Rounded to 2dp — the
+    windowed sums are evict-order-sensitive in the last ulps. One shuffle
+    on symbol; rows-based frame so incremental window aggregation
+    applies."""
+    ev = load_table(spark, sf, "events")
+    wspec = Window.partitionBy("event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    wsum = wspec.rowsBetween(-19, Window.currentRow)
+    base = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.row_number().over(wspec).alias("rn"),
+        F.sum("value").over(wsum).alias("s"),
+        F.sum(F.col("value") * F.col("value")).over(wsum).alias("s2"),
+    )
+    vol = F.sqrt(
+        F.greatest(
+            F.lit(0.0), (F.col("s2") - F.col("s") * F.col("s") / 20) / 19
+        )
+    )
+    return (
+        base.filter(F.col("rn") >= 20)
+        .select("symbol", "ts_us", F.round(vol, 2).alias("vol20"))
+    )
+
+
+@query(
+    "w9_max_drawdown",
+    """
+    WITH t AS (
+      SELECT event_type AS symbol, ts, event_id, value AS price,
+             max(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS peak
+      FROM events)
+    SELECT symbol,
+           round(min(price / peak - 1.0), 4) AS max_drawdown,
+           round(max(peak), 2) AS peak_price
+    FROM t GROUP BY symbol
+    """,
+)
+def w9_max_drawdown(spark, sf):
+    """Max drawdown per symbol: running peak (cumulative max over arrival
+    order) then the worst peak-relative dip. The running max is exact
+    (comparisons, no accumulation), the division happens once per row —
+    engine-portable at 4dp. Window + final agg both shuffle on symbol
+    once (co-partitioned)."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+        F.max("value").over(w).alias("peak"),
+    )
+    return t.groupBy("symbol").agg(
+        F.round(F.min(F.col("price") / F.col("peak") - 1.0), 4).alias(
+            "max_drawdown"
+        ),
+        F.round(F.max("peak"), 2).alias("peak_price"),
+    )
+
+
+@query(
     "w7_ewma",
     """
     WITH b AS (
