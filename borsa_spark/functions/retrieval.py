@@ -182,6 +182,11 @@ def bm25_topk(
         toks.join(F.broadcast(pdf.select("term").distinct()), "term")
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        # Two consumers (df_t build side + the score join) and no
+        # ReusedExchange across them: persist the panel-hit aggregate so
+        # the corpus explode runs once. Bounded: <= |panel terms| x docs
+        # containing them. Harness clearCache() owns the lifetime.
+        .persist()
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.select(
