@@ -48,6 +48,7 @@ example-tour:
 	python examples/24_quota_middleware.py
 	python examples/25_python_datasource.py
 	python examples/26_dedup_ingest.py
+	python examples/27_drift_monitor.py
 
 test:
 	python -m pytest tests/ -q
