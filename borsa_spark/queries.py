@@ -1635,6 +1635,54 @@ _JACCARD_SQL = f"""
 """
 
 
+@query(
+    "f51_dup_provenance",
+    f"""
+    WITH pairs AS ({_JACCARD_SQL}),
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b)
+    SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+    FROM tagged GROUP BY source_a, source_b
+    """,
+)
+def f51_dup_provenance(spark, sf):
+    """Duplication provenance: which SOURCE PAIRS the near-dup mass sits
+    between — the diagnostic that turns a pair list into an actionable
+    crawl decision (two mirrors of the same site, a scraper re-ingesting
+    another source's output). Pair generation is the LSH-bounded f7 path;
+    the source tag join broadcasts the (doc_id, source) projection; the
+    pair key is canonically ordered (least/greatest) so direction never
+    splits a count."""
+    docs = load_table(spark, sf, "documents")
+    pairs = _lsh_verified_pairs(docs)
+    src = F.broadcast(docs.select("doc_id", "source"))
+    tagged = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
 @query("f5_ngram_jaccard_pairs", _JACCARD_SQL)
 def f5_ngram_jaccard_pairs(spark, sf):
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5). This is the
