@@ -344,3 +344,53 @@ class TestSymbolAutoDiscovery:
                 .collect()
             )
         assert "path" in str(ei.value)
+
+
+class TestRestartRecovery:
+    def test_exactly_once_across_query_restart(self, registered, tmp_path):
+        """Kill the stream mid-log, restart from the same checkpoint:
+        the sink must end with every tick exactly once — source offsets
+        (readBetweenOffsets replay) + sink manifests (replayed batchIds
+        dropped) compose into end-to-end exactly-once."""
+        import time
+
+        from borsa_spark.sources.datasource import read_tick_sink
+
+        spark = registered
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def start():
+            return (
+                spark.readStream.format("borsa_quote_stream")
+                .option("path", SF)
+                .option("symbols", SYMS)
+                .option("batch_rows", "150")
+                .load()
+                .writeStream.format("borsa_tick_sink")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        q = start()
+        # let a few batches commit, then kill mid-run
+        deadline = time.time() + 60
+        while time.time() < deadline and read_tick_sink(spark, out).count() < 300:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+        mid = read_tick_sink(spark, out).count()
+        assert 0 < mid < 1000  # genuinely mid-log
+
+        q2 = start()
+        deadline = time.time() + 90
+        while time.time() < deadline and read_tick_sink(spark, out).count() < 1000:
+            time.sleep(0.3)
+        q2.stop()
+        q2.awaitTermination(30)
+
+        got = read_tick_sink(spark, out)
+        assert got.count() == 1000                      # no loss
+        assert got.select("seq").distinct().count() == 1000  # no dups
