@@ -2398,6 +2398,77 @@ def w9_max_drawdown(spark, sf):
 
 
 @query(
+    "w10_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT event_type AS symbol,
+             (epoch_us(ts) // 86400000000)::BIGINT AS day_idx,
+             arg_max(value, ts) AS px
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY symbol, day_idx),
+    paired AS (
+      SELECT a.day_idx, a.px AS x, b.px AS y
+      FROM daily a JOIN daily b USING (day_idx)
+      WHERE a.symbol = 'click' AND b.symbol = 'view'),
+    sums AS (
+      SELECT day_idx,
+             row_number() OVER (ORDER BY day_idx) AS rn,
+             sum(x)     OVER w AS sx,  sum(y)     OVER w AS sy,
+             sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2,
+             sum(x * y) OVER w AS sxy
+      FROM paired
+      WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT day_idx,
+           round((10 * sxy - sx * sy)
+                 / sqrt(greatest(1e-12, 10 * sx2 - sx * sx)
+                        * greatest(1e-12, 10 * sy2 - sy * sy)), 3) AS corr10
+    FROM sums WHERE rn >= 10
+    """,
+)
+def w10_rolling_corr(spark, sf):
+    """Rolling 10-day Pearson correlation between two symbols' daily
+    closes — the cross-series analytics window (pairs trading, lead-lag
+    monitors). Daily close = arg_max(value, ts) per (symbol, day), the
+    two series equi-join on day, and the correlation comes from EXPLICIT
+    windowed sums with denominator clamps — same engine-portability rule
+    as w8 (built-in windowed corr differs across engines on its sliding
+    update). Full windows only."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+    ).agg(F.max_by("value", "ts").alias("px"))
+    a = daily.filter(F.col("symbol") == "click").select(
+        "day_idx", F.col("px").alias("x")
+    )
+    b = daily.filter(F.col("symbol") == "view").select(
+        "day_idx", F.col("px").alias("y")
+    )
+    paired = a.join(b, "day_idx")
+    w = Window.orderBy("day_idx").rowsBetween(-9, Window.currentRow)
+    wr = Window.orderBy("day_idx")
+    s = paired.select(
+        "day_idx",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("sy2"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    corr = (10 * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        F.greatest(F.lit(1e-12), 10 * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.greatest(F.lit(1e-12), 10 * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        s.filter(F.col("rn") >= 10)
+        .select("day_idx", F.round(corr, 3).alias("corr10"))
+    )
+
+
+@query(
     "w7_ewma",
     """
     WITH b AS (
