@@ -4864,6 +4864,344 @@ def c2_datasource_daily_ohlc(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Round 4, continued: semantic dedup, admission filters, training order,
+# Bollinger bands, and two more TPC-H shapes (correlated scalar subquery,
+# anti join + global scalar) to round out engine generality.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.40
+
+_SEMDEDUP_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cemb FROM e WHERE vec_id < 8),
+    {_kmeans_round_sql('c0', 1)},
+    {_kmeans_round_sql('c1', 2)},
+    d3 AS (
+      SELECT e.vec_id, c.cid, {_KM_DIST} AS d
+      FROM e CROSS JOIN c2 c),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM d3) t WHERE rn = 1),
+    m AS (
+      SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e USING (vec_id))
+    SELECT a.vec_id, a.cluster,
+           count(*)::BIGINT AS n_dup_neighbors,
+           round(max(list_cosine_similarity(a.v, b.v)), 4) AS max_cos
+    FROM m a JOIN m b
+      ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_TAU}
+    GROUP BY a.vec_id, a.cluster
+"""
+
+
+@query("f52_semdedup", _SEMDEDUP_SQL)
+def f52_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then search for near-duplicates ONLY within each cluster —
+    the cluster assignment replaces an all-pairs cosine join with k
+    intra-cluster joins. A vector is a semantic duplicate if some
+    lower-id cluster-mate sits at cosine >= tau; the lower-id copy is the
+    deterministic survivor (SemDeDup keeps one representative per group).
+    Emits the drop list with per-vector dup-neighbor counts.
+
+    Scale shape: kmeans_centroids is broadcast-assign + a k*dim recompute
+    shuffle per round (functions/similarity.py:373); the intra-cluster
+    self-join is an equi-join on the cluster id, so candidate volume is
+    sum(|cluster|^2) not n^2 — with balanced clusters that is n^2/k, and
+    at real scale k grows with n (sqrt(n) clusters keeps per-cluster work
+    flat). The oracle unrolls the identical 6dp/4dp-snapped Lloyd
+    recurrence (f20's contract) plus the within-cluster cosine join.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    cents = _sim.kmeans_centroids(emb, k=8, iters=2)
+    asg = _sim.kmeans_assign(emb, cents)
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+    )
+    m = asg.join(e, "vec_id").withColumn("__n", _sim.norm2(F.col("__v")))
+    a = m.select(
+        "vec_id", "cluster", F.col("__v").alias("a_v"), F.col("__n").alias("a_n")
+    )
+    b = m.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("__v").alias("b_v"),
+        F.col("__n").alias("b_n"),
+    )
+    cos = _sim.dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.count("*").alias("n_dup_neighbors"),
+            F.round(F.max(cos), 4).alias("max_cos"),
+        )
+    )
+
+
+_BLOCKLIST = ("dup", "slow", "crash")
+_BLOCK_DENSITY = 0.10
+
+
+@query(
+    "f53_blocklist_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_filter(toks, w -> w IN {_BLOCKLIST!r}))::BIGINT
+               AS n_blocked_hits,
+             len(list_distinct(list_filter(toks, w -> w IN {_BLOCKLIST!r})))
+               ::BIGINT AS n_blocked_terms
+      FROM t)
+    SELECT doc_id, n_tokens, n_blocked_hits, n_blocked_terms,
+           (n_blocked_hits <= {_BLOCK_DENSITY} * n_tokens) AS keep
+    FROM h
+    """,
+)
+def f53_blocklist_filter(spark, sf):
+    """Blocklist admission filter (the C4 "bad words" rule, density
+    variant): per doc, count token hits against a broadcast term
+    blocklist and keep the doc only while blocked tokens stay under 10%
+    of its length — the density form is what real pipelines use so a
+    single quoted profanity doesn't nuke an encyclopedia article.
+
+    Scale shape: the blocklist is a literal in the plan (real deployments
+    broadcast it); hits are counted with in-row array ops on the token
+    split — no explode, no shuffle, scan speed, whole-stage codegen. The
+    verdict column keeps every doc in the output so the gate hashes the
+    decision itself, not just the survivors.
+    """
+    toks = F.split(F.col("text"), " ")
+    hits = F.filter(toks, lambda w: w.isin(*_BLOCKLIST))
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(hits).cast("long").alias("n_blocked_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_blocked_terms"),
+    ).withColumn(
+        "keep",
+        F.col("n_blocked_hits") <= _BLOCK_DENSITY * F.col("n_tokens"),
+    )
+
+
+_SHUFFLE_SEED = "epoch0:"
+
+
+@query(
+    "f54_training_order",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             md5('{_SHUFFLE_SEED}' || doc_id::VARCHAR) AS shuffle_key
+      FROM documents)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY shuffle_key, doc_id) AS position,
+           ((row_number() OVER (ORDER BY shuffle_key, doc_id) - 1) % 8)
+             ::BIGINT AS shard
+    FROM t
+    """,
+)
+def f54_training_order(spark, sf):
+    """Deterministic seeded corpus shuffle for training order: position =
+    rank of md5(seed || doc_id), shard = position mod n_shards. Changing
+    the seed string re-shuffles every epoch reproducibly on any engine —
+    the hash IS the random number, so there is no RNG state to
+    coordinate across executors or rounds.
+
+    Scale shape: one global sort on a uniformly-distributed 128-bit key —
+    Spark range-partitions it (sampled bounds), which is exactly the
+    standard distributed shuffle-for-training; every partition lands
+    near-equal regardless of doc_id skew because md5 is uniform. The
+    mod-shard column turns the ordering into a write plan (shard =
+    output file). row_number over the total order is the only windowed
+    step and runs on the already-range-sorted data.
+    """
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return t.select(
+        "doc_id", F.row_number().over(w).alias("position")
+    ).withColumn("shard", ((F.col("position") - 1) % 8).cast("long"))
+
+
+@query(
+    "w11_bollinger",
+    """
+    WITH t AS (
+      SELECT event_type AS symbol, epoch_us(ts)::BIGINT AS ts_us,
+             value AS price,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             sum(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s,
+             sum(value * value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+      FROM events),
+    b AS (
+      SELECT symbol, ts_us, price, s / 20 AS mid,
+             sqrt(greatest(0.0, (s2 - s * s / 20) / 19)) AS sd
+      FROM t WHERE rn >= 20)
+    SELECT symbol, ts_us,
+           round(mid, 4) AS mid20,
+           round(mid + 2 * sd, 2) AS upper_band,
+           round(mid - 2 * sd, 2) AS lower_band,
+           round((price - (mid - 2 * sd)) / nullif(4 * sd, 0.0), 4) AS pct_b
+    FROM b
+    """,
+)
+def w11_bollinger(spark, sf):
+    """Bollinger bands per symbol: 20-tick mean +/- 2 sample stddevs and
+    %B (where the price sits inside the band, 0 = lower, 1 = upper). Same
+    explicit-windowed-sums contract as w8 — the built-in sliding stddev
+    is not engine-portable, the clamped formula is — with the band edges
+    derived from the UNROUNDED mid/sd and only the emitted columns
+    snapped (2dp prices, 4dp ratio). nullif guards the flat-window case
+    (sd = 0 -> %B undefined -> NULL in both engines). One shuffle on
+    symbol; rows-frame windowed sums update incrementally."""
+    ev = load_table(spark, sf, "events")
+    wspec = Window.partitionBy("event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    wsum = wspec.rowsBetween(-19, Window.currentRow)
+    t = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("price"),
+        F.row_number().over(wspec).alias("rn"),
+        F.sum("value").over(wsum).alias("s"),
+        F.sum(F.col("value") * F.col("value")).over(wsum).alias("s2"),
+    ).filter(F.col("rn") >= 20)
+    mid = F.col("s") / 20
+    sd = F.sqrt(
+        F.greatest(
+            F.lit(0.0), (F.col("s2") - F.col("s") * F.col("s") / 20) / 19
+        )
+    )
+    b = t.select(
+        "symbol", "ts_us", "price", mid.alias("mid"), sd.alias("sd")
+    )
+    return b.select(
+        "symbol",
+        "ts_us",
+        F.round(F.col("mid"), 4).alias("mid20"),
+        F.round(F.col("mid") + 2 * F.col("sd"), 2).alias("upper_band"),
+        F.round(F.col("mid") - 2 * F.col("sd"), 2).alias("lower_band"),
+        F.round(
+            (F.col("price") - (F.col("mid") - 2 * F.col("sd")))
+            / F.nullif(4 * F.col("sd"), F.lit(0.0)),
+            4,
+        ).alias("pct_b"),
+    )
+
+
+@query(
+    "rel_q17_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < pa.half_avg_qty
+    """,
+)
+def rel_q17_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar subquery — avg quantity per part — decorrelated into a
+    per-part aggregate joined back to the fact table. That decorrelation
+    is THE standard optimizer rewrite for this query class; expressing it
+    directly keeps the plan two equi-joins on l_partkey (both sides
+    shuffle-partitioned the same way, and the part-brand filter prunes
+    before the join). Single-row output: sum snapped to 2dp with a line
+    count so the hash pins cardinality too."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "rel_q22_dormant_balance",
+    """
+    WITH pos AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey::BIGINT AS nationkey,
+           count(*)::BIGINT AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def rel_q22_dormant_balance(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): rich customers who
+    never ordered — a global scalar subquery (avg positive balance,
+    computed once and broadcast as a 1-row cross join) plus an ANTI join
+    against orders, grouped by nation. The anti join is the load-bearing
+    operator: at scale it runs as a shuffled left-anti on o_custkey with
+    the customer side already thinned by the balance predicate, and
+    Spark's AQE can flip it to broadcast when the filtered customer set
+    is small."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the FIRST 50 entries of

@@ -50,7 +50,18 @@ def test_supervisor_invariants_under_random_walk(steps):
         nonlocal sm
         sm, actions = sm.handle(event)
         # --- invariants on the action list ---
-        for a in actions:
+        # Batch position of each provider's own start this round: the
+        # planner scans from the round-robin cursor and marks providers
+        # Connecting AS IT GOES (supervisor_sm.rs:200-241), so a start's
+        # coverage rule must be judged against PLAN-TIME state — providers
+        # whose own start appears later in the same batch were still idle
+        # when this one was computed.
+        start_pos = {
+            a.id: k
+            for k, a in enumerate(actions)
+            if isinstance(a, RequestStart)
+        }
+        for k, a in enumerate(actions):
             if isinstance(a, RequestStart):
                 p = sm.providers[a.id]
                 # a start request marks the provider Connecting with exactly
@@ -62,13 +73,21 @@ def test_supervisor_invariants_under_random_walk(steps):
                 assert len(a.symbols) > 0
                 # coverage planning (supervisor_sm.rs:304-328): a requested
                 # symbol is never already covered by an EARLIER-in-chain
-                # (higher-priority) provider. Overlap with LOWER-priority
-                # coverage is deliberate — that's the failback path (the
-                # primary reconnects, then preempts on success).
+                # (higher-priority) provider that was already Active or
+                # Connecting when this start was planned. Overlap with
+                # LOWER-priority coverage is deliberate (failback: the
+                # primary reconnects, then preempts on success), and so is
+                # overlap with a higher-priority provider started LATER in
+                # this same batch — the cursor-ordered scan reaches the
+                # lower-priority provider first while the higher one is
+                # still idle; when both connect, the higher one's
+                # activation preempts the lower (failback race).
                 for j, pj in enumerate(sm.providers):
                     if j < a.id and pj.state in (
                         PState.ACTIVE, PState.CONNECTING,
                     ):
+                        if start_pos.get(j, -1) > k:
+                            continue  # started after this one was planned
                         assert not (set(a.symbols) & set(pj.symbols))
                 connecting.add(a.id)
             elif isinstance(a, ScheduleBackoffTick):

@@ -144,6 +144,10 @@ def main() -> None:
         "f45_bm25_topk",
         "f46_inverted_index",
         "f47_pii_scrub",
+        # round 4 continued: semantic dedup + admission + training order
+        "f52_semdedup",
+        "f53_blocklist_filter",
+        "f54_training_order",
     ):
         fn = QUERIES[qname]
         for tier, path in tiers:
