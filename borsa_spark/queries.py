@@ -5021,13 +5021,17 @@ def f54_training_order(spark, sf):
     the hash IS the random number, so there is no RNG state to
     coordinate across executors or rounds.
 
-    Scale shape: one global sort on a uniformly-distributed 128-bit key —
-    Spark range-partitions it (sampled bounds), which is exactly the
-    standard distributed shuffle-for-training; every partition lands
-    near-equal regardless of doc_id skew because md5 is uniform. The
-    mod-shard column turns the ordering into a write plan (shard =
-    output file). row_number over the total order is the only windowed
-    step and runs on the already-range-sorted data.
+    Scale shape — hierarchical rank, NOT a global window: a bare
+    ``row_number() OVER (ORDER BY key)`` compiles to a SinglePartition
+    exchange (all 100 TB through one task). Instead the total order is
+    split on the key's own first byte: per-bucket local ranks (one
+    shuffle on a uniform 256-way prefix — md5 guarantees balance
+    regardless of doc_id skew) plus broadcast cumulative bucket offsets
+    (a window over the 256-row count table). position = offset + local
+    rank is exact because ordering by the key orders by its prefix
+    first. The mod-shard column turns the ordering into a write plan
+    (shard = output file). The oracle keeps the single-window SQL form —
+    same total order, different physical strategy.
     """
     docs = load_table(spark, sf, "documents")
     t = docs.select(
@@ -5035,11 +5039,28 @@ def f54_training_order(spark, sf):
         F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
             "shuffle_key"
         ),
+    ).withColumn("__bucket", F.substring("shuffle_key", 1, 2))
+    wb = Window.partitionBy("__bucket").orderBy("shuffle_key", "doc_id")
+    ranked = t.withColumn("__local_rank", F.row_number().over(wb))
+    woff = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.orderBy("shuffle_key", "doc_id")
-    return t.select(
-        "doc_id", F.row_number().over(w).alias("position")
-    ).withColumn("shard", ((F.col("position") - 1) % 8).cast("long"))
+    offsets = (
+        t.groupBy("__bucket")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__n").over(woff), F.lit(0))
+        )
+        .select("__bucket", "__offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__bucket")
+        .select(
+            "doc_id",
+            (F.col("__offset") + F.col("__local_rank")).alias("position"),
+        )
+        .withColumn("shard", ((F.col("position") - 1) % 8).cast("long"))
+    )
 
 
 @query(

@@ -238,3 +238,47 @@ class TestRound4RetrievalPlanShapes:
         plan = plan_of(spark, "c1_datasource_history")
         assert "Exchange" not in plan          # per-symbol partitions, no shuffle
         assert "BatchEvalPython" not in plan   # Arrow batch reads
+
+
+class TestRound4ContinuedPlanShapes:
+    """Pin the SCALE.md claims for f52-f54, w11, and the new TPC-H shapes."""
+
+    def test_blocklist_filter_is_scan_speed(self, spark):
+        plan = plan_of(spark, "f53_blocklist_filter")
+        assert "Exchange" not in plan          # in-row array ops only
+        assert "Generate" not in plan          # no explode
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_training_order_avoids_global_single_partition(self, spark):
+        # The corpus-sized window must partition on the key prefix; the only
+        # SinglePartition exchange allowed is the 256-row offset table's.
+        plan = plan_of(spark, "f54_training_order")
+        assert "hashpartitioning(__bucket" in plan
+        assert plan.count("SinglePartition") <= 2  # tree + detail line, once
+        assert "BroadcastExchange" in plan     # offsets ride a broadcast
+
+    def test_semdedup_intracluster_join_is_equi(self, spark):
+        # Candidate generation must be an equi-join on the cluster id; the
+        # only nested-loop joins are the broadcast-tiny centroid assigns.
+        plan = plan_of(spark, "f52_semdedup")
+        assert "CartesianProduct" not in plan
+        # every nested-loop occurrence is the Broadcast variant
+        assert plan.count("NestedLoopJoin") == plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+
+    def test_q17_decorrelated_agg_joins_on_partkey(self, spark):
+        plan = plan_of(spark, "rel_q17_small_qty_revenue")
+        assert "BroadcastHashJoin" in plan     # brand-filtered part dim
+        assert "partial_avg" in plan           # per-part avg combines map-side
+        assert "CartesianProduct" not in plan
+
+    def test_q22_anti_join_and_scalar_broadcast(self, spark):
+        plan = plan_of(spark, "rel_q22_dormant_balance")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan  # 1-row scalar rides broadcast NLJ
+
+    def test_bollinger_single_symbol_shuffle(self, spark):
+        plan = plan_of(spark, "w11_bollinger")
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
