@@ -232,6 +232,41 @@ def main() -> None:
     print(json.dumps(ann_guard), flush=True)
 
     # ------------------------------------------------------------------
+    # SemDeDup k-scaling drill: f52's gate query pins k=8 (the oracle
+    # unrolls that exact recurrence), but the SCALE.md claim is "k grows
+    # with n". Measure the same pipeline shape at the 10x embedding
+    # corpus with k=8 vs k=64: candidate volume is sum(|cluster|^2), so
+    # 8x more clusters should cut the intra-cluster join roughly 8x —
+    # the receipt that raising k (not rewriting the query) is the scale
+    # control. Outputs differ by design (SemDeDup trades recall within
+    # farther-apart clusters for bounded cost); both row counts recorded.
+    # ------------------------------------------------------------------
+    for k in (8, 64):
+        t0 = time.time()
+        cents = sim.kmeans_centroids(emb, k=k, iters=2)
+        asg = sim.kmeans_assign(emb, cents)
+        e = emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+        )
+        m = asg.join(e, "vec_id").withColumn("__n", sim.norm2(F.col("__v")))
+        a = m.select("vec_id", "cluster", F.col("__v").alias("a_v"),
+                     F.col("__n").alias("a_n"))
+        b = m.select(F.col("vec_id").alias("b_id"), "cluster",
+                     F.col("__v").alias("b_v"), F.col("__n").alias("b_n"))
+        cos = sim.dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+        n_dups = (
+            a.join(b, "cluster")
+            .filter(F.col("b_id") < F.col("vec_id"))
+            .filter(cos >= 0.40)
+            .select("vec_id").distinct().count()
+        )
+        rec = {"query": f"semdedup_k{k}", "sf": "sf1x10", "rows": n_dups,
+               "k": k, "sec": round(time.time() - t0, 3)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ------------------------------------------------------------------
     # Skewed-key evidence: one symbol carries ~50% of a ~3M-row tick table.
     # Measures (a) plain groupBy vs (b) salted_agg on algebraic aggregates —
     # map-side partial combine makes BOTH skew-immune (the honest baseline:
