@@ -41,6 +41,12 @@ HEADLINE = [
     "c1_datasource_history",
     "f44_doc_chunks",
     "f45_bm25_topk",
+    # round 4 continued: admission, training order, window + TPC-H shapes
+    "f53_blocklist_filter",
+    "f54_training_order",
+    "w11_bollinger",
+    "rel_q17_small_qty_revenue",
+    "rel_q22_dormant_balance",
 ]
 
 

@@ -1,6 +1,7 @@
 """Materialized corpus-prep checkpoint: compute the expensive shared
 relations of the dedup family ONCE, commit each to parquet, and serve
-every downstream consumer from the stored copy.
+every downstream consumer — including later incremental batches — from
+the stored copy.
 
 Why this exists: the gate queries (f7/f17/f24/f33/f36/f51) are
 deliberately self-contained — each rebuilds shingle arrays, signatures,
@@ -9,30 +10,40 @@ isolation. A real 100 TB curation run cannot afford that: the shingle
 fold alone is a full-corpus scan, and at least four pipeline stages
 (pair generation, clustering, survivor selection, split assignment)
 consume the SAME intermediate relations. This module is the production
-composition root the reference's pipeline users would reach for
-(borsa's batch prep has no direct analog — this is the Spark-native
-phase-checkpoint pattern: stable-storage parquet between phases, not
-executor-memory ``.persist()`` whose lifetime dies with the session).
+composition root (the Spark-native phase-checkpoint pattern:
+stable-storage parquet between phases, not executor-memory
+``.persist()`` whose lifetime dies with the session).
 
-Crash-safety follows the repo's streaming-ingest discipline
-(`streaming/ingest.py`): every stage writes its parquet directory first
-and a `_DONE.json` marker LAST; a crash between the two leaves a
-stage directory without a marker, which the next `build()` treats as
-absent and rebuilds. Markers record the build parameters (shingle n,
-threshold, bucket cap, AND the active shingle-hash mode) — a cached
-artifact built under `BORSA_SPARK_SHINGLE_HASH=xxhash64` refuses to
-serve an md5-mode consumer instead of silently mixing hash domains.
+Layout: each stage directory holds committed PART directories —
+``<workdir>/<stage>/b000``, ``b001``, … — each with a ``_DONE.json``
+marker written LAST (the streaming-ingest discipline from
+`streaming/ingest.py`): a crash mid-write leaves a marker-less part
+that readers never see and the next build/extend redoes. Markers record
+the build parameters (shingle n, threshold, bucket cap, AND the active
+shingle-hash mode) — a cached artifact built under
+``BORSA_SPARK_SHINGLE_HASH=xxhash64`` refuses to serve an md5-mode
+consumer instead of silently mixing hash domains.
 
-Stage DAG (each reads only committed predecessors):
+Stage semantics:
 
-    shingle_arrays  (id, shingles array<long>)       scan-speed fold
-    signatures      (id, h0..h59)                    in-row from arrays
-    pairs           (id_a, id_b, jaccard)            banded LSH + verify
-    clusters        (id, comp)                       star contraction
+    shingle_arrays  additive   (id, shingles array<long>)  scan-speed fold
+    signatures      additive   (id, h0..h59)               in-row from arrays
+    pairs           additive   (id_a < id_b, jaccard)      banded LSH + verify
+    clusters        snapshot   (id, comp)                  star contraction
 
-Downstream helpers (`survivors`, `split_assign`) are thin declarative
-reads over the stored relations — running them twice costs two parquet
-scans, never two corpus scans.
+Additive stages are read as the union of all committed parts; the
+clusters stage is a SNAPSHOT (connected components are global — new
+edges can merge old components) whose marker records how many pair
+parts it folded, so a clusters snapshot that predates the latest
+``extend()`` reads as stale instead of silently serving old components.
+
+``extend(new_docs)`` is the batch analog of the streaming DedupIngest:
+the new batch pays its own shingle/signature cost, cross-set candidates
+join NEW band keys against STORED band keys (the corpus side is never
+re-shingled), intra-batch pairs come from the standard banded self-join
+over the new signatures only, and clusters are refolded from the stored
+pair parts. ``build(A); extend(B)`` is pair- and cluster-identical to
+``build(A ∪ B)`` (tested).
 """
 
 from __future__ import annotations
@@ -50,11 +61,12 @@ from borsa_spark.functions import text as _tx
 _MARKER = "_DONE.json"
 
 STAGES = ("shingle_arrays", "signatures", "pairs", "clusters")
+_ADDITIVE = ("shingle_arrays", "signatures", "pairs")
 
 
 @dataclass(frozen=True)
 class PrepParams:
-    """Build parameters stamped into every stage marker."""
+    """Build parameters stamped into every part marker."""
 
     n: int = 3
     threshold: float = 0.5
@@ -70,12 +82,13 @@ class PrepParams:
 class CorpusArtifacts:
     """Filesystem-backed corpus-prep checkpoint rooted at ``workdir``.
 
-    ``build(docs)`` materializes any missing/stale stage and returns a
-    report of what was built vs served from cache; accessors read the
-    committed parquet. At cluster scale ``workdir`` is an object-store
-    prefix and each stage directory is the hand-off point between
-    pipeline phases (retryable independently, inspectable, shareable
-    across jobs — none of which an in-session ``.persist()`` gives you).
+    ``build(docs)`` materializes the base part of every stage;
+    ``extend(new_docs)`` admits an incremental batch against the stored
+    relations; accessors read committed parquet. At cluster scale
+    ``workdir`` is an object-store prefix and each part is the hand-off
+    point between pipeline phases (retryable independently,
+    inspectable, shareable across jobs — none of which an in-session
+    ``.persist()`` gives you).
     """
 
     def __init__(
@@ -88,43 +101,79 @@ class CorpusArtifacts:
         self.workdir = workdir
         self.params = params or PrepParams()
 
-    # -- stage bookkeeping --------------------------------------------------
+    # -- part bookkeeping ---------------------------------------------------
 
-    def _dir(self, stage: str) -> str:
+    def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
-    def _marker_path(self, stage: str) -> str:
-        return os.path.join(self._dir(stage), _MARKER)
+    def _part_dirs(self, stage: str) -> list[str]:
+        root = self._stage_dir(stage)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("b")
+        )
 
-    def committed(self, stage: str) -> bool:
-        """True iff the stage's marker exists AND matches the params."""
+    def _part_marker(self, part_dir: str) -> dict | None:
         try:
-            with open(self._marker_path(stage)) as f:
+            with open(os.path.join(part_dir, _MARKER)) as f:
                 marker = json.load(f)
         except (OSError, ValueError):
-            return False
-        return marker.get("params") == self.params.fingerprint()
+            return None
+        if marker.get("params") != self.params.fingerprint():
+            return None
+        return marker
 
-    def _commit(self, stage: str, df: DataFrame) -> int:
-        path = self._dir(stage)
+    def _committed_parts(self, stage: str) -> list[str]:
+        return [p for p in self._part_dirs(stage) if self._part_marker(p)]
+
+    def committed(self, stage: str) -> bool:
+        """True iff the stage has >= 1 committed part under these params,
+        and — for the clusters snapshot — it folds the current pair
+        parts (an extend() that crashed before refolding reads stale)."""
+        parts = self._committed_parts(stage)
+        if not parts:
+            return False
+        if stage == "clusters":
+            marker = self._part_marker(parts[-1])
+            return marker.get("pair_parts") == len(
+                self._committed_parts("pairs")
+            )
+        return True
+
+    def _next_part(self, stage: str) -> str:
+        n = len(self._part_dirs(stage))
+        return os.path.join(self._stage_dir(stage), f"b{n:03d}")
+
+    def _commit_part(self, stage: str, df: DataFrame, **extra) -> str:
+        path = self._next_part(stage)
         df.write.mode("overwrite").parquet(path)
         rows = self.spark.read.parquet(path).count()
-        marker = {"params": self.params.fingerprint(), "rows": rows}
-        # marker LAST: readers treat a marker-less directory as absent
-        tmp = self._marker_path(stage) + ".tmp"
+        marker = {"params": self.params.fingerprint(), "rows": rows, **extra}
+        # marker LAST: readers treat a marker-less part as absent
+        tmp = os.path.join(path, _MARKER + ".tmp")
         with open(tmp, "w") as f:
             json.dump(marker, f)
-        os.replace(tmp, self._marker_path(stage))
-        return rows
+        os.replace(tmp, os.path.join(path, _MARKER))
+        return path
 
     def _read(self, stage: str) -> DataFrame:
         if not self.committed(stage):
             raise RuntimeError(
-                f"corpus artifact {stage!r} at {self._dir(stage)} is absent,"
-                f" crash-partial, or built with different params"
-                f" ({self.params.fingerprint()}); run build() first."
+                f"corpus artifact {stage!r} at {self._stage_dir(stage)} is"
+                f" absent, crash-partial, stale, or built with different"
+                f" params ({self.params.fingerprint()}); run build()/"
+                f"extend() first."
             )
-        return self.spark.read.parquet(self._dir(stage))
+        parts = self._committed_parts(stage)
+        if stage not in _ADDITIVE:  # snapshot: latest committed part wins
+            return self.spark.read.parquet(parts[-1])
+        out = self.spark.read.parquet(parts[0])
+        for p in parts[1:]:
+            out = out.unionByName(self.spark.read.parquet(p))
+        return out
 
     # -- build --------------------------------------------------------------
 
@@ -138,14 +187,14 @@ class CorpusArtifacts:
 
         if not self.committed("shingle_arrays"):
             arr = _dd.shingle_array(docs, p.n, text_col, id_col)
-            self._commit("shingle_arrays", arr)
+            self._commit_part("shingle_arrays", arr)
             report["shingle_arrays"] = "built"
         else:
             report["shingle_arrays"] = "cached"
 
         if not self.committed("signatures"):
             arr = self._read("shingle_arrays")
-            self._commit("signatures", _dd.signature_from_array(arr))
+            self._commit_part("signatures", _dd.signature_from_array(arr))
             report["signatures"] = "built"
         else:
             report["signatures"] = "cached"
@@ -158,7 +207,7 @@ class CorpusArtifacts:
             arr = self._read("shingle_arrays").filter(
                 F.size("shingles") > 0
             )
-            self._commit(
+            self._commit_part(
                 "pairs", _dd.verify_jaccard_inrow(cands, arr, p.threshold)
             )
             report["pairs"] = "built"
@@ -166,14 +215,104 @@ class CorpusArtifacts:
             report["pairs"] = "cached"
 
         if not self.committed("clusters"):
-            pairs = self._read("pairs")
-            nodes = self._read("shingle_arrays").select("id")
-            self._commit("clusters", _dd.dup_clusters(pairs, nodes))
+            self._refold_clusters()
             report["clusters"] = "built"
         else:
             report["clusters"] = "cached"
 
         return report
+
+    def _refold_clusters(self) -> None:
+        pairs = self._read("pairs")
+        nodes = self._read("shingle_arrays").select("id")
+        self._commit_part(
+            "clusters",
+            _dd.dup_clusters(pairs.select("id_a", "id_b"), nodes),
+            pair_parts=len(self._committed_parts("pairs")),
+        )
+
+    # -- incremental admission ----------------------------------------------
+
+    def extend(self, new_docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> dict:
+        """Admit an incremental batch against the stored corpus: the new
+        batch pays its own shingle/signature cost; the corpus side is
+        served from parquet (never re-shingled). Appends array/signature/
+        pair parts, then refolds the clusters snapshot. Crash-safe at
+        part granularity: a rerun after a crash redoes only uncommitted
+        parts (detected via the clusters marker's pair_parts count).
+
+        New-batch ids must be disjoint from stored ids (the caller's
+        contract, same as any append-only ingest)."""
+        p = self.params
+        new_arr = _dd.shingle_array(new_docs, p.n, text_col, id_col)
+        new_sig = _dd.signature_from_array(new_arr)
+
+        # cross-set candidates: NEW band keys vs STORED band keys; the
+        # bucket cap applies to union-bucket occupancy like a full build
+        old_sig = self._read("signatures")
+        new_bk = _dd.lsh_band_keys(new_sig)
+        old_bk = _dd.lsh_band_keys(old_sig)
+        if p.max_bucket_size is not None:
+            union_counts = (
+                new_bk.select("band", "band_key")
+                .unionByName(old_bk.select("band", "band_key"))
+                .groupBy("band", "band_key")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= p.max_bucket_size)
+                .select("band", "band_key")
+            )
+            new_bk = new_bk.join(union_counts, ["band", "band_key"], "left_semi")
+            old_bk = old_bk.join(union_counts, ["band", "band_key"], "left_semi")
+        cross = (
+            new_bk.select(F.col("id").alias("new_id"), "band", "band_key")
+            .join(
+                old_bk.select(F.col("id").alias("old_id"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        # intra-batch candidates: banded self-join over the NEW band keys —
+        # reusing new_bk keeps the bucket cap at union occupancy, exactly
+        # what a from-scratch build over the full corpus would apply
+        a_bk = new_bk.select(F.col("id").alias("id_a"), "band", "band_key")
+        b_bk = new_bk.select(F.col("id").alias("id_b"), "band", "band_key")
+        intra = (
+            a_bk.join(b_bk, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # canonical (least, greatest) ordering matches the full build
+        cands = (
+            cross.select(
+                F.least("new_id", "old_id").alias("id_a"),
+                F.greatest("new_id", "old_id").alias("id_b"),
+            )
+            .unionByName(intra.select("id_a", "id_b"))
+            .distinct()
+        )
+        arr_all = (
+            self._read("shingle_arrays")
+            .unionByName(new_arr)
+            .filter(F.size("shingles") > 0)
+        )
+        new_pairs = _dd.verify_jaccard_inrow(cands, arr_all, p.threshold)
+
+        # commit order: arrays -> signatures -> pairs -> refold clusters.
+        # A crash between any two leaves the clusters marker's pair_parts
+        # count behind, so committed("clusters") reads stale and the next
+        # build()/extend() refolds.
+        self._commit_part("shingle_arrays", new_arr)
+        self._commit_part("signatures", new_sig)
+        self._commit_part("pairs", new_pairs)
+        self._refold_clusters()
+        return {
+            "batch_parts": len(self._committed_parts("pairs")) - 1,
+            "new_pairs": "built",
+            "clusters": "refolded",
+        }
 
     # -- accessors ----------------------------------------------------------
 

@@ -47,7 +47,7 @@ def test_build_matches_self_contained_pipeline(spark, docs, tmp_path):
 def test_second_build_is_fully_cached(spark, docs, tmp_path):
     art = CorpusArtifacts(spark, str(tmp_path))
     art.build(docs)
-    marker = os.path.join(str(tmp_path), "pairs", "_DONE.json")
+    marker = os.path.join(str(tmp_path), "pairs", "b000", "_DONE.json")
     before = os.path.getmtime(marker)
     report = art.build(docs)
     assert set(report.values()) == {"cached"}
@@ -58,7 +58,7 @@ def test_crash_partial_stage_is_rebuilt(spark, docs, tmp_path):
     art = CorpusArtifacts(spark, str(tmp_path))
     art.build(docs)
     # simulate a crash between parquet write and marker write
-    os.remove(os.path.join(str(tmp_path), "clusters", "_DONE.json"))
+    os.remove(os.path.join(str(tmp_path), "clusters", "b000", "_DONE.json"))
     report = art.build(docs)
     assert report["clusters"] == "built"
     assert report["pairs"] == "cached"  # predecessors untouched
@@ -76,7 +76,9 @@ def test_hash_mode_is_part_of_artifact_identity(spark, docs, tmp_path):
     art = CorpusArtifacts(spark, str(tmp_path))
     art.build(docs)
     # forge a marker claiming the other hash mode: must read as stale
-    marker_path = os.path.join(str(tmp_path), "signatures", "_DONE.json")
+    marker_path = os.path.join(
+        str(tmp_path), "signatures", "b000", "_DONE.json"
+    )
     with open(marker_path) as f:
         marker = json.load(f)
     marker["params"]["shingle_hash"] = "xxhash64"
@@ -105,3 +107,70 @@ def test_downstream_helpers_match_gate_queries(spark, docs, tmp_path):
         .filter(F.col("n") > 1)
     )
     assert leaks.count() == 0
+
+
+class TestIncrementalExtend:
+    """extend(B) after build(A) must equal build(A ∪ B), reuse the stored
+    corpus side, and keep the stale-clusters crash window detectable."""
+
+    def _split(self, docs):
+        a = docs.filter(F.col("doc_id") % 3 != 0)
+        b = docs.filter(F.col("doc_id") % 3 == 0)
+        return a, b
+
+    def test_extend_matches_full_build(self, spark, docs, tmp_path):
+        a, b = self._split(docs)
+        inc = CorpusArtifacts(spark, str(tmp_path / "inc"))
+        inc.build(a)
+        inc.extend(b)
+        full = CorpusArtifacts(spark, str(tmp_path / "full"))
+        full.build(docs)
+        assert {tuple(r) for r in inc.pairs().collect()} == {
+            tuple(r) for r in full.pairs().collect()
+        }
+        assert {tuple(r) for r in inc.clusters().collect()} == {
+            tuple(r) for r in full.clusters().collect()
+        }
+
+    def test_extend_matches_full_build_with_bucket_cap(
+        self, spark, docs, tmp_path
+    ):
+        cap = PrepParams(max_bucket_size=3)
+        a, b = self._split(docs)
+        inc = CorpusArtifacts(spark, str(tmp_path / "inc"), cap)
+        inc.build(a)
+        inc.extend(b)
+        full = CorpusArtifacts(spark, str(tmp_path / "full"), cap)
+        full.build(docs)
+        assert {tuple(r) for r in inc.pairs().collect()} == {
+            tuple(r) for r in full.pairs().collect()
+        }
+
+    def test_crash_before_refold_reads_stale_and_recovers(
+        self, spark, docs, tmp_path
+    ):
+        import shutil
+
+        a, b = self._split(docs)
+        art = CorpusArtifacts(spark, str(tmp_path))
+        art.build(a)
+        art.extend(b)
+        # simulate the crash window: pairs part b001 committed but the
+        # clusters refold never happened -> drop the newest clusters part
+        clusters_parts = sorted(
+            os.listdir(os.path.join(str(tmp_path), "clusters"))
+        )
+        shutil.rmtree(
+            os.path.join(str(tmp_path), "clusters", clusters_parts[-1])
+        )
+        assert not art.committed("clusters")  # stale, not silently served
+        with pytest.raises(RuntimeError, match="stale"):
+            art.clusters()
+        report = art.build(docs)  # recovery refolds from stored pairs
+        assert report["clusters"] == "built"
+        assert report["pairs"] == "cached"
+        full = CorpusArtifacts(spark, str(tmp_path / "full2"))
+        full.build(docs)
+        assert {tuple(r) for r in art.clusters().collect()} == {
+            tuple(r) for r in full.clusters().collect()
+        }
