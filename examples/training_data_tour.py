@@ -83,6 +83,39 @@ def main() -> None:
     QUERIES["f34_mixture_weights"](spark, SF) \
         .orderBy(F.col("weight").desc()).show(5)
 
+    # 7. production checkpoints: build the shared dedup relations ONCE
+    # (parquet + marker-last), admit a later batch incrementally, and
+    # serve survivor selection from the stored clusters
+    import tempfile
+
+    from borsa_spark.functions.pipeline import CorpusArtifacts
+    from borsa_spark.functions.vector_index import VectorIndex
+
+    with tempfile.TemporaryDirectory() as work:
+        art = CorpusArtifacts(spark, f"{work}/corpus")
+        first = docs.filter(F.col("doc_id") % 3 != 0)
+        later = docs.filter(F.col("doc_id") % 3 == 0)
+        print("== artifact build (first batch) ==", art.build(first))
+        print("== incremental admission ==", art.extend(later))
+        print("== survivors from stored clusters ==")
+        art.survivors(docs).orderBy("component").show(5)
+
+        # 8. persisted IVF index: train+assign once, probe with a static
+        # partition filter (only the probed lists are read from disk)
+        idx = VectorIndex(spark, f"{work}/index", k=4, iters=2)
+        print("== index build ==", idx.build(emb))
+        print("== partition-pruned ANN search ==")
+        idx.search(queries, k=3, n_probe=2).show(9)
+
+    # 9. admission + ordering (queries f53/f54): blocklist density gate
+    # at scan speed, then the seeded shuffle that fixes training order
+    print("== blocklist verdicts ==")
+    QUERIES["f53_blocklist_filter"](spark, SF) \
+        .groupBy("keep").count().show()
+    print("== training order (seeded, hierarchical rank) ==")
+    QUERIES["f54_training_order"](spark, SF) \
+        .orderBy("position").show(5)
+
     spark.stop()
 
 
