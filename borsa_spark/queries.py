@@ -5222,6 +5222,95 @@ def rel_q22_dormant_balance(spark, sf):
     )
 
 
+_MACD_SLOW_W = [1.0, 0.75, 0.5625, 0.421875, 0.31640625, 0.2373046875]
+
+
+def _ewma_sql(col: str, weights: list[float], win: str) -> str:
+    """Truncated-lag EWMA as SQL: sum(w_k * lag_k) / sum(present w_k)."""
+    num = " + ".join(
+        f"{w!r} * coalesce(lag({col}, {k}) OVER {win}, 0)" if k else f"{col}"
+        for k, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag({col}, {k}) OVER {win} IS NULL THEN 0 ELSE {w!r} END)"
+        if k
+        else "1"
+        for k, w in enumerate(weights)
+    )
+    return f"(({num}) / ({den}))"
+
+
+@query(
+    "w12_macd",
+    f"""
+    WITH b AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+             round(avg(value), 6) AS m
+      FROM events GROUP BY 1, 2),
+    e AS (
+      SELECT symbol, bucket,
+             {_ewma_sql('m', [1.0, 0.5, 0.25, 0.125], 'w')} AS fast,
+             {_ewma_sql('m', _MACD_SLOW_W, 'w')} AS slow
+      FROM b WINDOW w AS (PARTITION BY symbol ORDER BY bucket ASC)),
+    d AS (
+      SELECT symbol, bucket, fast - slow AS macd FROM e),
+    s AS (
+      SELECT symbol, bucket, macd,
+             {_ewma_sql('macd', [1.0, 0.5, 0.25, 0.125], 'w2')} AS signal
+      FROM d WINDOW w2 AS (PARTITION BY symbol ORDER BY bucket ASC))
+    SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+           round(macd, 4) AS macd, round(signal, 4) AS signal,
+           round(macd - signal, 4) AS histogram
+    FROM s
+    """,
+)
+def w12_macd(spark, sf):
+    """MACD over hourly means: fast (alpha=1/2, depth 4) minus slow
+    (alpha=1/4, depth 6) truncated-lag EWMA, a signal line (EWMA of the
+    MACD itself), and the histogram — the momentum indicator composed
+    from w7's engine-portable EWMA contract. Every weight is an exact
+    binary fraction ((3/4)^k, (1/2)^k), the lag composition fixes the
+    float addition order, and the head renormalizes over present lags —
+    so both engines walk identical doubles and the 4dp snap is stable.
+
+    Scale shape: one shuffle on symbol for the hourly aggregate; BOTH
+    window passes (fast/slow, then signal-over-macd) use the same
+    (symbol, bucket) partitioning and ordering, so Spark sorts once and
+    the second Window reuses the first's distribution — no extra
+    exchange (plan-guarded)."""
+    ev = load_table(spark, sf, "events")
+    b = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    w = Window.partitionBy("symbol").orderBy(F.col("bucket").asc())
+
+    def ewma(col: F.Column, weights: list[float]) -> F.Column:
+        num = col
+        den = F.lit(1.0)
+        for k, wt in enumerate(weights):
+            if k == 0:
+                continue
+            lagged = F.lag(col, k).over(w)
+            num = num + wt * F.coalesce(lagged, F.lit(0.0))
+            den = den + F.when(lagged.isNull(), 0.0).otherwise(wt)
+        return num / den
+
+    e = b.withColumn(
+        "macd",
+        ewma(F.col("m"), [1.0, 0.5, 0.25, 0.125])
+        - ewma(F.col("m"), _MACD_SLOW_W),
+    )
+    s = e.withColumn("signal", ewma(F.col("macd"), [1.0, 0.5, 0.25, 0.125]))
+    return s.select(
+        "symbol",
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        F.round(F.col("macd"), 4).alias("macd"),
+        F.round(F.col("signal"), 4).alias("signal"),
+        F.round(F.col("macd") - F.col("signal"), 4).alias("histogram"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

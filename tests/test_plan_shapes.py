@@ -282,3 +282,11 @@ class TestRound4ContinuedPlanShapes:
         plan = plan_of(spark, "w11_bollinger")
         assert plan.count("Exchange hashpartitioning") <= 1
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_macd_single_shuffle_two_windows(self, spark):
+        # hourly agg shuffles on symbol once; both window passes reuse the
+        # same (symbol, bucket) distribution — no second hash exchange
+        plan = plan_of(spark, "w12_macd")
+        assert plan.count("hashpartitioning(symbol") <= 1
+        assert plan.count("Window") >= 2  # fast/slow pass + signal pass
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
