@@ -5311,6 +5311,141 @@ def w12_macd(spark, sf):
     )
 
 
+@query(
+    "rel_q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def rel_q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape (discounted revenue under a 3-way disjunction of
+    conjunct groups spanning BOTH join sides). The optimizer test is
+    predicate decomposition: Catalyst derives the single-side implications
+    (p_brand IN (...), quantity within the union range) and pushes them
+    below the join as scan filters, keeping only the cross-side residual
+    on the join output — the classic OR-of-ANDs pushdown. The part side
+    (brand+size filtered) broadcasts."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(g1 | g2 | g3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "rel_q21_returned_without_discount",
+    """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.05)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_q21_returned_without_discount(spark, sf):
+    """TPC-H Q21 shape (the reference query's supplier-blame pattern,
+    re-keyed to this schema's columns): orders that HAVE a returned line
+    (left-semi) and have NO discounted line (left-anti) — the same fact
+    table probed twice with opposite existential polarity, each probe
+    pre-filtered before its join so the semi/anti build sides carry only
+    qualifying keys. Both joins key on o_orderkey, so the order stream
+    shuffles once and AQE can broadcast the thinned probes."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    discounted = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .join(discounted, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "x4_hll_sketch_merge",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           0::BIGINT AS merge_minus_direct,
+           true AS within_15pct
+    FROM events GROUP BY event_type
+    """,
+)
+def x4_hll_sketch_merge(spark, sf):
+    """HLL sketch MERGEABILITY — the property that makes approx-distinct
+    usable at 100 TB: per-day partial sketches (computed map-side, tiny
+    binary state) union into the same estimate the one-shot sketch
+    gives, so daily rollups never rescan history. Emits the merged-vs-
+    direct delta (pinned 0: DataSketches HLL union at equal lgK is
+    deterministic) and a 15% envelope vs exact distinct (x2's contract:
+    rsd is a std-dev, not a bound, so the envelope is deliberately wide;
+    all-null groups pass vacuously). The oracle recomputes exact counts
+    and pins both flags — engine sketches themselves are not portable,
+    their CONTRACT is."""
+    ev = load_table(spark, sf, "events")
+    partial = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    merged = partial.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__direct"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    within = (F.col("exact_users") == 0) | (
+        F.abs(F.col("__merged") - F.col("exact_users"))
+        <= 0.15 * F.col("exact_users")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("__merged") - F.col("__direct"))
+            .cast("long")
+            .alias("merge_minus_direct"),
+            within.alias("within_15pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

@@ -290,3 +290,23 @@ class TestRound4ContinuedPlanShapes:
         assert plan.count("hashpartitioning(symbol") <= 1
         assert plan.count("Window") >= 2  # fast/slow pass + signal pass
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_q19_disjunction_decomposed_to_both_scans(self, spark):
+        # Catalyst must derive each side's OR-of-ANDs implication and push
+        # it below the join: quantity ranges reach the lineitem scan,
+        # brand+size conjuncts reach the part scan.
+        plan = plan_of(spark, "rel_q19_disjunctive_revenue")
+        assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+        assert "EqualTo(p_brand,Brand#1)" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q21_semi_and_anti_with_prefiltered_probes(self, spark):
+        plan = plan_of(spark, "rel_q21_returned_without_discount")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "EqualTo(l_returnflag,R)" in plan      # probe pre-filtered
+        assert "GreaterThan(l_discount,0.05)" in plan  # at the scan
+
+    def test_hll_partials_combine_map_side(self, spark):
+        plan = plan_of(spark, "x4_hll_sketch_merge")
+        assert "partial_hll_sketch_agg" in plan  # sketches build map-side
+        assert "partial_hll_union_agg" in plan   # merge combines map-side
