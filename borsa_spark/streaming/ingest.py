@@ -59,12 +59,21 @@ class DedupIngest:
         n: int = 3,
         threshold: float = 0.5,
         max_bucket_size: int | None = 64,
+        quality_gate=None,
     ):
+        """``quality_gate``: optional ``Callable[[DataFrame], Column]``
+        returning a boolean keep-predicate over a (doc_id, text) batch —
+        run BEFORE any dedup work so rejected docs never pay shingle
+        cost and never enter corpus state (the f43/f53 admission rules
+        composed with the stream; see `admission_gate` for a stock one).
+        Quality rejections are accounted separately in the batch marker
+        (``rejected_quality``)."""
         self.spark = spark
         self.state_dir = state_dir
         self.n = n
         self.threshold = threshold
         self.max_bucket_size = max_bucket_size
+        self.quality_gate = quality_gate
         os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
 
     # -- state ----------------------------------------------------------
@@ -112,6 +121,13 @@ class DedupIngest:
 
         docs = batch_df.select("doc_id", "text")
         n_in = docs.count()
+
+        # 0. quality admission gate (scan-speed predicate) BEFORE dedup:
+        # a rejected doc never pays shingle cost, never enters state.
+        n_quality_rejected = 0
+        if self.quality_gate is not None:
+            docs = docs.filter(self.quality_gate(docs))
+            n_quality_rejected = n_in - docs.count()
 
         # 1. intra-batch exact dedup: first doc_id per text hash wins.
         hashed = docs.withColumn("text_md5", F.md5("text"))
@@ -193,6 +209,7 @@ class DedupIngest:
                     "received": int(n_in),
                     "admitted": int(n_admit),
                     "rejected": int(n_in - n_admit),
+                    "rejected_quality": int(n_quality_rejected),
                 },
                 f,
             )
@@ -209,6 +226,33 @@ class DedupIngest:
             .options(**opts)
             .start()
         )
+
+
+def admission_gate(
+    blocklist: tuple[str, ...] = (),
+    max_block_density: float = 0.10,
+    min_tokens: int = 0,
+    max_tokens: int | None = None,
+):
+    """Stock quality gate for `DedupIngest`: the f53 blocklist-density
+    rule plus an f43-style token-length band, composed as ONE in-row
+    boolean expression (no explode, no shuffle — the gate adds zero cost
+    beyond the scan the batch already pays). Returns the
+    ``Callable[[DataFrame], Column]`` shape `quality_gate` expects."""
+
+    def gate(docs: DataFrame):
+        toks = F.split(F.col("text"), " ")
+        keep = F.size(toks) >= min_tokens
+        if max_tokens is not None:
+            keep = keep & (F.size(toks) <= max_tokens)
+        if blocklist:
+            hits = F.filter(toks, lambda w: w.isin(*blocklist))
+            keep = keep & (
+                F.size(hits) <= max_block_density * F.size(toks)
+            )
+        return keep
+
+    return gate
 
 
 def sql_ingest_admission(corpus_pred_sql: str, threshold: float = 0.5) -> str:

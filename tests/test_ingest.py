@@ -37,7 +37,8 @@ class TestDedupIngestBatches:
         ing.process_batch(_docs(spark, BATCH1), 0)
         log = ing.admission_log()
         assert log == [
-            {"batch": 0, "received": 3, "admitted": 3, "rejected": 0}
+            {"batch": 0, "received": 3, "admitted": 3, "rejected": 0,
+             "rejected_quality": 0}
         ]
         assert ing.corpus_arrays().count() == 3
 
@@ -47,7 +48,8 @@ class TestDedupIngestBatches:
         ing.process_batch(_docs(spark, BATCH2), 1)
         log = ing.admission_log()[1]
         # 10 exact-dup, 11 near-dup, 13 intra-batch dup -> only 12 admitted
-        assert log == {"batch": 1, "received": 4, "admitted": 1, "rejected": 3}
+        assert log == {"batch": 1, "received": 4, "admitted": 1,
+                       "rejected": 3, "rejected_quality": 0}
         ids = {r.id for r in ing.corpus_arrays().collect()}
         assert ids == {1, 2, 3, 12}
 
@@ -171,3 +173,49 @@ class TestCompaction:
         log = ing.admission_log()
         assert len(log) == 1 and "compacted_from" in log[0]
         assert ing.corpus_arrays().count() == 4  # not 8
+
+
+class TestQualityGate:
+    """The optional admission gate rejects before any dedup work: gated
+    docs never enter corpus state and are accounted separately."""
+
+    def test_blocklisted_doc_never_reaches_state(self, spark, tmp_path):
+        from borsa_spark.streaming.ingest import admission_gate
+
+        ing = DedupIngest(
+            spark,
+            str(tmp_path / "q"),
+            quality_gate=admission_gate(
+                blocklist=("casino",), max_block_density=0.0, min_tokens=4
+            ),
+        )
+        batch = BATCH1 + [
+            (4, "casino casino casino jackpot"),     # blocklisted
+            (5, "too short"),                        # under min_tokens
+        ]
+        ing.process_batch(_docs(spark, batch), 0)
+        log = ing.admission_log()
+        assert log[0]["received"] == 5
+        assert log[0]["rejected_quality"] == 2
+        assert log[0]["admitted"] == 3
+        ids = {r["id"] for r in ing.corpus_arrays().collect()}
+        assert ids == {1, 2, 3}
+
+    def test_gate_composes_with_dedup_screening(self, spark, tmp_path):
+        from borsa_spark.streaming.ingest import admission_gate
+
+        ing = DedupIngest(
+            spark,
+            str(tmp_path / "q2"),
+            quality_gate=admission_gate(min_tokens=4),
+        )
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        ing.process_batch(_docs(spark, BATCH2 + [(14, "tiny doc")]), 1)
+        log = ing.admission_log()
+        # batch 2: 5 received, 1 quality-gated (14), exact dup 10, near
+        # dup 11, intra dup 13 -> only 12 admitted
+        assert log[1]["received"] == 5
+        assert log[1]["rejected_quality"] == 1
+        assert log[1]["admitted"] == 1
+        ids = {r["id"] for r in ing.corpus_arrays().collect()}
+        assert 12 in ids and 14 not in ids and 10 not in ids
