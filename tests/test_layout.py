@@ -80,3 +80,50 @@ def test_partitioned_bucketed_write_prunes_partitions(spark):
         assert "Exchange" not in buf2.getvalue()
     finally:
         spark.sql("DROP TABLE IF EXISTS candles_part")
+
+
+def test_sorted_layout_skips_files_on_time_range(spark, tmp_path):
+    """Row-group/file stat skipping: events written time-SORTED across many
+    files let a narrow ts-range filter decode only the files whose min/max
+    straddle the range — the dominant access pattern for market data at
+    scale (a day's query over a year's store). Written unsorted, every file
+    contains the whole time span and nothing can be skipped. Receipt:
+    input_file_name() over the filtered scan counts the files that actually
+    produced rows."""
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n_files = 8
+    sorted_dir = str(tmp_path / "sorted")
+    unsorted_dir = str(tmp_path / "unsorted")
+    # repartitionByRange -> each file owns a disjoint ts slice
+    ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts") \
+        .write.parquet(sorted_dir)
+    # hash-shuffle on event_id -> every file spans the full time range
+    ev.repartition(n_files, "event_id").write.parquet(unsorted_dir)
+
+    # 3 of the fixture's 30 days: ~10% of rows, so every hash file holds
+    # some (deterministic data -> deterministic counts) while the sorted
+    # layout confines them to one or two range slices
+    lo, hi = "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+
+    def files_read(path: str) -> int:
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("ts").between(lo, hi))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+        )
+        return df.count()
+
+    read_sorted = files_read(sorted_dir)
+    read_unsorted = files_read(unsorted_dir)
+    assert read_unsorted == n_files          # no skipping possible
+    assert read_sorted <= 2                  # only the straddling slice(s)
+    assert read_sorted < read_unsorted
+    # same rows either way — skipping is a pure I/O win
+    a = spark.read.parquet(sorted_dir).filter(F.col("ts").between(lo, hi))
+    b = spark.read.parquet(unsorted_dir).filter(F.col("ts").between(lo, hi))
+    assert a.count() == b.count() > 0
