@@ -1,0 +1,124 @@
+"""Stream-stream interval join (streaming/enrich.py): a live tick stream
+joined to a live bar stream on symbol + event-time window, with watermarks
+bounding the symmetric join state. Driven end-to-end over file streams with
+availableNow; correctness is checked against the batch interval join over
+the same data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from borsa_spark.streaming.enrich import enrich_ticks_with_bars
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / name)
+    df.repartition(1).write.parquet(path)
+    return path, df
+
+
+def _run(spark, stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+class TestStreamStreamEnrich:
+    def test_ticks_match_their_bar_and_batch_semantics(self, spark, tmp_path):
+        ticks = [
+            ("AAPL", _ts(5), 10.5),
+            ("AAPL", _ts(65), 11.0),   # second bar
+            ("AAPL", _ts(119), 9.0),   # second bar, below open
+            ("MSFT", _ts(10), 20.0),
+            ("MSFT", _ts(61), 30.0),   # MSFT has no second bar -> no match
+        ]
+        bars = [
+            ("AAPL", _ts(0), 10.0),
+            ("AAPL", _ts(60), 10.0),
+            ("MSFT", _ts(0), 25.0),
+        ]
+        tick_path, tick_df = _write(
+            spark, tmp_path, "ticks", ticks, "symbol string, ts timestamp, price double"
+        )
+        bar_path, bar_df = _write(
+            spark, tmp_path, "bars", bars, "symbol string, bar_ts timestamp, open double"
+        )
+        st = spark.readStream.schema(tick_df.schema).parquet(tick_path)
+        sb = spark.readStream.schema(bar_df.schema).parquet(bar_path)
+        out = _run(
+            spark,
+            enrich_ticks_with_bars(st, sb, interval_seconds=60),
+            tmp_path,
+            "enriched",
+        )
+        got = {
+            (r.symbol, r.ts, r.bar_ts, r.above_open) for r in out.collect()
+        }
+        # every tick lands in exactly its containing bar; MSFT@61 has none
+        assert got == {
+            ("AAPL", _ts(5), _ts(0), True),
+            ("AAPL", _ts(65), _ts(60), True),
+            ("AAPL", _ts(119), _ts(60), False),
+            ("MSFT", _ts(10), _ts(0), False),
+        }
+        # batch replay of the identical join predicate agrees
+        cond = (
+            (tick_df.symbol == bar_df.symbol)
+            & (tick_df.ts >= bar_df.bar_ts)
+            & (tick_df.ts < bar_df.bar_ts + F.expr("INTERVAL 60 SECONDS"))
+        )
+        want = {
+            (r["symbol"], r["ts"], r["bar_ts"], r["price"] > r["open"])
+            for r in tick_df.join(bar_df, cond)
+            .select(tick_df.symbol, "ts", "bar_ts", "price", "open")
+            .collect()
+        }
+        assert got == want
+
+    def test_join_state_is_symbol_keyed_stream_join(self, spark, tmp_path):
+        # plan sanity: the streaming query compiles to a symmetric
+        # stream-stream join (StreamingSymmetricHashJoin), not a static one
+        ticks = [("AAPL", _ts(5), 10.5)]
+        bars = [("AAPL", _ts(0), 10.0)]
+        tick_path, tick_df = _write(
+            spark, tmp_path, "t2", ticks, "symbol string, ts timestamp, price double"
+        )
+        bar_path, bar_df = _write(
+            spark, tmp_path, "b2", bars, "symbol string, bar_ts timestamp, open double"
+        )
+        st = spark.readStream.schema(tick_df.schema).parquet(tick_path)
+        sb = spark.readStream.schema(bar_df.schema).parquet(bar_path)
+        joined = enrich_ticks_with_bars(st, sb, interval_seconds=60)
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("enrich_plan")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_plan"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        plan = q.explain  # touch attr to keep linters calm
+        desc = q.lastProgress
+        assert desc is not None
+        # state operator present with both sides' watermarks applied
+        ops = desc["stateOperators"]
+        assert any("symmetricHashJoin" in (o.get("operatorName") or "")
+                   for o in ops)
