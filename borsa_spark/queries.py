@@ -5446,6 +5446,146 @@ def x4_hll_sketch_merge(spark, sf):
     )
 
 
+@query(
+    "o13_bar_enrich_join",
+    """
+    WITH bars AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bar_ts,
+             arg_min(value, ts) AS open
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type AS symbol,
+           epoch_us(e.ts)::BIGINT AS ts_us,
+           epoch(b.bar_ts)::BIGINT AS bar_ts,
+           round(b.open, 2) AS open,
+           (e.value > b.open) AS above_open
+    FROM events e
+    JOIN bars b
+      ON b.symbol = e.event_type
+     AND e.ts >= b.bar_ts
+     AND e.ts < b.bar_ts + INTERVAL 1 HOUR
+    """,
+)
+def o13_bar_enrich_join(spark, sf):
+    """Batch analog of the stream-stream enrichment join
+    (`streaming/enrich.py`): every tick joined to its containing hourly
+    bar (symbol equality + event-time interval), stamped with whether it
+    printed above the bar's open. The oracle pins the interval-join
+    semantics the streaming test asserts live; in batch the same
+    predicate compiles to an equi-join on (symbol, hour-truncated ts) —
+    NOT a range join — because a tumbling window's containing bar is
+    computable per row. That rewrite (bucketize, then equi-join) is the
+    o8 range-join trick and the reason this stays shuffle-bounded at
+    scale; open is exact (arg_min on globally-unique ts)."""
+    ev = load_table(spark, sf, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", "ts").alias("bar_ts"),
+    ).agg(F.min_by("value", "ts").alias("open"))
+    ticks = ev.select(
+        "event_id",
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.date_trunc("hour", "ts").alias("bar_ts"),
+        F.col("value"),
+    )
+    return (
+        ticks.join(bars, ["symbol", "bar_ts"])
+        .select(
+            "event_id",
+            "symbol",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_timestamp("bar_ts").alias("bar_ts"),
+            F.round(F.col("open"), 2).alias("open"),
+            (F.col("value") > F.col("open")).alias("above_open"),
+        )
+    )
+
+
+@query(
+    "rel_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def rel_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape (top supplier): a revenue view consumed TWICE —
+    once as the join input, once reduced to a scalar max the filter
+    compares against. The optimizer question is view reuse: the revenue
+    aggregate is computed once, its 1-row max broadcasts back as a cross
+    join, and the supplier dim broadcasts onto the winner(s). Revenue is
+    snapped to 2dp BEFORE the max comparison in both engines so the
+    equality predicate is exact."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__top"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__top"))
+        .join(
+            F.broadcast(sup),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "rel_q20_part_promotion_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l.l_quantity > 30)
+    """,
+)
+def rel_q20_part_promotion_suppliers(spark, sf):
+    """TPC-H Q20 shape (suppliers of promoted parts): a CHAIN of
+    semi-joins — parts matching a name prefix, lineitems of those parts
+    over a quantity floor, suppliers of those lineitems. Each level only
+    asks "exists", so every join is left-semi with the probe side
+    pre-filtered; the part filter is a prefix LIKE that pushes to the
+    scan as a StringStartsWith. Nothing materializes wider than the
+    surviving keys at any level."""
+    sup = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    promoted = part.filter(F.col("p_name").startswith("red")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    qualifying = (
+        li.filter(F.col("l_quantity") > 30)
+        .join(promoted, "l_partkey", "left_semi")
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return sup.join(qualifying, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

@@ -310,3 +310,15 @@ class TestRound4ContinuedPlanShapes:
         plan = plan_of(spark, "x4_hll_sketch_merge")
         assert "partial_hll_sketch_agg" in plan  # sketches build map-side
         assert "partial_hll_union_agg" in plan   # merge combines map-side
+
+    def test_o13_interval_join_compiles_to_equi_join(self, spark):
+        # the tumbling-window containment rewrites to an equi-join on the
+        # hour bucket — no range/nested-loop join anywhere
+        plan = plan_of(spark, "o13_bar_enrich_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q20_prefix_pushes_and_chains_semi_joins(self, spark):
+        plan = plan_of(spark, "rel_q20_part_promotion_suppliers")
+        assert "StringStartsWith(p_name,red)" in plan  # LIKE 'red%' pushed
+        assert plan.count("LeftSemi") >= 2             # the semi-join chain
