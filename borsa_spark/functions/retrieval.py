@@ -273,12 +273,76 @@ def sql_bm25_topk(
     """
 
 
+def boilerplate_fraction(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate share (the RefinedWeb/C4 line-dedup stage
+    at chunk granularity): a chunk whose hash appears in >= ``min_df``
+    DISTINCT documents is boilerplate (navigation, legal footers, site
+    templates); each document reports how much of it is made of such
+    chunks. Downstream either drops high-fraction docs or strips the
+    flagged chunks.
+
+    Scale shape: chunks come from the zero-shuffle in-row chunker; the
+    document-frequency table groups 16-byte chunk hashes (map-side
+    combinable, shuffles hashes not text), the flag joins back on the
+    hash, and the per-doc rollup keys on doc_id. Three hash-keyed
+    shuffles, none carrying text — at corpus scale the df table is also
+    the natural place to cap (a hash shared by millions of docs is
+    boilerplate at ANY df; the groupBy stays bounded because the value
+    is just a count).
+    """
+    ch = doc_chunks(docs, window, stride).select("doc_id", "chunk_hash")
+    df_tab = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    flagged = ch.join(df_tab, "chunk_hash").withColumn(
+        "__boiler", (F.col("__df") >= min_df).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("__boiler").cast("long").alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boilerplate") / F.col("n_chunks"), 4),
+        )
+    )
+
+
+def sql_boilerplate_fraction(
+    window: int = 64, stride: int = 48, min_df: int = 2
+) -> str:
+    """DuckDB oracle for boilerplate_fraction (over the f44 chunk CTE)."""
+    return f"""
+    WITH ch AS ({sql_doc_chunks(window, stride)}),
+    dfs AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS df
+      FROM ch GROUP BY chunk_hash)
+    SELECT ch.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN dfs.df >= {min_df} THEN 1 ELSE 0 END)::BIGINT
+             AS n_boilerplate,
+           round(sum(CASE WHEN dfs.df >= {min_df} THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 4) AS boiler_frac
+    FROM ch JOIN dfs USING (chunk_hash)
+    GROUP BY ch.doc_id
+    """
+
+
 __all__ = [
     "BM25_PANEL",
     "bm25_topk",
+    "boilerplate_fraction",
     "doc_chunks",
     "inverted_index",
     "sql_bm25_topk",
+    "sql_boilerplate_fraction",
     "sql_doc_chunks",
     "sql_inverted_index",
 ]

@@ -4650,6 +4650,16 @@ def _register_retrieval():
         postings list would be one unbounded hot row."""
         return _rt.inverted_index(load_table(spark, sf, "documents"))
 
+    @query("f55_boilerplate_fraction", _rt.sql_boilerplate_fraction(64, 48, 2))
+    def f55_boilerplate_fraction(spark, sf):
+        """Chunk-level boilerplate share per document (the RefinedWeb/C4
+        line-dedup stage): a chunk hash appearing in >= 2 distinct docs
+        is template text; the per-doc fraction drives drop-or-strip.
+        Three hash-keyed shuffles, text never moves after the chunker."""
+        return _rt.boilerplate_fraction(
+            load_table(spark, sf, "documents"), 64, 48, 2
+        )
+
     @query("f47_pii_scrub", _tx.sql_pii_scrub())
     def f47_pii_scrub(spark, sf):
         """PII detect + redact accounting (email/SSN/phone/IPv4), all
