@@ -5596,6 +5596,51 @@ def rel_q20_part_promotion_suppliers(spark, sf):
     )
 
 
+@query(
+    "x5_freq_items_superset",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
+    SELECT t.tok, count(*)::BIGINT AS n_occurrences,
+           true AS in_sketch
+    FROM toks t, tot
+    GROUP BY t.tok, tot.n
+    HAVING count(*) / tot.n > 0.025
+    """,
+)
+def x5_freq_items_superset(spark, sf):
+    """Heavy-hitters sketch contract (`DataFrame.stat.freqItems`, the
+    Karp/Misra-Gries one-pass algorithm): every token whose true share
+    exceeds the sketch support is GUARANTEED to appear in the sketch
+    output — the one-sided bound that lets vocab/stop-word discovery run
+    in bounded memory over an unbounded key space. The query checks the
+    exact frequent set (share > 0.025, a margin above the sketch's 0.02
+    support so threshold-boundary items can't flicker) for membership in
+    the sketch; the oracle pins the exact set and the always-true flag.
+    Scale shape: the sketch is per-partition counters merged once
+    (1/support entries each), never a full groupBy."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sketch = toks.stat.freqItems(["tok"], support=0.02)
+    tot = toks.agg(F.count("*").cast("double").alias("__n"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occurrences") / F.col("__n") > 0.025)
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "tok",
+        "n_occurrences",
+        F.array_contains(F.col("tok_freqItems"), F.col("tok")).alias(
+            "in_sketch"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
