@@ -49,6 +49,7 @@ example-tour:
 	python examples/25_python_datasource.py
 	python examples/26_dedup_ingest.py
 	python examples/27_drift_monitor.py
+	python examples/28_stream_enrich.py
 
 test:
 	python -m pytest tests/ -q
