@@ -148,6 +148,7 @@ def main() -> None:
         "f52_semdedup",
         "f53_blocklist_filter",
         "f54_training_order",
+        "f55_boilerplate_fraction",
     ):
         fn = QUERIES[qname]
         for tier, path in tiers:
