@@ -129,3 +129,27 @@ class TestSemDeDup:
         for r in out.collect():
             assert r["n_dup_neighbors"] <= sizes[r["cluster"]] - 1
             assert 0.0 <= r["max_cos"] <= 1.0001
+
+
+class TestTrainingOrderModel:
+    def test_positions_match_independent_hash_model(self, spark):
+        """The hierarchical rank (prefix-bucket local ranks + broadcast
+        offsets) must equal the plain total order of md5(seed||doc_id)
+        computed independently in Python — the model the oracle's single
+        window expresses."""
+        import hashlib
+
+        got = {
+            r["doc_id"]: r["position"]
+            for r in QUERIES["f54_training_order"](spark, SF001).collect()
+        }
+        ids = sorted(got)
+        keyed = sorted(
+            ids,
+            key=lambda d: (
+                hashlib.md5(f"epoch0:{d}".encode()).hexdigest(),
+                d,
+            ),
+        )
+        want = {d: i + 1 for i, d in enumerate(keyed)}
+        assert got == want
