@@ -21,10 +21,12 @@ you want to pay once. `VectorIndex` is the production shape:
   scan only those lists, brute-force cosine within them, rank top-k.
   Output contract matches `ivf_topk` exactly (tested equal).
 
-The index directory is shareable across sessions and jobs; rebuilding
-after corpus growth is `build(new_corpus, overwrite=True)` — or mount
-several indexes side by side and union searches (shard-by-build-epoch,
-the standard serving layout).
+The index directory is shareable across sessions and jobs. Corpus
+growth is handled incrementally: **add(new_emb)** assigns the new batch
+against the FROZEN stored centroids and commits it as a new part
+(marker-last, append-only ids) — the standard IVF serving pattern where
+the coarse quantizer outlives many ingest batches; retrain with
+`build(..., overwrite=True)` when drift warrants.
 """
 
 from __future__ import annotations
@@ -58,22 +60,47 @@ class VectorIndex:
     def _marker_path(self) -> str:
         return os.path.join(self.workdir, _MARKER)
 
-    def committed(self) -> bool:
+    def _marker(self) -> dict | None:
         try:
             with open(self._marker_path()) as f:
                 marker = json.load(f)
         except (OSError, ValueError):
-            return False
-        return marker.get("params") == self._params()
+            return None
+        if marker.get("params") != self._params():
+            return None
+        return marker
 
-    # -- build --------------------------------------------------------------
+    def committed(self) -> bool:
+        return self._marker() is not None
+
+    def _write_marker(self, parts: list[str], stats: dict) -> None:
+        # marker LAST, atomically: a part directory without its entry in
+        # the marker's parts list is invisible to every reader
+        marker = {"params": self._params(), "parts": parts, "stats": stats}
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._marker_path())
+
+    def _assign(self, emb: DataFrame, cents: DataFrame,
+                id_col: str, emb_col: str) -> DataFrame:
+        return _sim.ivf_assign(
+            emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(emb_col).alias("embedding"),
+            ),
+            cents,
+        ).withColumn("__norm", _sim.norm2(F.col("embedding")))
+
+    # -- build / incremental add --------------------------------------------
 
     def build(self, emb: DataFrame, id_col: str = "vec_id",
               emb_col: str = "embedding", overwrite: bool = False) -> dict:
-        """Train + assign + commit. Returns {n_vectors, n_centroids}."""
-        if self.committed() and not overwrite:
-            with open(self._marker_path()) as f:
-                return json.load(f)["stats"]
+        """Train + assign + commit the base part. Returns
+        {n_vectors, n_centroids}."""
+        marker = self._marker()
+        if marker is not None and not overwrite:
+            return marker["stats"]
         cents = _sim.kmeans_centroids(emb, k=self.k, iters=self.iters,
                                       id_col=id_col, emb_col=emb_col)
         cents.write.mode("overwrite").parquet(
@@ -82,40 +109,63 @@ class VectorIndex:
         cents = self.spark.read.parquet(
             os.path.join(self.workdir, "centroids")
         )
-        assigned = _sim.ivf_assign(
-            emb.select(
-                F.col(id_col).alias("vec_id"),
-                F.col(emb_col).alias("embedding"),
-            ),
-            cents,
-        ).withColumn("__norm", _sim.norm2(F.col("embedding")))
+        part = os.path.join(self.workdir, "lists", "b000")
         (
-            assigned.write.mode("overwrite")
+            self._assign(emb, cents, id_col, emb_col)
+            .write.mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(os.path.join(self.workdir, "lists"))
+            .parquet(part)
         )
         stats = {
-            "n_vectors": self.spark.read.parquet(
-                os.path.join(self.workdir, "lists")
-            ).count(),
+            "n_vectors": self.spark.read.parquet(part).count(),
             "n_centroids": cents.count(),
         }
-        marker = {"params": self._params(), "stats": stats}
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._marker_path())
+        self._write_marker(["b000"], stats)
         return stats
+
+    def add(self, new_emb: DataFrame, id_col: str = "vec_id",
+            emb_col: str = "embedding") -> dict:
+        """Incrementally index a new vector batch: assign against the
+        STORED centroids (no retrain — the coarse quantizer is frozen, the
+        standard IVF serving pattern; retrain by `build(..., overwrite=
+        True)` when drift warrants) and commit as a new part. The marker's
+        parts list is rewritten LAST, so a crash mid-write leaves an
+        invisible part directory that the retried add simply overwrites.
+        New ids must be disjoint from indexed ids (append-only contract).
+        """
+        marker = self._marker()
+        if marker is None:
+            raise RuntimeError(
+                f"vector index at {self.workdir} has no committed base;"
+                " run build() first."
+            )
+        parts = marker["parts"]
+        name = f"b{len(parts):03d}"
+        part = os.path.join(self.workdir, "lists", name)
+        cents = self.centroids()
+        (
+            self._assign(new_emb, cents, id_col, emb_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(part)
+        )
+        n_new = self.spark.read.parquet(part).count()
+        stats = dict(marker["stats"])
+        stats["n_vectors"] += n_new
+        self._write_marker(parts + [name], stats)
+        return {"part": name, "n_added": n_new, **stats}
 
     # -- accessors ----------------------------------------------------------
 
-    def _require(self) -> None:
-        if not self.committed():
+    def _require(self) -> dict:
+        marker = self._marker()
+        if marker is None:
             raise RuntimeError(
                 f"vector index at {self.workdir} is absent, crash-partial,"
                 f" or built with different params ({self._params()});"
                 f" run build() first."
             )
+        return marker
 
     def centroids(self) -> DataFrame:
         self._require()
@@ -124,8 +174,17 @@ class VectorIndex:
         )
 
     def lists(self) -> DataFrame:
-        self._require()
-        return self.spark.read.parquet(os.path.join(self.workdir, "lists"))
+        """Union of the committed parts. Each part is read as its own
+        partitioned relation, so a centroid_id filter prunes directories
+        within EVERY part (pruning verified in tests across parts)."""
+        marker = self._require()
+        out = None
+        for name in marker["parts"]:
+            df = self.spark.read.parquet(
+                os.path.join(self.workdir, "lists", name)
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
 
     # -- search -------------------------------------------------------------
 

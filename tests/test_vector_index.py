@@ -96,3 +96,52 @@ def test_build_is_idempotent_until_overwrite(spark, emb, tmp_path):
     rebuilt = idx.build(emb, overwrite=True)
     assert rebuilt == first
     assert os.path.getmtime(marker) > before
+
+
+class TestIncrementalAdd:
+    def test_add_matches_rebuild_with_same_centroids(self, spark, emb, queries, tmp_path):
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        rest = emb.filter(F.col("vec_id") % 2 == 1)
+        idx = VectorIndex(spark, str(tmp_path), k=8, iters=2)
+        idx.build(base)
+        report = idx.add(rest)
+        assert report["n_added"] == rest.count()
+        assert report["n_vectors"] == emb.count()
+        # search over base+added == ivf_topk over the full corpus with the
+        # SAME (base-trained) centroids
+        got = {tuple(r) for r in idx.search(queries, k=5, n_probe=2).collect()}
+        want = {
+            tuple(r)
+            for r in _sim.ivf_topk(
+                emb, queries, idx.centroids(), k=5, n_probe=2
+            ).collect()
+        }
+        assert got == want
+
+    def test_crash_partial_add_is_invisible_then_retried(self, spark, emb, tmp_path):
+        import json
+        import os
+
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        rest = emb.filter(F.col("vec_id") % 2 == 1)
+        idx = VectorIndex(spark, str(tmp_path), k=8, iters=2)
+        idx.build(base)
+        idx.add(rest)
+        # simulate the crash: roll the marker back to pre-add (part b001
+        # exists on disk but is not listed)
+        marker_path = os.path.join(str(tmp_path), "_DONE.json")
+        with open(marker_path) as f:
+            marker = json.load(f)
+        marker["parts"] = ["b000"]
+        marker["stats"]["n_vectors"] -= rest.count()
+        with open(marker_path, "w") as f:
+            json.dump(marker, f)
+        assert idx.lists().count() == base.count()  # stray part invisible
+        report = idx.add(rest)  # retry overwrites the stray directory
+        assert report["part"] == "b001"
+        assert idx.lists().count() == emb.count()
+
+    def test_add_requires_committed_base(self, spark, emb, tmp_path):
+        idx = VectorIndex(spark, str(tmp_path), k=8, iters=2)
+        with pytest.raises(RuntimeError, match="no committed base"):
+            idx.add(emb)
