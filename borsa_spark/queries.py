@@ -5641,6 +5641,96 @@ def x5_freq_items_superset(spark, sf):
     )
 
 
+@query("c3_artifact_survivors", _F33_SQL)
+def c3_artifact_survivors(spark, sf):
+    """The corpus-prep CHECKPOINT path, oracle-faced: build the
+    `CorpusArtifacts` parquet stages (shingle arrays -> signatures ->
+    LSH-verified pairs -> star-contraction clusters, marker-last commits)
+    in a scratch workdir, then serve survivor selection from the STORED
+    clusters. Must hash-match f33 — the same rule computed by the
+    self-contained query — proving the materialize/reload round-trip
+    loses nothing (schemas, hash domains, cluster labels all survive
+    parquet). Scale notes live with the module (functions/pipeline.py);
+    this entry exists so the driver witnesses the checkpoint path, not
+    just the in-session one."""
+    import tempfile
+
+    from borsa_spark.functions.pipeline import CorpusArtifacts
+
+    docs = load_table(spark, sf, "documents")
+    with tempfile.TemporaryDirectory() as work:
+        art = CorpusArtifacts(spark, work)
+        art.build(docs)
+        out = art.survivors(docs)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+_C4_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cemb FROM e WHERE vec_id < 8),
+    {_kmeans_round_sql('c0', 1)},
+    {_kmeans_round_sql('c1', 2)},
+    asg AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, c.cid, row_number() OVER (
+          PARTITION BY e.vec_id ORDER BY {_KM_DIST} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c2 c) t WHERE rn = 1),
+    corpus AS (
+      SELECT a.vec_id AS c_id, e.v AS c_emb, a.centroid_id
+      FROM asg a JOIN e USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, v AS q_emb FROM e WHERE vec_id < 10),
+    qp AS (
+      SELECT q.q_id, q.q_emb, c.cid AS centroid_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_sum(list_transform(
+                   range(1, len(q.q_emb) + 1),
+                   i -> (q.q_emb[i] - c.cemb[i]) * (q.q_emb[i] - c.cemb[i])
+                 )), 4) ASC, c.cid ASC) AS rn
+      FROM q CROSS JOIN c2 c),
+    probed AS (SELECT q_id, q_emb, centroid_id FROM qp WHERE rn <= 2),
+    sims AS (
+      SELECT p.q_id, s.c_id,
+             round(list_cosine_similarity(p.q_emb, s.c_emb), 4) AS cosine_sim
+      FROM probed p JOIN corpus s ON p.centroid_id = s.centroid_id
+      WHERE p.q_id != s.c_id)
+    SELECT q_id, c_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine_sim DESC, c_id ASC) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+"""
+
+
+@query("c4_index_search", _C4_SQL)
+def c4_index_search(spark, sf):
+    """The persisted-IVF-index path, oracle-faced: train + assign + write
+    `VectorIndex` (partitioned inverted lists, pre-folded norms) in a
+    scratch workdir, reopen, and run the partition-pruned search. The
+    oracle unrolls the identical trained quantizer (f20's snapped Lloyd
+    recurrence), the rounded-argmin assignment, the 2-list probe, and the
+    cosine top-5 — so a hash match proves the whole persist/reload/prune
+    path returns exactly what the declarative IVF computation does."""
+    import tempfile
+
+    from borsa_spark.functions.vector_index import VectorIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    with tempfile.TemporaryDirectory() as work:
+        idx = VectorIndex(spark, work, k=8, iters=2)
+        idx.build(emb)
+        out = idx.search(q, k=5, n_probe=2)
+        out = out.withColumn("rank", F.col("rank").cast("long"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
