@@ -330,3 +330,141 @@ def sample_video_frames(
             (F.col("frame_idx") * every_ms).cast("long").alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: image near-dup detection over binary payloads.
+# Standard pHash (block-mean resize -> 2D DCT-II -> top-left 8x8 minus DC,
+# thresholded at the median) in pure numpy — the DCT is two matrix
+# multiplies against a precomputed basis, no scipy needed.
+# ---------------------------------------------------------------------------
+
+
+def _gray_bmp(data: bytes) -> np.ndarray:
+    """Grayscale pixel grid (float64 [0,1], row-major top-down) from an
+    uncompressed 24-bit BMP — the pixel-level sibling of `decode_bmp`."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP")
+    n_rows = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * n_rows, offset=pixel_off
+    ).reshape(n_rows, stride)[:, : width * 3].reshape(n_rows, width, 3)
+    if height > 0:  # bottom-up storage -> flip to top-down
+        rows = rows[::-1]
+    return rows.astype(np.float64).mean(axis=2) / 255.0
+
+
+def _gray_ppm(data: bytes) -> np.ndarray:
+    """Grayscale pixel grid from a binary PPM (P6, maxval <= 255)."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1
+    width, height, maxval = fields
+    px = np.frombuffer(
+        data, dtype=np.uint8, count=width * height * 3, offset=pos
+    ).reshape(height, width, 3)
+    return px.astype(np.float64).mean(axis=2) / maxval
+
+
+_DCT_N = 32
+_DCT_BASIS = np.cos(
+    np.pi / _DCT_N * (np.arange(_DCT_N)[:, None] + 0.5) * np.arange(_DCT_N)[None, :]
+).T  # [k, n] DCT-II basis
+
+
+def phash64(gray: np.ndarray) -> int:
+    """64-bit perceptual hash of a grayscale grid: block-mean resample to
+    32x32, 2D DCT-II, keep the top-left 8x8 block minus the DC term,
+    set bit i iff coefficient i exceeds the median. Robust to uniform
+    brightness shifts (DC excluded) and small pixel noise (low-frequency
+    coefficients dominate)."""
+    h, w = gray.shape
+    ys = (np.arange(_DCT_N + 1) * h // _DCT_N).clip(1, h)
+    xs = (np.arange(_DCT_N + 1) * w // _DCT_N).clip(1, w)
+    ys[0] = xs[0] = 0
+    small = np.empty((_DCT_N, _DCT_N))
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    for i in range(_DCT_N):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(_DCT_N):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            small[i, j] = (
+                csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
+            ) / area
+    coeffs = _DCT_BASIS @ small @ _DCT_BASIS.T
+    block = coeffs[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
+    """Perceptual hash per image payload: (asset_id, phash, decoder). Same
+    dispatch as `image_features` — real pixels for BMP/PPM, deterministic
+    fake (sha256-derived bits) for undecodable payloads so the plumbing
+    is exercised end-to-end without an image library. The hash leaves the
+    executor as one int64; downstream near-dup pairing never moves
+    pixels."""
+    if auto_batch:
+        autotune_arrow_batch(assets)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:2] == b"BM":
+                    bits, dec = phash64(_gray_bmp(data)), "bmp"
+                elif data[:2] == b"P6":
+                    bits, dec = phash64(_gray_ppm(data)), "ppm"
+                else:
+                    digest = hashlib.sha256(data).digest()
+                    bits = int.from_bytes(digest[:8], "big")
+                    dec = "fake-deterministic"
+                # two's-complement into int64 for the Spark LongType
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out.append((asset_id, bits, dec))
+            yield pd.DataFrame(out, columns=["asset_id", "phash", "decoder"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema="asset_id long, phash long, decoder string"
+    )
+
+
+def phash_near_pairs(ph: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs by pHash: byte-band candidates + exact hamming
+    (pigeonhole: hamming <= 6 over 64 bits guarantees at least one of 8
+    8-bit bands matches... we reuse the 4-band SimHash pairing, whose
+    guarantee holds through hamming <= 3 and remains a high-recall
+    heuristic above it — same recall contract as the text SimHash path)."""
+    from borsa_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        ph.select(F.col("asset_id").alias("id"), F.col("phash").alias("simhash")),
+        max_hamming=max_hamming,
+    )

@@ -171,3 +171,77 @@ class TestMultimodal:
         finally:
             if prev is not None:
                 spark.conf.set(ARROW_BATCH_KEY, prev)
+
+
+class TestPerceptualHash:
+    """pHash image near-dup: real PPM pixels -> DCT hash -> band-paired
+    hamming. Textured fixtures (noise-perturbed copies vs an independent
+    image) pin the robustness contract end-to-end through Spark."""
+
+    @staticmethod
+    def _ppm(gray):
+        import numpy as np
+
+        h, w = gray.shape
+        rgb = np.repeat((gray * 255).astype("uint8")[:, :, None], 3, axis=2)
+        return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    @staticmethod
+    def _textured(seed, h=48, w=64, n=12):
+        import numpy as np
+
+        rs = np.random.RandomState(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        g = sum(
+            rs.rand()
+            * np.sin(2 * np.pi * (rs.rand() * 3 * x / w + rs.rand() * 3 * y / h + rs.rand()))
+            for _ in range(n)
+        )
+        return (g - g.min()) / (g.max() - g.min())
+
+    def test_noise_robust_and_discriminative(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import image_phash, phash_near_pairs
+
+        base = self._textured(7)
+        rs = np.random.RandomState(1)
+        near = np.clip(base + rs.normal(0, 0.02, base.shape), 0, 1)
+        other = self._textured(8)
+        assets = spark.createDataFrame(
+            [
+                (1, bytearray(self._ppm(base))),
+                (2, bytearray(self._ppm(near))),
+                (3, bytearray(self._ppm(other))),
+                (4, bytearray(b"not an image")),
+            ],
+            "asset_id long, payload binary",
+        )
+        ph = image_phash(assets, auto_batch=False)
+        rows = {r["asset_id"]: r for r in ph.collect()}
+        assert rows[1]["decoder"] == "ppm"
+        assert rows[4]["decoder"] == "fake-deterministic"
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(rows[1]["phash"], rows[2]["phash"]) <= 6
+        assert ham(rows[1]["phash"], rows[3]["phash"]) > 10
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in phash_near_pairs(ph, max_hamming=6).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_identical_payloads_hash_equal(self, spark):
+        from borsa_spark.functions.multimodal import image_phash
+
+        img = bytearray(self._ppm(self._textured(3)))
+        assets = spark.createDataFrame(
+            [(1, img), (2, bytearray(bytes(img)))],
+            "asset_id long, payload binary",
+        )
+        got = {r["asset_id"]: r["phash"] for r in image_phash(assets, auto_batch=False).collect()}
+        assert got[1] == got[2]
