@@ -100,7 +100,7 @@ def rel_q1(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o.o_orderkey,
            epoch(o.o_orderdate)::BIGINT AS orderdate_ts,
            o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -131,7 +131,7 @@ def rel_q3(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -143,7 +143,7 @@ def rel_q3(spark: SparkSession, sf: str) -> DataFrame:
     "rel_q5_region_revenue",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -180,7 +180,7 @@ def rel_q5(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
@@ -249,7 +249,7 @@ def rel_q4(spark: SparkSession, sf: str) -> DataFrame:
     "rel_q10_returned_revenue",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -279,7 +279,7 @@ def rel_q10(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -5324,7 +5324,7 @@ def w12_macd(spark, sf):
 @query(
     "rel_q19_disjunctive_revenue",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            count(*)::BIGINT AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
@@ -5363,7 +5363,7 @@ def rel_q19_disjunctive_revenue(spark, sf):
     )
     return j.filter(g1 | g2 | g3).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
@@ -5729,6 +5729,126 @@ def c4_index_search(spark, sf):
         out = out.withColumn("rank", F.col("rank").cast("long"))
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+@query(
+    "rel_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost
+      FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, s.s_name, n.n_name, r.r_name,
+           c.unit_cost AS best_unit_cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND r.r_name = 'EUROPE'
+    """,
+)
+def rel_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (minimum-cost supplier), re-keyed to this schema:
+    the correlated subquery "suppliers matching the per-part minimum
+    cost" decorrelates into a per-part min aggregate equality-joined back
+    to the per-(part, supplier) cost table — the same rewrite as Q17 but
+    the scalar feeds a JOIN PREDICATE, not a filter, so ties surface as
+    multiple rows (deterministic: all min-cost suppliers emitted). The
+    three dim joins (supplier -> nation -> region) broadcast; unit cost
+    snaps at 4dp BEFORE the min so the equality is exact cross-engine."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    dims = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 10)),
+            F.col("l_partkey") == part.p_partkey,
+        )
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            "r_name",
+            F.col("unit_cost").alias("best_unit_cost"),
+        )
+    )
+
+
+@query(
+    "rel_q9_nation_year_profit",
+    """
+    SELECT n.n_name AS nation,
+           extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS profit,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+def rel_q9_nation_year_profit(spark, sf):
+    """TPC-H Q9 shape (product-line profit by nation and year): the
+    widest star in the suite — lineitem joined to orders, part, supplier,
+    and nation with a substring filter on the part name. Plan texture:
+    the part filter prunes before its broadcast (a contains-LIKE cannot
+    push to the scan as a native filter, but it runs in the same
+    codegen stage), every dim broadcasts, orders co-shuffles with
+    lineitem on the order key only if too big to broadcast (AQE
+    decides), and the aggregate combines map-side over (nation, year)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    part = load_table(spark, sf, "part")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
