@@ -405,9 +405,14 @@ def phash64(gray: np.ndarray) -> int:
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
     for i in range(_DCT_N):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        # degenerate dimensions (1xN strips): clamp the block to the
+        # image so y1 never indexes past the cumulative-sum bounds —
+        # repeated rows/cols simply resample the same pixels
+        y0 = min(ys[i], h - 1)
+        y1 = min(max(ys[i + 1], y0 + 1), h)
         for j in range(_DCT_N):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            x0 = min(xs[j], w - 1)
+            x1 = min(max(xs[j + 1], x0 + 1), w)
             area = (y1 - y0) * (x1 - x0)
             small[i, j] = (
                 csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
@@ -457,14 +462,40 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
 
 
 def phash_near_pairs(ph: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs by pHash: byte-band candidates + exact hamming
-    (pigeonhole: hamming <= 6 over 64 bits guarantees at least one of 8
-    8-bit bands matches... we reuse the 4-band SimHash pairing, whose
-    guarantee holds through hamming <= 3 and remains a high-recall
-    heuristic above it — same recall contract as the text SimHash path)."""
-    from borsa_spark.functions.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(
-        ph.select(F.col("asset_id").alias("id"), F.col("phash").alias("simhash")),
-        max_hamming=max_hamming,
+    """Image near-dup pairs by pHash: 8 byte-bands over the full 64-bit
+    hash, candidates on any shared band, exact hamming filter.
+    Pigeonhole guarantee: hamming <= 7 differing bits cannot touch all 8
+    bands, so every pair within ``max_hamming`` (default 6) has at least
+    one intact band and is ALWAYS generated — no recall hole. (The text
+    SimHash path uses 4 bands because its hash is 32-bit; reusing it here
+    would silently band only the low half.)"""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("phash"), 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+        )
+        for b in range(8)
+    ])
+    bk = ph.select(
+        F.col("asset_id").alias("id"), "phash", F.explode(bands).alias("bk")
+    ).select(
+        "id", "phash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

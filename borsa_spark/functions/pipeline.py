@@ -42,8 +42,15 @@ the new batch pays its own shingle/signature cost, cross-set candidates
 join NEW band keys against STORED band keys (the corpus side is never
 re-shingled), intra-batch pairs come from the standard banded self-join
 over the new signatures only, and clusters are refolded from the stored
-pair parts. ``build(A); extend(B)`` is pair- and cluster-identical to
-``build(A ∪ B)`` (tested).
+pair parts. With no bucket cap, ``build(A); extend(B)`` is pair- and
+cluster-identical to ``build(A ∪ B)`` (tested). With a
+``max_bucket_size`` cap the incremental path is a SUPERSET: new
+candidates apply the cap at union occupancy exactly like a full build,
+but pairs already committed from a bucket that was under the cap at
+build time are kept even though a from-scratch build over the union
+would skip that (now-oversized) bucket — the cap is a COST guard on
+candidate generation, never a semantic filter, and verified-true pairs
+are not retracted (tested: incremental ⊇ full, extras all intra-A).
 """
 
 from __future__ import annotations
@@ -126,11 +133,43 @@ class CorpusArtifacts:
             return None
         return marker
 
-    def _committed_parts(self, stage: str) -> list[str]:
+    def _marker_committed_parts(self, stage: str) -> list[str]:
         return [p for p in self._part_dirs(stage) if self._part_marker(p)]
 
+    def _committed_parts(self, stage: str) -> list[str]:
+        """VISIBLE parts. The base part ``b000`` stands on its own marker
+        (build's stages resume independently — each derives from its
+        committed predecessor). Extension parts ``b001+`` are one
+        TRANSACTION across the three additive stages: batch ``bNNN`` is
+        visible only when all three stages committed it, so a crash
+        between extend()'s per-stage commits leaves the whole batch
+        invisible everywhere instead of a torn corpus (arrays including
+        batch B while pairs/clusters silently predate it)."""
+        mine = self._marker_committed_parts(stage)
+        if stage not in _ADDITIVE:
+            return mine
+        batch_done: dict[str, bool] = {}
+        for p in mine:
+            name = os.path.basename(p)
+            if name == "b000":
+                continue
+            if name not in batch_done:
+                batch_done[name] = all(
+                    any(
+                        os.path.basename(q) == name
+                        for q in self._marker_committed_parts(s)
+                    )
+                    for s in _ADDITIVE
+                )
+        return [
+            p
+            for p in mine
+            if os.path.basename(p) == "b000"
+            or batch_done[os.path.basename(p)]
+        ]
+
     def committed(self, stage: str) -> bool:
-        """True iff the stage has >= 1 committed part under these params,
+        """True iff the stage has >= 1 visible part under these params,
         and — for the clusters snapshot — it folds the current pair
         parts (an extend() that crashed before refolding reads stale)."""
         parts = self._committed_parts(stage)
@@ -144,7 +183,10 @@ class CorpusArtifacts:
         return True
 
     def _next_part(self, stage: str) -> str:
-        n = len(self._part_dirs(stage))
+        # index from VISIBLE parts, not raw directories: a crash-stray
+        # part dir (written but never fully committed across stages) is
+        # overwritten by the retried batch rather than skipped forever
+        n = len(self._committed_parts(stage))
         return os.path.join(self._stage_dir(stage), f"b{n:03d}")
 
     def _commit_part(self, stage: str, df: DataFrame, **extra) -> str:

@@ -8,8 +8,8 @@ you want to pay once. `VectorIndex` is the production shape:
 
 - **build(emb)**: train coarse centroids (`kmeans_centroids`, the same
   6dp-snapped Lloyd recurrence the f20/f52 oracles pin), assign every
-  vector (`ivf_assign`, broadcast join — the corpus never shuffles),
-  pre-fold each vector's L2 norm, and commit both relations to parquet
+  vector (rounded broadcast-argmin, see `_assign` — the corpus never
+  shuffles), pre-fold each vector's L2 norm, and commit both relations
   with the marker-last discipline (`functions/pipeline.py` analog).
   The inverted lists are written ``partitionBy("centroid_id")``, so a
   probe becomes a PARTITION-PRUNED scan: a query that probes 2 of 64
@@ -84,13 +84,33 @@ class VectorIndex:
 
     def _assign(self, emb: DataFrame, cents: DataFrame,
                 id_col: str, emb_col: str) -> DataFrame:
-        return _sim.ivf_assign(
-            emb.select(
-                F.col(id_col).alias("vec_id"),
-                F.col(emb_col).alias("embedding"),
-            ),
-            cents,
-        ).withColumn("__norm", _sim.norm2(F.col("embedding")))
+        # ROUNDED argmin (4dp, cid tie-break) — the kmeans_assign/oracle
+        # convention. The unrounded `ivf_assign` ranks identically except
+        # when two centroids sit within 1e-4 of each other, where engines'
+        # float summation order could pick different lists and break the
+        # c4 hash; the snap removes that divergence class entirely.
+        from pyspark.sql import Window
+
+        e = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("embedding"),
+            F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        dist = F.round(_sim.sq_l2(F.col("__v"), F.col("cemb")), 4)
+        w = Window.partitionBy("vec_id").orderBy(
+            dist.asc(), F.col("cid").asc()
+        )
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(
+                "vec_id",
+                "embedding",
+                _sim.norm2(F.col("__v")).alias("__norm"),
+                F.col("cid").alias("centroid_id"),
+            )
+        )
 
     # -- build / incremental add --------------------------------------------
 
@@ -101,6 +121,11 @@ class VectorIndex:
         marker = self._marker()
         if marker is not None and not overwrite:
             return marker["stats"]
+        if marker is not None:
+            # overwrite: retract the marker FIRST so a crash mid-rebuild
+            # leaves an uncommitted index (readers error loudly) instead
+            # of the old marker validating new centroids over old lists
+            os.remove(self._marker_path())
         cents = _sim.kmeans_centroids(emb, k=self.k, iters=self.iters,
                                       id_col=id_col, emb_col=emb_col)
         cents.write.mode("overwrite").parquet(
@@ -192,10 +217,12 @@ class VectorIndex:
                    q_id: str = "q_id", q_emb: str = "q_emb") -> DataFrame:
         """(q_id, q_emb, centroid_id) — each query's n_probe nearest
         lists, ranked by snapped squared-L2 against the broadcast
-        centroid table (identical tie-break to ivf_topk)."""
+        centroid table (4dp-snapped distance + cid tie-break — the
+        kmeans_assign/oracle convention, see _assign)."""
         cents = self.centroids()
         w = Window.partitionBy(q_id).orderBy(
-            _sim.sq_l2(F.col(q_emb), F.col("cemb")).asc(), F.col("cid").asc()
+            F.round(_sim.sq_l2(F.col(q_emb), F.col("cemb")), 4).asc(),
+            F.col("cid").asc(),
         )
         return (
             queries.crossJoin(F.broadcast(cents))

@@ -4927,35 +4927,7 @@ def f52_semdedup(spark, sf):
     recurrence (f20's contract) plus the within-cluster cosine join.
     """
     emb = load_table(spark, sf, "embeddings")
-    cents = _sim.kmeans_centroids(emb, k=8, iters=2)
-    asg = _sim.kmeans_assign(emb, cents)
-    e = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "__v"
-        ),
-    )
-    m = asg.join(e, "vec_id").withColumn("__n", _sim.norm2(F.col("__v")))
-    a = m.select(
-        "vec_id", "cluster", F.col("__v").alias("a_v"), F.col("__n").alias("a_n")
-    )
-    b = m.select(
-        F.col("vec_id").alias("b_id"),
-        "cluster",
-        F.col("__v").alias("b_v"),
-        F.col("__n").alias("b_n"),
-    )
-    cos = _sim.dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("b_id") < F.col("vec_id"))
-        .filter(cos >= _SEMDEDUP_TAU)
-        .groupBy("vec_id", "cluster")
-        .agg(
-            F.count("*").alias("n_dup_neighbors"),
-            F.round(F.max(cos), 4).alias("max_cos"),
-        )
-    )
+    return _sim.semdedup(emb, tau=_SEMDEDUP_TAU, k=8, iters=2)
 
 
 _BLOCKLIST = ("dup", "slow", "crash")

@@ -33,19 +33,26 @@ def enrich_ticks_with_bars(
     bars: DataFrame,
     interval_seconds: int,
     tick_watermark: str = "30 seconds",
-    bar_watermark: str = "2 minutes",
+    bar_watermark: str | None = None,
 ) -> DataFrame:
     """Join a live tick stream to a live bar stream: each tick matches the
     bar whose [bar_ts, bar_ts + interval) window contains it, same symbol.
 
     ``ticks``: streaming (symbol, ts, price[, ...]); ``bars``: streaming
     (symbol, bar_ts, open[, ...]) — e.g. `candle_stream`'s output renamed,
-    or a second source publishing reference bars. The bar watermark should
-    be >= the tick watermark + interval so a bar is still in state when
-    its last admissible tick arrives.
+    or a second source publishing reference bars. The bar watermark must
+    be >= the tick watermark + interval so a bar is still in join state
+    when its last admissible tick arrives — the DEFAULT derives exactly
+    that (tick watermark + interval + 30 s margin) from
+    ``interval_seconds``, because a fixed default silently drops
+    late-in-bar matches the moment the interval outgrows it. Passing an
+    explicit smaller ``bar_watermark`` is a deliberate freshness/state
+    trade the caller owns.
 
     Returns (symbol, ts, price, bar_ts, open, above_open) in append mode.
     """
+    if bar_watermark is None:
+        bar_watermark = f"{interval_seconds + 60} seconds"
     t = ticks.withWatermark("ts", tick_watermark).alias("t")
     b = bars.withWatermark("bar_ts", bar_watermark).alias("b")
     cond = (

@@ -245,3 +245,23 @@ class TestPerceptualHash:
         )
         got = {r["asset_id"]: r["phash"] for r in image_phash(assets, auto_batch=False).collect()}
         assert got[1] == got[2]
+
+    def test_band_guarantee_covers_all_64_bits(self, spark):
+        # two hashes differing by 4 bits spread across the four LOW bytes
+        # (the case a 32-bit band reuse would miss) and by bits in the
+        # HIGH bytes only — both must pair under the 8-band pigeonhole
+        from borsa_spark.functions.multimodal import phash_near_pairs
+
+        low_spread = 0x01010101            # one bit in each low byte
+        high_only = 0x0303 << 48           # 4 bits, high bytes only
+        ph = spark.createDataFrame(
+            [(1, 12345), (2, 12345 ^ low_spread),
+             (3, 54321 << 32), (4, (54321 << 32) ^ high_only)],
+            "asset_id long, phash long",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in phash_near_pairs(ph, max_hamming=6).collect()
+        }
+        assert (1, 2, 4) in pairs
+        assert (3, 4, 4) in pairs

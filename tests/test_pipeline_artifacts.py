@@ -132,9 +132,14 @@ class TestIncrementalExtend:
             tuple(r) for r in full.clusters().collect()
         }
 
-    def test_extend_matches_full_build_with_bucket_cap(
+    def test_extend_with_bucket_cap_is_superset_of_full_build(
         self, spark, docs, tmp_path
     ):
+        # The cap is a cost guard, not semantics: new candidates apply it
+        # at union occupancy (like a full build), but pairs committed from
+        # a bucket that was under the cap at build(A) time are NOT
+        # retracted when B pushes that bucket over — so incremental ⊇
+        # full, and every extra pair is an intra-A verified-true pair.
         cap = PrepParams(max_bucket_size=3)
         a, b = self._split(docs)
         inc = CorpusArtifacts(spark, str(tmp_path / "inc"), cap)
@@ -142,9 +147,12 @@ class TestIncrementalExtend:
         inc.extend(b)
         full = CorpusArtifacts(spark, str(tmp_path / "full"), cap)
         full.build(docs)
-        assert {tuple(r) for r in inc.pairs().collect()} == {
-            tuple(r) for r in full.pairs().collect()
-        }
+        got = {tuple(r) for r in inc.pairs().collect()}
+        want = {tuple(r) for r in full.pairs().collect()}
+        assert got >= want
+        a_ids = {r["doc_id"] for r in a.select("doc_id").collect()}
+        for id_a, id_b, _j in got - want:
+            assert id_a in a_ids and id_b in a_ids
 
     def test_crash_before_refold_reads_stale_and_recovers(
         self, spark, docs, tmp_path
@@ -170,6 +178,36 @@ class TestIncrementalExtend:
         assert report["clusters"] == "built"
         assert report["pairs"] == "cached"
         full = CorpusArtifacts(spark, str(tmp_path / "full2"))
+        full.build(docs)
+        assert {tuple(r) for r in art.clusters().collect()} == {
+            tuple(r) for r in full.clusters().collect()
+        }
+
+    def test_crash_between_additive_commits_leaves_batch_invisible(
+        self, spark, docs, tmp_path
+    ):
+        # Crash window: extend committed the arrays part but not the
+        # signatures/pairs parts. The whole batch must be invisible in
+        # EVERY additive stage (no torn corpus), and the retried extend
+        # overwrites the stray part under the same index.
+        import shutil
+
+        a, b = self._split(docs)
+        art = CorpusArtifacts(spark, str(tmp_path))
+        art.build(a)
+        art.extend(b)
+        # roll back: drop signatures/pairs b001 and the clusters refold,
+        # leaving only arrays/b001 committed (the torn state)
+        for stage, part in (("signatures", "b001"), ("pairs", "b001"),
+                            ("clusters", "b001")):
+            shutil.rmtree(os.path.join(str(tmp_path), stage, part))
+        n_a = a.count()
+        assert art.shingle_arrays().count() == n_a  # batch B invisible
+        assert art.committed("clusters")  # base-only view is consistent
+        report = art.extend(b)  # retry: same index, stray overwritten
+        assert report["batch_parts"] == 1
+        assert art.shingle_arrays().count() == docs.count()
+        full = CorpusArtifacts(spark, str(tmp_path / "full3"))
         full.build(docs)
         assert {tuple(r) for r in art.clusters().collect()} == {
             tuple(r) for r in full.clusters().collect()

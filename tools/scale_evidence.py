@@ -244,24 +244,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     for k in (8, 64):
         t0 = time.time()
-        cents = sim.kmeans_centroids(emb, k=k, iters=2)
-        asg = sim.kmeans_assign(emb, cents)
-        e = emb.select(
-            "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
-        )
-        m = asg.join(e, "vec_id").withColumn("__n", sim.norm2(F.col("__v")))
-        a = m.select("vec_id", "cluster", F.col("__v").alias("a_v"),
-                     F.col("__n").alias("a_n"))
-        b = m.select(F.col("vec_id").alias("b_id"), "cluster",
-                     F.col("__v").alias("b_v"), F.col("__n").alias("b_n"))
-        cos = sim.dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
-        n_dups = (
-            a.join(b, "cluster")
-            .filter(F.col("b_id") < F.col("vec_id"))
-            .filter(cos >= 0.40)
-            .select("vec_id").distinct().count()
-        )
+        n_dups = sim.semdedup(emb, tau=0.40, k=k, iters=2).count()
         rec = {"query": f"semdedup_k{k}", "sf": "sf1x10", "rows": n_dups,
                "k": k, "sec": round(time.time() - t0, 3)}
         results.append(rec)
