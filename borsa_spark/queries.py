@@ -5823,6 +5823,73 @@ def rel_q9_nation_year_profit(spark, sf):
     )
 
 
+@query(
+    "rel_q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           extract(year FROM o.o_orderdate)::BIGINT AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+       OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape (volume shipping between two nations): the SAME
+    dimension table joined twice in different roles — nation as the
+    customer's country and again as the supplier's country — with a
+    cross-role disjunction that only resolves after both joins. Plan
+    texture: both nation aliases broadcast independently (Spark treats
+    the aliased relations as separate broadcast builds), the per-role
+    name filters CANNOT push below their joins (each disjunct constrains
+    the pair), but the derived implication n_name IN (A, B) can and
+    does prune both dimension scans."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_0")
+        & (F.col("supp_nation") == "NATION_1")
+    ) | (
+        (F.col("cust_nation") == "NATION_1")
+        & (F.col("supp_nation") == "NATION_0")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), "c_nationkey")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), "s_nationkey")
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
