@@ -866,6 +866,7 @@ def containment_pairs(
     max_shingle_df: int = CONTAINMENT_MAX_SHINGLE_DF,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup detection: containment = |A ∩ B| / min(|A|,|B|).
 
@@ -892,9 +893,16 @@ def containment_pairs(
     pairs with containment >= ``threshold``; both ratios rounded 4dp for
     cross-engine comparison.
     """
+    # Same lifetime contract as minhash_dedup_pairs' persist_shingles:
+    # the array relation feeds the df table AND both verify sides; the
+    # bench/oracle harnesses clearCache() per query, and library callers
+    # in long-lived sessions pass persist_shingles=False (or manage the
+    # cache themselves) to avoid accumulating cached relations.
     arr = shingle_array(df, n, text_col, id_col).filter(
         F.size("shingles") > 0
-    ).persist()
+    )
+    if persist_shingles:
+        arr = arr.persist()
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     rare = sh.join(dfc.filter(F.col("__df") <= max_shingle_df), "shingle")

@@ -76,12 +76,14 @@ def autotune_arrow_batch(
     and set the session's Arrow rows-per-batch so one mapInPandas batch
     stays near ``target_batch_bytes``. Returns the chosen rows/batch.
 
-    Only ever tunes DOWN from Spark's 10k default: large payloads are the
-    hazard (a 10 MB image x 10k rows = a 100 GB Arrow batch); tiny payloads
-    gain nothing from bigger batches worth a session-wide bump. The conf is
-    session-scoped — callers running mixed media alongside row-sized pandas
-    UDFs should scope the pipeline to its own session (standard practice
-    for per-workload Spark tuning).
+    Only ever tunes DOWN — from Spark's 10k default AND from the session's
+    CURRENT value: large payloads are the hazard (a 10 MB image x 10k rows
+    = a 100 GB Arrow batch), and because the conf is session-wide while
+    DataFrame execution is lazy, a later small-payload pipeline raising
+    the setting would govern an earlier big-payload pipeline collected
+    afterwards. Ratcheting down means the strictest pipeline built in the
+    session always wins; a session that genuinely wants to re-raise the
+    conf does so explicitly (and owns the consequence).
     """
     row = (
         assets.select(F.octet_length(F.col(payload_col)).alias("sz"))
@@ -90,7 +92,16 @@ def autotune_arrow_batch(
         .first()
     )
     avg = int(row[0] or 1)
-    rows = min(ARROW_BATCH_DEFAULT, media_batch_conf(avg, target_batch_bytes))
+    try:
+        current = int(
+            assets.sparkSession.conf.get(ARROW_BATCH_KEY, None)
+            or ARROW_BATCH_DEFAULT
+        )
+    except (TypeError, ValueError):
+        current = ARROW_BATCH_DEFAULT
+    rows = min(
+        current, ARROW_BATCH_DEFAULT, media_batch_conf(avg, target_batch_bytes)
+    )
     assets.sparkSession.conf.set(ARROW_BATCH_KEY, str(rows))
     return rows
 

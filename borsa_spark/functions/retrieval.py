@@ -157,6 +157,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """BM25 top-``k`` docs per panel query: (query_id, rank, doc_id,
     score). Standard Robertson/Sparck-Jones BM25:
@@ -182,12 +183,15 @@ def bm25_topk(
         toks.join(F.broadcast(pdf.select("term").distinct()), "term")
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        # Two consumers (df_t build side + the score join) and no
-        # ReusedExchange across them: persist the panel-hit aggregate so
-        # the corpus explode runs once. Bounded: <= |panel terms| x docs
-        # containing them. Harness clearCache() owns the lifetime.
-        .persist()
     )
+    # Two consumers (df_t build side + the score join) and no
+    # ReusedExchange across them: persist the panel-hit aggregate so the
+    # corpus explode runs once. Bounded: <= |panel terms| x docs
+    # containing them. The bench/oracle harnesses clearCache() per query;
+    # long-lived library sessions pass persist_tf=False or manage the
+    # cache themselves.
+    if persist_tf:
+        tf = tf.persist()
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.select(
         F.count("*").alias("n_docs"),

@@ -209,7 +209,16 @@ class QuotaGuard:
         # ceil split so 24 slices always cover the full budget
         self.allowed_per_slice = max(1, -(-limit // 24)) if even_spread_hourly else limit
 
-    def should_allow_call(self) -> None:
+    def should_allow_call(self, cost: int = 1) -> None:
+        """Admit-or-raise. ``cost`` is the units this call consumes —
+        the Weighted strategy's caller-specified deduction (the reference
+        DECLARES Weighted in borsa-types config.rs:56 but its middleware
+        runtime consumes one unit per call regardless, quota.rs:94-160;
+        here the declared semantics are actually honored when a caller
+        passes a cost, and cost=1 reproduces the reference's behavior
+        exactly)."""
+        if cost < 1:
+            raise ValueError(f"quota cost must be >= 1, got {cost}")
         with self._lock:
             now = self.clock()
             elapsed = now - self.last_reset
@@ -223,8 +232,8 @@ class QuotaGuard:
                     self.calls_in_slice = 0
                     self.slice_start += int(s_elapsed / self.slice_s) * self.slice_s
                 if (
-                    self.calls_in_slice >= self.allowed_per_slice
-                    and self.calls_in_window < self.limit
+                    self.calls_in_slice + cost > self.allowed_per_slice
+                    and self.calls_in_window + cost <= self.limit
                 ):
                     reset_in = self.slice_s - (now - self.slice_start)
                     raise QuotaExceeded(
@@ -232,10 +241,10 @@ class QuotaGuard:
                         remaining=self.limit - self.calls_in_window,
                         reset_in_s=reset_in,
                     )
-            if self.calls_in_window < self.limit:
-                self.calls_in_window += 1
+            if self.calls_in_window + cost <= self.limit:
+                self.calls_in_window += cost
                 if self.even_spread:
-                    self.calls_in_slice += 1
+                    self.calls_in_slice += cost
                 return
             reset_in = self.window_s - (now - self.last_reset)
             raise QuotaExceeded(
@@ -482,8 +491,12 @@ class QuotaConfig:
             "unit", "weighted", "even_spread_hourly"
         ):
             raise ValueError(f"unknown quota strategy {d['strategy']!r}")
-        return cls(limit=int(d["limit"]), window_s=float(d["window_s"]),
-                   strategy=d.get("strategy", "unit"))
+        return cls(
+            limit=int(d["limit"]),
+            # dataclass default mirrors the reference's 60 s window
+            window_s=float(d.get("window_s", cls.window_s)),
+            strategy=d.get("strategy", "unit"),
+        )
 
     def guard(self, clock: Callable[[], float] = time.monotonic) -> QuotaGuard:
         return QuotaGuard(

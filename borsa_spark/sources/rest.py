@@ -102,6 +102,14 @@ class UrllibTransport:
                 return resp.status, dict(resp.headers.items()), resp.read()
         except urllib.error.HTTPError as e:  # pragma: no cover - needs net
             return e.code, dict(e.headers.items()), e.read()
+        except (urllib.error.URLError, OSError) as e:  # pragma: no cover
+            # DNS failure / connection refused / socket timeout carry no
+            # HTTP status: map into the taxonomy HERE (transient provider
+            # fault) so the router's retry/blame logic and the middleware
+            # stack see a BorsaSparkError, never a raw urllib exception —
+            # the module's documented contract (5xx/transport ->
+            # ProviderError).
+            raise ProviderError(f"transport: {e}") from e
 
 
 _NOT_FOUND_MARKERS = ("not found", "no data found", "unknown symbol")
@@ -113,15 +121,20 @@ def map_http_error(
     body: bytes,
     capability: str,
     target: str | None,
+    parsed: list | None = None,
 ) -> BorsaSparkError | None:
     """adapter.rs:236-326 analog: classify a response into the taxonomy.
-    Returns None for usable responses."""
+    Returns None for usable responses. ``parsed`` (a 1-element list used
+    as an out-param) receives the decoded 200 body so callers don't pay a
+    second json.loads over the full payload."""
     if status == 200:
         # APIs that 200 with an error envelope (map_yf_api_error): sniff it.
         try:
             doc = json.loads(body or b"{}")
         except ValueError:
             return ProviderError(f"{capability}: malformed JSON for {target}")
+        if parsed is not None:
+            parsed.append(doc)
         msg = str(doc.get("error", "")).lower() if isinstance(doc, dict) else ""
         if msg and any(m in msg for m in _NOT_FOUND_MARKERS):
             return NotFoundError(f"{capability}: {target}")
@@ -152,10 +165,11 @@ def _check(
     target: str | None,
 ) -> dict:
     status, headers, body = transport.get(url, params)
-    err = map_http_error(status, headers, body, capability, target)
+    parsed: list = []
+    err = map_http_error(status, headers, body, capability, target, parsed)
     if err is not None:
         raise err
-    return json.loads(body)
+    return parsed[0] if parsed else json.loads(body)
 
 
 # ---------------------------------------------------------------------------

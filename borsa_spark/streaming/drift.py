@@ -53,6 +53,12 @@ class DriftMonitor:
         return os.path.join(self.state_dir, name)
 
     def drift_log(self) -> list[dict]:
+        # NOTE: this is the same committed-batch-dirs + marker-last
+        # protocol as DedupIngest (streaming/ingest.py), minus the
+        # compaction supersession logic — drift state has no compactor.
+        # If one is ever added, fold these into the shared manifest rules
+        # there (admission_log's compacted_from handling) rather than
+        # growing a second diverging copy.
         out = []
         bdir = self._path("_batches")
         for f in sorted(os.listdir(bdir)):
@@ -85,6 +91,12 @@ class DriftMonitor:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # corpus token counts are keyed by token_hash64, whose value space
+        # depends on BORSA_SPARK_SHINGLE_HASH — same identity rule as the
+        # ingest state (a mode flip would report the whole vocab as new)
+        from borsa_spark.streaming.ingest import guard_state_mode
+
+        guard_state_mode(self.state_dir, {"kind": "drift"})
         marker = os.path.join(self._path("_batches"), f"batch-{batch_id}.json")
         if os.path.exists(marker):
             return

@@ -111,10 +111,21 @@ class DedupIngest:
         superseded = {
             b for e in out for b in e.get("compacted_from", [])
         }
-        return [e for e in out if e["batch"] not in superseded]
+        out = [e for e in out if e["batch"] not in superseded]
+        # stable chronology: compaction markers ("cN") replace the OLDEST
+        # batches, so they sort before live integer batch ids
+        out.sort(
+            key=lambda e: (0, int(str(e["batch"])[1:]))
+            if isinstance(e["batch"], str)
+            else (1, e["batch"])
+        )
+        return out
 
     # -- the batch hook -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        guard_state_mode(
+            self.state_dir, {"n": self.n, "threshold": self.threshold}
+        )
         marker = os.path.join(self._path("_batches"), f"batch-{batch_id}.json")
         if os.path.exists(marker):
             return  # replayed micro-batch: already admitted, state is final
@@ -146,9 +157,12 @@ class DedupIngest:
         )
 
         # 3. near-dup-vs-corpus: batch signatures vs STORED corpus bands.
-        arr = dd.shingle_array(batch_u, self.n, "text", "doc_id").filter(
-            F.size("shingles") > 0
-        ).persist()
+        # ONE shingle pass per batch: arr_all (unfiltered, incl. empty
+        # arrays for sub-n-word docs) is persisted and feeds screening AND
+        # the state write — re-shingling admitted docs would double the
+        # dominant scan cost of every batch.
+        arr_all = dd.shingle_array(batch_u, self.n, "text", "doc_id").persist()
+        arr = arr_all.filter(F.size("shingles") > 0)
         sig = dd.signature_from_array(arr)
         bk = dd.lsh_band_keys(sig)
         if self.max_bucket_size is not None:
@@ -184,11 +198,12 @@ class DedupIngest:
 
         # 4. write survivors' arrays + bands to this batch's OWN state dir
         # (overwrite: an uncommitted replay redoes its partial output),
-        # marker LAST.
-        adm_arr = dd.shingle_array(admitted, self.n, "text", "doc_id")
+        # marker LAST. Arrays come from the PERSISTED batch relation
+        # (left-semi to admitted ids), not a fresh shingle pass.
         adm_hash = admitted.select(
             F.col("doc_id").alias("id"), "text_md5"
         )
+        adm_arr = arr_all.join(adm_hash.select("id"), "id", "left_semi")
         (
             adm_arr.join(adm_hash, "id")
             .select("id", "text_md5", "shingles")
@@ -213,7 +228,7 @@ class DedupIngest:
                 },
                 f,
             )
-        arr.unpersist()
+        arr_all.unpersist()
         admitted.unpersist()
 
     # -- attach to a stream --------------------------------------------
@@ -225,6 +240,36 @@ class DedupIngest:
             .option("checkpointLocation", checkpoint)
             .options(**opts)
             .start()
+        )
+
+
+def guard_state_mode(state_dir: str, params: dict) -> None:
+    """Persistent shingle/token state is only meaningful under the hash
+    mode (and build params) it was written with: stored xxhash64 band
+    keys joined against md5-mode batch keys match NOTHING, so dedup
+    screening would silently admit every duplicate with a healthy-looking
+    log. Stamp the mode on first use and refuse loudly on mismatch —
+    ``BORSA_SPARK_SHINGLE_HASH`` is part of the state's identity, exactly
+    as it is for `CorpusArtifacts` markers (functions/pipeline.py)."""
+    path = os.path.join(state_dir, "_mode.json")
+    current = dict(params)
+    current["shingle_hash"] = os.environ.get(
+        "BORSA_SPARK_SHINGLE_HASH", "md5"
+    )
+    try:
+        with open(path) as f:
+            stored = json.load(f)
+    except (OSError, ValueError):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(current, f)
+        os.replace(tmp, path)
+        return
+    if stored != current:
+        raise RuntimeError(
+            f"state at {state_dir} was built with {stored}, but this"
+            f" process runs {current}; mixing hash modes silently breaks"
+            f" every band join — rebuild the state or restore the mode."
         )
 
 
@@ -352,7 +397,15 @@ def compact_state(ing: DedupIngest) -> dict:
     if len(log) <= 1:
         return {"compacted": 0}
     old_ids = [e["batch"] for e in log]
-    new_id = max(old_ids) + 1_000_000  # reserved range, above stream ids
+    # Compaction ids live in a STRING namespace ("c0", "c1", ...) that can
+    # never collide with Structured Streaming's integer batch ids — a
+    # numeric reserved range (max+1M) eventually collides on a
+    # long-running stream and process_batch would silently no-op the live
+    # batch that reached the reserved id.
+    n_prior = sum(
+        1 for e in log if isinstance(e["batch"], str)
+    )
+    new_id = f"c{n_prior}"
 
     arrays = ing.corpus_arrays()
     bands = ing.corpus_bands()
@@ -370,6 +423,9 @@ def compact_state(ing: DedupIngest) -> dict:
                 "received": sum(e["received"] for e in log),
                 "admitted": sum(e["admitted"] for e in log),
                 "rejected": sum(e["rejected"] for e in log),
+                "rejected_quality": sum(
+                    e.get("rejected_quality", 0) for e in log
+                ),
                 "compacted_from": old_ids,
             },
             f,

@@ -219,3 +219,33 @@ class TestQualityGate:
         assert log[1]["admitted"] == 1
         ids = {r["id"] for r in ing.corpus_arrays().collect()}
         assert 12 in ids and 14 not in ids and 10 not in ids
+
+
+class TestStateModeGuard:
+    def test_hash_mode_flip_is_refused(self, spark, tmp_path, monkeypatch):
+        ing = DedupIngest(spark, str(tmp_path / "m"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        monkeypatch.setenv("BORSA_SPARK_SHINGLE_HASH", "xxhash64")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="hash modes"):
+            ing.process_batch(_docs(spark, BATCH2), 1)
+
+    def test_compaction_id_never_collides_with_stream_ids(self, spark, tmp_path):
+        # the compaction marker lives in a string namespace ("c0"), so a
+        # later stream batch can use ANY integer id without being
+        # silently treated as a replay
+        from borsa_spark.streaming.ingest import compact_state
+
+        ing = DedupIngest(spark, str(tmp_path / "c"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        ing.process_batch(_docs(spark, BATCH2), 1)
+        res = compact_state(ing)
+        assert res["into"] == "c0"
+        big_id = 10_000_000  # would have hit the old max+1M reserved range
+        ing.process_batch(
+            _docs(spark, [(30, "fresh text about adaptive query execution")]),
+            big_id,
+        )
+        assert ing.admission_log()[-1]["batch"] == big_id
+        assert ing.admission_log()[-1]["admitted"] == 1

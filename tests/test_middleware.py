@@ -273,3 +273,38 @@ class TestQuotaSerde:
         clock.t = 10.0
         snap = QuotaState.of(guard)
         assert (snap.limit, snap.remaining, snap.reset_in_s) == (3, 1, 50.0)
+
+
+class TestWeightedQuota:
+    def test_cost_deducts_multiple_units(self):
+        from borsa_spark.middleware import QuotaConfig, QuotaExceeded
+
+        g = QuotaConfig(limit=10, window_s=60, strategy="weighted").guard(
+            clock=lambda: 0.0
+        )
+        g.should_allow_call(cost=7)
+        g.should_allow_call(cost=3)  # exactly exhausts the window
+        import pytest as _pytest
+
+        with _pytest.raises(QuotaExceeded):
+            g.should_allow_call(cost=1)
+        with _pytest.raises(ValueError):
+            g.should_allow_call(cost=0)
+
+    def test_unit_cost_behavior_unchanged(self):
+        from borsa_spark.middleware import QuotaConfig, QuotaExceeded
+
+        g = QuotaConfig(limit=2, window_s=60).guard(clock=lambda: 0.0)
+        g.should_allow_call()
+        g.should_allow_call()
+        import pytest as _pytest
+
+        with _pytest.raises(QuotaExceeded):
+            g.should_allow_call()
+
+    def test_from_json_defaults_window(self):
+        from borsa_spark.middleware import QuotaConfig
+
+        cfg = QuotaConfig.from_json('{"limit": 5, "strategy": "weighted"}')
+        assert cfg.window_s == QuotaConfig.window_s
+        assert cfg.strategy == "weighted"

@@ -146,10 +146,16 @@ class TestMultimodal:
             )
             assert autotune_arrow_batch(big) == 256
             assert spark.conf.get(ARROW_BATCH_KEY) == "256"
-            # tiny payloads: never tunes UP past Spark's default
+            # tiny payloads RATCHET DOWN only: execution is lazy and the
+            # conf is session-wide, so a later small-payload pipeline must
+            # never raise the setting back up under an earlier big-payload
+            # pipeline that hasn't executed yet
             small = spark.createDataFrame(
                 [(1, b"x")], "asset_id long, payload binary"
             )
+            assert autotune_arrow_batch(small) == 256
+            # a fresh session value above default still caps at 10k
+            spark.conf.set(ARROW_BATCH_KEY, "50000")
             assert autotune_arrow_batch(small) == 10_000
         finally:
             if prev is not None:
