@@ -2401,11 +2401,15 @@ def w9_max_drawdown(spark, sf):
     "w10_rolling_corr",
     """
     WITH daily AS (
-      SELECT event_type AS symbol,
-             (epoch_us(ts) // 86400000000)::BIGINT AS day_idx,
-             arg_max(value, ts) AS px
-      FROM events WHERE event_type IN ('click', 'view')
-      GROUP BY symbol, day_idx),
+      SELECT symbol, day_idx, px FROM (
+        SELECT event_type AS symbol,
+               (epoch_us(ts) // 86400000000)::BIGINT AS day_idx,
+               value AS px,
+               row_number() OVER (
+                 PARTITION BY event_type, epoch_us(ts) // 86400000000
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view')) t
+      WHERE rn = 1),
     paired AS (
       SELECT a.day_idx, a.px AS x, b.px AS y
       FROM daily a JOIN daily b USING (day_idx)
@@ -2436,10 +2440,19 @@ def w10_rolling_corr(spark, sf):
     ev = load_table(spark, sf, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    # close pick carries the repo's composite tie-break (ts, event_id) —
+    # ts alone can tie in a real feed, and engines would then disagree;
+    # Spark keeps the skew-resilient max_by AGGREGATION over the struct
+    # key, the oracle expresses the identical pick as a rank-1 window
+    # (DuckDB's arg_max takes no composite key).
     daily = ev.groupBy(
         F.col("event_type").alias("symbol"),
         F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
-    ).agg(F.max_by("value", "ts").alias("px"))
+    ).agg(
+        F.max_by(
+            "value", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("px")
+    )
     a = daily.filter(F.col("symbol") == "click").select(
         "day_idx", F.col("px").alias("x")
     )
