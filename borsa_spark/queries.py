@@ -5903,6 +5903,71 @@ def rel_q7_nation_volume(spark, sf):
     )
 
 
+def _pagerank_sql() -> str:
+    from borsa_spark.functions.graph import sql_pagerank_round
+
+    rounds = ",".join(
+        sql_pagerank_round(f"pr{k - 1}" if k > 1 else "pr0", k)
+        for k in (1, 2, 3)
+    )
+    return f"""
+    WITH sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    pr0 AS (
+      SELECT doc_id AS id, round(1.0 / nn.n, 8) AS pr
+      FROM documents CROSS JOIN nn),
+    {rounds}
+    SELECT id AS doc_id, round(pr, 6) AS pagerank,
+           row_number() OVER (ORDER BY pr DESC, id ASC) AS rank
+    FROM pr3
+    """
+
+
+@query("f56_similarity_pagerank", _pagerank_sql())
+def f56_similarity_pagerank(spark, sf):
+    """PageRank over the near-dup similarity graph (3 snapped power
+    iterations, damping 0.85): template hubs — one document
+    near-duplicating many others — float to the top, the graph-centrality
+    quality prior a web corpus gets from its hyperlink graph. Edges are
+    the LSH-verified pair relation in both directions; isolated docs hold
+    the teleport floor; dangling mass is not redistributed (documented in
+    functions/graph.py — the oracle-portability variant). Each iteration
+    is one equi-join + one map-side-combined groupBy; ranks snap at 8dp
+    per round (the kmeans recurrence convention) so both engines walk
+    the identical fixpoint, and the final rank orders (pr desc, doc_id)."""
+    from borsa_spark.functions.graph import pagerank
+
+    docs = load_table(spark, sf, "documents")
+    pairs = _lsh_verified_pairs(docs).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pr = pagerank(edges, nodes, iters=3)
+    w = Window.orderBy(F.col("pr").desc(), F.col("id").asc())
+    return pr.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("pr"), 6).alias("pagerank"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

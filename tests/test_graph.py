@@ -1,0 +1,44 @@
+"""PageRank (functions/graph.py): hand-checkable fixpoints on tiny graphs
+plus the structural properties hub detection relies on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from borsa_spark.functions.graph import pagerank
+
+
+def _pr(spark, edge_rows, node_ids, iters=3):
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    return {
+        r["id"]: r["pr"] for r in pagerank(edges, nodes, iters=iters).collect()
+    }
+
+
+class TestPageRank:
+    def test_isolated_nodes_hold_teleport_floor(self, spark):
+        got = _pr(spark, [(1, 2), (2, 1)], [1, 2, 3])
+        assert abs(got[3] - 0.15 / 3) < 1e-8  # teleport only
+        assert got[1] == got[2] > got[3]      # symmetric pair above floor
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: leaves 2..5 <-> hub 1 (undirected)
+        edges = []
+        for leaf in (2, 3, 4, 5):
+            edges += [(1, leaf), (leaf, 1)]
+        got = _pr(spark, edges, [1, 2, 3, 4, 5])
+        assert got[1] > got[2]
+        assert got[2] == got[3] == got[4] == got[5]
+
+    def test_two_cycle_fixpoint_value(self, spark):
+        # A <-> B with damping .85: pr stays at the uniform fixpoint 0.5
+        # (each node receives the other's full rank)
+        got = _pr(spark, [(1, 2), (2, 1)], [1, 2], iters=5)
+        assert abs(got[1] - 0.5) < 1e-8 and abs(got[2] - 0.5) < 1e-8
+
+    def test_mass_bounded(self, spark):
+        # without dangling redistribution total mass <= 1 and >= teleport
+        got = _pr(spark, [(1, 2)], [1, 2, 3])
+        total = sum(got.values())
+        assert 0.15 <= total <= 1.0 + 1e-8
