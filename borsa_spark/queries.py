@@ -5903,6 +5903,74 @@ def rel_q7_nation_volume(spark, sf):
     )
 
 
+@query(
+    "rel_q8_market_share",
+    """
+    WITH volume AS (
+      SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS vol,
+             n.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = (SELECT min(p_type) FROM part))
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_0' THEN vol ELSE 0 END)
+                 / sum(vol), 6) AS mkt_share,
+           count(*)::BIGINT AS n_lines
+    FROM volume GROUP BY o_year
+    """,
+)
+def rel_q8_market_share(spark, sf):
+    """TPC-H Q8 shape (national market share): one nation's fraction of
+    the total volume in a product segment per year — a ratio of a
+    CONDITIONAL sum to the group total, both computed in the same
+    aggregation pass (no second scan, no self-join; the CASE folds the
+    numerator map-side alongside the denominator). The segment selector
+    is itself a scalar subquery (min p_type — deterministic), broadcast
+    into the part filter. Ratio snapped at 6dp: numerator and denominator
+    are both exact multiples of 0.0001, their quotient is not, and both
+    engines divide the identically-accumulated doubles."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    part = load_table(spark, sf, "part")
+    seg = part.agg(F.min("p_type").alias("__seg"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(
+                part.crossJoin(F.broadcast(seg)).filter(
+                    F.col("p_type") == F.col("__seg")
+                )
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    return v.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_0", F.col("vol"))
+                .otherwise(0.0)
+            )
+            / F.sum("vol"),
+            6,
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def _pagerank_sql() -> str:
     from borsa_spark.functions.graph import sql_pagerank_round
 
