@@ -99,6 +99,12 @@ def autotune_arrow_batch(
         )
     except (TypeError, ValueError):
         current = ARROW_BATCH_DEFAULT
+    if current <= 0:
+        # Spark's <= 0 sentinel means UNLIMITED rows per batch — that is
+        # "no current cap", not "cap of zero"; treating it as the
+        # strictest value would write 0 back and disable the OOM guard
+        # this function exists to provide.
+        current = ARROW_BATCH_DEFAULT
     rows = min(
         current, ARROW_BATCH_DEFAULT, media_batch_conf(avg, target_batch_bytes)
     )
@@ -364,6 +370,11 @@ def _gray_bmp(data: bytes) -> np.ndarray:
         raise ValueError("unsupported BMP")
     n_rows = abs(height)
     stride = (width * 3 + 3) & ~3
+    # same bounds discipline as decode_bmp: a magic-matching but
+    # truncated payload must raise ValueError (which image_phash maps to
+    # the corrupt-fallback path), never a numpy buffer error
+    if width <= 0 or n_rows == 0 or len(data) < pixel_off + stride * n_rows:
+        raise ValueError("truncated BMP payload")
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * n_rows, offset=pixel_off
     ).reshape(n_rows, stride)[:, : width * 3].reshape(n_rows, width, 3)
@@ -390,9 +401,17 @@ def _gray_ppm(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1
     width, height, maxval = fields
-    px = np.frombuffer(
-        data, dtype=np.uint8, count=width * height * 3, offset=pos
-    ).reshape(height, width, 3)
+    # decode_ppm's validations, kept here too: maxval > 255 means 2-byte
+    # samples this reader does not parse (silently wrong grid otherwise),
+    # and short payloads must raise, not wrap
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255:
+        raise ValueError("unsupported PPM header")
+    n = width * height * 3
+    if len(data) < pos + n:
+        raise ValueError("truncated PPM payload")
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).reshape(
+        height, width, 3
+    )
     return px.astype(np.float64).mean(axis=2) / maxval
 
 
@@ -453,14 +472,25 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
             out = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                if data[:2] == b"BM":
-                    bits, dec = phash64(_gray_bmp(data)), "bmp"
-                elif data[:2] == b"P6":
-                    bits, dec = phash64(_gray_ppm(data)), "ppm"
-                else:
+                # A magic-matching but corrupt payload (truncated crawl,
+                # unsupported bpp, 16-bit PPM) must not kill the Spark
+                # job from inside the UDF: it degrades to the
+                # deterministic fallback, tagged so downstream can audit.
+                try:
+                    if data[:2] == b"BM":
+                        bits, dec = phash64(_gray_bmp(data)), "bmp"
+                    elif data[:2] == b"P6":
+                        bits, dec = phash64(_gray_ppm(data)), "ppm"
+                    else:
+                        raise ValueError("no known magic")
+                except (ValueError, struct.error):
                     digest = hashlib.sha256(data).digest()
                     bits = int.from_bytes(digest[:8], "big")
-                    dec = "fake-deterministic"
+                    dec = (
+                        "corrupt-fallback"
+                        if data[:2] in (b"BM", b"P6")
+                        else "fake-deterministic"
+                    )
                 # two's-complement into int64 for the Spark LongType
                 if bits >= 1 << 63:
                     bits -= 1 << 64

@@ -148,24 +148,23 @@ class CorpusArtifacts:
         mine = self._marker_committed_parts(stage)
         if stage not in _ADDITIVE:
             return mine
-        batch_done: dict[str, bool] = {}
-        for p in mine:
-            name = os.path.basename(p)
-            if name == "b000":
-                continue
-            if name not in batch_done:
-                batch_done[name] = all(
-                    any(
-                        os.path.basename(q) == name
-                        for q in self._marker_committed_parts(s)
-                    )
-                    for s in _ADDITIVE
-                )
+        # one committed-name set per stage (3 listdir+marker sweeps total,
+        # not O(stages x parts^2) re-scans): a batch is visible iff its
+        # name is committed in ALL THREE additive stages
+        all_done = set.intersection(
+            *(
+                {
+                    os.path.basename(q)
+                    for q in self._marker_committed_parts(s)
+                }
+                for s in _ADDITIVE
+            )
+        )
         return [
             p
             for p in mine
             if os.path.basename(p) == "b000"
-            or batch_done[os.path.basename(p)]
+            or os.path.basename(p) in all_done
         ]
 
     def committed(self, stage: str) -> bool:

@@ -68,6 +68,12 @@ class VectorIndex:
             return None
         if marker.get("params") != self._params():
             return None
+        if "parts" not in marker:
+            # a pre-parts-format marker validates params but its lists
+            # live at a different layout; serving it would KeyError (or
+            # silently see no data) — read it as absent so callers get
+            # the loud "run build() first" instead
+            return None
         return marker
 
     def committed(self) -> bool:

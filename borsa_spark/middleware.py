@@ -219,6 +219,16 @@ class QuotaGuard:
         exactly)."""
         if cost < 1:
             raise ValueError(f"quota cost must be >= 1, got {cost}")
+        if self.even_spread and cost > self.allowed_per_slice:
+            # a cost that can NEVER fit a slice would raise slice-
+            # exhausted forever while reset_in_s promises a retry will
+            # succeed — permanent starvation; fail loudly instead
+            raise ValueError(
+                f"quota cost {cost} exceeds the per-slice allowance"
+                f" {self.allowed_per_slice} (even_spread_hourly splits the"
+                f" window budget 24 ways); lower the cost or drop the"
+                f" even-spread strategy."
+            )
         with self._lock:
             now = self.clock()
             elapsed = now - self.last_reset

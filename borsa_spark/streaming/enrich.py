@@ -28,6 +28,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_UNIT_SECONDS = {
+    "millisecond": 0.001, "milliseconds": 0.001,
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_to_seconds(spec: str) -> int:
+    """Parse the simple 'N unit' watermark strings Spark accepts. The
+    derived bar-watermark default must account for the ACTUAL tick
+    watermark — hardcoding the default's 30 s would silently under-size
+    the bar state whenever a caller passes a longer tick watermark."""
+    parts = spec.strip().split()
+    if len(parts) == 2 and parts[1].lower() in _UNIT_SECONDS:
+        try:
+            return int(float(parts[0]) * _UNIT_SECONDS[parts[1].lower()])
+        except ValueError:
+            pass
+    raise ValueError(
+        f"cannot derive a bar watermark from tick watermark {spec!r};"
+        " pass bar_watermark explicitly."
+    )
+
+
 def enrich_ticks_with_bars(
     ticks: DataFrame,
     bars: DataFrame,
@@ -52,7 +78,10 @@ def enrich_ticks_with_bars(
     Returns (symbol, ts, price, bar_ts, open, above_open) in append mode.
     """
     if bar_watermark is None:
-        bar_watermark = f"{interval_seconds + 60} seconds"
+        bar_watermark = (
+            f"{_interval_to_seconds(tick_watermark) + interval_seconds + 30}"
+            " seconds"
+        )
     t = ticks.withWatermark("ts", tick_watermark).alias("t")
     b = bars.withWatermark("bar_ts", bar_watermark).alias("b")
     cond = (

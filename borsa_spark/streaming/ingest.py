@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -401,11 +402,17 @@ def compact_state(ing: DedupIngest) -> dict:
     # never collide with Structured Streaming's integer batch ids — a
     # numeric reserved range (max+1M) eventually collides on a
     # long-running stream and process_batch would silently no-op the live
-    # batch that reached the reserved id.
-    n_prior = sum(
-        1 for e in log if isinstance(e["batch"], str)
-    )
-    new_id = f"c{n_prior}"
+    # batch that reached the reserved id. The next index comes from the
+    # MAX over every cN marker ON DISK (committed, superseded, or
+    # crash-stray alike) — counting strings in the post-supersession log
+    # would reuse "c1" on the third compaction and destroy the live
+    # compacted state it collides with.
+    used = [-1]
+    for f in os.listdir(ing._path("_batches")):
+        m = re.fullmatch(r"batch-c(\d+)\.json", f)
+        if m:
+            used.append(int(m.group(1)))
+    new_id = f"c{max(used) + 1}"
 
     arrays = ing.corpus_arrays()
     bands = ing.corpus_bands()

@@ -249,3 +249,24 @@ class TestStateModeGuard:
         )
         assert ing.admission_log()[-1]["batch"] == big_id
         assert ing.admission_log()[-1]["admitted"] == 1
+
+    def test_third_compaction_allocates_fresh_id(self, spark, tmp_path):
+        # c-ids must come from max-on-disk, not a count of live strings —
+        # a count would reuse "c1" on the third compaction and destroy
+        # the live compacted state it collides with
+        from borsa_spark.streaming.ingest import compact_state
+
+        ing = DedupIngest(spark, str(tmp_path / "c3x"))
+        ing.process_batch(_docs(spark, BATCH1), 0)
+        ing.process_batch(_docs(spark, BATCH2), 1)
+        assert compact_state(ing)["into"] == "c0"
+        ing.process_batch(
+            _docs(spark, [(40, "first fresh doc about catalyst rules")]), 2
+        )
+        assert compact_state(ing)["into"] == "c1"
+        ing.process_batch(
+            _docs(spark, [(41, "second fresh doc about tungsten codegen")]), 3
+        )
+        assert compact_state(ing)["into"] == "c2"
+        ids = {r.id for r in ing.corpus_arrays().collect()}
+        assert ids == {1, 2, 3, 12, 40, 41}

@@ -308,3 +308,14 @@ class TestWeightedQuota:
         cfg = QuotaConfig.from_json('{"limit": 5, "strategy": "weighted"}')
         assert cfg.window_s == QuotaConfig.window_s
         assert cfg.strategy == "weighted"
+
+    def test_slice_exceeding_cost_fails_loudly_not_starves(self):
+        from borsa_spark.middleware import QuotaConfig
+
+        g = QuotaConfig(
+            limit=24, window_s=86400, strategy="even_spread_hourly"
+        ).guard(clock=lambda: 0.0)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="per-slice allowance"):
+            g.should_allow_call(cost=2)  # allowed_per_slice = 1

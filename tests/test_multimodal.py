@@ -271,3 +271,40 @@ class TestPerceptualHash:
         }
         assert (1, 2, 4) in pairs
         assert (3, 4, 4) in pairs
+
+    def test_corrupt_magic_payloads_degrade_not_crash(self, spark):
+        # magic-matching but truncated/unsupported payloads must take the
+        # fallback path with an audit tag, never abort the Spark job
+        from borsa_spark.functions.multimodal import image_phash
+
+        assets = spark.createDataFrame(
+            [
+                (1, bytearray(b"BM" + b"\x00" * 10)),        # truncated BMP
+                (2, bytearray(b"P6\n2 2\n65535\n" + b"\x00" * 24)),  # 16-bit PPM
+                (3, bytearray(self._ppm(self._textured(5)))),  # healthy
+            ],
+            "asset_id long, payload binary",
+        )
+        rows = {r["asset_id"]: r for r in image_phash(assets, auto_batch=False).collect()}
+        assert rows[1]["decoder"] == "corrupt-fallback"
+        assert rows[2]["decoder"] == "corrupt-fallback"
+        assert rows[3]["decoder"] == "ppm"
+
+    def test_autotune_treats_nonpositive_conf_as_uncapped(self, spark):
+        from borsa_spark.functions.multimodal import (
+            ARROW_BATCH_KEY,
+            autotune_arrow_batch,
+        )
+
+        prev = spark.conf.get(ARROW_BATCH_KEY, None)
+        try:
+            spark.conf.set(ARROW_BATCH_KEY, "0")  # Spark's unlimited sentinel
+            big = spark.createDataFrame(
+                [(1, bytes(1 << 20))], "asset_id long, payload binary"
+            )
+            assert autotune_arrow_batch(big) == 256  # guard still engages
+        finally:
+            if prev is not None:
+                spark.conf.set(ARROW_BATCH_KEY, prev)
+            else:
+                spark.conf.unset(ARROW_BATCH_KEY)

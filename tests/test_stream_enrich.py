@@ -122,3 +122,37 @@ class TestStreamStreamEnrich:
         ops = desc["stateOperators"]
         assert any("symmetricHashJoin" in (o.get("operatorName") or "")
                    for o in ops)
+
+
+class TestWatermarkDerivation:
+    def test_bar_default_accounts_for_actual_tick_watermark(self):
+        from borsa_spark.streaming.enrich import _interval_to_seconds
+
+        assert _interval_to_seconds("30 seconds") == 30
+        assert _interval_to_seconds("10 minutes") == 600
+        assert _interval_to_seconds("1 hour") == 3600
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bar_watermark explicitly"):
+            _interval_to_seconds("interval 30 seconds")
+
+    def test_derived_default_respects_long_tick_watermark(self, spark, tmp_path):
+        from borsa_spark.streaming.enrich import enrich_ticks_with_bars
+
+        ticks = spark.createDataFrame(
+            [("A", T0, 1.0)], "symbol string, ts timestamp, price double"
+        )
+        bars = spark.createDataFrame(
+            [("A", T0, 1.0)], "symbol string, bar_ts timestamp, open double"
+        )
+        tick_path = str(tmp_path / "t"); ticks.write.parquet(tick_path)
+        bar_path = str(tmp_path / "b"); bars.write.parquet(bar_path)
+        st = spark.readStream.schema(ticks.schema).parquet(tick_path)
+        sb = spark.readStream.schema(bars.schema).parquet(bar_path)
+        j = enrich_ticks_with_bars(
+            st, sb, interval_seconds=60, tick_watermark="10 minutes"
+        )
+        # bar watermark must be >= 600 + 60 + margin (690 s = 11m30s in
+        # the analyzed plan's EventTimeWatermark rendering on bar_ts)
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert "11 minutes 30 seconds" in plan

@@ -145,3 +145,16 @@ class TestIncrementalAdd:
         idx = VectorIndex(spark, str(tmp_path), k=8, iters=2)
         with pytest.raises(RuntimeError, match="no committed base"):
             idx.add(emb)
+
+
+def test_legacy_marker_without_parts_reads_as_absent(spark, tmp_path):
+    import json
+    import os
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+    with open(os.path.join(str(tmp_path), "_DONE.json"), "w") as f:
+        json.dump({"params": {"k": 8, "iters": 2}, "stats": {}}, f)
+    idx = VectorIndex(spark, str(tmp_path), k=8, iters=2)
+    assert not idx.committed()  # pre-parts layout: absent, not a KeyError
+    with pytest.raises(RuntimeError, match="run build"):
+        idx.lists()
