@@ -322,3 +322,26 @@ class TestRound4ContinuedPlanShapes:
         plan = plan_of(spark, "rel_q20_part_promotion_suppliers")
         assert "StringStartsWith(p_name,red)" in plan  # LIKE 'red%' pushed
         assert plan.count("LeftSemi") >= 2             # the semi-join chain
+
+    def test_q7_dual_role_dims_broadcast_with_derived_pushdown(self, spark):
+        # nation joins twice; each role's scan gets the derived
+        # single-side implication (n_name = A OR n_name = B) pushed down
+        plan = plan_of(spark, "rel_q7_nation_volume")
+        assert plan.count("Or(EqualTo(n_name,NATION_") >= 2
+        assert "SortMergeJoin" not in plan  # all dims broadcast at this SF
+        assert "partial_" in plan
+
+    def test_q8_share_is_one_aggregation_pass(self, spark):
+        # numerator (CASE) and denominator fold in the SAME groupBy —
+        # exactly one aggregation exchange, no self-join of volume
+        import re
+
+        plan = plan_of(spark, "rel_q8_market_share")
+        assert "partial_sum" in plan
+        agg_exchanges = re.findall(r"Exchange hashpartitioning\(o_year", plan)
+        assert len(agg_exchanges) <= 1
+
+    def test_q9_star_broadcasts_every_dim(self, spark):
+        plan = plan_of(spark, "rel_q9_nation_year_profit")
+        assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+        assert "partial_" in plan
