@@ -34,6 +34,8 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     snap: int = 8,
+    persist_edges: bool = True,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, pr) after ``iters`` snapped power iterations.
 
@@ -42,20 +44,30 @@ def pagerank(
     hold the teleport floor). The one driver-side action is the node
     count (metadata-cheap; callers that know N can't avoid it anyway —
     it is the teleport denominator).
+
+    ``persist_edges=False`` lets long-lived callers (or callers passing
+    an already-cached relation) manage the cache themselves — by default
+    the cache lifetime is harness-owned (clearCache per query), the
+    repo's standard contract.
+
+    ``checkpoint_every``: every K iterations the rank relation is
+    ``localCheckpoint``-ed (eager), truncating lineage. Without this each
+    round nests the previous round's plan, so iters≳10 over a large graph
+    hits planner blowup / lineage OOM; with it plan depth is bounded by K
+    regardless of iters. 0 disables (only sensible for tiny iters).
     """
     n = nodes.count()
     # The edge relation is consumed 2x per iteration (contrib join + deg)
     # and its lineage may be an expensive pipeline (the near-dup pair
     # generation); persist it once — without this every iteration
     # re-executes the full upstream plan (measured 43 s -> ~8 s at
-    # sf0.01). Cache lifetime is harness-owned (clearCache per query),
-    # the repo's standard contract; long-lived callers unpersist
-    # themselves or pass pre-cached edges.
-    edges = edges.persist()
+    # sf0.01).
+    if persist_edges:
+        edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
     pr = nodes.select("id", F.round(F.lit(1.0 / n), snap).alias("pr"))
     teleport = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(pr, edges["src"] == pr["id"])
             .join(deg, "src")
@@ -72,6 +84,12 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iters
+        ):
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 

@@ -12,11 +12,11 @@ Scale shapes (100 TB corpus):
   chunk rows stream out of the scan partition that produced the document.
   Emits a hash per chunk, not the chunk text, so downstream dedup/shuffle
   moves 8-byte-ish keys (same discipline as the shingle pipeline).
-- ``inverted_index`` is one explode + two groupBys on the term key (the
-  classic map-side-combinable shape). Postings are CAPPED (top-N doc ids)
-  with the true df/cf kept alongside — a full postings list for a stop
-  word would be a single hot row of unbounded size; the cap is explicit,
-  never silent.
+- ``inverted_index`` is one explode + a map-side-combinable stats groupBy
+  + a WindowGroupLimit-capped postings branch. Postings are CAPPED (top-N
+  doc ids) BELOW the shuffle with the true df/cf kept alongside — a full
+  postings list for a stop word would be a single hot row of unbounded
+  size; the cap is explicit, never silent, and never buffered.
 - ``bm25_topk`` broadcasts the query panel (a handful of rows) against
   the exploded term stream, so the only real shuffle is the per-(query,
   doc) tf aggregation; corpus stats (N, avgdl) ride in as a broadcast
@@ -106,23 +106,44 @@ def inverted_index(docs: DataFrame, postings_cap: int = 20) -> DataFrame:
     ``postings_cap`` doc_ids (ascending) comma-joined. df/cf are the TRUE
     totals — only the materialized posting sample is capped, so a stop
     word cannot blow up a single row (loud cap: df tells the reader how
-    much was elided)."""
+    much was elided).
+
+    Scale shape: df/cf come from a plain map-side-combinable groupBy
+    (constant-size buffers). The postings sample is capped BEFORE any
+    aggregation buffer exists: ``row_number() OVER (PARTITION BY term
+    ORDER BY doc_id) <= cap`` — Spark plans that filter as a
+    WindowGroupLimit, truncating each term's group to ``cap`` rows
+    map-side, below the shuffle. A stop word's postings therefore never
+    materialize anywhere: not in the agg buffer (the pre-fix shape built
+    the FULL list in `collect_list` before `slice` capped it) and not in
+    the window sort. The final stats⋈postings join is vocab-keyed on both
+    sides, both already hashed by term."""
     tf = (
         docs.select("doc_id", F.explode(_toks()).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    return tf.groupBy("term").agg(
+    stats = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
-        F.array_join(
-            F.transform(
-                F.slice(F.array_sort(F.collect_list("doc_id")), 1, postings_cap),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
     )
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    postings = (
+        tf.select("term", "doc_id")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "term")
 
 
 def sql_inverted_index(postings_cap: int = 20) -> str:

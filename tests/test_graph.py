@@ -42,3 +42,34 @@ class TestPageRank:
         got = _pr(spark, [(1, 2)], [1, 2, 3])
         total = sum(got.values())
         assert 0.15 <= total <= 1.0 + 1e-8
+
+    def test_checkpoint_bounds_plan_depth_at_iters_10(self, spark):
+        # chain graph 0->1->...->N: 10 iterations with checkpoint_every=3
+        # must keep the analyzed plan bounded by the last checkpoint
+        # window (<= 3 iterations' joins), not grow linearly with iters.
+        n = 5_000
+        edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+        nodes = spark.range(n).selectExpr("id")
+        pr = pagerank(edges, nodes, iters=10, checkpoint_every=3)
+        plan = pr._jdf.queryExecution().analyzed().toString()
+        # each iteration contributes 3 Join nodes; 10 unchecked iterations
+        # would show ~30 — the last checkpoint at i=9 leaves exactly 1
+        joins = plan.count("Join")
+        assert joins <= 3 * 3, f"plan kept {joins} joins — lineage not cut"
+        # and the ranks still match the uncheckpointed program exactly
+        base = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                edges, nodes, iters=10, checkpoint_every=0
+            ).collect()
+        }
+        got = {r["id"]: r["pr"] for r in pr.collect()}
+        assert got == base
+
+    def test_persist_edges_opt_out(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        pagerank(edges, nodes, iters=2, persist_edges=False).collect()
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert after == before  # no cache entry leaked

@@ -345,3 +345,19 @@ class TestRound4ContinuedPlanShapes:
         plan = plan_of(spark, "rel_q9_nation_year_profit")
         assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
         assert "partial_" in plan
+
+    def test_inverted_index_caps_postings_below_shuffle(self, spark):
+        # the postings sample must be capped BEFORE any aggregation buffer
+        # exists: row_number() <= cap plans as WindowGroupLimit (one
+        # partial instance map-side under the Exchange, one final above),
+        # so a stop word's postings never materialize in collect_list's
+        # buffer or the window sort. df/cf ride a separate plain groupBy.
+        plan = plan_of(spark, "f46_inverted_index")
+        assert plan.count("WindowGroupLimit") >= 2  # partial + final
+        # the collect_list aggregate must CONSUME the group-limited branch:
+        # in the formatted tree parents print before children, so the
+        # ObjectHashAggregate (collect_list) line precedes WindowGroupLimit
+        assert "ObjectHashAggregate" in plan
+        assert plan.index("ObjectHashAggregate") < plan.index("WindowGroupLimit")
+        # the stats branch stays a partial-aggregated count/sum
+        assert "partial_count" in plan or "partial_sum" in plan
