@@ -280,12 +280,31 @@ class CorpusArtifacts:
         batch pays its own shingle/signature cost; the corpus side is
         served from parquet (never re-shingled). Appends array/signature/
         pair parts, then refolds the clusters snapshot. Crash-safe at
-        part granularity: a rerun after a crash redoes only uncommitted
-        parts (detected via the clusters marker's pair_parts count).
-
-        New-batch ids must be disjoint from stored ids (the caller's
-        contract, same as any append-only ingest)."""
+        part granularity AND idempotent per id: already-admitted ids are
+        anti-joined out up front, so a rerun after ANY crash window —
+        including the one where all three additive parts committed but
+        the clusters refold didn't — admits only genuinely new docs
+        (no duplicate array/signature rows, no self-pairs) and just heals
+        the stale clusters snapshot if that is all that's missing."""
         p = self.params
+        stored_ids = self._read("shingle_arrays").select(
+            F.col("id").alias(id_col)
+        )
+        new_docs = new_docs.join(stored_ids, id_col, "left_anti")
+        if not new_docs.take(1):
+            # every id is already admitted (e.g. a retried extend() after
+            # a crash between the pairs commit and the clusters refold):
+            # the only thing possibly missing is the snapshot
+            if not self.committed("clusters"):
+                self._refold_clusters()
+                clusters = "refolded"
+            else:
+                clusters = "cached"
+            return {
+                "batch_parts": len(self._committed_parts("pairs")) - 1,
+                "new_pairs": "already_admitted",
+                "clusters": clusters,
+            }
         new_arr = _dd.shingle_array(new_docs, p.n, text_col, id_col)
         new_sig = _dd.signature_from_array(new_arr)
 

@@ -219,6 +219,16 @@ class QuotaGuard:
         exactly)."""
         if cost < 1:
             raise ValueError(f"quota cost must be >= 1, got {cost}")
+        if cost > self.limit:
+            # symmetric with the per-slice guard below: a cost above the
+            # whole-window limit would raise QuotaExceeded with a
+            # reset_in_s that promises a retry will succeed, but no retry
+            # ever can — permanent starvation; fail loudly instead
+            raise ValueError(
+                f"quota cost {cost} exceeds the window limit {self.limit};"
+                f" no retry can ever succeed — lower the cost or raise the"
+                f" limit."
+            )
         if self.even_spread and cost > self.allowed_per_slice:
             # a cost that can NEVER fit a slice would raise slice-
             # exhausted forever while reset_in_s promises a retry will

@@ -319,3 +319,17 @@ class TestWeightedQuota:
 
         with _pytest.raises(ValueError, match="per-slice allowance"):
             g.should_allow_call(cost=2)  # allowed_per_slice = 1
+
+    def test_window_exceeding_cost_fails_loudly_not_starves(self):
+        # symmetric with the slice guard: cost > window limit can never
+        # succeed, so QuotaExceeded's reset_in_s would be a false promise
+        from borsa_spark.middleware import QuotaConfig
+
+        g = QuotaConfig(limit=5, window_s=60, strategy="weighted").guard(
+            clock=lambda: 0.0
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="window limit"):
+            g.should_allow_call(cost=6)
+        g.should_allow_call(cost=5)  # the full budget itself still admits

@@ -212,3 +212,44 @@ class TestIncrementalExtend:
         assert {tuple(r) for r in art.clusters().collect()} == {
             tuple(r) for r in full.clusters().collect()
         }
+
+    def test_retried_extend_after_refold_crash_is_idempotent(
+        self, spark, docs, tmp_path
+    ):
+        # Crash window the OTHER side of the pairs commit: all three
+        # additive parts of batch B committed (batch fully visible) but
+        # the clusters refold never ran. A retried extend(B) must NOT
+        # re-admit the batch (no duplicate array rows, no jaccard-1.0
+        # self-pairs) — it detects every id as already admitted and just
+        # heals the stale snapshot.
+        import shutil
+
+        a, b = self._split(docs)
+        art = CorpusArtifacts(spark, str(tmp_path))
+        art.build(a)
+        art.extend(b)
+        clusters_parts = sorted(
+            os.listdir(os.path.join(str(tmp_path), "clusters"))
+        )
+        shutil.rmtree(
+            os.path.join(str(tmp_path), "clusters", clusters_parts[-1])
+        )
+        assert not art.committed("clusters")  # the stale state
+        n_pairs_before = art.pairs().count()
+        report = art.extend(b)  # the retry the docstring promises
+        assert report["new_pairs"] == "already_admitted"
+        assert report["clusters"] == "refolded"
+        # no duplicate rows, no self-pairs, counts unchanged
+        assert art.shingle_arrays().count() == docs.count()
+        arrs = art.shingle_arrays().groupBy("id").count()
+        assert arrs.filter(F.col("count") > 1).count() == 0
+        assert art.pairs().count() == n_pairs_before
+        full = CorpusArtifacts(spark, str(tmp_path / "full4"))
+        full.build(docs)
+        assert {tuple(r) for r in art.clusters().collect()} == {
+            tuple(r) for r in full.clusters().collect()
+        }
+        # and a retry when nothing at all is missing is a clean no-op
+        report2 = art.extend(b)
+        assert report2["new_pairs"] == "already_admitted"
+        assert report2["clusters"] == "cached"
