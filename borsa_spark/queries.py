@@ -2408,21 +2408,24 @@ def w9_max_drawdown(spark, sf):
                row_number() OVER (
                  PARTITION BY event_type, epoch_us(ts) // 86400000000
                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE event_type IN ('click', 'view')) t
+        FROM events) t
       WHERE rn = 1),
     paired AS (
-      SELECT a.day_idx, a.px AS x, b.px AS y
+      SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+             a.day_idx, a.px AS x, b.px AS y
       FROM daily a JOIN daily b USING (day_idx)
-      WHERE a.symbol = 'click' AND b.symbol = 'view'),
+      WHERE a.symbol < b.symbol),
     sums AS (
-      SELECT day_idx,
-             row_number() OVER (ORDER BY day_idx) AS rn,
+      SELECT sym_a, sym_b, day_idx,
+             row_number() OVER (PARTITION BY sym_a, sym_b
+                                ORDER BY day_idx) AS rn,
              sum(x)     OVER w AS sx,  sum(y)     OVER w AS sy,
              sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2,
              sum(x * y) OVER w AS sxy
       FROM paired
-      WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
-    SELECT day_idx,
+      WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY day_idx
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT sym_a, sym_b, day_idx,
            round((10 * sxy - sx * sy)
                  / sqrt(greatest(1e-12, 10 * sx2 - sx * sx)
                         * greatest(1e-12, 10 * sy2 - sy * sy)), 3) AS corr10
@@ -2430,16 +2433,21 @@ def w9_max_drawdown(spark, sf):
     """,
 )
 def w10_rolling_corr(spark, sf):
-    """Rolling 10-day Pearson correlation between two symbols' daily
-    closes — the cross-series analytics window (pairs trading, lead-lag
-    monitors). Daily close = arg_max(value, ts) per (symbol, day), the
-    two series equi-join on day, and the correlation comes from EXPLICIT
-    windowed sums with denominator clamps — same engine-portability rule
-    as w8 (built-in windowed corr differs across engines on its sliding
-    update). Full windows only."""
-    ev = load_table(spark, sf, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
+    """Rolling 10-day Pearson correlation between EVERY symbol pair's
+    daily closes — the cross-series analytics window (pairs trading,
+    lead-lag monitors; the reference's stock-comparison example 09 run
+    as a panel). Daily close = arg_max(value, ts) per (symbol, day), the
+    series self-equi-join on day (sym_a < sym_b canonicalizes pairs),
+    and the correlation comes from EXPLICIT windowed sums with
+    denominator clamps — same engine-portability rule as w8 (built-in
+    windowed corr differs across engines on its sliding update). Full
+    windows only. EVERY window is keyed by (sym_a, sym_b): no global
+    ordering exists anywhere, so the plan scales with pair count
+    instead of collapsing to a single partition. The all-pairs panel is
+    quadratic in symbol count by construction — a production monitor
+    over thousands of symbols feeds an explicit pair allowlist into the
+    same shape."""
+    ev = load_table(spark, sf, "events")
     # close pick carries the repo's composite tie-break (ts, event_id) —
     # ts alone can tie in a real feed, and engines would then disagree;
     # Spark keeps the skew-resilient max_by AGGREGATION over the struct
@@ -2453,16 +2461,22 @@ def w10_rolling_corr(spark, sf):
             "value", F.struct(F.col("ts"), F.col("event_id"))
         ).alias("px")
     )
-    a = daily.filter(F.col("symbol") == "click").select(
-        "day_idx", F.col("px").alias("x")
+    a = daily.select(
+        F.col("symbol").alias("sym_a"), "day_idx", F.col("px").alias("x")
     )
-    b = daily.filter(F.col("symbol") == "view").select(
-        "day_idx", F.col("px").alias("y")
+    b = daily.select(
+        F.col("symbol").alias("sym_b"), "day_idx", F.col("px").alias("y")
     )
-    paired = a.join(b, "day_idx")
-    w = Window.orderBy("day_idx").rowsBetween(-9, Window.currentRow)
-    wr = Window.orderBy("day_idx")
+    paired = a.join(b, "day_idx").filter(F.col("sym_a") < F.col("sym_b"))
+    w = (
+        Window.partitionBy("sym_a", "sym_b")
+        .orderBy("day_idx")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    wr = Window.partitionBy("sym_a", "sym_b").orderBy("day_idx")
     s = paired.select(
+        "sym_a",
+        "sym_b",
         "day_idx",
         F.row_number().over(wr).alias("rn"),
         F.sum("x").over(w).alias("sx"),
@@ -2477,7 +2491,7 @@ def w10_rolling_corr(spark, sf):
     )
     return (
         s.filter(F.col("rn") >= 10)
-        .select("day_idx", F.round(corr, 3).alias("corr10"))
+        .select("sym_a", "sym_b", "day_idx", F.round(corr, 3).alias("corr10"))
     )
 
 
@@ -6013,6 +6027,7 @@ def _pagerank_sql() -> str:
     SELECT id AS doc_id, round(pr, 6) AS pagerank,
            row_number() OVER (ORDER BY pr DESC, id ASC) AS rank
     FROM pr3
+    ORDER BY pr DESC, id ASC LIMIT 100
     """
 
 
@@ -6027,7 +6042,16 @@ def f56_similarity_pagerank(spark, sf):
     functions/graph.py — the oracle-portability variant). Each iteration
     is one equi-join + one map-side-combined groupBy; ranks snap at 8dp
     per round (the kmeans recurrence convention) so both engines walk
-    the identical fixpoint, and the final rank orders (pr desc, doc_id)."""
+    the identical fixpoint.
+
+    Output contract is the TOP-100 hub panel ordered (pr desc, doc_id):
+    hub detection needs the head of the ranking, not a total order over
+    the corpus — a bare ``row_number() OVER (ORDER BY pr)`` would drag
+    every rank row through one SinglePartition exchange, while limit-k
+    plans as TakeOrderedAndProject (per-partition top-k, merged on the
+    driver) and the rank window then runs over k rows only. A
+    full-corpus ordering, if ever needed, takes f54's hierarchical-rank
+    shape instead."""
     from borsa_spark.functions.graph import pagerank
 
     docs = load_table(spark, sf, "documents")
@@ -6039,8 +6063,9 @@ def f56_similarity_pagerank(spark, sf):
     ).distinct()
     nodes = docs.select(F.col("doc_id").alias("id"))
     pr = pagerank(edges, nodes, iters=3)
+    top = pr.orderBy(F.col("pr").desc(), F.col("id").asc()).limit(100)
     w = Window.orderBy(F.col("pr").desc(), F.col("id").asc())
-    return pr.select(
+    return top.select(
         F.col("id").alias("doc_id"),
         F.round(F.col("pr"), 6).alias("pagerank"),
         F.row_number().over(w).alias("rank"),

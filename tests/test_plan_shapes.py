@@ -361,3 +361,17 @@ class TestRound4ContinuedPlanShapes:
         assert plan.index("ObjectHashAggregate") < plan.index("WindowGroupLimit")
         # the stats branch stays a partial-aggregated count/sum
         assert "partial_count" in plan or "partial_sum" in plan
+
+    def test_rolling_corr_windows_are_pair_keyed(self, spark):
+        # every window in w10 partitions by (sym_a, sym_b): a global
+        # ORDER BY day_idx window would plan an Exchange SinglePartition
+        # and collapse the whole panel onto one task
+        plan = plan_of(spark, "w10_rolling_corr")
+        assert "SinglePartition" not in plan
+
+    def test_pagerank_hub_panel_is_take_ordered(self, spark):
+        # the top-100 hub cut plans as TakeOrderedAndProject (per-
+        # partition top-k), so the only rank window runs over 100 rows —
+        # never a corpus-wide SinglePartition sort
+        plan = plan_of(spark, "f56_similarity_pagerank")
+        assert "TakeOrderedAndProject" in plan
