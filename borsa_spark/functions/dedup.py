@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Mersenne prime 2^31-1; affine coefficients from a fixed LCG (seed 42,
@@ -859,6 +859,75 @@ def simhash_inrow(df: DataFrame, n: int = 3, text_col: str = "text",
 CONTAINMENT_MAX_SHINGLE_DF = 100
 
 
+def containment_candidates(
+    arr: DataFrame,
+    threshold: float,
+    max_shingle_df: int = CONTAINMENT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """PPJoin-prefix candidate generation for ``containment_pairs``:
+    canonical (id_a < id_b) pairs from ``arr`` (the non-empty
+    ``shingle_array`` relation) that share a sub-df-cap shingle within
+    the smaller document's prefix. Exposed separately so scale drills
+    can measure |candidates| against |true pairs| — the candidate:output
+    ratio IS the claim this filter makes."""
+    sh = arr.select(
+        "id",
+        F.size("shingles").alias("__n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    rare = sh.join(dfc.filter(F.col("__df") <= max_shingle_df), "shingle")
+    # PPJoin probe prefix: the real-arithmetic bound is
+    # floor((1-t)*|doc|)+1 shingles per doc in (df asc, shingle) order.
+    # |doc| is the FULL shingle count — capped shingles sort ahead of
+    # common ones, so the capped-only rank below equals the full-list
+    # position for every capped shingle. The +2 (one slot beyond the
+    # bound) absorbs BOTH float hazards: (1.0-t)*n can round just below
+    # an integer ((1.0-0.9)*10 = 0.9999999999999998 floors to 0, one
+    # short — measured: 1,548 of 248,764 true pairs lost at the 10x
+    # drill), and the final n_inter/min >= t filter is itself a double
+    # compare whose division rounding can admit one fewer shared shingle
+    # than ceil(t*n). One extra probe shingle per doc is noise; a missed
+    # true pair is a correctness bug.
+    wp = Window.partitionBy("id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix_len = (
+        F.floor((1.0 - threshold) * F.col("__n_sh")).cast("int") + 2
+    )
+    probe = rare.withColumn("__rk", F.row_number().over(wp)).filter(
+        F.col("__rk") <= prefix_len
+    )
+    # probe doc strictly smaller in (size, id) order than the index doc:
+    # the prefix bound applies to the smaller side of each pair, and the
+    # lexicographic tie-break generates equal-size pairs exactly once
+    return (
+        probe.select(
+            F.col("id").alias("__pid"), F.col("__n_sh").alias("__pn"),
+            "shingle",
+        )
+        .join(
+            rare.select(
+                F.col("id").alias("__iid"), F.col("__n_sh").alias("__in"),
+                "shingle",
+            ),
+            "shingle",
+        )
+        .filter(
+            (F.col("__pn") < F.col("__in"))
+            | (
+                (F.col("__pn") == F.col("__in"))
+                & (F.col("__pid") < F.col("__iid"))
+            )
+        )
+        .select(
+            F.least("__pid", "__iid").alias("id_a"),
+            F.greatest("__pid", "__iid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     n: int = 3,
@@ -874,20 +943,32 @@ def containment_pairs(
     inside a much longer one scores jaccard ≈ |A|/|B| (small) but
     containment ≈ 1. MinHash-LSH banding approximates JACCARD, so its
     candidate generation also misses those pairs; containment needs its own
-    candidate path. This is the PPJoin-family prefix idea re-expressed
-    relationally: two documents can only have high containment if they
-    share at least one *non-ubiquitous* shingle, so candidates come from an
-    equi-join of the shingle table restricted to shingles with document
-    frequency <= ``max_shingle_df``.
+    candidate path. This is the PPJoin prefix filter re-expressed
+    relationally: containment >= t means the SMALLER document S shares at
+    least ceil(t*|S|) shingles, so by pigeonhole at least one shared
+    shingle sits within S's first floor((1-t)*|S|)+1 shingles under ANY
+    global canonical order. The probe side therefore emits only that
+    prefix per document (ordered df-ascending — rarest first, so prefix
+    shingles are also the cheapest join keys) against an index side of all
+    capped occurrences of equal-or-larger documents.
+
+    Recall is exact w.r.t. the cap semantics: capped (rare) shingles all
+    have smaller df than corpus-common ones, so in df-ascending order they
+    occupy the HEAD of each document's list — if a qualifying pair shares
+    any capped shingle at all, the pigeonhole witness position p implies a
+    shared capped shingle at position <= p, i.e. inside the probe prefix.
 
     Scale shape: the df table is one groupBy on the 8-byte shingle hash
-    (map-side combine); the candidate join is per-shingle bounded by the df
-    cap (worst case df_cap ~ 100 rows per shingle key — never a hot-key
-    blowup); the exact intersection then runs only over candidate pairs via
-    the same bounded join as ``verify_jaccard``. A pair ALL of whose shared
-    shingles are corpus-common is not generated — that is the documented
-    cap semantics (such "duplicates" are boilerplate overlap, which the
-    cluster-level dedup is not supposed to merge).
+    (map-side combine); the prefix rank is a window keyed by doc id
+    (uniform — one doc's shingles, never a hot key); the candidate join is
+    per-shingle bounded by df_cap on the index side and by the ~(1-t)
+    prefix fraction on the probe side, so candidates track true pairs
+    instead of all co-occurrences. The exact intersection then runs only
+    over candidate pairs via the same bounded array join as
+    ``verify_jaccard``. A pair ALL of whose shared shingles are
+    corpus-common is not generated — that is the documented cap semantics
+    (such "duplicates" are boilerplate overlap, which the cluster-level
+    dedup is not supposed to merge).
 
     Returns (id_a, id_b, n_inter, n_a, n_b, containment, jaccard) for
     pairs with containment >= ``threshold``; both ratios rounded 4dp for
@@ -903,16 +984,7 @@ def containment_pairs(
     )
     if persist_shingles:
         arr = arr.persist()
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    rare = sh.join(dfc.filter(F.col("__df") <= max_shingle_df), "shingle")
-    cands = (
-        rare.select(F.col("id").alias("id_a"), "shingle")
-        .join(rare.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = containment_candidates(arr, threshold, max_shingle_df)
     # Exact intersections via per-doc arrays (the same explode-free verify
     # as minhash_dedup_pairs): join candidate pairs to the pruned
     # (id, shingles) relation twice and size(array_intersect) in codegen.

@@ -349,3 +349,45 @@ class TestContainmentProps:
             ).collect()
         }
         assert got == want
+
+    @SETTINGS
+    @given(word_lists=docs_st)
+    def test_prefix_recall_under_low_df_cap(self, spark, word_lists):
+        """The PPJoin prefix must not lose recall when the df cap is LOW:
+        the documented semantics are 'pair emitted iff containment >= t
+        AND the pair shares at least one sub-cap shingle', and the
+        pigeonhole argument (capped shingles sort df-ascending, ahead of
+        common ones) must hold on arbitrary corpora, not just the high-cap
+        regime the brute-force test exercises."""
+        from borsa_spark.functions.dedup import containment_pairs
+
+        def sh3(words):
+            return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+
+        cap = 3
+        sets = {i: sh3(w) for i, w in enumerate(word_lists)}
+        df_count: dict[str, int] = {}
+        for s in sets.values():
+            for g in s:
+                df_count[g] = df_count.get(g, 0) + 1
+        want = set()
+        for a in sets:
+            for b in sets:
+                if a >= b or not sets[a] or not sets[b]:
+                    continue
+                shared = sets[a] & sets[b]
+                cont = len(shared) / min(len(sets[a]), len(sets[b]))
+                if cont >= 0.9 and any(df_count[g] <= cap for g in shared):
+                    want.add((a, b))
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in enumerate(word_lists)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(
+                docs, n=3, threshold=0.9, max_shingle_df=cap
+            ).collect()
+        }
+        assert got == want

@@ -674,6 +674,29 @@ class TestSequencePacking:
 
 
 class TestContainmentPairs:
+    def test_prefix_float_boundary_exact_ratio(self, spark):
+        """The PPJoin prefix at the float boundary: smaller doc with
+        exactly 10 shingles, 9 shared -> containment exactly 0.9. The
+        real-math prefix is 2, but (1.0-0.9)*10 = 0.9999999999999998
+        floors to 0 — a +1 formula emits a 1-shingle prefix and, with the
+        unshared shingle the RAREST (df 1 vs 2, sorting first), misses
+        the pair entirely. Pins the +2 slack."""
+        import borsa_spark.functions.dedup as dd
+
+        words = [f"w{i}" for i in range(12)]  # 10 overlapping 3-gram shingles
+        small = " ".join(words)
+        # shares every shingle except w0 w1 w2 (drop the first word)
+        big = " ".join(words[1:]) + " " + " ".join(f"t{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, small), (2, big)], "doc_id long, text string"
+        )
+        out = {
+            (r.id_a, r.id_b): r
+            for r in dd.containment_pairs(docs, n=3, threshold=0.9).collect()
+        }
+        assert (1, 2) in out
+        assert float(out[(1, 2)].containment) == 0.9
+
     def test_subset_duplicate_found_despite_low_jaccard(self, spark):
         """A short doc pasted inside a much longer one: containment = 1.0
         but jaccard is small — minhash-LSH banding (which approximates
