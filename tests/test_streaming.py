@@ -232,6 +232,91 @@ class TestStructuredStreaming:
         assert ("AAPL", 60) not in rows
         assert rows[("MSFT", 0)].n_ticks == 2
 
+    def test_candle_stream_update_mode_partial_bars(
+        self, spark, tmp_path
+    ):
+        """T12 update mode (reference is_final=false CandleUpdate
+        semantics, connector.rs:270-288): partial bars re-emit as ticks
+        arrive, every emission carries is_final=false, and the LAST
+        re-emission of a bar equals the append-mode (watermark-closed)
+        final bar — the keyed-upsert contract candle_stream's docstring
+        promises."""
+        import datetime as dt
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        schema = "symbol string, ts timestamp, price double, seq long"
+        batches = [
+            [("AAPL", ts(0), 10.0, 0), ("AAPL", ts(30), 11.0, 1)],
+            [("AAPL", ts(10), 9.0, 2), ("AAPL", ts(30), 12.0, 3)],
+            [("AAPL", ts(95), 13.0, 4)],  # moves the watermark past 60
+        ]
+        path = tmp_path / "upd_ticks"
+        path.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+                str(path / f"batch_{i}")
+            )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path / "batch_*"))
+        )
+        bars = candle_stream(
+            src, interval_seconds=60, watermark="10 seconds",
+            final_mode=False,
+        )
+        emissions: list[tuple[int, list]] = []
+        q = (
+            bars.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_upd"))
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda df, bid: emissions.append((bid, df.collect()))
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+
+        w0 = dt.datetime(2024, 1, 1)
+        history = [
+            r
+            for _, rows in sorted(emissions)
+            for r in rows
+            if r.symbol == "AAPL" and r.ts == w0
+        ]
+        # the [0,60) bar re-emitted at least twice (each batch that
+        # touched it), every time marked non-final
+        assert len(history) >= 2
+        assert all(r.is_final is False for r in history)
+        # intermediate partials show the pre-revision state...
+        first = history[0]
+        assert (float(first.open), float(first.high), float(first.low),
+                float(first.close), first.n_ticks) == (10.0, 11.0, 10.0,
+                                                       11.0, 2)
+        # ...and the last re-emission equals the append-mode final bar
+        # over the same complete feed
+        final_src = spark.readStream.schema(schema).parquet(
+            str(path / "batch_*")
+        )
+        final_bars = candle_stream(
+            final_src, interval_seconds=60, watermark="10 seconds"
+        )
+        out = _run_stream(spark, final_bars, tmp_path, "upd_final", "append")
+        final = {
+            (r.symbol, r.ts): r for r in out.collect()
+        }[("AAPL", w0)]
+        last = history[-1]
+        assert (
+            float(last.open), float(last.high), float(last.low),
+            float(last.close), last.n_ticks,
+        ) == (
+            float(final.open), float(final.high), float(final.low),
+            float(final.close), final.n_ticks,
+        )
+        assert final.is_final is True and last.is_final is False
+
 
 class TestOptionStream:
     """S11: OptionUpdate multiplex — fan-in + allow-sets + per-underlying
