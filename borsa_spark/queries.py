@@ -6081,21 +6081,31 @@ def f56_similarity_pagerank(spark, sf):
 # no driver CORRECTNESS row even though every oracle-backed one replays green
 # locally (tools/check_oracle.py).  To get every query witnessed at least
 # once across rounds, rotate: read every CORRECTNESS_r*.json the driver has
-# produced so far, count per-query green witnessings, and sort the registry
-# least-witnessed-first (ties keep registration order).  Self-maintaining:
-# when round N's artifact lands, round N+1's window automatically rotates to
-# whatever is still unwitnessed/least-witnessed.  Semantics of each query
-# are unchanged — this is purely dict ordering.
+# produced so far, and sort the registry by (green-witness count ASC, round
+# of most recent green witness ASC, registration order).  The second key is
+# the STALENESS refresh: once every query has at least one witness, the
+# 50-row window keeps cycling through whichever greens are oldest, so no
+# query's green row ever drifts arbitrarily far behind the current code.
+# Self-maintaining: when round N's artifact lands, round N+1's window
+# rotates automatically.  Semantics of each query are unchanged — this is
+# purely dict ordering.
 
 
-def _witness_counts() -> dict[str, int]:
+def _witness_stats(repo: str | None = None) -> dict[str, tuple[int, int]]:
+    """name -> (green witness count, round of most recent green witness).
+    Parameterized on the artifact directory so the rotation is unit-
+    testable over synthetic CORRECTNESS files."""
     import glob
     import json as _json
     import os as _os
+    import re as _re
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    counts: dict[str, int] = {}
+    if repo is None:
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    stats: dict[str, tuple[int, int]] = {}
     for path in sorted(glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -6107,14 +6117,26 @@ def _witness_counts() -> dict[str, int]:
             # "Witnessed" = the driver recorded a green row: rows matched
             # and the value-hash (when an oracle applies) matched too.
             if row.get("rows_match") and row.get("hash_match", True):
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+                count, last = stats.get(name, (0, 0))
+                stats[name] = (count + 1, max(last, rnd))
+    return stats
 
 
-_seen = _witness_counts()
-_order = list(QUERIES)
-_witness_order = sorted(
-    _order, key=lambda n: (_seen.get(n, 0), _order.index(n))
-)
-QUERIES = {n: QUERIES[n] for n in _witness_order}
-ORACLES = {n: ORACLES[n] for n in _witness_order if n in ORACLES}
+def _witness_order(
+    names: list[str], stats: dict[str, tuple[int, int]]
+) -> list[str]:
+    """Least-witnessed first; among equals, stalest green first; among
+    those, registration order."""
+    return sorted(
+        names,
+        key=lambda n: (
+            stats.get(n, (0, 0))[0],
+            stats.get(n, (0, 0))[1],
+            names.index(n),
+        ),
+    )
+
+
+_rotated = _witness_order(list(QUERIES), _witness_stats())
+QUERIES = {n: QUERIES[n] for n in _rotated}
+ORACLES = {n: ORACLES[n] for n in _rotated if n in ORACLES}
