@@ -290,7 +290,12 @@ class CorpusArtifacts:
         stored_ids = self._read("shingle_arrays").select(
             F.col("id").alias(id_col)
         )
-        new_docs = new_docs.join(stored_ids, id_col, "left_anti")
+        # Idempotence must hold WITHIN the batch too: a duplicated id in
+        # one batch would otherwise produce duplicate array/signature
+        # rows and jaccard-1.0 self-pairs downstream.
+        new_docs = new_docs.dropDuplicates([id_col]).join(
+            stored_ids, id_col, "left_anti"
+        )
         if not new_docs.take(1):
             # every id is already admitted (e.g. a retried extend() after
             # a crash between the pairs commit and the clusters refold):

@@ -118,6 +118,10 @@ def inverted_index(docs: DataFrame, postings_cap: int = 20) -> DataFrame:
     the FULL list in `collect_list` before `slice` capped it) and not in
     the window sort. The final stats⋈postings join is vocab-keyed on both
     sides, both already hashed by term."""
+    if postings_cap < 1:
+        # rn <= 0 would empty the postings branch and the inner join
+        # would then drop every stats row — reject loudly instead.
+        raise ValueError(f"postings_cap must be >= 1, got {postings_cap}")
     tf = (
         docs.select("doc_id", F.explode(_toks()).alias("term"))
         .groupBy("term", "doc_id")

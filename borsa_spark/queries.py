@@ -2572,30 +2572,59 @@ def u3_set_difference(spark, sf):
     return first.join(second, ["user_id", "value_bin"], "left_anti")
 
 
-@query("x1_approx_stats")  # sketches are engine-specific: rows-only check
+@query(
+    "x1_approx_stats",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS users_within_15pct,
+           TRUE AS p50_within_rank_window
+    FROM events GROUP BY event_type
+    """,
+)
 def x1_approx_stats(spark, sf):
     """The approximate-aggregate family — what actually runs at 100 TB
     when exact distinct counts / quantiles would shuffle the world:
     HyperLogLog++ distinct users and approximate value quantiles per
-    event type. No DuckDB oracle on purpose (sketch results are
-    engine-specific); instead the EXACT counterparts ride along with
-    relative-error columns, and `test_approx_error_bounds` pins the
-    error envelope (HLL++ rsd default 5%)."""
+    event type. The sketch VALUES are engine-specific (DuckDB cannot
+    reproduce them), so — like x2/x3 — the oracle checks the accuracy
+    CONTRACT instead: exact counterparts plus booleans asserting the
+    HLL++ estimate landed within 15% (rsd=0.05, see x2's envelope
+    rationale for why 3x the rsd) and the approx median landed inside
+    the exact [p45, p55] rank window (approx_percentile's guarantee IS
+    a rank bound — see x3). The oracle emits literal TRUE, so any group
+    whose sketch drifts out of tolerance fails the value-hash gate.
+    Groups with exact_users = 0 or an all-null value column pass
+    vacuously rather than producing NULL flags.
+
+    Scale shape: both sketches are the 100 TB path (fixed per-group
+    state, mergeable map-side); the exact aggregates here are the
+    verification harness, not the production plan."""
     ev = load_table(spark, sf, "events")
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__approx_users"),
+        F.expr("percentile(value, 0.5)").alias("__exact_p50"),
+        F.expr("percentile(value, 0.45)").alias("__lo"),
+        F.expr("percentile(value, 0.55)").alias("__hi"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__approx_p50"),
+    )
+    users_ok = (F.col("exact_users") == 0) | (
+        F.abs(F.col("__approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.15
+    )
+    p50_ok = F.col("__exact_p50").isNull() | (
+        (F.col("__approx_p50") >= F.col("__lo"))
+        & (F.col("__approx_p50") <= F.col("__hi"))
     )
     return agg.select(
-        "event_type", "approx_users", "exact_users",
-        F.round(
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"), 4,
-        ).alias("users_rel_err"),
-        F.round("approx_p50", 4).alias("approx_p50"),
-        F.round("exact_p50", 4).alias("exact_p50"),
+        "event_type",
+        "exact_users",
+        F.round("__exact_p50", 4).alias("exact_p50"),
+        users_ok.alias("users_within_15pct"),
+        p50_ok.alias("p50_within_rank_window"),
     )
 
 

@@ -105,6 +105,17 @@ def candle_stream(
     re-emit as ticks arrive and Spark does not expose per-row closedness,
     so ``is_final`` is false for every row (a bar's final form is the last
     re-emission; downstream keyed upserts make that the surviving value).
+
+    DOCUMENTED DIVERGENCE from the reference contract
+    (borsa-core connector.rs: "is_final reflects when the upstream
+    provider has closed the interval"): there, the closing update of a
+    watermark-closed bar WOULD carry is_final=true even in update mode.
+    Spark's update-mode agg output has no per-row "this emission closed
+    the group" signal, so here even the last re-emission of a closed bar
+    is is_final=false. Consumers needing the reference semantics should
+    run append mode (every row final) or join update-mode bars against
+    an append-mode stream of the same aggregation, treating presence in
+    the append stream as the closed marker.
     """
     win = F.window(F.col(ts_col), f"{interval_seconds} seconds")
     ord_key: Column = F.struct(F.col(ts_col), F.col("seq")) if "seq" in updates.columns else F.col(ts_col)

@@ -69,7 +69,24 @@ class TestPageRank:
     def test_persist_edges_opt_out(self, spark):
         edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
         nodes = spark.createDataFrame([(1,), (2,)], "id long")
-        before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        # The global persistent-RDD count is racy: earlier tests' cache
+        # entries are released asynchronously by the ContextCleaner, so
+        # count-equality can fail if a GC lands between the two reads.
+        # Assert no NEW ids appear instead — removals are tolerated.
+        def _persistent_ids():
+            it = (
+                spark.sparkContext._jsc.sc()
+                .getPersistentRDDs()
+                .keySet()
+                .iterator()
+            )
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        before = _persistent_ids()
         pagerank(edges, nodes, iters=2, persist_edges=False).collect()
-        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        assert after == before  # no cache entry leaked
+        leaked = _persistent_ids() - before
+        assert not leaked, f"pagerank leaked cache entries: {leaked}"

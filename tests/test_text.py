@@ -414,11 +414,12 @@ class TestApproxErrorBounds:
         rows = x1_approx_stats(spark, "/root/testdata/sf0.01").collect()
         assert rows
         for r in rows:
-            assert r.users_rel_err <= 0.10  # HLL++ default rsd 5%, 2x slack
-            # approx quantile with accuracy 10k on ~2k rows is near-exact
-            assert abs(r.approx_p50 - r.exact_p50) <= max(
-                0.05 * abs(r.exact_p50), 0.5
-            )
+            # x1 is oracle-backed since r6: the flags ARE the envelope
+            # (HLL++ within 15% of exact; approx median inside the exact
+            # [p45, p55] rank window) and the oracle pins them to TRUE.
+            assert r.users_within_15pct is True
+            assert r.p50_within_rank_window is True
+            assert r.exact_users > 0 and r.exact_p50 is not None
 
 
 class TestMixtureAndSampling:
