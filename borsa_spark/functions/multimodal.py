@@ -3,11 +3,12 @@
 Spark-side plumbing is REAL (schemas, Arrow-batched mapInPandas pipelines,
 partition sizing). The codec layer has one REAL path and one stub:
 
-- Uncompressed 24-bit BMP and binary PPM (P6) decode is implemented here in
-  pure Python + numpy (header parse + pixel math, no external libs) —
-  `image_features` dispatches on the payload's magic bytes and emits
-  decoder='bmp'/'ppm' with true width/height/mean-luma.
-- Everything else (JPEG/PNG/audio) would need PIL/soundfile, which this
+- Uncompressed 24-bit BMP, binary PPM (P6), and non-interlaced 8-bit PNG
+  (gray/RGB/gray+alpha/RGBA; zlib inflate + full scanline unfilter,
+  CRC-verified chunks) decode here in pure Python + numpy — no external
+  libs. `image_features` dispatches on the payload's magic bytes and
+  emits decoder='bmp'/'ppm'/'png' with true width/height/mean-luma.
+- Everything else (JPEG/audio) would need PIL/soundfile, which this
   container lacks: those decodes are DETERMINISTIC FAKES derived from the
   payload bytes — clearly marked (decoder='fake-deterministic'), same
   output schema, so swapping in real codecs changes no plan shape.
@@ -28,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -186,6 +188,218 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, float]:
     return width, height, 3, float(px.astype(np.float64).mean() / maxval)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel (8-bit depth only; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, payload) for each chunk, verifying lengths and CRCs.
+    A bad CRC raises ValueError — image_phash maps that to the
+    corrupt-fallback path instead of trusting mangled pixels."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(data):
+            raise ValueError("truncated PNG chunk")
+        payload = data[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", data, end)
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
+        yield ctype, payload
+        if ctype == b"IEND":
+            return
+        pos = end + 4
+    raise ValueError("PNG missing IEND")
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth) -> (height, stride) uint8. None/Up are fully vectorized and
+    Sub is a per-lane mod-256 cumulative sum; Average/Paeth walk the row
+    (left-neighbor data dependency is inherently sequential)."""
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = line
+            for lane in range(bpp):
+                rec[lane::bpp] = (
+                    np.cumsum(rec[lane::bpp], dtype=np.uint64) & 0xFF
+                )
+        elif ftype == 2:  # Up
+            rec = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (
+                    int(line[x]) + _png_paeth(left, int(prev[x]), ul)
+                ) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _png_pixels(data: bytes) -> np.ndarray:
+    """Full PNG decode -> (height, width, channels) uint8, top-down.
+    Stdlib-only: chunk walk + CRC check, zlib inflate, scanline
+    unfilter. Supports 8-bit gray (type 0), RGB (2), gray+alpha (4) and
+    RGBA (6), non-interlaced — the formats the reference corpus needs.
+    Palette (3), 16-bit depth, and Adam7 interlace raise ValueError
+    (-> corrupt-fallback downstream), never a silent wrong grid."""
+    ihdr = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG (compression/filter/interlace)")
+    if width <= 0 or height <= 0 or not idat:
+        raise ValueError("empty PNG image")
+    channels = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG inflate failed: {e}") from e
+    grid = _png_unfilter(raw, height, width * channels, channels)
+    return grid.reshape(height, width, channels)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, float]:
+    """Decode a PNG: (width, height, channels, mean_luma). mean_luma is
+    the mean over the COLOR channels scaled to [0, 1] — alpha (types
+    4/6) is excluded so a fully-opaque RGBA render of an RGB image
+    reports the same luma."""
+    px = _png_pixels(data)
+    h, w, ch = px.shape
+    n_color = 1 if ch in (1, 2) else 3
+    luma = float(px[:, :, :n_color].astype(np.float64).mean() / 255.0)
+    return w, h, ch, luma
+
+
+def _gray_png(data: bytes) -> np.ndarray:
+    """Grayscale pixel grid (float64 [0,1], top-down) from a PNG — the
+    pixel-level sibling of `decode_png`; alpha excluded like the luma."""
+    px = _png_pixels(data)
+    n_color = 1 if px.shape[2] in (1, 2) else 3
+    return px[:, :, :n_color].astype(np.float64).mean(axis=2) / 255.0
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytes:
+    """Apply one PNG filter type to every row of an (h, stride) grid —
+    the encoder inverse of `_png_unfilter`, used by fixtures/tests to
+    exercise each unfilter branch."""
+    h, stride = px.shape
+    zeros = np.zeros(_ENC_BPP, dtype=np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        rec = px[y].astype(np.int32)
+        if filter_type == 0:
+            filt = rec
+        elif filter_type == 1:
+            left = np.concatenate([zeros, rec[:-_ENC_BPP]])
+            filt = (rec - left) & 0xFF
+        elif filter_type == 2:
+            filt = (rec - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([zeros, rec[:-_ENC_BPP]])
+            filt = (rec - (left + prev) // 2) & 0xFF
+        elif filter_type == 4:
+            filt = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(rec[x - _ENC_BPP]) if x >= _ENC_BPP else 0
+                ul = int(prev[x - _ENC_BPP]) if x >= _ENC_BPP else 0
+                filt[x] = (rec[x] - _png_paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        out.append(filter_type)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = rec
+    return bytes(out)
+
+
+_ENC_BPP = 3  # encoder emits 8-bit RGB (color type 2)
+
+
+def encode_png_pixels(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Fixture encoder: (h, w, 3) uint8 -> valid non-interlaced 8-bit RGB
+    PNG, every scanline filtered with ``filter_type`` (0-4) so tests can
+    drive each unfilter branch. Correct CRCs and zlib stream throughout."""
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("encode_png_pixels emits RGB only")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = _png_filter_rows(px.reshape(h, w * 3), filter_type)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png(
+    width: int, height: int, rgb: tuple[int, int, int], filter_type: int = 0
+) -> bytes:
+    """Fixture encoder: solid-color 8-bit RGB PNG — the test/oracle side
+    of `decode_png`, sibling of `encode_bmp`/`encode_ppm`."""
+    px = np.tile(
+        np.array(rgb, dtype=np.uint8), (height, width, 1)
+    )
+    return encode_png_pixels(px, filter_type)
+
+
 def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """Fixture encoder: solid-color uncompressed 24-bit bottom-up BMP with
     correct row padding — the test/oracle side of `decode_bmp`."""
@@ -213,11 +427,11 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
     """Decode + feature-extract images: (asset_id, width, height, n_channels,
     mean_luma, sha256, decoder).
 
-    REAL decode for uncompressed BMP (magic ``BM``) and binary PPM (``P6``)
-    via the pure-Python codecs above; other formats fall back to PIL when
-    available, else the deterministic fake (decoder column says which path
-    produced each row). The mapInPandas shape, schema, and batch handling
-    are identical across paths.
+    REAL decode for uncompressed BMP (magic ``BM``), binary PPM (``P6``)
+    and 8-bit PNG (full signature) via the pure-Python codecs above; other
+    formats fall back to PIL when available, else the deterministic fake
+    (decoder column says which path produced each row). The mapInPandas
+    shape, schema, and batch handling are identical across paths.
 
     ``auto_batch`` (default on) probes a bounded payload sample and sizes
     the Arrow batch so one batch stays ~256 MB however large the images —
@@ -240,6 +454,9 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                 elif data[:2] == b"P6":
                     w, h, ch, luma = decode_ppm(data)
                     dec = "ppm"
+                elif data[:8] == _PNG_SIG:
+                    w, h, ch, luma = decode_png(data)
+                    dec = "png"
                 elif _HAVE_PIL:  # pragma: no cover - PIL absent here
                     raise NotImplementedError(
                         "real PIL decode path not exercised in this container"
@@ -481,6 +698,8 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                         bits, dec = phash64(_gray_bmp(data)), "bmp"
                     elif data[:2] == b"P6":
                         bits, dec = phash64(_gray_ppm(data)), "ppm"
+                    elif data[:8] == _PNG_SIG:
+                        bits, dec = phash64(_gray_png(data)), "png"
                     else:
                         raise ValueError("no known magic")
                 except (ValueError, struct.error):
@@ -489,6 +708,7 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                     dec = (
                         "corrupt-fallback"
                         if data[:2] in (b"BM", b"P6")
+                        or data[:8] == _PNG_SIG
                         else "fake-deterministic"
                     )
                 # two's-complement into int64 for the Spark LongType

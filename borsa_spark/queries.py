@@ -2777,19 +2777,21 @@ def f14_top_tokens(spark, sf):
            3::BIGINT                 AS n_channels,
            round(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
                  / 3.0 / 255.0, 4)   AS mean_luma,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS decoder
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                ELSE 'png' END AS decoder
     FROM documents
     """,
 )
 def f16_media_features(spark, sf):
     """Multimodal: REAL image decode end-to-end. Synthesizes one
-    solid-color image per document (even doc_ids -> 24-bit BMP with row
-    padding, odd -> binary PPM with a header comment), runs the pure-Python
-    codecs inside `image_features`'s mapInPandas stage, and checks the
-    decoded (dims, channels, mean-luma, decoder) against an ANALYTIC oracle
-    computed from doc_id alone — the encoder parameters, never the bytes.
-    A decoder that misparses padding, BGR order, or the PPM header fails
-    the hash-match."""
+    solid-color image per document (doc_id % 3: 24-bit BMP with row
+    padding / binary PPM with a header comment / zlib-compressed 8-bit
+    PNG with Paeth-filtered scanlines), runs the pure-Python codecs
+    inside `image_features`'s mapInPandas stage, and checks the decoded
+    (dims, channels, mean-luma, decoder) against an ANALYTIC oracle
+    computed from doc_id alone — the encoder parameters, never the
+    bytes. A decoder that misparses padding, BGR order, the PPM header,
+    or the PNG filter recurrences fails the hash-match."""
     import pandas as pd
 
     from borsa_spark.functions import multimodal as mm
@@ -2803,10 +2805,13 @@ def f16_media_features(spark, sf):
                 did = int(did)
                 w, h = 4 + did % 13, 4 + did % 7
                 rgb = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                enc = (mm.encode_bmp, mm.encode_ppm)[did % 3] \
+                    if did % 3 < 2 else None
                 data = (
-                    mm.encode_bmp(w, h, rgb)
-                    if did % 2 == 0
-                    else mm.encode_ppm(w, h, rgb)
+                    enc(w, h, rgb)
+                    if enc is not None
+                    # Paeth on every scanline: the hardest unfilter branch
+                    else mm.encode_png(w, h, rgb, filter_type=4)
                 )
                 out.append((did, data))
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
