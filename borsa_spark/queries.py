@@ -6106,6 +6106,90 @@ def f56_similarity_pagerank(spark, sf):
     )
 
 
+def _weighted_pagerank_sql() -> str:
+    from borsa_spark.functions.graph import sql_pagerank_round
+
+    rounds = ",".join(
+        sql_pagerank_round(
+            f"pr{k - 1}" if k > 1 else "pr0", k,
+            weighted=True, redistribute=True,
+        )
+        for k in (1, 2, 3)
+    )
+    return f"""
+    WITH sh AS ({_SH_CTE}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS w
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst, w FROM pairs
+      UNION ALL SELECT id_b, id_a, w FROM pairs),
+    deg AS (SELECT src AS id, sum(w) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    pr0 AS (
+      SELECT doc_id AS id, round(1.0 / nn.n, 8) AS pr
+      FROM documents CROSS JOIN nn),
+    {rounds}
+    SELECT id AS doc_id, round(pr, 6) AS pagerank,
+           row_number() OVER (ORDER BY pr DESC, id ASC) AS rank
+    FROM pr3
+    ORDER BY pr DESC, id ASC LIMIT 100
+    """
+
+
+@query("f57_weighted_pagerank", _weighted_pagerank_sql())
+def f57_weighted_pagerank(spark, sf):
+    """Weighted PageRank with dangling-mass redistribution — the TEXTBOOK
+    recurrence (f56 is the cheap variant), closing the divergence
+    documented in functions/graph.py. Edges are the LSH-verified near-dup
+    pairs in both directions, weighted by their 4dp exact Jaccard: a
+    0.9-similarity edge carries proportionally more of its source's rank
+    than a 0.5 one (w / Σ_out w replaces 1 / deg). Each round the summed
+    rank of out-degree-0 docs is re-shared uniformly, so total mass stays
+    1 (up to snap) — the property test pins that invariant; this oracle
+    pins the exact per-doc values.
+
+    Scale shape: identical joins to f56 plus ONE extra scalar aggregate
+    per round (the dangling mass), snapped and broadcast into the rank
+    update as a 1-row crossJoin — no driver round-trip, no extra shuffle
+    of rank rows. Output is the same TakeOrdered top-100 hub panel (no
+    SinglePartition window over the corpus)."""
+    from borsa_spark.functions.graph import pagerank
+
+    docs = load_table(spark, sf, "documents")
+    pairs = _lsh_verified_pairs(docs).select("id_a", "id_b", "jaccard")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.col("jaccard").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+            F.col("jaccard").alias("w"),
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pr = pagerank(
+        edges, nodes, iters=3,
+        weight_col="w", redistribute_dangling=True,
+    )
+    top = pr.orderBy(F.col("pr").desc(), F.col("id").asc()).limit(100)
+    w = Window.orderBy(F.col("pr").desc(), F.col("id").asc())
+    return top.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("pr"), 6).alias("pagerank"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

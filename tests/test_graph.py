@@ -66,6 +66,76 @@ class TestPageRank:
         got = {r["id"]: r["pr"] for r in pr.collect()}
         assert got == base
 
+    def test_dangling_redistribution_conserves_mass(self, spark):
+        # 1 -> 2, node 2 dangling, node 3 isolated: with redistribution
+        # total mass stays 1 every round (up to snap); without, it leaks.
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        got = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                edges, nodes, iters=4, redistribute_dangling=True
+            ).collect()
+        }
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        # and the unredistributed variant really does sit below 1
+        leaky = sum(
+            r["pr"] for r in pagerank(edges, nodes, iters=4).collect()
+        )
+        assert leaky < 1.0 - 1e-3
+
+    def test_dangling_redistribution_uniform_on_empty_graph(self, spark):
+        # no edges: every node is dangling; the textbook recurrence has
+        # the uniform distribution as an exact fixpoint.
+        edges = spark.createDataFrame([], "src long, dst long")
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+        got = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                edges, nodes, iters=3, redistribute_dangling=True
+            ).collect()
+        }
+        for v in got.values():
+            assert abs(v - 0.25) < 1e-8
+
+    def test_weighted_split_proportional_to_weight(self, spark):
+        # 1 -> 2 (w=3), 1 -> 3 (w=1): node 2 receives 3x node 3's share
+        # of node 1's rank. One iteration makes the split directly legible.
+        edges = spark.createDataFrame(
+            [(1, 2, 3.0), (1, 3, 1.0)], "src long, dst long, w double"
+        )
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        got = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                edges, nodes, iters=1, weight_col="w"
+            ).collect()
+        }
+        teleport = 0.15 / 3
+        share2 = got[2] - teleport
+        share3 = got[3] - teleport
+        # ranks snap at 8dp, so the 3x comparison carries up to 3 half-ulps
+        assert abs(share2 - 3 * share3) < 2e-8
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        # constant weights must reduce exactly to the unweighted program
+        rows = [(1, 2), (2, 3), (3, 1), (1, 3)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        wedges = spark.createDataFrame(
+            [(s, d, 2.5) for s, d in rows], "src long, dst long, w double"
+        )
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        base = {
+            r["id"]: r["pr"] for r in pagerank(edges, nodes, iters=3).collect()
+        }
+        got = {
+            r["id"]: r["pr"]
+            for r in pagerank(
+                wedges, nodes, iters=3, weight_col="w"
+            ).collect()
+        }
+        assert got == base
+
     def test_persist_edges_opt_out(self, spark):
         edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
         nodes = spark.createDataFrame([(1,), (2,)], "id long")
