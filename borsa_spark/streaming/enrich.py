@@ -100,3 +100,90 @@ def enrich_ticks_with_bars(
         F.col("b.open").alias("open"),
         (F.col("t.price") > F.col("b.open")).alias("above_open"),
     )
+
+
+class PartialBarEnricher:
+    """Partial-bar-aware enrichment: the delivered-updates CLIENT shape
+    from the reference (borsa-core router_stream_candles.rs — a consumer
+    of is_final=false CandleUpdates keeps the latest bar per (symbol,
+    window) and stamps concurrent ticks against it).
+
+    `enrich_ticks_with_bars` above joins ticks to watermark-CLOSED bars
+    (append mode): correct values, but a tick printed mid-window waits
+    out the watermark before it can be stamped. This class is the
+    freshness-side variant for update mode, where Spark cannot run a
+    stream-stream join after an update-mode aggregation: drive
+    `candle_stream(..., final_mode=False)` through ``foreachBatch`` into
+    :meth:`upsert`, and stamp each tick micro-batch with :meth:`enrich`
+    — every tick sees the bar state AS OF its batch, revisions included.
+
+    State discipline: the upsert keeps ONE row per (symbol, window) —
+    the client-side cache the reference consumer holds. Its size is
+    bounded by |symbols| x |windows still receiving updates| (the
+    watermark closes windows, so this does not grow with stream
+    length); ``retain_windows`` additionally drops bars older than K
+    windows behind the newest per symbol. The enrichment join itself
+    broadcasts this small state against the tick batch — Spark-native,
+    no driver loop over ticks."""
+
+    def __init__(self, spark, interval_seconds: int,
+                 retain_windows: int | None = None):
+        self.spark = spark
+        self.interval_seconds = interval_seconds
+        self.retain_windows = retain_windows
+        self._bars: dict = {}
+        self._schema = None
+
+    def upsert(self, bar_batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch sink for the update-mode bar stream: latest
+        emission wins per (symbol, window). The collect is the bounded
+        state handoff (open bars only), not a data-plane move."""
+        if self._schema is None:
+            self._schema = bar_batch.schema
+        for r in bar_batch.collect():
+            self._bars[(r["symbol"], r["ts"])] = r
+        if self.retain_windows is not None:
+            newest: dict = {}
+            for (sym, ts) in self._bars:
+                if sym not in newest or ts > newest[sym]:
+                    newest[sym] = ts
+            horizon = {
+                sym: ts.timestamp()
+                - self.retain_windows * self.interval_seconds
+                for sym, ts in newest.items()
+            }
+            self._bars = {
+                (sym, ts): row
+                for (sym, ts), row in self._bars.items()
+                if ts.timestamp() >= horizon[sym]
+            }
+
+    def bars(self) -> DataFrame:
+        if self._schema is None or not self._bars:
+            raise ValueError("no bar state upserted yet")
+        return self.spark.createDataFrame(
+            list(self._bars.values()), schema=self._schema
+        )
+
+    def enrich(self, ticks: DataFrame) -> DataFrame:
+        """Stamp a (symbol, ts, price[, ...]) tick batch with the latest
+        known bar covering each tick: (symbol, ts, price, bar_ts, open,
+        above_open, bar_is_final). Left join — a tick whose window has
+        produced no emission yet carries nulls rather than being
+        dropped (the consumer can re-stamp it after the next upsert)."""
+        b = F.broadcast(self.bars()).alias("b")
+        t = ticks.alias("t")
+        cond = (
+            (F.col("t.symbol") == F.col("b.symbol"))
+            & (F.col("t.ts") >= F.col("b.ts"))
+            & (F.col("t.ts") < F.col("b.window_end"))
+        )
+        return t.join(b, cond, "left").select(
+            F.col("t.symbol").alias("symbol"),
+            F.col("t.ts").alias("ts"),
+            F.col("t.price").alias("price"),
+            F.col("b.ts").alias("bar_ts"),
+            F.col("b.open").alias("open"),
+            (F.col("t.price") > F.col("b.open")).alias("above_open"),
+            F.col("b.is_final").alias("bar_is_final"),
+        )

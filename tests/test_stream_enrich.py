@@ -156,3 +156,113 @@ class TestWatermarkDerivation:
         # the analyzed plan's EventTimeWatermark rendering on bar_ts)
         plan = j._jdf.queryExecution().analyzed().toString()
         assert "11 minutes 30 seconds" in plan
+
+
+class TestPartialBarEnricher:
+    """Update-mode partial-bar enrichment (PartialBarEnricher): the
+    delivered-updates client shape of router_stream_candles.rs — ticks
+    stamped against the latest NON-FINAL bar state as of their batch,
+    revisions included, mirroring the r5 update-mode candle test's feed."""
+
+    def test_ticks_see_bar_state_as_of_their_batch(self, spark, tmp_path):
+        from borsa_spark.streaming.enrich import PartialBarEnricher
+        from borsa_spark.streaming.fanin import candle_stream
+
+        schema = "symbol string, ts timestamp, price double, seq long"
+        batches = [
+            [("AAPL", _ts(0), 10.0, 0), ("AAPL", _ts(30), 11.0, 1)],
+            [("AAPL", _ts(10), 9.0, 2), ("AAPL", _ts(30), 12.0, 3)],
+            [("AAPL", _ts(95), 13.0, 4)],
+        ]
+        path = tmp_path / "pbe_ticks"
+        path.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+                str(path / f"batch_{i}")
+            )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path / "batch_*"))
+        )
+        bars = candle_stream(
+            src, interval_seconds=60, watermark="10 seconds",
+            final_mode=False,
+        )
+        emissions: list[tuple[int, list]] = []
+        q = (
+            bars.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_pbe"))
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda df, bid: emissions.append((bid, df.collect()))
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(emissions) >= 3
+
+        # Replay the delivered-updates consumer: per batch, upsert that
+        # batch's bar emissions, then stamp that batch's ticks.
+        enr = PartialBarEnricher(spark, interval_seconds=60)
+        stamped = {}
+        by_bid = dict(sorted(emissions))
+        for i, tick_rows in enumerate(batches):
+            bar_rows = by_bid.get(i, [])
+            if bar_rows:
+                enr.upsert(
+                    spark.createDataFrame(bar_rows, enr._schema)
+                    if enr._schema is not None
+                    else spark.createDataFrame(bar_rows),
+                    batch_id=i,
+                )
+            ticks = spark.createDataFrame(tick_rows, schema)
+            for r in enr.enrich(ticks).collect():
+                stamped[int((r.ts - T0).total_seconds()), float(r.price)] = r
+
+        # batch 0: tick 11.0@t30 stamped against the FIRST partial
+        # (open 10, 2 ticks) — above_open, bar not final
+        r = stamped[(30, 11.0)]
+        assert float(r.open) == 10.0 and r.above_open is True
+        assert r.bar_is_final is False
+        # batch 1: the revision (9.0@t10) sees the REVISED partial —
+        # same open, but now it stamps below-open correctly
+        r = stamped[(10, 9.0)]
+        assert float(r.open) == 10.0 and r.above_open is False
+        assert r.bar_is_final is False
+        # batch 2: tick 13.0@t95 belongs to the [60,120) window, whose
+        # first partial emitted in the same batch (open = itself)
+        r = stamped[(95, 13.0)]
+        assert float(r.open) == 13.0 and r.above_open is False
+        assert r.bar_is_final is False
+
+    def test_retention_drops_stale_windows(self, spark):
+        from borsa_spark.streaming.enrich import PartialBarEnricher
+
+        schema = (
+            "symbol string, ts timestamp, window_end timestamp, "
+            "open double, high double, low double, close double, "
+            "n_ticks long, interval string, is_final boolean"
+        )
+        def bar(sec, o):
+            return ("AAPL", _ts(sec), _ts(sec + 60), o, o, o, o, 1,
+                    "60s", False)
+
+        enr = PartialBarEnricher(spark, interval_seconds=60,
+                                 retain_windows=2)
+        enr.upsert(spark.createDataFrame(
+            [bar(0, 1.0), bar(60, 2.0), bar(120, 3.0), bar(240, 4.0)],
+            schema,
+        ))
+        kept = {int((ts - T0).total_seconds()) for (_, ts) in enr._bars}
+        # newest window starts at 240; horizon = 240 - 2*60 = 120
+        assert kept == {120, 240}
+        # enrich still works over the retained state only
+        ticks = spark.createDataFrame(
+            [("AAPL", _ts(125), 5.0), ("AAPL", _ts(5), 5.0)],
+            "symbol string, ts timestamp, price double",
+        )
+        out = {int((r.ts - T0).total_seconds()): r
+               for r in enr.enrich(ticks).collect()}
+        assert float(out[125].open) == 3.0
+        assert out[5].bar_ts is None  # dropped window -> null stamp

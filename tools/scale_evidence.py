@@ -10,7 +10,20 @@ cohort whose band buckets blow past ``max_bucket_size=64``, so
 ``oversized_buckets`` must report non-empty accounting while the capped
 candidate join stays bounded.
 
-Usage: python tools/scale_evidence.py [out_json]
+Usage: python tools/scale_evidence.py [out_json] [--100x]
+
+``--100x`` adds the decade-further dedup-chain drill: a 500k-document
+corpus (100 replicas of sf0.1) at REALISTIC dup density — 97% of replica
+docs get fresh hash-derived text of the same length, ~3% stay verbatim
+(cliques of ~4), plus the boilerplate cohort. The 10x corpus deliberately
+measures OUTPUT explosion (30% verbatim retention -> all-pairs replica
+cliques); at 100 replicas that construction would make C(100,2)-sized
+cliques and the drill would measure pair-emission bandwidth, not
+candidate discipline. The 100x tier instead validates the trend that
+matters one decade up: candidate-to-true-pair ratios for f7 (banded LSH)
+and f40 (PPJoin prefix) staying within ~2x of their 10x values while
+input grows 10x.
+
 Writes scale_data/ under the repo (gitignored); results land in SCALE.md.
 """
 
@@ -24,7 +37,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SCALE_DIR = os.path.join(os.path.dirname(__file__), "..", "scale_data", "sf1")
+SCALE_DIR_100 = os.path.join(
+    os.path.dirname(__file__), "..", "scale_data", "sf100x"
+)
 REPLICAS = 10
+REPLICAS_100 = 100
 BOILERPLATE_N = 300
 
 
@@ -112,6 +129,134 @@ def generate(spark) -> None:
     )
 
 
+def generate_100x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    if os.path.exists(os.path.join(SCALE_DIR_100, "documents.parquet")):
+        return
+
+    base = "/root/testdata/sf0.1"
+    docs = load_table(spark, base, "documents")
+    reps = spark.range(REPLICAS_100).select(F.col("id").alias("rep"))
+
+    # Realistic dup density (see module docstring): rep 0 keeps the
+    # original; for rep >= 1, ~3% of (doc_id, rep) draws stay verbatim
+    # (expected clique ~4 per base doc) and the rest get FRESH synthetic
+    # text — same token count as the original, every token hash-derived
+    # from (doc_id, rep, position) over a 30k vocabulary, so 3-gram
+    # shingles essentially never collide across fresh docs. True pairs
+    # therefore grow ~linearly with input, and the drill measures
+    # candidate discipline, not pair-emission bandwidth.
+    n_tok = F.size(F.split(F.col("text"), " "))
+    fresh = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("doc_id"), F.col("rep"), i),
+                    F.lit(30_000),
+                ).cast("string"),
+            ),
+        ),
+    )
+    keep = (F.col("rep") == 0) | (
+        F.pmod(F.xxhash64("doc_id", "rep"), F.lit(100)) < 3
+    )
+    d100 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.when(keep, F.col("text")).otherwise(fresh).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    boiler_text = (
+        "this document is boilerplate generated text used to exercise the "
+        "hot bucket guard of the lsh dedup pipeline at corpus scale"
+    )
+    boiler = spark.range(BOILERPLATE_N).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        F.concat(F.lit(boiler_text), F.lit(" v"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+    )
+    (
+        d100.unionByName(boiler)
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALE_DIR_100, "documents.parquet"))
+    )
+
+
+def run_100x(spark, results: list) -> None:
+    """The decade-further dedup-chain drill: f7 / f40 / f35 wall + output
+    at 500k docs, plus candidate-vs-true-pair accounting for f7 and f40
+    at BOTH 10x and 100x so the ratios are directly comparable."""
+    from pyspark.sql import functions as F
+
+    from borsa_spark.functions import dedup as dd
+    from borsa_spark.queries import QUERIES
+
+    generate_100x(spark)
+    dir10 = os.path.abspath(SCALE_DIR)
+    dir100 = os.path.abspath(SCALE_DIR_100)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    for qname in ("f7_minhash_dedup_pairs", "f40_containment_pairs",
+                  "f35_incremental_dedup"):
+        fn = QUERIES[qname]
+        t0 = time.time()
+        n = fn(spark, dir100).count()
+        spark.catalog.clearCache()
+        emit({"query": qname, "sf": "sf100x", "rows": n,
+              "sec": round(time.time() - t0, 3)})
+
+    # Candidate accounting, same pipeline stages the queries run.
+    for tier, path in (("sf1x10", dir10), ("sf100x", dir100)):
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, path, "documents")
+        arr = dd.shingle_array(docs, 3).filter(
+            F.size("shingles") > 0
+        ).persist()
+        sig = dd.signature_from_array(arr).persist()
+
+        t0 = time.time()
+        lsh_cands = dd.minhash_candidates(sig).count()
+        lsh_true = dd.verify_jaccard_inrow(
+            dd.minhash_candidates(sig), arr, 0.5
+        ).count()
+        emit({
+            "query": "f7_candidate_ratio", "sf": tier,
+            "candidates": lsh_cands, "true_pairs": lsh_true,
+            "ratio": round(lsh_cands / max(1, lsh_true), 2),
+            "sec": round(time.time() - t0, 3),
+        })
+
+        t0 = time.time()
+        # f40's parameters exactly: n=3, containment threshold 0.9
+        cont_cands = dd.containment_candidates(arr, 0.9).count()
+        cont_true = dd.containment_pairs(docs, n=3, threshold=0.9).count()
+        emit({
+            "query": "f40_candidate_ratio", "sf": tier,
+            "candidates": cont_cands, "true_pairs": cont_true,
+            "ratio": round(cont_cands / max(1, cont_true), 2),
+            "sec": round(time.time() - t0, 3),
+        })
+        arr.unpersist()
+        sig.unpersist()
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -125,6 +270,15 @@ def main() -> None:
     generate(spark)
 
     results = []
+    if "--100x" in sys.argv:
+        # decade-further drill only (needs the 10x dir for the ratio
+        # comparison rows, which generate() above just ensured)
+        run_100x(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
     tiers = [
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
