@@ -99,6 +99,14 @@ def pagerank(
     pr = nodes.select("id", F.round(F.lit(1.0 / n), snap).alias("pr"))
     teleport = (1.0 - damping) / n
     for i in range(iters):
+        if redistribute_dangling and i > 0:
+            # The dangling aggregate references pr a SECOND time per
+            # iteration; without truncation both references re-execute
+            # the full rank lineage (2x per round, compounding across
+            # rounds — measured 23 s vs 13 s at sf0.1 for 3 iters).
+            # An eager localCheckpoint materializes the one-row-per-node
+            # relation once per round: flat, linear cost.
+            pr = pr.localCheckpoint(eager=True)
         contrib = (
             edges.join(pr, edges["src"] == pr["id"])
             .join(deg, "src")
