@@ -68,6 +68,30 @@ def main() -> None:
         q.awaitTermination(120)
         print("== ticks stamped with their live bar ==")
         spark.table("enriched").orderBy("symbol", "ts").show()
+
+        # Update-mode variant (round 6): the delivered-updates client
+        # shape — partial bars upserted per batch, ticks stamped against
+        # the latest (possibly still-open) bar instead of waiting out
+        # the watermark.
+        from borsa_spark.streaming.enrich import PartialBarEnricher
+
+        bar_schema = (
+            "symbol string, ts timestamp, window_end timestamp, "
+            "open double, high double, low double, close double, "
+            "n_ticks long, interval string, is_final boolean"
+        )
+        enr = PartialBarEnricher(spark, interval_seconds=60)
+        enr.upsert(spark.createDataFrame(
+            [("AAPL", _ts(60), _ts(120), 10.8, 11.0, 10.8, 11.0, 2,
+              "60s", False)],
+            bar_schema,
+        ))
+        live = spark.createDataFrame(
+            [("AAPL", _ts(65), 11.0), ("AAPL", _ts(119), 9.0)],
+            "symbol string, ts timestamp, price double",
+        )
+        print("== same ticks stamped against the PARTIAL bar ==")
+        enr.enrich(live).orderBy("ts").show()
     spark.stop()
 
 

@@ -375,3 +375,12 @@ class TestRound4ContinuedPlanShapes:
         # never a corpus-wide SinglePartition sort
         plan = plan_of(spark, "f56_similarity_pagerank")
         assert "TakeOrderedAndProject" in plan
+
+    def test_weighted_pagerank_dangling_mass_broadcasts(self, spark):
+        # f57's dangling-mass scalar must ride into the rank update as a
+        # BROADCAST 1-row relation (BroadcastNestedLoopJoin), never a
+        # shuffled join of rank rows against the aggregate; the hub
+        # panel stays TakeOrdered like f56's
+        plan = plan_of(spark, "f57_weighted_pagerank")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastNestedLoopJoin" in plan
