@@ -8,10 +8,14 @@ partition sizing). The codec layer has one REAL path and one stub:
   CRC-verified chunks) decode here in pure Python + numpy — no external
   libs. `image_features` dispatches on the payload's magic bytes and
   emits decoder='bmp'/'ppm'/'png' with true width/height/mean-luma.
-- Everything else (JPEG/audio) would need PIL/soundfile, which this
-  container lacks: those decodes are DETERMINISTIC FAKES derived from the
-  payload bytes — clearly marked (decoder='fake-deterministic'), same
-  output schema, so swapping in real codecs changes no plan shape.
+- RIFF/WAVE PCM audio (8/16-bit, any channel count) decodes for real too
+  (`decode_wav`: chunk walk + numpy sample math) — `audio_features` takes
+  sample rate / duration / rms from the bytes, decoder='wav'.
+- Everything else (JPEG; compressed audio like mp3/ogg/flac) would need
+  PIL/soundfile, which this container lacks: those decodes are
+  DETERMINISTIC FAKES derived from the payload bytes — clearly marked
+  (decoder='fake-deterministic'), same output schema, so swapping in real
+  codecs changes no plan shape.
 
 Design for 100 TB of media:
 - payloads stay in `binary` columns; nothing ever collects to the driver;
@@ -400,6 +404,84 @@ def encode_png(
     return encode_png_pixels(px, filter_type)
 
 
+def decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
+    """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
+    n_frames, duration_ms, rms). Stdlib-only: RIFF chunk walk, fmt
+    parse, 8-bit unsigned / 16-bit signed PCM sample math in numpy.
+    rms is over all channels, normalized to [0, 1] full scale.
+    Compressed/float formats and other bit depths raise ValueError
+    (-> deterministic-fallback path downstream), never silent noise."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated WAV chunk")
+        if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError("short WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks pad to even offsets
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits})"
+        )
+    if n_channels < 1 or sample_rate <= 0:
+        raise ValueError("invalid WAV fmt values")
+    if block_align != n_channels * (bits // 8):
+        raise ValueError("inconsistent WAV block alignment")
+    if bits == 16:
+        n = len(pcm) // 2
+        x = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
+        x /= 32768.0
+    else:
+        x = (
+            np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    n_frames = len(x) // n_channels
+    if n_frames == 0:
+        raise ValueError("empty WAV data")
+    x = x[: n_frames * n_channels]
+    rms = float(np.sqrt(np.mean(x * x)))
+    duration_ms = n_frames * 1000 // sample_rate
+    return sample_rate, n_channels, n_frames, int(duration_ms), rms
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000
+) -> bytes:
+    """Fixture encoder: float samples in [-1, 1] (1-D mono or (frames,
+    channels)) -> 16-bit PCM RIFF/WAVE — the test/oracle side of
+    `decode_wav`."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    pcm = (
+        np.clip(arr, -1.0, 1.0 - 1.0 / 32768) * 32768.0
+    ).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """Fixture encoder: solid-color uncompressed 24-bit bottom-up BMP with
     correct row padding — the test/oracle side of `decode_bmp`."""
@@ -482,9 +564,16 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
 def audio_features(
     assets: DataFrame, window_ms: int = 25, auto_batch: bool = True
 ) -> DataFrame:
-    """Audio feature rows; STUB decode (deterministic RMS from payload hash),
-    real windows-count arithmetic from metadata. ``auto_batch`` sizes the
-    Arrow batch from a sampled payload probe (see image_features)."""
+    """Audio feature rows: REAL decode for RIFF/WAVE PCM payloads
+    (8/16-bit, any channel count — `decode_wav`, decoder='wav', with
+    sample rate / duration / rms taken from the BYTES, metadata columns
+    ignored as a real pipeline must); other formats (mp3/ogg/flac would
+    need soundfile, absent in this container) keep the deterministic
+    hash-derived stub with metadata-based window arithmetic, tagged
+    decoder='fake-deterministic'. A WAV-magic payload that fails to
+    parse degrades to 'corrupt-fallback' rather than killing the job.
+    ``auto_batch`` sizes the Arrow batch from a sampled payload probe
+    (see image_features)."""
     if auto_batch:
         autotune_arrow_batch(assets)
 
@@ -497,10 +586,19 @@ def audio_features(
                 # nullable integer columns surface as NaN floats in pandas
                 dur = 0 if pd.isna(row.duration_ms) else int(row.duration_ms)
                 sr = 16_000 if pd.isna(row.sample_rate) else int(row.sample_rate)
-                rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    try:
+                        sr, _ch, _fr, dur, rms = decode_wav(data)
+                        dec = "wav"
+                    except (ValueError, struct.error):
+                        rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
+                        dec = "corrupt-fallback"
+                else:
+                    rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
+                    dec = "fake-deterministic"
                 out.append(
                     (row.asset_id, sr, dur, rms, max(0, dur // window_ms),
-                     digest.hex(), "fake-deterministic")
+                     digest.hex(), dec)
                 )
             yield pd.DataFrame(
                 out,

@@ -6190,6 +6190,70 @@ def f57_weighted_pagerank(spark, sf):
     )
 
 
+@query(
+    "f58_audio_features",
+    """
+    SELECT doc_id AS asset_id,
+           8000::BIGINT AS sample_rate,
+           ((800 + (doc_id % 5) * 400) / 8)::BIGINT AS duration_ms,
+           round(floor((1 + doc_id % 9) / 10.0 * 32768) / 32768, 6) AS rms,
+           (((800 + (doc_id % 5) * 400) / 8) / 25)::BIGINT AS n_windows,
+           'wav' AS decoder
+    FROM documents
+    """,
+)
+def f58_audio_features(spark, sf):
+    """Multimodal audio: REAL RIFF/WAVE PCM decode end-to-end (f16's
+    pattern for the audio path). Synthesizes one 16-bit PCM WAV per
+    document — a square wave whose amplitude (1+doc_id%9)/10 and frame
+    count 800+(doc_id%5)*400 derive from doc_id alone — runs
+    `decode_wav` inside `audio_features`'s mapInPandas stage, and checks
+    (sample_rate, duration, rms, window count, decoder) against an
+    ANALYTIC oracle computed from doc_id, never the bytes. The rms is
+    EXACT: a quantized square wave's rms is floor(a*32768)/32768, so a
+    decoder that misreads the fmt chunk, block alignment, or sample
+    encoding fails the hash-match. Metadata columns are deliberately
+    absent — the decode must take everything from the payload.
+
+    Scale shape: same as f16 — payloads live in a binary column, Arrow
+    batches stream through mapInPandas, features leave the executor as
+    small typed rows; nothing collects."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = (1 + did % 9) / 10.0
+                n = 800 + (did % 5) * 400
+                wave = np.where(np.arange(n) % 2 == 0, a, -a)
+                out.append((did, mm.encode_wav(wave, 8000)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(
+        gen, "asset_id long, payload binary"
+    ).select(
+        "asset_id", "payload",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = mm.audio_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        "decoder",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

@@ -439,3 +439,94 @@ class TestPerceptualHash:
                 spark.conf.set(ARROW_BATCH_KEY, prev)
             else:
                 spark.conf.unset(ARROW_BATCH_KEY)
+
+
+class TestWavCodec:
+    """Stdlib-only RIFF/WAVE PCM decode: hand-built golden bytes with
+    spec-derived expected values, known-signal RMS, round-trips, error
+    paths, and the audio_features dispatch."""
+
+    @staticmethod
+    def _wav_8bit_golden():
+        import struct
+
+        # 4 unsigned 8-bit samples: 128, 255, 0, 128 -> 0.0, 127/128,
+        # -1.0, 0.0 per the (x-128)/128 rule
+        pcm = bytes([128, 255, 0, 128])
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + pcm
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_golden_8bit_rms_by_hand(self):
+        import math
+
+        from borsa_spark.functions.multimodal import decode_wav
+
+        sr, ch, fr, dur, rms = decode_wav(self._wav_8bit_golden())
+        assert (sr, ch, fr, dur) == (8000, 1, 4, 0)
+        want = math.sqrt((0.0 + (127 / 128) ** 2 + 1.0 + 0.0) / 4)
+        assert rms == pytest.approx(want, abs=1e-12)
+
+    def test_known_signal_rms(self):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import decode_wav, encode_wav
+
+        t = np.arange(16000)
+        sine = 0.5 * np.sin(2 * np.pi * 440 * t / 16000)
+        sr, ch, fr, dur, rms = decode_wav(encode_wav(sine, 16000))
+        assert (sr, ch, fr, dur) == (16000, 1, 16000, 1000)
+        # amplitude a sine -> rms a/sqrt(2); 16-bit quantization ~1e-4
+        assert rms == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+        # stereo: per-channel mirrored signal, same rms, 2 channels
+        st = np.stack([sine, -sine], axis=1)
+        sr, ch, fr, dur, rms2 = decode_wav(encode_wav(st, 16000))
+        assert (ch, fr, dur) == (2, 16000, 1000)
+        assert rms2 == pytest.approx(rms, abs=1e-6)
+
+    def test_error_paths(self):
+        import struct as _s
+
+        from borsa_spark.functions.multimodal import decode_wav
+
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF-fake")  # RIFF magic but not WAVE
+        with pytest.raises(ValueError):
+            decode_wav(self._wav_8bit_golden()[:30])  # truncated chunk
+        # float format (3) rejected, never silent noise
+        fmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = (
+            b"WAVE" + b"fmt " + _s.pack("<I", 16) + fmt
+            + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+        )
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+    def test_audio_features_dispatches_wav(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import encode_wav
+
+        t = np.arange(8000)
+        wav = encode_wav(0.25 * np.sin(2 * np.pi * 100 * t / 8000), 8000)
+        rows = [
+            # metadata columns LIE (2500 ms, 44100 Hz): the real decode
+            # must override them from the bytes
+            (40, "audio", "audio/wav", wav, None, None, 2500, 44100, None),
+            (41, "audio", "audio/mpeg", b"ID3-fake-mp3", None, None,
+             1000, 22050, None),
+            (42, "audio", "audio/wav", wav[:20], None, None, 100, 8000,
+             None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        out = {r.asset_id: r for r in audio_features(assets).collect()}
+        assert out[40].decoder == "wav"
+        assert (out[40].sample_rate, out[40].duration_ms) == (8000, 1000)
+        assert out[40].rms == pytest.approx(0.25 / np.sqrt(2), abs=1e-3)
+        assert out[40].n_windows == 1000 // 25
+        assert out[41].decoder == "fake-deterministic"
+        assert (out[41].sample_rate, out[41].duration_ms) == (22050, 1000)
+        assert out[42].decoder == "corrupt-fallback"
