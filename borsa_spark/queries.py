@@ -6307,13 +6307,22 @@ def _witness_stats(repo: str | None = None) -> dict[str, tuple[int, int]]:
 def _witness_order(
     names: list[str], stats: dict[str, tuple[int, int]]
 ) -> list[str]:
-    """Least-witnessed first; among equals, stalest green first; among
-    those, registration order."""
+    """Stalest green first (never-witnessed queries have round 0, so
+    they lead); among equals, least-witnessed; then registration order.
+
+    Staleness must DOMINATE count: the round-5 ordering put count
+    first, and with 132 queries / 50 rows per round that parks a
+    thrice-witnessed-but-r3-stale query behind every once-witnessed
+    r4/r5 green for two more rounds (~5 rounds since its last green)
+    — exactly the drift the rotation exists to prevent. Round-first is
+    the greedy schedule that minimizes the oldest green's age: each
+    round refreshes the 50 stalest, so max staleness is bounded by
+    ceil(len(registry)/50) rounds in steady state."""
     return sorted(
         names,
         key=lambda n: (
-            stats.get(n, (0, 0))[0],
             stats.get(n, (0, 0))[1],
+            stats.get(n, (0, 0))[0],
             names.index(n),
         ),
     )

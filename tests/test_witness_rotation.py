@@ -52,17 +52,24 @@ class TestWitnessOrder:
         assert _witness_order(names, stats) == ["q2", "q4", "q1", "q3"]
 
     def test_stalest_green_first_among_equal_counts(self):
-        # all witnessed once; the ROUND of the witness breaks the tie so
-        # the 50-row window keeps refreshing the oldest greens
+        # all witnessed once; the ROUND of the witness leads so the
+        # 50-row window keeps refreshing the oldest greens
         names = ["q1", "q2", "q3"]
         stats = {"q1": (1, 4), "q2": (1, 1), "q3": (1, 2)}
         assert _witness_order(names, stats) == ["q2", "q3", "q1"]
 
-    def test_count_dominates_staleness(self):
-        # a twice-witnessed query sorts after a once-witnessed one even
-        # if its last witness is older
+    def test_staleness_dominates_count(self):
+        # (round 6) staleness LEADS: a thrice-witnessed query whose last
+        # green is old refreshes before a once-witnessed fresher one —
+        # with 132 queries / 50 rows per round, count-first parks stale
+        # greens behind every newer single-witness query for rounds
         names = ["q1", "q2"]
-        stats = {"q1": (2, 1), "q2": (1, 4)}
+        stats = {"q1": (3, 1), "q2": (1, 4)}
+        assert _witness_order(names, stats) == ["q1", "q2"]
+
+    def test_count_breaks_ties_within_a_round(self):
+        names = ["q1", "q2"]
+        stats = {"q1": (2, 3), "q2": (1, 3)}
         assert _witness_order(names, stats) == ["q2", "q1"]
 
     def test_registration_order_is_the_final_tiebreak(self):
@@ -76,6 +83,7 @@ class TestWitnessOrder:
         _write(tmp_path, 3, {"a": GREEN, "b": GREEN})
         names = ["a", "b", "c", "d", "e"]
         got = _witness_order(names, _witness_stats(str(tmp_path)))
-        # e unwitnessed; d once (r2) before c once... c witnessed r1 is
-        # staler than d's r2; b twice (last r3); a three times
+        # e unwitnessed (round 0 leads); c's last green r1, d's r2;
+        # a and b share last-green r3, so count breaks the tie (b twice,
+        # a three times)
         assert got == ["e", "c", "d", "b", "a"]
