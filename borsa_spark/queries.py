@@ -6254,6 +6254,123 @@ def f58_audio_features(spark, sf):
     )
 
 
+@query(
+    "rel_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS stock_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_0'
+      GROUP BY l.l_partkey),
+    tot AS (SELECT sum(stock_value) AS t FROM val)
+    SELECT v.l_partkey AS p_partkey, v.stock_value
+    FROM val v CROSS JOIN tot
+    WHERE v.stock_value > tot.t * 0.002
+    """,
+)
+def rel_q11_important_stock(spark, sf):
+    """TPC-H Q11 shape (important stock identification), re-keyed to
+    this schema (no partsupp table — per-part supplier value rebuilt
+    from lineitem, the rel_q2 convention): per-part value of NATION_0's
+    suppliers, keeping parts whose value exceeds a FRACTION OF THE
+    GLOBAL TOTAL. The defining feature is the scalar subquery over the
+    SAME aggregated relation — computed once, broadcast into the filter
+    as a 1-row crossJoin (rel_q22's pattern), never a second scan of
+    lineitem. Group sums snap at 4dp before the threshold compare (the
+    discounted-revenue convention).
+
+    Scale shape: one shuffle to build val (nation filter broadcast into
+    the lineitem scan), then a broadcast scalar — the HAVING-fraction
+    runs at val's cardinality (parts, not line items)."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    nation_sup = sup.join(
+        F.broadcast(nat.filter(F.col("n_name") == "NATION_0")),
+        sup.s_nationkey == nat.n_nationkey,
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nation_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("stock_value")
+        )
+    )
+    tot = val.agg(F.sum("stock_value").alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("stock_value") > F.col("__t") * 0.002)
+        .select(F.col("l_partkey").alias("p_partkey"), "stock_value")
+    )
+
+
+@query(
+    "rel_q16_supplier_part_counts",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+           count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_q16_supplier_part_counts(spark, sf):
+    """TPC-H Q16 shape (parts/supplier relationship), re-keyed to this
+    schema: distinct supplier counts per (brand, type, size) over the
+    part-supplier relation rebuilt from lineitem, EXCLUDING an
+    exclusion list via anti-join (Q16's NOT IN complaint-suppliers —
+    here suppliers with negative account balance, the schema's natural
+    problem-supplier analog), with the brand<>/type NOT LIKE/size IN
+    dimensional filters pushed into a broadcast part join.
+
+    Scale shape: the distinct (partkey, suppkey) projection partial-
+    aggregates map-side before its one shuffle; the exclusion list is a
+    broadcast anti-join (never a NOT IN subquery per row); part filters
+    prune BEFORE the join so the count(distinct) shuffle carries only
+    qualifying parts."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    part = load_table(spark, sf, "part")
+    excl = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(excl),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .distinct()
+    )
+    pdim = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 2, 3, 4, 5))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(pdim), ps.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
