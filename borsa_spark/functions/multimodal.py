@@ -8,11 +8,15 @@ partition sizing). The codec layer has one REAL path and one stub:
   CRC-verified chunks) decode here in pure Python + numpy — no external
   libs. `image_features` dispatches on the payload's magic bytes and
   emits decoder='bmp'/'ppm'/'png' with true width/height/mean-luma.
+- Baseline JPEG decodes for real (`functions/jpeg.py`: pure-Python
+  T.81 — Huffman entropy decode, dequant, IDCT, YCbCr->RGB, 4:2:0/4:2:2
+  subsampling, restart markers); progressive/arithmetic/12-bit reject to
+  the corrupt-fallback path.
 - RIFF/WAVE PCM audio (8/16-bit, any channel count) decodes for real too
   (`decode_wav`: chunk walk + numpy sample math) — `audio_features` takes
   sample rate / duration / rms from the bytes, decoder='wav'.
-- Everything else (JPEG; compressed audio like mp3/ogg/flac) would need
-  PIL/soundfile, which this container lacks: those decodes are
+- Everything else (compressed audio like mp3/ogg/flac) would need
+  soundfile, which this container lacks: those decodes are
   DETERMINISTIC FAKES derived from the payload bytes — clearly marked
   (decoder='fake-deterministic'), same output schema, so swapping in real
   codecs changes no plan shape.
@@ -404,6 +408,26 @@ def encode_png(
     return encode_png_pixels(px, filter_type)
 
 
+def decode_jpeg_features(data: bytes) -> tuple[int, int, int, float]:
+    """Decode a baseline JPEG: (width, height, channels, mean_luma) —
+    the `decode_bmp`/`decode_png` contract over functions/jpeg.py's
+    pure-Python T.81 decoder. Progressive/arithmetic/12-bit raise
+    ValueError (corrupt-fallback downstream)."""
+    from borsa_spark.functions.jpeg import decode_jpeg
+
+    px = decode_jpeg(data)
+    h, w, ch = px.shape
+    luma = float(px.astype(np.float64).mean() / 255.0)
+    return w, h, ch, luma
+
+
+def _gray_jpeg(data: bytes) -> np.ndarray:
+    """Grayscale pixel grid (float64 [0,1]) from a baseline JPEG."""
+    from borsa_spark.functions.jpeg import decode_jpeg
+
+    return decode_jpeg(data).astype(np.float64).mean(axis=2) / 255.0
+
+
 def decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
     """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
     n_frames, duration_ms, rms). Stdlib-only: RIFF chunk walk, fmt
@@ -530,23 +554,40 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(data).digest()
-                if data[:2] == b"BM":
-                    w, h, ch, luma = decode_bmp(data)
-                    dec = "bmp"
-                elif data[:2] == b"P6":
-                    w, h, ch, luma = decode_ppm(data)
-                    dec = "ppm"
-                elif data[:8] == _PNG_SIG:
-                    w, h, ch, luma = decode_png(data)
-                    dec = "png"
-                elif _HAVE_PIL:  # pragma: no cover - PIL absent here
-                    raise NotImplementedError(
-                        "real PIL decode path not exercised in this container"
-                    )
-                else:
+                # A magic-matching but corrupt payload (truncated crawl,
+                # progressive JPEG, 16-bit PPM...) must not kill the
+                # Spark job from inside the UDF: it degrades to the
+                # deterministic fallback, tagged for downstream audit —
+                # same discipline as image_phash.
+                try:
+                    if data[:2] == b"BM":
+                        w, h, ch, luma = decode_bmp(data)
+                        dec = "bmp"
+                    elif data[:2] == b"P6":
+                        w, h, ch, luma = decode_ppm(data)
+                        dec = "ppm"
+                    elif data[:8] == _PNG_SIG:
+                        w, h, ch, luma = decode_png(data)
+                        dec = "png"
+                    elif data[:2] == b"\xff\xd8":
+                        w, h, ch, luma = decode_jpeg_features(data)
+                        dec = "jpeg"
+                    elif _HAVE_PIL:  # pragma: no cover - PIL absent here
+                        raise NotImplementedError(
+                            "real PIL decode path not exercised in this"
+                            " container"
+                        )
+                    else:
+                        raise ValueError("no known magic")
+                except (ValueError, struct.error):
                     w, h, ch = _fake_dims(digest)
                     luma = sum(digest[:16]) / (16 * 255.0)
-                    dec = "fake-deterministic"
+                    dec = (
+                        "corrupt-fallback"
+                        if data[:2] in (b"BM", b"P6", b"\xff\xd8")
+                        or data[:8] == _PNG_SIG
+                        else "fake-deterministic"
+                    )
                 out.append((asset_id, w, h, ch, luma, digest.hex(), dec))
             yield pd.DataFrame(
                 out,
@@ -798,6 +839,8 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                         bits, dec = phash64(_gray_ppm(data)), "ppm"
                     elif data[:8] == _PNG_SIG:
                         bits, dec = phash64(_gray_png(data)), "png"
+                    elif data[:2] == b"\xff\xd8":
+                        bits, dec = phash64(_gray_jpeg(data)), "jpeg"
                     else:
                         raise ValueError("no known magic")
                 except (ValueError, struct.error):
@@ -805,7 +848,7 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                     bits = int.from_bytes(digest[:8], "big")
                     dec = (
                         "corrupt-fallback"
-                        if data[:2] in (b"BM", b"P6")
+                        if data[:2] in (b"BM", b"P6", b"\xff\xd8")
                         or data[:8] == _PNG_SIG
                         else "fake-deterministic"
                     )

@@ -6255,6 +6255,74 @@ def f58_audio_features(spark, sf):
 
 
 @query(
+    "f59_jpeg_features",
+    """
+    SELECT doc_id AS asset_id,
+           (4 + doc_id % 13)::BIGINT AS width,
+           (4 + doc_id % 7)::BIGINT  AS height,
+           'jpeg' AS decoder,
+           round(((doc_id % 256) + (doc_id * 7 % 256)
+                  + (doc_id * 13 % 256)) / 3.0 / 255.0, 4) AS source_luma,
+           TRUE AS luma_within_1pct
+    FROM documents
+    """,
+)
+def f59_jpeg_features(spark, sf):
+    """Multimodal: REAL baseline-JPEG decode end-to-end (functions/
+    jpeg.py — pure-Python T.81: Huffman entropy decode, dequant, IDCT,
+    YCbCr->RGB). f16's analytic-oracle pattern with the x2 envelope
+    twist: JPEG is lossy, so instead of pinning the decoded luma exactly
+    the oracle pins the CONTRACT — per solid-color image (dims and RGB
+    derived from doc_id alone, encoded at quality 90), the decoded mean
+    luma must land within 1% of the source color's luma. A flat block is
+    DC-only, so a decoder that misreads the quant tables, the Huffman
+    spec tables, the zigzag, or the YCbCr matrix blows the envelope (a
+    wrong IDCT scale shows up as a proportional luma shift). Dimensions
+    and the decoder tag are pinned exactly.
+
+    Scale shape: same as f16 — binary payloads through Arrow-batched
+    mapInPandas, small typed feature rows out, nothing collects."""
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+    from borsa_spark.functions.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 7
+                rgb = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                img = np.tile(
+                    np.array(rgb, dtype=np.uint8), (h, w, 1)
+                )
+                out.append((did, encode_jpeg(img, quality=90)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    feats = mm.image_features(assets)
+    src_luma = (
+        (F.col("asset_id") % 256)
+        + (F.col("asset_id") * 7 % 256)
+        + (F.col("asset_id") * 13 % 256)
+    ) / 3.0 / 255.0
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "decoder",
+        F.round(src_luma, 4).alias("source_luma"),
+        (F.abs(F.col("mean_luma") - src_luma) <= 0.01)
+            .alias("luma_within_1pct"),
+    )
+
+
+@query(
     "rel_q11_important_stock",
     """
     WITH val AS (

@@ -530,3 +530,152 @@ class TestWavCodec:
         assert out[41].decoder == "fake-deterministic"
         assert (out[41].sample_rate, out[41].duration_ms) == (22050, 1000)
         assert out[42].decoder == "corrupt-fallback"
+
+
+class TestJpegCodec:
+    """Pure-Python baseline JPEG (functions/jpeg.py): quantization-bounded
+    round-trips across quality/subsampling/restart settings, exact flat
+    color, pHash cross-codec invariance vs the lossless PNG path, and
+    loud rejection of unsupported modes."""
+
+    @staticmethod
+    def _gradient(h=24, w=32):
+        import numpy as np
+
+        gy, gx = np.mgrid[0:h, 0:w]
+        sm = 128 + 100 * np.sin(gy / 6.0) * np.cos(gx / 8.0)
+        return np.stack(
+            [sm, sm * 0.8 + 20, sm * 0.5 + 60], axis=2
+        ).astype(np.uint8)
+
+    @staticmethod
+    def _textured(n=64):
+        # multi-frequency 64x64 image: its DCT coefficients sit far from
+        # the pHash median, so hash bits are stable under q90 loss (a
+        # tiny smooth gradient has many knife-edge coefficients and is
+        # NOT a fair robustness probe)
+        import numpy as np
+
+        gy, gx = np.mgrid[0:n, 0:n]
+        sm = (128 + 90 * np.sin(gy / 5.0) * np.cos(gx / 7.0)
+              + 30 * np.sin((gx + gy) / 3.0))
+        return np.stack(
+            [sm, sm * 0.7 + 30, 255 - sm], axis=2
+        ).clip(0, 255).astype(np.uint8)
+
+    def test_flat_color_round_trips_exactly(self):
+        import numpy as np
+
+        from borsa_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((16, 24, 3), [40, 180, 90], dtype=np.uint8)
+        back = decode_jpeg(encode_jpeg(img, quality=90))
+        assert back.shape == (16, 24, 3)
+        assert int(np.abs(back.astype(int) - img.astype(int)).max()) == 0
+
+    @pytest.mark.parametrize("kwargs,mean_bound,max_bound", [
+        ({"quality": 95}, 1.5, 16),
+        ({"quality": 90, "subsampling": "420"}, 3.0, 24),
+        ({"quality": 90, "restart_interval": 2}, 2.0, 16),
+        ({"quality": 85, "subsampling": "420", "restart_interval": 1},
+         3.5, 24),
+    ])
+    def test_roundtrip_within_quant_error(self, kwargs, mean_bound,
+                                          max_bound):
+        import numpy as np
+
+        from borsa_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._gradient()
+        back = decode_jpeg(encode_jpeg(img, **kwargs))
+        err = np.abs(back.astype(int) - img.astype(int))
+        assert back.shape == img.shape
+        assert err.mean() < mean_bound, err.mean()
+        assert err.max() < max_bound, err.max()
+
+    def test_odd_dimensions_and_grayscale(self):
+        import numpy as np
+
+        from borsa_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        odd = self._gradient()[:17, :19]
+        back = decode_jpeg(
+            encode_jpeg(odd, quality=85, subsampling="420")
+        )
+        assert back.shape == (17, 19, 3)
+        g = self._gradient()[:, :, 0]
+        back = decode_jpeg(encode_jpeg(g, quality=90))
+        assert back.shape == (24, 32, 1)
+        assert np.abs(
+            back[:, :, 0].astype(int) - g.astype(int)
+        ).mean() < 1.5
+
+    def test_phash_cross_codec_vs_png(self):
+        # JPEG is lossy, but pHash is DESIGNED to survive that: the same
+        # pixels through the lossless PNG path and a q90 JPEG must land
+        # within the near-dup pairing distance (<= 6 of 64 bits).
+        from borsa_spark.functions.jpeg import decode_jpeg, encode_jpeg
+        from borsa_spark.functions.multimodal import (
+            _gray_png,
+            encode_png_pixels,
+            phash64,
+        )
+
+        img = self._textured()
+        ph_png = phash64(_gray_png(encode_png_pixels(img)))
+        import numpy as np
+
+        jp = decode_jpeg(encode_jpeg(img, quality=90))
+        ph_jpeg = phash64(jp.astype(np.float64).mean(axis=2) / 255.0)
+        assert bin(ph_png ^ ph_jpeg).count("1") <= 6
+
+    def test_unsupported_modes_reject(self):
+        import struct as _s
+
+        from borsa_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01not a jpeg")
+        good = encode_jpeg(self._gradient(), quality=90)
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:40])  # truncated in the tables
+        # flip SOF0 -> SOF2 (progressive): loud reject, not garbage
+        idx = good.find(b"\xff\xc0")
+        assert idx > 0
+        prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+        with pytest.raises(ValueError, match="unsupported JPEG mode"):
+            decode_jpeg(prog)
+        # corrupt entropy data -> ValueError from the Huffman decoder
+        bad = bytearray(good)
+        sos = good.find(b"\xff\xda")
+        for i in range(sos + 20, min(sos + 60, len(bad) - 2)):
+            bad[i] ^= 0xA5
+        try:
+            decode_jpeg(bytes(bad))  # either decodes to junk pixels...
+        except ValueError:
+            pass  # ...or rejects; both are acceptable, crashing is not
+
+    def test_image_features_and_phash_dispatch_jpeg(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.jpeg import encode_jpeg
+        from borsa_spark.functions.multimodal import image_phash
+
+        img = self._gradient()
+        rows = [
+            (50, "image", "image/jpeg", encode_jpeg(img, quality=90),
+             None, None, None, None, None),
+            (51, "image", "image/jpeg", b"\xff\xd8garbage" * 4,
+             None, None, None, None, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        feats = {r.asset_id: r for r in image_features(assets).collect()}
+        assert (feats[50].width, feats[50].height, feats[50].decoder) == (
+            32, 24, "jpeg",
+        )
+        assert feats[51].decoder == "corrupt-fallback"
+        want_luma = img.astype(float).mean() / 255.0
+        assert abs(feats[50].mean_luma - want_luma) < 0.02
+        ph = {r.asset_id: r for r in image_phash(assets).collect()}
+        assert ph[50].decoder == "jpeg"
+        assert ph[51].decoder == "corrupt-fallback"
