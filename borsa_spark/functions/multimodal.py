@@ -682,6 +682,186 @@ def resize_images(
     )
 
 
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed RGB AVI (RIFF 'AVI ', '00db' DIB frames):
+    (frames (n, h, w, 3) uint8 top-down RGB, fps). The DIB frames follow
+    BMP conventions — bottom-up rows, BGR, 4-byte row padding. Compressed
+    streams (any non-zero biCompression / '00dc'-only movi) and malformed
+    headers raise ValueError (-> corrupt-fallback downstream)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            ctype = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if body_start + length > end:
+                raise ValueError("truncated AVI chunk")
+            yield ctype, body_start, length
+            pos = body_start + length + (length & 1)
+
+    width = height = None
+    fps = 0
+    frames: list[np.ndarray] = []
+    stride = None
+
+    def parse_list(pos: int, end: int) -> None:
+        nonlocal width, height, fps, stride
+        for ctype, start, length in walk(data, pos, end):
+            if ctype == b"LIST":
+                parse_list(start + 4, start + length)
+            elif ctype == b"avih":
+                if length < 40:
+                    raise ValueError("short AVI main header")
+                (us_per_frame,) = struct.unpack_from("<I", data, start)
+                fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+            elif ctype == b"strf" and width is None:
+                # BITMAPINFOHEADER of the first video stream
+                if length < 40:
+                    continue
+                w, h = struct.unpack_from("<ii", data, start + 4)
+                (bpp,) = struct.unpack_from("<H", data, start + 14)
+                (compression,) = struct.unpack_from("<I", data, start + 16)
+                if bpp != 24 or compression != 0:
+                    raise ValueError(
+                        f"unsupported AVI (bpp={bpp}, "
+                        f"compression={compression})"
+                    )
+                width, height = w, abs(h)
+                stride = (width * 3 + 3) & ~3
+            elif ctype in (b"00db", b"00dc"):
+                if ctype == b"00dc":
+                    raise ValueError("compressed AVI frames unsupported")
+                if width is None or stride is None:
+                    raise ValueError("AVI frame before stream format")
+                if length < stride * height:
+                    raise ValueError("truncated AVI frame")
+                rows = np.frombuffer(
+                    data, np.uint8, stride * height, start
+                ).reshape(height, stride)[:, : width * 3]
+                bgr = rows.reshape(height, width, 3)[::-1]  # bottom-up
+                frames.append(bgr[:, :, ::-1].copy())  # BGR -> RGB
+
+    parse_list(12, len(data))
+    if width is None or not frames:
+        raise ValueError("AVI missing video stream/frames")
+    return np.stack(frames), fps
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Fixture encoder: (n, h, w, 3) uint8 top-down RGB -> uncompressed
+    AVI ('00db' DIB frames, bottom-up BGR, padded rows) — the test/
+    oracle side of `decode_avi`."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return ctype + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(1, fps), 0, 0, 0x10, n, 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, max(1, fps), 0, n,
+        stride * h, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    movi_frames = []
+    for f in frames:
+        bgr = f[:, :, ::-1][::-1]  # RGB -> BGR, top-down -> bottom-up
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_frames.append(chunk(b"00db", rows.tobytes()))
+    body = (
+        lst(b"hdrl", chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", b"".join(movi_frames))
+    )
+    return chunk(b"RIFF", b"AVI " + body)
+
+
+VIDEO_FRAME_PHASH_SCHEMA = (
+    "asset_id long, frame_idx int, width int, height int, "
+    "frame_luma double, phash long, decoder string"
+)
+
+
+def video_frame_features(
+    assets: DataFrame, every_n: int = 1, auto_batch: bool = True
+) -> DataFrame:
+    """REAL video frame extraction + per-frame features: one row per
+    sampled frame (every ``every_n``-th) with dimensions, mean luma and
+    the 64-bit perceptual hash — the decode stage `sample_video_frames`'
+    docstring promises, for the one container-decodable format
+    (uncompressed AVI). Frame pHashes feed `phash_near_pairs` unchanged,
+    which makes VIDEO near-dup detection (same clip re-encoded shifted /
+    re-muxed) a first-class pipeline: hash frames, band-join, count
+    matching frames per video pair. Non-AVI payloads emit one
+    deterministic fake row (decoder='fake-deterministic'); corrupt AVIs
+    degrade to 'corrupt-fallback' — the job never dies inside the UDF."""
+    if auto_batch:
+        autotune_arrow_batch(assets)
+    step = max(1, every_n)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest()
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    try:
+                        frames, _fps = decode_avi(data)
+                        for i in range(0, len(frames), step):
+                            g = (
+                                frames[i].astype(np.float64).mean(axis=2)
+                                / 255.0
+                            )
+                            bits = phash64(g)
+                            if bits >= 1 << 63:
+                                bits -= 1 << 64
+                            out.append((
+                                asset_id, i, frames.shape[2],
+                                frames.shape[1], float(g.mean()), bits,
+                                "avi",
+                            ))
+                        continue
+                    except (ValueError, struct.error):
+                        dec = "corrupt-fallback"
+                else:
+                    dec = "fake-deterministic"
+                w, h, _ = _fake_dims(digest)
+                bits = int.from_bytes(digest[:8], "big")
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out.append((
+                    asset_id, 0, w, h,
+                    sum(digest[:16]) / (16 * 255.0), bits, dec,
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "frame_idx", "width", "height",
+                    "frame_luma", "phash", "decoder",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema=VIDEO_FRAME_PHASH_SCHEMA
+    )
+
+
 def sample_video_frames(
     assets: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

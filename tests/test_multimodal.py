@@ -679,3 +679,119 @@ class TestJpegCodec:
         ph = {r.asset_id: r for r in image_phash(assets).collect()}
         assert ph[50].decoder == "jpeg"
         assert ph[51].decoder == "corrupt-fallback"
+
+
+class TestAviCodec:
+    """Uncompressed-AVI decode (RIFF walker + DIB frame math): lossless
+    round-trips, frame sampling, video near-dup via frame pHashes,
+    error paths, and Spark dispatch."""
+
+    @staticmethod
+    def _frames(n=4, h=9, w=13, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+    def test_lossless_round_trip(self):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import decode_avi, encode_avi
+
+        frames = self._frames()
+        back, fps = decode_avi(encode_avi(frames, fps=12))
+        assert fps == 12
+        assert np.array_equal(back, frames)
+
+    def test_error_paths(self):
+        from borsa_spark.functions.multimodal import decode_avi, encode_avi
+
+        enc = encode_avi(self._frames())
+        with pytest.raises(ValueError):
+            decode_avi(enc[:100])  # truncated
+        with pytest.raises(ValueError):
+            decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # wrong RIFF kind
+
+    def test_video_frame_features_sampling_and_dispatch(self, spark):
+        from borsa_spark.functions.multimodal import (
+            encode_avi,
+            video_frame_features,
+        )
+
+        frames = self._frames(n=6)
+        rows = [
+            (60, "video", "video/avi", encode_avi(frames), None, None,
+             None, None, None),
+            (61, "video", "video/mp4", b"mp4-fake-bytes", None, None,
+             3500, None, None),
+            (62, "video", "video/avi", encode_avi(frames)[:80], None,
+             None, None, None, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        out = video_frame_features(assets, every_n=2).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.asset_id, []).append(r)
+        # every_n=2 over 6 frames -> frames 0, 2, 4
+        got = sorted(r.frame_idx for r in by_id[60])
+        assert got == [0, 2, 4]
+        assert all(r.decoder == "avi" for r in by_id[60])
+        assert all(
+            (r.width, r.height) == (13, 9) for r in by_id[60]
+        )
+        assert by_id[61][0].decoder == "fake-deterministic"
+        assert by_id[62][0].decoder == "corrupt-fallback"
+
+    def test_video_near_dup_by_frame_phash(self, spark):
+        # the pipeline claim: two AVIs sharing frames pair via the
+        # existing pHash band join over their frame hashes
+        import numpy as np
+
+        import pyspark.sql.functions as F
+        from borsa_spark.functions.multimodal import (
+            encode_avi,
+            phash_near_pairs,
+            video_frame_features,
+        )
+
+        gy, gx = np.mgrid[0:24, 0:32]
+        base = np.stack([
+            (128 + 90 * np.sin(gy / 5.0) * np.cos(gx / (7.0 + k)))
+            for k in range(3)
+        ], axis=2).clip(0, 255).astype(np.uint8)
+        clip_a = np.stack([np.roll(base, s, axis=0) for s in (0, 3, 6)])
+        # clip B shares A's frames plus 2% noise (a re-encode analog)
+        rng = np.random.default_rng(9)
+        noise = rng.integers(-5, 6, clip_a.shape)
+        clip_b = np.clip(clip_a.astype(int) + noise, 0, 255).astype(
+            np.uint8
+        )
+        # clip C is unrelated
+        clip_c = self._frames(n=3, h=24, w=32, seed=77)
+        rows = [
+            (70, "video", "video/avi", encode_avi(clip_a), None, None,
+             None, None, None),
+            (71, "video", "video/avi", encode_avi(clip_b), None, None,
+             None, None, None),
+            (72, "video", "video/avi", encode_avi(clip_c), None, None,
+             None, None, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        frames = video_frame_features(assets)
+        # frame-level ids: asset*10 + frame so the band join's id
+        # tie-break never collides across assets
+        ph = frames.select(
+            (F.col("asset_id") * 10 + F.col("frame_idx")).alias(
+                "asset_id"
+            ),
+            "phash",
+        )
+        pairs = phash_near_pairs(ph, max_hamming=6).collect()
+        cross = {
+            (min(r.id_a // 10, r.id_b // 10), max(r.id_a // 10, r.id_b // 10))
+            for r in pairs
+            if r.id_a // 10 != r.id_b // 10
+        }
+        assert (70, 71) in cross        # noisy re-encode pairs
+        assert (70, 72) not in cross    # unrelated does not
+        assert (71, 72) not in cross
