@@ -50,6 +50,7 @@ example-tour:
 	python examples/26_dedup_ingest.py
 	python examples/27_drift_monitor.py
 	python examples/28_stream_enrich.py
+	python examples/29_multimodal_codecs.py
 
 test:
 	python -m pytest tests/ -q
