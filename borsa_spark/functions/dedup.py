@@ -1038,3 +1038,90 @@ def containment_stop_shingles(
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_shingle_df)
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_len: int = 8,
+    max_gram_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated SUBSTRING spans — the exact-substring
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (they build a corpus suffix array; this is the
+    shuffle-native equivalent): every maximal run of >= ``min_len``
+    consecutive shared word tokens between two documents, reported as
+    (id_a, id_b, start_a, start_b, len_tokens) with 1-based starts.
+    Catches verbatim quotations / excerpt reposts long enough to memorize
+    even when whole-document similarity is tiny — the case jaccard-style
+    dedup (f7) and containment (f40) both under-weigh.
+
+    Plan: (1) slide a k-token window over each doc -> (id, pos, gram)
+    anchors, hashed to 64 bits for the join key; (2) drop grams present
+    in more than ``max_gram_df`` documents (corpus boilerplate —
+    accounted by f55's family, and the df cap is what bounds the
+    self-join fanout, exactly containment_pairs' discipline); (3)
+    equi-join anchors across documents (id_a < id_b): two positions on
+    the same DIAGONAL (pos_a - pos_b) and consecutive in pos_a extend
+    one shared substring, so (4) gaps-and-islands per (id_a, id_b, diag)
+    — pos_a minus its row_number is constant within a run (the a9
+    attribution-span sessionization idiom) — merges anchors into maximal
+    spans of length run + k - 1 tokens.
+
+    Scale shape: the anchor join is a hash equi-join whose per-key
+    fanout the df cap bounds; the island window is keyed by
+    (id_a, id_b, diag) — matched-pair-sized partitions, never a global
+    sort; output rows are spans, not tokens. At 100 TB the anchors
+    relation is the big intermediate (|tokens| rows) — it is a
+    projection of the scan (no shuffle until the join), and the join
+    moves only capped-df grams."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
+                .alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    anchors = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    rare = anchors.join(
+        anchors.groupBy("gh")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") <= max_gram_df)
+        .select("gh"),
+        "gh",
+        "left_semi",
+    )
+    a = rare.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gh"
+    )
+    b = rare.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gh"
+    )
+    matched = a.join(b, "gh").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = matched.withColumn(
+        "__grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "__grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + (k - 1)).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+        .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
+    )

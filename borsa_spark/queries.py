@@ -2105,8 +2105,8 @@ def o12_upsert_emulation(spark, sf):
       FROM events GROUP BY 1, 2)
     SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
            round(avg(m) OVER w, 4) AS ma7,
-           round(min(m) OVER w, 4) AS lo7,
-           round(max(m) OVER w, 4) AS hi7,
+           min(m) OVER w AS lo7,
+           max(m) OVER w AS hi7,
            count(*) OVER w AS n7
     FROM b
     WINDOW w AS (PARTITION BY symbol ORDER BY bucket ASC
@@ -2117,7 +2117,15 @@ def w6_rolling_features(spark, sf):
     """Rolling 7-bucket features over hourly means (moving avg/min/max +
     support count): the rowsBetween window family, partitioned by symbol,
     ordered by bucket. The hourly pre-aggregate is snapped to 6dp so the
-    rolling avg divides identical operands in both engines."""
+    rolling avg divides identical operands in both engines.
+
+    lo7/hi7 are emitted UNROUNDED: min/max select one of the 6dp-snapped
+    m values bit-identically in both engines, and re-rounding an exact
+    6dp value to 4dp creates decimal-half boundaries where Spark
+    (BigDecimal shortest-string rounding) and DuckDB (binary rounding)
+    legitimately disagree — the sf0.1 sweep caught 8 such rows (e.g.
+    m=65.99125 -> 65.9913 vs 65.9912). Never re-round an already-snapped
+    value at a coarser precision."""
     ev = load_table(spark, sf, "events")
     b = ev.groupBy(
         F.col("event_type").alias("symbol"),
@@ -2132,8 +2140,8 @@ def w6_rolling_features(spark, sf):
         "symbol",
         F.unix_timestamp("bucket").alias("bucket_ts"),
         F.round(F.avg("m").over(w), 4).alias("ma7"),
-        F.round(F.min("m").over(w), 4).alias("lo7"),
-        F.round(F.max("m").over(w), 4).alias("hi7"),
+        F.min("m").over(w).alias("lo7"),
+        F.max("m").over(w).alias("hi7"),
         F.count("*").over(w).alias("n7"),
     )
 
@@ -5780,7 +5788,7 @@ def c4_index_search(spark, sf):
     """
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+             min(l_extendedprice / l_quantity) AS unit_cost
       FROM lineitem WHERE l_quantity > 0
       GROUP BY l_partkey, l_suppkey),
     best AS (
@@ -5804,8 +5812,14 @@ def rel_q2_min_cost_supplier(spark, sf):
     to the per-(part, supplier) cost table — the same rewrite as Q17 but
     the scalar feeds a JOIN PREDICATE, not a filter, so ties surface as
     multiple rows (deterministic: all min-cost suppliers emitted). The
-    three dim joins (supplier -> nation -> region) broadcast; unit cost
-    snaps at 4dp BEFORE the min so the equality is exact cross-engine."""
+    three dim joins (supplier -> nation -> region) broadcast. Unit cost
+    is deliberately UNROUNDED: the division is a single IEEE op
+    (bit-identical cross-engine), so min and the equality join are
+    exact — while a 4dp round hits decimal-half boundaries constantly
+    here because 2dp prices over small integer quantities produce exact
+    4dp halves (the sf0.1 sweep caught 111.10075 rounding 111.1007 in
+    Spark vs 111.1008 in DuckDB; Spark rounds the shortest decimal
+    string, DuckDB the binary value)."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
     sup = load_table(spark, sf, "supplier")
@@ -5815,9 +5829,8 @@ def rel_q2_min_cost_supplier(spark, sf):
         li.filter(F.col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
-            ).alias("unit_cost")
+            F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+            .alias("unit_cost")
         )
     )
     best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
@@ -6395,6 +6408,62 @@ def f60_video_frame_features(spark, sf):
         F.col("height").cast("long").alias("height"),
         F.round("frame_luma", 4).alias("frame_luma"),
         "decoder",
+    )
+
+
+@query(
+    "f61_substring_spans",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS pos
+      FROM words),
+    g AS (
+      SELECT doc_id, pos,
+             array_to_string(w[pos:pos+4], ' ') AS gram
+      FROM pos),
+    rare AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) <= 50),
+    r AS (SELECT g.* FROM g JOIN rare USING (gram)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      FROM r a JOIN r b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT *, pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m)
+    SELECT id_a, id_b,
+           min(pos_a)::BIGINT AS start_a,
+           min(pos_b)::BIGINT AS start_b,
+           (count(*) + 4)::BIGINT AS len_tokens
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    HAVING count(*) + 4 >= 8
+    """,
+)
+def f61_substring_spans(spark, sf):
+    """Cross-document repeated-substring spans (Lee et al. exact
+    substring dedup, suffix-array semantics as a shuffle-native plan):
+    maximal runs of >= 8 consecutive shared word tokens between document
+    pairs, via 5-gram anchors + diagonal gaps-and-islands — see
+    ``repeated_substring_spans``. The oracle replays anchors on the raw
+    gram STRINGS while Spark joins on xxhash64(gram) (the scale path);
+    a hash-collision-induced phantom anchor would have to survive 4
+    consecutive collisions to reach min_len, so the hash-match doubles
+    as a collision audit."""
+    docs = load_table(spark, sf, "documents")
+    spans = _dd.repeated_substring_spans(
+        docs, k=5, min_len=8, max_gram_df=50
+    )
+    return spans.select(
+        "id_a", "id_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("len_tokens").cast("long").alias("len_tokens"),
     )
 
 

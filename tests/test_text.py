@@ -840,3 +840,54 @@ class TestContainmentStopShingles:
         # the 4 boilerplate 3-grams appear in all 8 docs -> df=8 > 3
         assert len(over) == 4
         assert all(r.df == 8 for r in over)
+
+
+class TestSubstringSpans:
+    """repeated_substring_spans: hand-checkable span geometry."""
+
+    def _spans(self, spark, rows, **kw):
+        from borsa_spark.functions.dedup import repeated_substring_spans
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return repeated_substring_spans(docs, **kw).collect()
+
+    def test_shared_run_reported_with_exact_offsets(self, spark):
+        shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+        rows = [
+            (1, "a b c " + shared + " x y"),       # shared starts at 4
+            (2, shared + " p q r"),                # shared starts at 1
+        ]
+        got = self._spans(spark, rows, k=5, min_len=8)
+        assert len(got) == 1
+        s = got[0]
+        assert (s.id_a, s.id_b) == (1, 2)
+        assert (s.start_a, s.start_b, s.len_tokens) == (4, 1, 10)
+
+    def test_below_min_len_not_reported(self, spark):
+        shared = " ".join(f"s{i}" for i in range(7))  # 7 < min_len 8
+        rows = [(1, shared + " aa bb"), (2, "zz " + shared)]
+        assert self._spans(spark, rows, k=5, min_len=8) == []
+
+    def test_two_separate_runs_stay_separate(self, spark):
+        r1 = " ".join(f"a{i}" for i in range(8))
+        r2 = " ".join(f"b{i}" for i in range(9))
+        rows = [
+            (1, r1 + " gap1 gap2 " + r2),
+            (2, r2 + " other tokens here " + r1),
+        ]
+        got = sorted(
+            self._spans(spark, rows, k=5, min_len=8),
+            key=lambda s: s.len_tokens,
+        )
+        assert [s.len_tokens for s in got] == [8, 9]
+
+    def test_gram_df_cap_drops_boilerplate(self, spark):
+        shared = " ".join(f"s{i}" for i in range(10))
+        rows = [(i, shared) for i in range(1, 6)]  # 5 identical docs
+        # cap 4 < 5 docs: every gram is over-df -> no spans at all
+        assert self._spans(spark, rows, k=5, min_len=8,
+                           max_gram_df=4) == []
+        # cap 5: all C(5,2)=10 pairs report the full 10-token span
+        got = self._spans(spark, rows, k=5, min_len=8, max_gram_df=5)
+        assert len(got) == 10
+        assert all(s.len_tokens == 10 for s in got)
