@@ -58,6 +58,12 @@ test:
 oracle:
 	python tools/check_oracle.py /root/testdata/sf0.01
 
+# The driver gate runs sf0.01; this replays the whole registry one scale
+# up, where rounding-boundary and summation-order divergences actually
+# have rows to land on (round 6 caught 2 real ones this way).
+oracle-sf01:
+	python tools/check_oracle.py /root/testdata/sf0.1
+
 bench:
 	python bench.py
 
