@@ -634,6 +634,19 @@ def audio_features(
                     except (ValueError, struct.error):
                         rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
                         dec = "corrupt-fallback"
+                elif data[:4] == b"fLaC":
+                    try:
+                        from borsa_spark.functions.flac import decode_flac
+
+                        x, sr, fbps = decode_flac(data)
+                        full = float(1 << (fbps - 1))
+                        xf = x.astype(np.float64) / full
+                        rms = float(np.sqrt(np.mean(xf * xf)))
+                        dur = int(x.shape[0] * 1000 // sr)
+                        dec = "flac"
+                    except (ValueError, struct.error):
+                        rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
+                        dec = "corrupt-fallback"
                 else:
                     rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
                     dec = "fake-deterministic"

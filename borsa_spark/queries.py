@@ -6468,6 +6468,65 @@ def f61_substring_spans(spark, sf):
 
 
 @query(
+    "f62_flac_features",
+    """
+    SELECT doc_id AS asset_id,
+           8000::BIGINT AS sample_rate,
+           ((800 + (doc_id % 5) * 400) / 8)::BIGINT AS duration_ms,
+           round(floor((1 + doc_id % 9) / 10.0 * 32768) / 32768, 6) AS rms,
+           'flac' AS decoder
+    FROM documents
+    """,
+)
+def f62_flac_features(spark, sf):
+    """Multimodal audio, compressed: REAL FLAC decode end-to-end
+    (functions/flac.py — rice-coded fixed-predictor subframes, CRC-8/16
+    verified). EXACTLY f58's analytic oracle: the same quantized square
+    waves, FLAC-encoded instead of WAV — lossless means the decoded rms
+    is floor(a*32768)/32768 to the bit, so this query and f58 sharing
+    one oracle IS the compression-transparency proof (a rice/predictor/
+    CRC bug surfaces as an rms hash-mismatch or a loud decode error).
+
+    Scale shape: same as f58 — compressed binary in via Arrow batches,
+    one small typed row out per asset."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+    from borsa_spark.functions.flac import encode_flac
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = (1 + did % 9) / 10.0
+                q = int(a * 32768)  # same quantized level as f58's int16
+                n = 800 + (did % 5) * 400
+                wave = np.where(np.arange(n) % 2 == 0, q, -q)
+                out.append((did, encode_flac(wave, 8000, blocksize=512)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(
+        gen, "asset_id long, payload binary"
+    ).select(
+        "asset_id", "payload",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = mm.audio_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "decoder",
+    )
+
+
+@query(
     "rel_q11_important_stock",
     """
     WITH val AS (

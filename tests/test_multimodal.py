@@ -795,3 +795,81 @@ class TestAviCodec:
         assert (70, 71) in cross        # noisy re-encode pairs
         assert (70, 72) not in cross    # unrelated does not
         assert (71, 72) not in cross
+
+
+class TestFlacCodec:
+    """FLAC (functions/flac.py): bit-exact round-trips across subframe
+    types and channel counts, CRC detection, LPC rejection, dispatch."""
+
+    def test_roundtrip_sine_exact_and_compressed(self):
+        import numpy as np
+
+        from borsa_spark.functions.flac import decode_flac, encode_flac
+
+        t = np.arange(10_000)
+        sine = (0.4 * np.sin(2 * np.pi * 220 * t / 16000) * 32767)
+        sine = sine.astype(np.int64)
+        enc = encode_flac(sine, 16000, blocksize=4096)
+        dec, sr, bps = decode_flac(enc)
+        assert sr == 16000 and bps == 16
+        assert np.array_equal(dec[:, 0], sine)
+        # a smooth signal must actually compress (fixed predictors +
+        # rice at work, not verbatim passthrough)
+        assert len(enc) < 0.7 * len(sine) * 2
+
+    def test_roundtrip_constant_ramp_noise(self):
+        import numpy as np
+
+        from borsa_spark.functions.flac import decode_flac, encode_flac
+
+        left = np.full(5000, 1234, dtype=np.int64)      # CONSTANT
+        right = (np.arange(5000) % 2000 - 1000)         # FIXED order 1+
+        st = np.stack([left, right], axis=1)
+        dec, sr, _ = decode_flac(encode_flac(st, 8000, blocksize=1000))
+        assert np.array_equal(dec, st)
+        rng = np.random.default_rng(3)
+        noise = rng.integers(-32768, 32768, 3000)       # high rice param
+        dec, _, _ = decode_flac(encode_flac(noise, 44100, blocksize=777))
+        assert np.array_equal(dec[:, 0], noise)
+
+    def test_crc_and_truncation_detected(self):
+        import numpy as np
+
+        from borsa_spark.functions.flac import decode_flac, encode_flac
+
+        enc = encode_flac(np.arange(2000) % 500, 8000, blocksize=512)
+        with pytest.raises(ValueError):
+            decode_flac(enc[:50])
+        bad = bytearray(enc)
+        bad[60] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+        with pytest.raises(ValueError):
+            decode_flac(b"fLaX" + enc[4:])
+
+    def test_audio_features_dispatches_flac(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.flac import encode_flac
+        from borsa_spark.functions.multimodal import encode_wav
+
+        # identical samples through WAV and FLAC: identical rms, both
+        # real decodes — the compression-transparency check
+        t = np.arange(8000)
+        f = 0.25 * np.sin(2 * np.pi * 100 * t / 8000)
+        ints = (np.clip(f, -1, 1 - 1 / 32768) * 32768).astype(np.int64)
+        rows = [
+            (80, "audio", "audio/wav", encode_wav(f, 8000), None, None,
+             None, None, None),
+            (81, "audio", "audio/flac", encode_flac(ints, 8000), None,
+             None, None, None, None),
+            (82, "audio", "audio/flac", b"fLaC-corrupt", None, None,
+             500, 8000, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        out = {r.asset_id: r for r in audio_features(assets).collect()}
+        assert out[80].decoder == "wav"
+        assert out[81].decoder == "flac"
+        assert out[81].rms == pytest.approx(out[80].rms, abs=1e-12)
+        assert (out[81].sample_rate, out[81].duration_ms) == (8000, 1000)
+        assert out[82].decoder == "corrupt-fallback"
