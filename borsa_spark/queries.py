@@ -6526,6 +6526,64 @@ def f62_flac_features(spark, sf):
     )
 
 
+def _f63_sql() -> str:
+    from borsa_spark.functions.layout import sql_zorder_key
+
+    z = sql_zorder_key(["xb", "yb"], bits=10)
+    return f"""
+    WITH d AS (
+      SELECT (user_id % 1024)::BIGINT AS xb,
+             greatest(least(floor(value)::BIGINT, 1023), 0) AS yb
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    z AS (SELECT xb, yb, ({z}) AS zv FROM d)
+    SELECT (zv >> 14)::BIGINT AS bucket,
+           count(*)::BIGINT AS n,
+           min(xb) AS x_min, max(xb) AS x_max,
+           min(yb) AS y_min, max(yb) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
+@query("f63_zorder_stats", _f63_sql())
+def f63_zorder_stats(spark, sf):
+    """Z-order (Morton) layout clustering, oracle-faced: bucketize two
+    independent event dimensions to 10 bits each, interleave their bits
+    JVM-side (`layout.zorder_key` — pure integer math inside whole-stage
+    codegen), split the curve into 64 ranges (z >> 14), and emit each
+    range's min/max per dimension. The oracle replays the interleave
+    bit-for-bit in SQL, so a single misplaced bit position anywhere in
+    the 20-term expression fails the hash-match. The min/max columns ARE
+    the layout receipt: z-range buckets are tight in BOTH dimensions
+    (each spans ~1/8 of either axis), where a one-column sort is tight
+    in one and spans the full range of the other —
+    `test_zorder_file_skipping_receipt` measures that on real files.
+
+    Scale shape: the production use is `layout.zorder_layout` (one
+    repartitionByRange shuffle at write time — the price of any sort);
+    this query is its auditable core. At 100 TB, min/max footer stats
+    then prune files for filters on EITHER dimension."""
+    from borsa_spark.functions.layout import zorder_key
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        (F.col("user_id") % 1024).cast("long").alias("xb"),
+        F.greatest(
+            F.least(F.floor("value").cast("long"), F.lit(1023)), F.lit(0)
+        ).alias("yb"),
+    )
+    z = d.select("xb", "yb", zorder_key(["xb", "yb"], bits=10).alias("zv"))
+    return (
+        z.groupBy(F.shiftright("zv", 14).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("xb").alias("x_min"), F.max("xb").alias("x_max"),
+            F.min("yb").alias("y_min"), F.max("yb").alias("y_max"),
+        )
+    )
+
+
 @query(
     "rel_q11_important_stock",
     """
