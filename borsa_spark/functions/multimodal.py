@@ -13,10 +13,15 @@ partition sizing). The codec layer has one REAL path and one stub:
   subsampling, restart markers); progressive/arithmetic/12-bit reject to
   the corrupt-fallback path.
 - RIFF/WAVE PCM audio (8/16-bit, any channel count) decodes for real too
-  (`decode_wav`: chunk walk + numpy sample math) — `audio_features` takes
-  sample rate / duration / rms from the bytes, decoder='wav'.
-- Everything else (compressed audio like mp3/ogg/flac) would need
-  soundfile, which this container lacks: those decodes are
+  (`decode_wav`: chunk walk + numpy sample math), as does FLAC
+  (`functions/flac.py`: rice-coded fixed-predictor subframes, stereo
+  decorrelation, CRC-verified) — `audio_features` takes sample rate /
+  duration / rms from the bytes, decoder='wav'/'flac'.
+- Uncompressed AVI video decodes for real (`decode_avi`: RIFF walker +
+  DIB frame math); `video_frame_features` emits per-frame rows whose
+  pHashes drive video near-dup via the image band join.
+- Everything else (lossy audio like mp3/ogg; compressed video) would
+  need soundfile/ffmpeg, which this container lacks: those decodes are
   DETERMINISTIC FAKES derived from the payload bytes — clearly marked
   (decoder='fake-deterministic'), same output schema, so swapping in real
   codecs changes no plan shape.
@@ -343,12 +348,13 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytes:
+def _png_filter_rows(px: np.ndarray, filter_type: int,
+                     bpp: int = 3) -> bytes:
     """Apply one PNG filter type to every row of an (h, stride) grid —
     the encoder inverse of `_png_unfilter`, used by fixtures/tests to
     exercise each unfilter branch."""
     h, stride = px.shape
-    zeros = np.zeros(_ENC_BPP, dtype=np.int32)
+    zeros = np.zeros(bpp, dtype=np.int32)
     out = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -356,18 +362,18 @@ def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytes:
         if filter_type == 0:
             filt = rec
         elif filter_type == 1:
-            left = np.concatenate([zeros, rec[:-_ENC_BPP]])
+            left = np.concatenate([zeros, rec[:-bpp]])
             filt = (rec - left) & 0xFF
         elif filter_type == 2:
             filt = (rec - prev) & 0xFF
         elif filter_type == 3:
-            left = np.concatenate([zeros, rec[:-_ENC_BPP]])
+            left = np.concatenate([zeros, rec[:-bpp]])
             filt = (rec - (left + prev) // 2) & 0xFF
         elif filter_type == 4:
             filt = np.empty(stride, dtype=np.int32)
             for x in range(stride):
-                left = int(rec[x - _ENC_BPP]) if x >= _ENC_BPP else 0
-                ul = int(prev[x - _ENC_BPP]) if x >= _ENC_BPP else 0
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 filt[x] = (rec[x] - _png_paeth(left, int(prev[x]), ul)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {filter_type}")
@@ -377,18 +383,21 @@ def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytes:
     return bytes(out)
 
 
-_ENC_BPP = 3  # encoder emits 8-bit RGB (color type 2)
+#: channel count -> PNG color type for the fixture encoder
+_ENC_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
 def encode_png_pixels(px: np.ndarray, filter_type: int = 0) -> bytes:
-    """Fixture encoder: (h, w, 3) uint8 -> valid non-interlaced 8-bit RGB
-    PNG, every scanline filtered with ``filter_type`` (0-4) so tests can
-    drive each unfilter branch. Correct CRCs and zlib stream throughout."""
+    """Fixture encoder: (h, w, ch) uint8 -> valid non-interlaced 8-bit
+    PNG — ch 1/2/3/4 maps to gray / gray+alpha / RGB / RGBA, so every
+    decoder color-type branch is drivable; every scanline filtered with
+    ``filter_type`` (0-4) so tests can drive each unfilter branch too.
+    Correct CRCs and zlib stream throughout."""
     h, w, ch = px.shape
-    if ch != 3:
-        raise ValueError("encode_png_pixels emits RGB only")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = _png_filter_rows(px.reshape(h, w * 3), filter_type)
+    if ch not in _ENC_COLOR_TYPE:
+        raise ValueError("encode_png_pixels wants 1-4 channels")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _ENC_COLOR_TYPE[ch], 0, 0, 0)
+    raw = _png_filter_rows(px.reshape(h, w * ch), filter_type, bpp=ch)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

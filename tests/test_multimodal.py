@@ -873,3 +873,47 @@ class TestFlacCodec:
         assert out[81].rms == pytest.approx(out[80].rms, abs=1e-12)
         assert (out[81].sample_rate, out[81].duration_ms) == (8000, 1000)
         assert out[82].decoder == "corrupt-fallback"
+
+
+class TestPngColorTypes:
+    """Round-6 follow-up: the decoder's gray / gray+alpha / RGBA branches
+    are drivable now that the fixture encoder maps 1-4 channels to PNG
+    color types 0/4/2/6 — every (color type, filter) combination
+    round-trips bit-exactly."""
+
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_roundtrip_every_color_type_and_filter(
+        self, channels, filter_type
+    ):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import (
+            _png_pixels,
+            encode_png_pixels,
+        )
+
+        rng = np.random.default_rng(channels * 10 + filter_type)
+        px = rng.integers(
+            0, 256, size=(9, 11, channels), dtype=np.uint8
+        )
+        back = _png_pixels(encode_png_pixels(px, filter_type=filter_type))
+        assert np.array_equal(back, px)
+
+    def test_alpha_excluded_from_luma(self):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import (
+            decode_png,
+            encode_png_pixels,
+        )
+
+        # RGB + varying alpha: luma must match the alpha-free image
+        rng = np.random.default_rng(8)
+        rgb = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+        alpha = rng.integers(0, 256, size=(7, 9, 1), dtype=np.uint8)
+        rgba = np.concatenate([rgb, alpha], axis=2)
+        _, _, ch3, luma3 = decode_png(encode_png_pixels(rgb))
+        _, _, ch4, luma4 = decode_png(encode_png_pixels(rgba))
+        assert (ch3, ch4) == (3, 4)
+        assert luma4 == pytest.approx(luma3, abs=1e-12)
