@@ -6544,6 +6544,76 @@ def _f63_sql() -> str:
     """
 
 
+@query(
+    "w13_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM e)
+    SELECT user_id,
+           epoch_us(min(ts))::BIGINT AS session_start_us,
+           count(*)::BIGINT AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def w13_session_windows(spark, sf):
+    """User sessionization with Spark's NATIVE ``session_window``
+    (30-minute inactivity gap): per session, start timestamp, event
+    count, and active span. The oracle rebuilds sessions from first
+    principles — gaps-and-islands over lag() — so this query
+    cross-checks Spark's built-in session-window semantics against the
+    textbook definition, per group, per event. Two boundary subtleties
+    the oracle must mirror exactly: a session window is [start,
+    last + gap), so an event AT last + gap starts a NEW session (the
+    islands rule is `>=` gap, not `>`); and timestamps carry
+    microseconds, so epochs compare in integer MICROSECONDS (DuckDB's
+    ::BIGINT cast of a fractional epoch ROUNDS where Spark's
+    unix_timestamp truncates — the sweep-class divergence, avoided
+    rather than papered over).
+
+    Scale shape: session_window plans as one shuffle keyed user_id with
+    in-partition sort — same cost as the window formulation, but the
+    SAME operator runs unchanged under Structured Streaming with a
+    watermark (state per open session), which the lag() formulation
+    cannot. Session windows at 100 TB are the standard web/event-log
+    aggregation."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("__first").alias("session_start_us"),
+            "n_events",
+            (
+                F.unix_micros("__last") - F.unix_micros("__first")
+            ).cast("long").alias("span_us"),
+        )
+    )
+
+
 @query("f63_zorder_stats", _f63_sql())
 def f63_zorder_stats(spark, sf):
     """Z-order (Morton) layout clustering, oracle-faced: bucketize two

@@ -527,3 +527,98 @@ class TestRocksDBStateStore:
                 spark.conf.unset(
                     "spark.sql.streaming.stateStore.providerClass"
                 )
+
+
+class TestSessionWindowStreaming:
+    """w13's streaming half: the SAME session_window aggregation runs
+    under Structured Streaming with a watermark — closed sessions match
+    the batch computation over the same feed (T12's append-mode pattern
+    for session windows)."""
+
+    def test_closed_sessions_match_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        import pyspark.sql.functions as F
+
+        def ts(minute):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+        schema = "user_id long, ts timestamp"
+        # user 1: events at 0,10 (one session), 50 (second session);
+        # user 2: single event; a late final event moves the watermark
+        rows = [
+            (1, ts(0)), (1, ts(10)), (1, ts(50)),
+            (2, ts(5)),
+            (9, ts(400)),  # watermark pusher
+        ]
+        path = tmp_path / "sess_events"
+        path.mkdir()
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(path / "b0")
+        )
+        src = spark.readStream.schema(schema).parquet(str(path / "b*"))
+        agg = (
+            src.withWatermark("ts", "10 seconds")
+            .groupBy(
+                "user_id",
+                F.session_window("ts", "30 minutes").alias("w"),
+            )
+            .agg(F.count("*").alias("n_events"), F.min("ts").alias("start"))
+        )
+        out = _run_stream(spark, agg, tmp_path, "sess_out", "append")
+        got = {
+            (r.user_id, r.start): r.n_events
+            for r in out.collect()
+            if r.user_id != 9
+        }
+        # batch reference over the same rows
+        batch = (
+            spark.createDataFrame(rows, schema)
+            .filter(F.col("user_id") != 9)
+            .groupBy(
+                "user_id",
+                F.session_window("ts", "30 minutes").alias("w"),
+            )
+            .agg(F.count("*").alias("n_events"), F.min("ts").alias("start"))
+        )
+        want = {(r.user_id, r.start): r.n_events for r in batch.collect()}
+        assert got == want
+        assert got[(1, ts(0))] == 2   # 0 and 10 merged
+        assert got[(1, ts(50))] == 1  # 50 is a fresh session (gap 40m)
+
+
+class TestDropDuplicatesWithinWatermark:
+    """Streaming dedup with bounded state: dropDuplicatesWithinWatermark
+    keeps the dedup key only while it can still collide (the watermark
+    horizon) — the native form of the ingest path's md5 anti-join for
+    at-the-source tick dedup."""
+
+    def test_in_window_duplicates_dropped(self, spark, tmp_path):
+        import datetime as dt
+
+        schema = "symbol string, seq long, ts timestamp, price double"
+
+        def ts(sec):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+        batches = [
+            [("AAPL", 1, ts(0), 10.0), ("AAPL", 1, ts(1), 10.0)],  # dup seq
+            [("AAPL", 1, ts(2), 10.0), ("AAPL", 2, ts(3), 11.0)],  # replay + new
+        ]
+        path = tmp_path / "ddw"
+        path.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+                str(path / f"b{i}")
+            )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path / "b*"))
+        )
+        dedup = src.withWatermark("ts", "1 hour") \
+            .dropDuplicatesWithinWatermark(["symbol", "seq"])
+        out = _run_stream(spark, dedup, tmp_path, "ddw_out", "append")
+        rows = out.collect()
+        seqs = sorted((r.symbol, r.seq) for r in rows)
+        assert seqs == [("AAPL", 1), ("AAPL", 2)]  # replays dropped
