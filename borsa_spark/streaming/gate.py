@@ -100,3 +100,103 @@ def streaming_monotonic_gate(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# T8 on the modern API: transformWithStateInPandas (Spark 4).
+# ---------------------------------------------------------------------------
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs PySpark >= 4 AND the protobuf
+    runtime (its driver<->worker state channel is proto-encoded). This
+    container ships Spark 4.1 but no google.protobuf, so the operator
+    cannot RUN here — the implementation below is the forward-looking
+    variant for real clusters, its tests skip with this probe, and its
+    vectorized body is shared verbatim with the tested legacy gate."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:
+        return False
+
+
+def _make_gate_processor(out_cols, ts_col, order_col, ttl_ms):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+    )
+
+    class MonotonicGateProcessor(StatefulProcessor):
+        """Per-key drop-older-keep-equal gate as a Spark 4
+        StatefulProcessor: one ValueState long (the HWM in ns) per
+        symbol, with the 24h idle reaper expressed as NATIVE state TTL
+        (`getValueState(..., ttlDurationMs=...)`) instead of the legacy
+        API's ProcessingTimeTimeout dance — TTL'd state simply vanishes,
+        so a bounded availableNow drive needs no special-casing."""
+
+        def init(self, handle):
+            self._hwm = handle.getValueState(
+                "hwm", "value long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            existing = self._hwm.get()
+            hwm = existing[0] if existing is not None else None
+            for pdf in rows:
+                if order_col is not None:
+                    pdf = pdf.sort_values(order_col, kind="stable")
+                ts = pdf[ts_col].astype("int64").to_numpy()
+                if len(ts) == 0:
+                    continue
+                init_v = hwm if hwm is not None else np.iinfo(np.int64).min
+                running = np.maximum.accumulate(
+                    np.concatenate(([init_v], ts))
+                )
+                keep = ts >= running[:-1]
+                hwm = int(running[-1])
+                out = pdf[keep]
+                if len(out):
+                    yield out[out_cols]
+            if hwm is not None:
+                self._hwm.update((int(hwm),))
+
+        def close(self):
+            pass
+
+    return MonotonicGateProcessor()
+
+
+def streaming_monotonic_gate_tws(
+    updates: DataFrame,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    order_col: str | None = "seq",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """`streaming_monotonic_gate` on Spark 4's transformWithState API —
+    same semantics (filters.rs:12-74), same vectorized shifted-cummax
+    body, but keyed state goes through a StatefulProcessor with NATIVE
+    per-state TTL, and the operator requires the RocksDB state store
+    (set `spark.sql.streaming.stateStore.providerClass` to
+    RocksDBStateStoreProvider — transformWithState does not run on the
+    HDFS-backed default). Prefer this form on Spark 4 clusters: native
+    TTL composes with availableNow triggers (no wall-clock timeout
+    hang), and RocksDB state scales past executor memory."""
+    if not _tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires PySpark >= 4 and the"
+            " protobuf runtime (absent in this container)"
+        )
+    cols = updates.columns
+    schema = updates.schema
+    return updates.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_make_gate_processor(
+            cols, ts_col, order_col, ttl_ms
+        ),
+        outputStructType=schema,
+        outputMode="Append",
+        timeMode="None",
+    )
