@@ -8,7 +8,7 @@ it; at 100 TB these run as a single scan + narrow projection with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Small per-language stopword sets for the n-gram/stopword language
@@ -212,3 +212,169 @@ def sql_pii_scrub(text_sql: str = "text") -> str:
     for tag, pat in PII_PATTERNS:
         red = f"regexp_replace({red}, '{pat}', '[{tag}]', 'g')"
     return f"SELECT doc_id, {counts}, md5({red}) AS redacted_hash FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals / deterministic sampling / winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", §A1.1 filter family — public paper):
+    (doc_id, n_words, dup_word_frac, top_bigram_frac). High duplicate-word
+    or dominant-bigram fractions mark boilerplate/spam documents a
+    training pipeline drops before tokenization.
+
+    dup_word_frac   = 1 - |distinct words| / |words|       (in-row, no shuffle)
+    top_bigram_frac = max bigram count / total bigrams     (explode + 2 keyed
+                                                            aggs on doc_id)
+
+    Scale shape: the unigram stats never leave the row (`array_distinct`
+    inside codegen); the bigram side explodes to |words| rows keyed by
+    doc_id, and both aggregations are partial-aggregatable groupBys on
+    that key — no window, no driver loop, no cross-doc shuffle beyond
+    the doc_id hash. Docs with < 2 words get top_bigram_frac = 0.
+    """
+    words = docs.select("doc_id", F.split(F.col(text_col), " ").alias("l"))
+    uni = words.select(
+        "doc_id",
+        F.size("l").alias("n_words"),
+        F.size(F.array_distinct("l")).alias("n_distinct"),
+    )
+    bigrams = (
+        words.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1),"
+                    " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            ).alias("g"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total"))
+    )
+    return uni.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.coalesce(F.col("top_c"), F.lit(0)).cast("long").alias("top_c"),
+        F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("n_bigrams"),
+        # Ratio columns for threshold filters; the exact integer columns
+        # above are what the oracle hashes (rounded quotients are the one
+        # cross-engine divergence class — see the module docstring).
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("top_c") / F.col("total"), F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-rebalancing
+    primitive (keep 10% of Common-Crawl-like strata, 100% of curated
+    ones). Membership is a pure function of (salt, id): re-running the
+    pipeline, re-partitioning, or re-ordering the input cannot change
+    the sample, and a different salt draws an independent one — the
+    property `rand()`-based sampling loses the moment tasks retry.
+
+    keep iff hash_bucket(id, salt, 10_000) < round(rate * 10_000).
+
+    Scale shape: one codegen'd md5 + modulo per row at scan speed; the
+    filter prunes BEFORE any downstream shuffle, so a 10% stratum pays
+    10% of everything after it. No sampling state, no driver RNG.
+    """
+    bucket = hash_bucket(F.col(id_col), salt)
+    cut = None
+    for name, rate in rates.items():
+        c = F.when(
+            F.col(stratum_col) == name, F.lit(int(round(rate * 10_000)))
+        )
+        cut = c if cut is None else cut.when(
+            F.col(stratum_col) == name, F.lit(int(round(rate * 10_000)))
+        )
+    cut = (
+        cut.otherwise(int(round(default_rate * 10_000)))
+        if cut is not None
+        else F.lit(int(round(default_rate * 10_000)))
+    )
+    return docs.filter(bucket < cut)
+
+
+def sql_stratified_cut(stratum_sql: str, rates: dict[str, float],
+                       default_rate: float) -> str:
+    """DuckDB CASE expression mirroring stratified_sample's cut points."""
+    whens = " ".join(
+        f"WHEN '{name}' THEN {int(round(rate * 10_000))}"
+        for name, rate in rates.items()
+    )
+    return (
+        f"CASE {stratum_sql} {whens} "
+        f"ELSE {int(round(default_rate * 10_000))} END"
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm, public paper): hash every word
+    k-gram, slide a window of ``w`` consecutive hashes, record the
+    minimum of each window. Guarantees any shared run of >= k + w - 1
+    words between two documents shares at least one fingerprint, at
+    ~1/w the storage of full k-gram shingling — the classic
+    position-robust near-dup/plagiarism signature.
+
+    Hash = md5 hex of the space-joined k-gram, minimum = lexicographic —
+    both engine-portable, so the oracle replays fingerprints
+    byte-for-byte (xxhash64 would be Spark-local). Returns per-document
+    (doc_id, n_grams, n_fp, min_fp, max_fp); only full windows are
+    scored (docs shorter than k + w - 1 words yield no row), matching
+    the paper's definition.
+
+    Scale shape: explode to one row per k-gram position (|words| rows,
+    keyed by doc_id), one per-doc ordered window (`min` over w-1
+    following — state is w hashes), one partial-aggregatable groupBy.
+    Everything JVM-side; the only shuffle keys are doc_id.
+    """
+    base = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("l")
+    ).filter(F.size("l") >= k + w - 1)
+    grams = base.select(
+        "doc_id",
+        (F.size("l") - (k - 1)).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(l, i, {k}))))"
+            )
+        ).alias("pos0", "h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
+    fps = grams.select(
+        "doc_id",
+        "n_grams",
+        "pos0",
+        F.min("h").over(win).alias("fp"),
+    ).filter(F.col("pos0") + w <= F.col("n_grams"))
+    return fps.groupBy("doc_id").agg(
+        F.first("n_grams").cast("long").alias("n_grams"),
+        F.countDistinct("fp").cast("long").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

@@ -6771,6 +6771,141 @@ def rel_q16_supplier_part_counts(spark, sf):
     )
 
 
+@query(
+    "f64_repetition_signals",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    uni AS (
+      SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+      FROM words GROUP BY doc_id),
+    lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS g
+      FROM lists WHERE len(l) >= 2),
+    bg AS (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g),
+    top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total
+            FROM bg GROUP BY doc_id)
+    SELECT u.doc_id,
+           u.n_words::BIGINT                AS n_words,
+           u.n_distinct::BIGINT             AS n_distinct,
+           coalesce(t.top_c, 0)::BIGINT     AS top_c,
+           coalesce(t.total, 0)::BIGINT     AS n_bigrams
+    FROM uni u LEFT JOIN top t USING (doc_id)
+    """,
+)
+def f64_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public paper): per document, word count, distinct-word count, the
+    count of the single most frequent word bigram, and total bigrams —
+    the exact integers behind the dup-word and top-bigram fractions a
+    pipeline thresholds on (`text.repetition_signals` also emits the
+    rounded ratios; the gate hashes the integers, which have no
+    cross-engine rounding surface at all). The oracle rebuilds both
+    from first principles: unnest + count(distinct) for unigrams,
+    list_transform adjacency for bigrams.
+
+    Scale shape: unigram stats are in-row (`array_distinct` in
+    codegen, no shuffle); the bigram side explodes to |words| rows and
+    runs two partial-aggregatable groupBys keyed by doc_id — no
+    window, no cross-doc traffic. Beyond-reference LLM-pipeline
+    surface (quality filtering)."""
+    from borsa_spark.functions.text import repetition_signals
+
+    docs = load_table(spark, sf, "documents")
+    return repetition_signals(docs).drop("dup_word_frac", "top_bigram_frac")
+
+
+def _f66_sql() -> str:
+    from borsa_spark.functions.text import sql_hash_bucket, sql_stratified_cut
+
+    bucket = sql_hash_bucket("doc_id", "mix-v1")
+    cut = sql_stratified_cut("lang", {"en": 0.35, "de": 0.8}, 0.6)
+    return f"""
+    SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
+    FROM documents WHERE ({bucket}) < ({cut})
+    """
+
+
+@query("f66_stratified_sample", _f66_sql())
+def f66_stratified_sample(spark, sf):
+    """Deterministic per-stratum downsampling (`text.stratified_sample`)
+    — the data-mixture rebalancing primitive: keep 35% of the dominant
+    'en' stratum, 80% of 'de', 60% of everything else, with membership
+    a pure function of (salt, doc_id) via the portable 60-bit md5
+    bucket. The oracle replays the identical hash + CASE cut, so a
+    single doc admitted or dropped differently fails the hash gate —
+    this pins that the sample is engine-, order-, and
+    partitioning-independent (what rand()-sampling loses on task
+    retry).
+
+    Scale shape: one codegen'd md5 + modulo per row at scan speed; the
+    filter prunes before any downstream shuffle, so a 35% stratum pays
+    35% of everything after it. Beyond-reference LLM-pipeline surface
+    (mixture weighting)."""
+    from borsa_spark.functions.text import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.35, "de": 0.8}, default_rate=0.6,
+        salt="mix-v1",
+    )
+    return kept.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@query(
+    "f67_winnow_fingerprints",
+    """
+    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE len(string_split(text, ' ')) >= 6),
+    grams AS (
+      SELECT doc_id, len(l) - 2 AS n_grams,
+             unnest(range(1, len(l) - 1)) AS pos,
+             unnest(list_transform(
+                 range(1, len(l) - 1),
+                 i -> md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS h
+      FROM lists),
+    win AS (
+      SELECT doc_id, n_grams, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams)
+    SELECT doc_id,
+           any_value(n_grams)::BIGINT AS n_grams,
+           count(DISTINCT fp)::BIGINT AS n_fp,
+           min(fp) AS min_fp,
+           max(fp) AS max_fp
+    FROM win WHERE pos + 3 <= n_grams
+    GROUP BY doc_id
+    """,
+)
+def f67_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS algorithm, public paper): md5 every word 3-gram, slide a
+    4-hash window, keep each window's lexicographic minimum. Any shared
+    run of >= 6 words between two documents shares a fingerprint at
+    ~1/4 the storage of full shingling — the classic position-robust
+    near-dup signature. Hash and minimum are both engine-portable
+    (md5 hex + string ordering), so the oracle replays the fingerprint
+    selection byte-for-byte: per doc, gram count, distinct-fingerprint
+    count, and the extreme fingerprints themselves.
+
+    Scale shape: explode to one row per 3-gram (|words| rows keyed by
+    doc_id), one per-doc ordered window whose state is 4 hashes, one
+    partial-aggregatable groupBy — the same plan family as a9's spans.
+    Docs shorter than 6 words yield no full window and no row, matching
+    the paper's definition. Beyond-reference LLM-pipeline surface
+    (document fingerprinting)."""
+    from borsa_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf, "documents")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

@@ -891,3 +891,117 @@ class TestSubstringSpans:
         got = self._spans(spark, rows, k=5, min_len=8, max_gram_df=5)
         assert len(got) == 10
         assert all(s.len_tokens == 10 for s in got)
+
+
+class TestRepetitionSignals:
+    def test_hand_computed_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "x"), (3, "u v w")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in tx.repetition_signals(docs).collect()}
+        # doc 1: words [a,b,a,b,a]; bigrams [a b, b a, a b, b a]
+        assert (out[1].n_words, out[1].n_distinct) == (5, 2)
+        assert (out[1].top_c, out[1].n_bigrams) == (2, 4)
+        assert out[1].dup_word_frac == pytest.approx(0.6)
+        assert out[1].top_bigram_frac == pytest.approx(0.5)
+        # doc 2: a single word has no bigrams -> frac 0, not null
+        assert (out[2].top_c, out[2].n_bigrams) == (0, 0)
+        assert out[2].top_bigram_frac == 0.0
+        assert out[2].dup_word_frac == 0.0
+        # doc 3: all distinct, every bigram unique
+        assert (out[3].n_words, out[3].n_distinct) == (3, 3)
+        assert (out[3].top_c, out[3].n_bigrams) == (1, 2)
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        rows = [(i, "t", ["en", "de", "fr"][i % 3]) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_membership_matches_hash_bucket(self, spark):
+        docs = self._docs(spark)
+        kept = tx.stratified_sample(
+            docs, "lang", {"en": 0.3}, default_rate=0.7, salt="s1"
+        )
+        got = {r.doc_id for r in kept.collect()}
+        manual = {
+            r.doc_id
+            for r in docs.select(
+                "doc_id",
+                tx.hash_bucket(F.col("doc_id"), "s1").alias("b"),
+                "lang",
+            ).collect()
+            if r.b < (3000 if r.lang == "en" else 7000)
+        }
+        assert got == manual
+
+    def test_deterministic_and_salt_independent(self, spark):
+        docs = self._docs(spark)
+        a = {r.doc_id for r in tx.stratified_sample(
+            docs, "lang", {}, default_rate=0.5, salt="s1").collect()}
+        b = {r.doc_id for r in tx.stratified_sample(
+            docs, "lang", {}, default_rate=0.5, salt="s1").collect()}
+        c = {r.doc_id for r in tx.stratified_sample(
+            docs, "lang", {}, default_rate=0.5, salt="s2").collect()}
+        assert a == b          # pure function of (salt, id)
+        assert a != c          # a new salt draws an independent sample
+
+    def test_rate_extremes(self, spark):
+        docs = self._docs(spark)
+        assert tx.stratified_sample(
+            docs, "lang", {"en": 0.0}, default_rate=1.0).filter(
+            F.col("lang") == "en").count() == 0
+        assert tx.stratified_sample(
+            docs, "lang", {"en": 1.0}, default_rate=0.0).count() == 100
+
+
+class TestWinnowFingerprints:
+    def test_hand_computed_k2_w2(self, spark):
+        import hashlib
+
+        words = ["b", "a", "c", "a", "b"]
+        grams = [" ".join(words[i : i + 2]) for i in range(4)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        fps = {min(hs[i], hs[i + 1]) for i in range(3)}
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        row = tx.winnow_fingerprints(docs, k=2, w=2).collect()[0]
+        assert row.n_grams == 4
+        assert row.n_fp == len(fps)
+        assert row.min_fp == min(fps)
+        assert row.max_fp == max(fps)
+
+    def test_short_doc_yields_no_row(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        # k + w - 1 = 6 words needed; 5 -> no full window, no row
+        assert tx.winnow_fingerprints(docs, k=3, w=4).count() == 0
+
+    def test_shared_run_guarantee(self, spark):
+        # the paper's property: a shared run of >= k + w - 1 words
+        # forces at least one shared fingerprint
+        shared = "q w e r t y"
+        docs = spark.createDataFrame(
+            [(1, "a b c " + shared), (2, shared + " z x v")],
+            "doc_id long, text string",
+        )
+        out = tx.winnow_fingerprints(docs, k=3, w=4)
+        # recompute the full fingerprint sets locally for the overlap check
+        import hashlib
+
+        def fset(text):
+            ws = text.split(" ")
+            hs = [
+                hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()
+                for i in range(len(ws) - 2)
+            ]
+            return {min(hs[i : i + 4]) for i in range(len(hs) - 3)}
+
+        s1 = fset("a b c " + shared)
+        s2 = fset(shared + " z x v")
+        assert s1 & s2, "winnowing guarantee violated in the local model"
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[1].n_fp == len(s1) and rows[2].n_fp == len(s2)
