@@ -3511,7 +3511,9 @@ def f31_stratified_sample(spark, sf):
     """Stratified rebalancing sample: keep each document with a
     per-language probability (en 0.5, zh 0.8, rest 1.0), decided by a
     deterministic portable hash of the doc id — the language-rebalancing
-    stage of a training-mix builder.
+    stage of a training-mix builder, via the first-class
+    `text.stratified_sample` operator (round 6 lifted the inline logic
+    into the library; this query is its gate face).
 
     Scale shape: a pure per-row map (hash, compare, filter) — no shuffle,
     no sort, no membership table; the same row set is re-derivable on any
@@ -3519,15 +3521,10 @@ def f31_stratified_sample(spark, sf):
     follows it. Changing the salt draws an independent sample.
     """
     docs = load_table(spark, sf, "documents")
-    bucket = _tx.hash_bucket(F.col("doc_id"), "sample31")
-    cut = None
-    for lg, r in _F31_RATES.items():
-        cond, val = F.col("lang") == lg, F.lit(int(r * 10_000))
-        cut = F.when(cond, val) if cut is None else cut.when(cond, val)
-    cut = cut.otherwise(F.lit(10_000))
-    return (
-        docs.filter(bucket < cut).select("doc_id", "lang", "source")
+    kept = _tx.stratified_sample(
+        docs, "lang", _F31_RATES, default_rate=1.0, salt="sample31"
     )
+    return kept.select("doc_id", "lang", "source")
 
 
 @query(
@@ -6805,7 +6802,10 @@ def f64_repetition_signals(spark, sf):
     rounded ratios; the gate hashes the integers, which have no
     cross-engine rounding surface at all). The oracle rebuilds both
     from first principles: unnest + count(distinct) for unigrams,
-    list_transform adjacency for bigrams.
+    list_transform adjacency for bigrams. Complements f32 (duplicate
+    3-gram RATIO, in-row): top-bigram dominance is the signal that
+    catches "word word word ..." spam a duplicate-ngram ratio
+    under-weights, and it genuinely needs the per-bigram groupBy.
 
     Scale shape: unigram stats are in-row (`array_distinct` in
     codegen, no shuffle); the bigram side explodes to |words| rows and
@@ -6816,45 +6816,6 @@ def f64_repetition_signals(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return repetition_signals(docs).drop("dup_word_frac", "top_bigram_frac")
-
-
-def _f66_sql() -> str:
-    from borsa_spark.functions.text import sql_hash_bucket, sql_stratified_cut
-
-    bucket = sql_hash_bucket("doc_id", "mix-v1")
-    cut = sql_stratified_cut("lang", {"en": 0.35, "de": 0.8}, 0.6)
-    return f"""
-    SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
-    FROM documents WHERE ({bucket}) < ({cut})
-    """
-
-
-@query("f66_stratified_sample", _f66_sql())
-def f66_stratified_sample(spark, sf):
-    """Deterministic per-stratum downsampling (`text.stratified_sample`)
-    — the data-mixture rebalancing primitive: keep 35% of the dominant
-    'en' stratum, 80% of 'de', 60% of everything else, with membership
-    a pure function of (salt, doc_id) via the portable 60-bit md5
-    bucket. The oracle replays the identical hash + CASE cut, so a
-    single doc admitted or dropped differently fails the hash gate —
-    this pins that the sample is engine-, order-, and
-    partitioning-independent (what rand()-sampling loses on task
-    retry).
-
-    Scale shape: one codegen'd md5 + modulo per row at scan speed; the
-    filter prunes before any downstream shuffle, so a 35% stratum pays
-    35% of everything after it. Beyond-reference LLM-pipeline surface
-    (mixture weighting)."""
-    from borsa_spark.functions.text import stratified_sample
-
-    docs = load_table(spark, sf, "documents")
-    kept = stratified_sample(
-        docs, "lang", {"en": 0.35, "de": 0.8}, default_rate=0.6,
-        salt="mix-v1",
-    )
-    return kept.select(
-        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
-    )
 
 
 @query(

@@ -384,3 +384,32 @@ class TestRound4ContinuedPlanShapes:
         plan = plan_of(spark, "f57_weighted_pagerank")
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastNestedLoopJoin" in plan
+
+    def test_repetition_signals_prunes_and_partial_aggs(self, spark):
+        # unigram stats are in-row; the bigram side is two partial-
+        # aggregatable groupBys keyed by doc_id — never a global window
+        plan = plan_of(spark, "f64_repetition_signals")
+        assert "SinglePartition" not in plan
+        assert "partial_" in plan
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1) == "doc_id:bigint,text:string"
+
+    def test_stratified_sample_is_scan_plus_filter(self, spark):
+        # membership is one codegen'd md5 + modulo per row
+        # (text.stratified_sample, f31's engine): the whole query must
+        # plan as scan -> filter with NO shuffle anywhere
+        plan = plan_of(spark, "f31_stratified_sample")
+        assert "Exchange" not in plan
+        assert "md5" in plan  # the hash runs inside the filter condition
+
+    def test_winnow_single_doc_keyed_shuffle(self, spark):
+        # one Exchange hashpartitioning(doc_id) feeds the window AND both
+        # phases of the countDistinct rewrite — the fingerprint pipeline
+        # never reshuffles and never collapses to a single partition
+        plan = plan_of(spark, "f67_winnow_fingerprints")
+        assert plan.count("Exchange") <= 2  # tree node + Arguments line
+        assert "SinglePartition" not in plan
+        assert "windowspecdefinition(doc_id" in plan
+        assert "partial_" in plan
