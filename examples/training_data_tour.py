@@ -116,6 +116,23 @@ def main() -> None:
     QUERIES["f54_training_order"](spark, SF) \
         .orderBy("position").show(5)
 
+    # 10. round-6 quality + fingerprinting: repetition signals rank the
+    # spammiest docs; winnowing fingerprints give the position-robust
+    # near-dup signature at 1/w the shingle storage; stratified_sample
+    # rebalances the language mix deterministically
+    print("== most repetitive docs (top-bigram dominance) ==")
+    tx.repetition_signals(docs).orderBy(
+        F.desc("top_bigram_frac")).show(5)
+    print("== winnowing fingerprints (MOSS) ==")
+    tx.winnow_fingerprints(docs).orderBy("doc_id").show(5)
+    print("== language mix before/after stratified sample ==")
+    kept = tx.stratified_sample(
+        docs, "lang", {"en": 0.35}, default_rate=1.0, salt="tour")
+    docs.groupBy("lang").count().withColumnRenamed("count", "before") \
+        .join(kept.groupBy("lang").count()
+              .withColumnRenamed("count", "after"), "lang") \
+        .orderBy("lang").show()
+
     spark.stop()
 
 
