@@ -303,6 +303,9 @@ def main() -> None:
         "f53_blocklist_filter",
         "f54_training_order",
         "f55_boilerplate_fraction",
+        # round 6: repetition signals + winnowing fingerprints
+        "f64_repetition_signals",
+        "f67_winnow_fingerprints",
     ):
         fn = QUERIES[qname]
         for tier, path in tiers:
