@@ -352,6 +352,20 @@ def winnow_fingerprints(
     following — state is w hashes), one partial-aggregatable groupBy.
     Everything JVM-side; the only shuffle keys are doc_id.
     """
+    fps = _winnow_fp_rows(docs, k, w, text_col)
+    return fps.groupBy("doc_id").agg(
+        F.first("n_grams").cast("long").alias("n_grams"),
+        F.countDistinct("fp").cast("long").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+def _winnow_fp_rows(
+    docs: DataFrame, k: int, w: int, text_col: str
+) -> DataFrame:
+    """(doc_id, n_grams, pos0, fp) — one row per full winnowing window;
+    the shared core of `winnow_fingerprints` and `winnow_pairs`."""
     base = docs.select(
         "doc_id", F.split(F.col(text_col), " ").alias("l")
     ).filter(F.size("l") >= k + w - 1)
@@ -366,15 +380,58 @@ def winnow_fingerprints(
         ).alias("pos0", "h"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
-    fps = grams.select(
+    return grams.select(
         "doc_id",
         "n_grams",
         "pos0",
         F.min("h").over(win).alias("fp"),
     ).filter(F.col("pos0") + w <= F.col("n_grams"))
-    return fps.groupBy("doc_id").agg(
-        F.first("n_grams").cast("long").alias("n_grams"),
-        F.countDistinct("fp").cast("long").alias("n_fp"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The MOSS pair screen: (id_a, id_b, shared_fps) for document pairs
+    sharing >= ``min_shared`` winnowing fingerprints. This is what the
+    fingerprints are FOR — the cheap candidate generator in front of the
+    exact machinery: feed its pairs to `dedup.repeated_substring_spans`
+    (restricted to candidates) instead of letting the span extractor
+    join every rare anchor corpus-wide.
+
+    Fingerprints appearing in more than ``max_fp_df`` documents are
+    dropped before the self-join — corpus boilerplate (every doc shares
+    it, so it identifies nothing) and the exact discipline that bounds
+    the join fanout in `containment_pairs` / `repeated_substring_spans`:
+    candidate count tracks true overlap, never fp-df².
+
+    Scale shape: per-(doc, fp) dedup and the df cap are partial-
+    aggregatable groupBys on fp; the pair join is an equi-join on fp
+    whose per-key fanout the cap bounds; the final groupBy is keyed by
+    the pair. No window beyond the per-doc selection, no global sort.
+    """
+    sel = (
+        _winnow_fp_rows(docs, k, w, text_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_fp_df)
+        .select("fp")
+    )
+    capped = sel.join(rare, "fp", "left_semi")
+    a = capped.select(F.col("doc_id").alias("id_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )

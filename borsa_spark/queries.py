@@ -6867,6 +6867,53 @@ def f67_winnow_fingerprints(spark, sf):
     return winnow_fingerprints(docs, k=3, w=4)
 
 
+@query(
+    "f68_winnow_pairs",
+    """
+    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE len(string_split(text, ' ')) >= 6),
+    grams AS (
+      SELECT doc_id, len(l) - 2 AS n_grams,
+             unnest(range(1, len(l) - 1)) AS pos,
+             unnest(list_transform(
+                 range(1, len(l) - 1),
+                 i -> md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS h
+      FROM lists),
+    win AS (
+      SELECT doc_id, n_grams, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams),
+    sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos + 3 <= n_grams),
+    rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*)::BIGINT AS shared_fps
+    FROM sel a JOIN sel b USING (fp)
+    WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM rare)
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def f68_winnow_pairs(spark, sf):
+    """The MOSS pair screen over f67's fingerprints: document pairs
+    sharing >= 2 winnowing fingerprints, with fingerprints present in
+    > 50 docs dropped first (corpus boilerplate identifies nothing and
+    is what would make the fp self-join fan out df²-style — the f40/f61
+    cap discipline). This is the fingerprints' actual use: a cheap
+    candidate generator whose pairs feed the exact substring-span
+    extractor (f61) restricted to candidates instead of corpus-wide.
+    The oracle replays selection, cap, and pair counts byte-for-byte
+    (portable md5 + lexicographic min).
+
+    Scale shape: per-(doc, fp) dedup and the df cap are partial-
+    aggregatable fp-keyed groupBys; the pair join's per-key fanout is
+    bounded by the cap; the final agg is keyed by the pair. Candidates
+    track true overlap, never corpus²."""
+    from borsa_spark.functions.text import winnow_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return winnow_pairs(docs, k=3, w=4, min_shared=2, max_fp_df=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

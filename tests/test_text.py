@@ -1005,3 +1005,62 @@ class TestWinnowFingerprints:
         assert s1 & s2, "winnowing guarantee violated in the local model"
         rows = {r.doc_id: r for r in out.collect()}
         assert rows[1].n_fp == len(s1) and rows[2].n_fp == len(s2)
+
+
+class TestWinnowPairs:
+    def test_shared_run_pairs_and_composition(self, spark):
+        # two docs sharing a >= k+w-1 run must pair; the pair then
+        # scopes the exact span extractor (the production composition)
+        shared = "q w e r t y u i"
+        rows = [
+            (1, "a b c " + shared),
+            (2, shared + " z x v"),
+            (3, "n o p m l j h g f d"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = tx.winnow_pairs(docs, k=3, w=4, min_shared=1).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+        from borsa_spark.functions.dedup import repeated_substring_spans
+
+        cand = spark.createDataFrame(
+            [(p.id_a, p.id_b) for p in pairs], "id_a long, id_b long"
+        )
+        spans = (
+            repeated_substring_spans(docs, k=3, min_len=8)
+            .join(cand, ["id_a", "id_b"], "left_semi")
+            .collect()
+        )
+        assert len(spans) == 1 and spans[0].len_tokens == 8
+
+    def test_df_cap_drops_boilerplate_fp(self, spark):
+        # 6 identical boilerplate docs: every fingerprint has df = 6, so
+        # a cap of 5 drops them all and no pair survives — while the
+        # uncapped run pairs all C(6,2). (Docs that merely CONTAIN shared
+        # boilerplate still pair via windows straddling their distinct
+        # tails — that is true overlap, not cap leakage.)
+        boiler = "terms of service apply to everything here"
+        rows = [(i, boiler) for i in range(6)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = tx.winnow_pairs(
+            docs, k=3, w=4, min_shared=1, max_fp_df=100
+        ).count()
+        capped = tx.winnow_pairs(
+            docs, k=3, w=4, min_shared=1, max_fp_df=5
+        ).count()
+        assert uncapped == 15 and capped == 0
+
+    def test_min_shared_threshold(self, spark):
+        shared = "q w e r t y u i o p a s d f"
+        docs = spark.createDataFrame(
+            [(1, shared), (2, shared + " k1 k2")],
+            "doc_id long, text string",
+        )
+        many = tx.winnow_pairs(docs, k=3, w=4, min_shared=1).collect()
+        assert many and many[0].shared_fps >= 2
+        assert (
+            tx.winnow_pairs(
+                docs, k=3, w=4, min_shared=many[0].shared_fps + 1
+            ).count()
+            == 0
+        )
