@@ -306,6 +306,7 @@ def main() -> None:
         # round 6: repetition signals + winnowing fingerprints
         "f64_repetition_signals",
         "f67_winnow_fingerprints",
+        "f68_winnow_pairs",
     ):
         fn = QUERIES[qname]
         for tier, path in tiers:
