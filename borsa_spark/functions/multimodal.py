@@ -437,6 +437,26 @@ def _gray_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data).astype(np.float64).mean(axis=2) / 255.0
 
 
+def decode_gif_features(data: bytes) -> tuple[int, int, int, float]:
+    """Decode a GIF's first frame: (width, height, channels, mean_luma)
+    — the `decode_bmp`/`decode_png` contract over functions/gif.py's
+    pure-Python LZW decoder. Malformed streams raise ValueError
+    (corrupt-fallback downstream)."""
+    from borsa_spark.functions.gif import decode_gif
+
+    px = decode_gif(data)
+    h, w, ch = px.shape
+    luma = float(px.astype(np.float64).mean() / 255.0)
+    return w, h, ch, luma
+
+
+def _gray_gif(data: bytes) -> np.ndarray:
+    """Grayscale pixel grid (float64 [0,1]) from a GIF's first frame."""
+    from borsa_spark.functions.gif import decode_gif
+
+    return decode_gif(data).astype(np.float64).mean(axis=2) / 255.0
+
+
 def decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
     """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
     n_frames, duration_ms, rms). Stdlib-only: RIFF chunk walk, fmt
@@ -581,6 +601,9 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                     elif data[:2] == b"\xff\xd8":
                         w, h, ch, luma = decode_jpeg_features(data)
                         dec = "jpeg"
+                    elif data[:4] == b"GIF8":
+                        w, h, ch, luma = decode_gif_features(data)
+                        dec = "gif"
                     elif _HAVE_PIL:  # pragma: no cover - PIL absent here
                         raise NotImplementedError(
                             "real PIL decode path not exercised in this"
@@ -594,6 +617,7 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                     dec = (
                         "corrupt-fallback"
                         if data[:2] in (b"BM", b"P6", b"\xff\xd8")
+                        or data[:4] == b"GIF8"
                         or data[:8] == _PNG_SIG
                         else "fake-deterministic"
                     )
@@ -1043,6 +1067,8 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                         bits, dec = phash64(_gray_png(data)), "png"
                     elif data[:2] == b"\xff\xd8":
                         bits, dec = phash64(_gray_jpeg(data)), "jpeg"
+                    elif data[:4] == b"GIF8":
+                        bits, dec = phash64(_gray_gif(data)), "gif"
                     else:
                         raise ValueError("no known magic")
                 except (ValueError, struct.error):
@@ -1051,6 +1077,7 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                     dec = (
                         "corrupt-fallback"
                         if data[:2] in (b"BM", b"P6", b"\xff\xd8")
+                        or data[:4] == b"GIF8"
                         or data[:8] == _PNG_SIG
                         else "fake-deterministic"
                     )

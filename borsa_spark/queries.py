@@ -2785,21 +2785,22 @@ def f14_top_tokens(spark, sf):
            3::BIGINT                 AS n_channels,
            round(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
                  / 3.0 / 255.0, 4)   AS mean_luma,
-           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                ELSE 'png' END AS decoder
+           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                WHEN 2 THEN 'png' ELSE 'gif' END AS decoder
     FROM documents
     """,
 )
 def f16_media_features(spark, sf):
     """Multimodal: REAL image decode end-to-end. Synthesizes one
-    solid-color image per document (doc_id % 3: 24-bit BMP with row
+    solid-color image per document (doc_id % 4: 24-bit BMP with row
     padding / binary PPM with a header comment / zlib-compressed 8-bit
-    PNG with Paeth-filtered scanlines), runs the pure-Python codecs
-    inside `image_features`'s mapInPandas stage, and checks the decoded
-    (dims, channels, mean-luma, decoder) against an ANALYTIC oracle
-    computed from doc_id alone — the encoder parameters, never the
-    bytes. A decoder that misparses padding, BGR order, the PPM header,
-    or the PNG filter recurrences fails the hash-match."""
+    PNG with Paeth-filtered scanlines / LZW-compressed palettized GIF),
+    runs the pure-Python codecs inside `image_features`'s mapInPandas
+    stage, and checks the decoded (dims, channels, mean-luma, decoder)
+    against an ANALYTIC oracle computed from doc_id alone — the encoder
+    parameters, never the bytes. A decoder that misparses padding, BGR
+    order, the PPM header, the PNG filter recurrences, or the GIF LZW
+    width schedule fails the hash-match."""
     import pandas as pd
 
     from borsa_spark.functions import multimodal as mm
@@ -2813,14 +2814,20 @@ def f16_media_features(spark, sf):
                 did = int(did)
                 w, h = 4 + did % 13, 4 + did % 7
                 rgb = (did % 256, (did * 7) % 256, (did * 13) % 256)
-                enc = (mm.encode_bmp, mm.encode_ppm)[did % 3] \
-                    if did % 3 < 2 else None
-                data = (
-                    enc(w, h, rgb)
-                    if enc is not None
+                mode = did % 4
+                if mode < 2:
+                    data = (mm.encode_bmp, mm.encode_ppm)[mode](w, h, rgb)
+                elif mode == 2:
                     # Paeth on every scanline: the hardest unfilter branch
-                    else mm.encode_png(w, h, rgb, filter_type=4)
-                )
+                    data = mm.encode_png(w, h, rgb, filter_type=4)
+                else:
+                    import numpy as np
+
+                    from borsa_spark.functions.gif import encode_gif
+
+                    data = encode_gif(
+                        np.full((h, w, 3), rgb, dtype=np.uint8)
+                    )
                 out.append((did, data))
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 

@@ -23,6 +23,7 @@ import numpy as np  # noqa: E402
 
 from borsa_spark import schemas  # noqa: E402
 from borsa_spark.functions import multimodal as mm  # noqa: E402
+from borsa_spark.functions.gif import encode_gif  # noqa: E402
 from borsa_spark.functions.jpeg import encode_jpeg  # noqa: E402
 from borsa_spark.session import get_spark  # noqa: E402
 
@@ -49,6 +50,9 @@ def main() -> None:
          None, None, None, None, None),
         (4, "audio", "audio/wav", wav, None, None, None, None, None),
         (5, "video", "video/avi", mm.encode_avi(clip, fps=10),
+         None, None, None, None, None),
+        # GIF needs a palette: quantize the gradient to <= 64 colors
+        (6, "image", "image/gif", encode_gif(img // 64 * 64),
          None, None, None, None, None),
     ]
     assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)

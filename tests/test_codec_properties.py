@@ -147,3 +147,37 @@ class TestJpegProperties:
         mean_bound, max_bound = (4.0, 48) if sub == "444" else (9.0, 80)
         assert err.mean() < mean_bound
         assert err.max() < max_bound
+
+
+class TestGifProperties:
+    @SET
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        levels=st.integers(2, 16),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_any_shape(self, h, w, levels, interlace, seed):
+        from borsa_spark.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        # quantized palette keeps unique colors <= levels^... well under 256
+        px = (rng.integers(0, levels, size=(h, w, 3)) * (255 // levels)).astype(
+            np.uint8
+        )
+        assert np.array_equal(decode_gif(encode_gif(px, interlace=interlace)), px)
+
+    @SET
+    @given(
+        n=st.integers(1, 3000),
+        alphabet=st.integers(2, 255),
+        mcs=st.integers(2, 8),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_lzw_roundtrip(self, n, alphabet, mcs, seed):
+        from borsa_spark.functions.gif import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(seed)
+        s = bytes(rng.integers(0, min(alphabet, 1 << mcs), n, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(s, mcs), mcs, n) == s

@@ -917,3 +917,149 @@ class TestPngColorTypes:
         _, _, ch4, luma4 = decode_png(encode_png_pixels(rgba))
         assert (ch3, ch4) == (3, 4)
         assert luma4 == pytest.approx(luma3, abs=1e-12)
+
+
+class TestGifCodec:
+    """functions/gif.py: pure-Python GIF87a/89a with real LZW both ways."""
+
+    def test_hand_built_literal_stream_golden(self):
+        # "Uncompressed GIF" built byte-by-byte from the spec, NOT via
+        # encode_gif: a clear code before every literal keeps the
+        # dictionary empty, so this pins LSB-first bit packing, clear
+        # semantics, sub-block framing, and palette lookup independently
+        # of the encoder's arithmetic.
+        import struct
+
+        import numpy as np
+
+        from borsa_spark.functions.gif import decode_gif
+
+        m, w = 2, 3
+        clear, end = 4, 5
+        pixels = [1, 0, 3, 2, 1, 1]
+        bits = []
+
+        def put(code, width):
+            for i in range(width):
+                bits.append((code >> i) & 1)
+
+        put(clear, w)
+        for p in pixels:
+            put(p, w)
+            put(clear, w)
+        put(end, w)
+        stream = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                v |= bit << j
+            stream.append(v)
+        palette = bytes(
+            [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+        )  # black, R, G, B
+        gif = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 3, 2, 0x81, 0, 0)
+            + palette
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, 3, 2, 0)
+            + bytes([m, len(stream)])
+            + bytes(stream)
+            + b"\x00\x3b"
+        )
+        px = decode_gif(gif)
+        assert px.shape == (2, 3, 3)
+        # pixels [1,0,3 / 2,1,1] -> [R, black, B / G, R, R]
+        assert np.array_equal(
+            px[0], np.array([[255, 0, 0], [0, 0, 0], [0, 0, 255]], np.uint8)
+        )
+        assert np.array_equal(
+            px[1], np.array([[0, 255, 0], [255, 0, 0], [255, 0, 0]], np.uint8)
+        )
+
+    def test_roundtrip_shapes_and_interlace(self):
+        import numpy as np
+
+        from borsa_spark.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(11)
+        cases = [
+            np.zeros((1, 1, 3), np.uint8),
+            np.full((5, 7, 3), 200, np.uint8),
+            (rng.integers(0, 4, (33, 9, 3)) * 60).astype(np.uint8),
+            (rng.integers(0, 4, (1, 50, 3)) * 60).astype(np.uint8),
+        ]
+        for px in cases:
+            for interlace in (False, True):
+                out = decode_gif(encode_gif(px, interlace=interlace))
+                assert np.array_equal(out, px)
+
+    def test_dictionary_full_roundtrip_and_compression(self):
+        # 256-color noise forces the dictionary toward 4096 and the
+        # clear-on-full path; low-entropy input must genuinely compress
+        import numpy as np
+
+        from borsa_spark.functions.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(11)
+        colors = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        noise = colors[rng.integers(0, 256, (80, 90)).astype(np.uint8)]
+        assert np.array_equal(decode_gif(encode_gif(noise)), noise)
+        flat = np.full((64, 64, 3), 9, np.uint8)
+        enc = encode_gif(flat)
+        assert len(enc) < 64 * 64 // 4  # real compression, no pass-through
+        assert np.array_equal(decode_gif(enc), flat)
+
+    def test_phash_cross_codec_invariance(self):
+        # identical pixels through GIF and PPM must hash identically —
+        # the cross-codec oracle every image decoder here satisfies
+        import numpy as np
+
+        from borsa_spark.functions.gif import encode_gif
+        from borsa_spark.functions.multimodal import (
+            _gray_gif,
+            _gray_ppm,
+            phash64,
+        )
+
+        rng = np.random.default_rng(11)
+        px = (rng.integers(0, 4, (24, 31, 3)) * 80).astype(np.uint8)
+        ppm = b"P6\n31 24\n255\n" + px.tobytes()
+        assert phash64(_gray_gif(encode_gif(px))) == phash64(_gray_ppm(ppm))
+
+    def test_error_paths(self):
+        import numpy as np
+
+        from borsa_spark.functions.gif import decode_gif, encode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"")
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF90a" + b"\x00" * 20)
+        good = encode_gif(np.full((4, 4, 3), 7, np.uint8))
+        with pytest.raises(ValueError):
+            decode_gif(good[:-6])  # truncated inside pixel data
+        rng = np.random.default_rng(11)
+        with pytest.raises(ValueError):
+            encode_gif(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+
+    def test_feature_and_phash_dispatch(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.gif import encode_gif
+        from borsa_spark.functions.multimodal import image_phash
+
+        px = np.full((6, 8, 3), 120, np.uint8)
+        good = encode_gif(px)
+        corrupt = good[: len(good) // 2]
+        assets = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(corrupt))],
+            "asset_id long, payload binary",
+        )
+        feats = {r.asset_id: r for r in image_features(assets).collect()}
+        assert feats[1].decoder == "gif"
+        assert (feats[1].width, feats[1].height) == (8, 6)
+        assert abs(feats[1].mean_luma - 120 / 255) < 1e-9
+        assert feats[2].decoder == "corrupt-fallback"
+        ph = {r.asset_id: r for r in image_phash(assets).collect()}
+        assert ph[1].decoder == "gif"
+        assert ph[2].decoder == "corrupt-fallback"
