@@ -193,6 +193,38 @@ def generate_100x(spark) -> None:
         .parquet(os.path.join(SCALE_DIR_100, "documents.parquet"))
     )
 
+    # 100x embeddings (200k vectors, dim 64): the 10x perturbation scheme
+    # one decade further — rep 0 keeps originals, later reps jitter each
+    # component deterministically by <= 0.5% so the label/cluster
+    # structure survives and ANN recall stays measurable.
+    emb = load_table(spark, base, "embeddings")
+    e100 = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("rep"), i),
+                            F.lit(1000),
+                        ).cast("float")
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.01
+                    * F.when(F.col("rep") == 0, 0.0).otherwise(1.0)
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    e100.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SCALE_DIR_100, "embeddings.parquet")
+    )
+
 
 def run_100x(spark, results: list) -> None:
     """The decade-further dedup-chain drill: f7 / f40 / f35 wall + output
