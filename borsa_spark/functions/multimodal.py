@@ -67,7 +67,9 @@ AUDIO_FEATURES_SCHEMA = (
     "n_windows int, sha256 string, decoder string"
 )
 
-THUMBNAIL_SCHEMA = "asset_id long, width int, height int, thumb binary"
+THUMBNAIL_SCHEMA = (
+    "asset_id long, width int, height int, thumb binary, decoder string"
+)
 
 
 def media_batch_conf(avg_payload_bytes: int, target_batch_bytes: int = 1 << 28):
@@ -703,8 +705,13 @@ def audio_features(
 def resize_images(
     assets: DataFrame, width: int, height: int, auto_batch: bool = True
 ) -> DataFrame:
-    """Thumbnail pipeline; STUB: emits a deterministic pseudo-thumbnail
-    (hash-expanded bytes of the target size), real batch plumbing.
+    """Thumbnail pipeline: REAL grayscale thumbnails for every decodable
+    payload (BMP/PPM/PNG/JPEG/GIF via the shared magic dispatch +
+    `_block_mean` integral-image resampling — the pHash resampler at an
+    arbitrary target size), row-major ``width * height`` uint8 bytes.
+    Undecodable payloads keep the deterministic hash-expanded
+    pseudo-thumbnail; the ``decoder`` column says which path produced
+    each row, same contract as `image_features`/`image_phash`.
     ``auto_batch`` sizes the Arrow batch from a sampled payload probe."""
     if auto_batch:
         autotune_arrow_batch(assets)
@@ -716,11 +723,39 @@ def resize_images(
             out = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                seed = hashlib.sha256(data).digest()
-                buf = (seed * (nbytes // len(seed) + 1))[:nbytes]
-                out.append((asset_id, width, height, buf))
+                try:
+                    if data[:2] == b"BM":
+                        gray, dec = _gray_bmp(data), "bmp"
+                    elif data[:2] == b"P6":
+                        gray, dec = _gray_ppm(data), "ppm"
+                    elif data[:8] == _PNG_SIG:
+                        gray, dec = _gray_png(data), "png"
+                    elif data[:2] == b"\xff\xd8":
+                        gray, dec = _gray_jpeg(data), "jpeg"
+                    elif data[:4] == b"GIF8":
+                        gray, dec = _gray_gif(data), "gif"
+                    else:
+                        raise ValueError("no known magic")
+                    small = _block_mean(gray, height, width)
+                    buf = bytes(
+                        np.clip(np.round(small * 255.0), 0, 255)
+                        .astype(np.uint8)
+                        .reshape(-1)
+                    )
+                except (ValueError, struct.error):
+                    seed = hashlib.sha256(data).digest()
+                    buf = (seed * (nbytes // len(seed) + 1))[:nbytes]
+                    dec = (
+                        "corrupt-fallback"
+                        if data[:2] in (b"BM", b"P6", b"\xff\xd8")
+                        or data[:4] == b"GIF8"
+                        or data[:8] == _PNG_SIG
+                        else "fake-deterministic"
+                    )
+                out.append((asset_id, width, height, buf, dec))
             yield pd.DataFrame(
-                out, columns=["asset_id", "width", "height", "thumb"]
+                out,
+                columns=["asset_id", "width", "height", "thumb", "decoder"],
             )
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -1003,32 +1038,40 @@ _DCT_BASIS = np.cos(
 ).T  # [k, n] DCT-II basis
 
 
-def phash64(gray: np.ndarray) -> int:
-    """64-bit perceptual hash of a grayscale grid: block-mean resample to
-    32x32, 2D DCT-II, keep the top-left 8x8 block minus the DC term,
-    set bit i iff coefficient i exceeds the median. Robust to uniform
-    brightness shifts (DC excluded) and small pixel noise (low-frequency
-    coefficients dominate)."""
+def _block_mean(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean resample a grayscale grid to (out_h, out_w) via one
+    cumulative-sum integral image — the exact-arithmetic resampler
+    shared by pHash (32x32) and `resize_images` (arbitrary thumbs)."""
     h, w = gray.shape
-    ys = (np.arange(_DCT_N + 1) * h // _DCT_N).clip(1, h)
-    xs = (np.arange(_DCT_N + 1) * w // _DCT_N).clip(1, w)
+    ys = (np.arange(out_h + 1) * h // out_h).clip(1, h)
+    xs = (np.arange(out_w + 1) * w // out_w).clip(1, w)
     ys[0] = xs[0] = 0
-    small = np.empty((_DCT_N, _DCT_N))
+    small = np.empty((out_h, out_w))
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-    for i in range(_DCT_N):
+    for i in range(out_h):
         # degenerate dimensions (1xN strips): clamp the block to the
         # image so y1 never indexes past the cumulative-sum bounds —
         # repeated rows/cols simply resample the same pixels
         y0 = min(ys[i], h - 1)
         y1 = min(max(ys[i + 1], y0 + 1), h)
-        for j in range(_DCT_N):
+        for j in range(out_w):
             x0 = min(xs[j], w - 1)
             x1 = min(max(xs[j + 1], x0 + 1), w)
             area = (y1 - y0) * (x1 - x0)
             small[i, j] = (
                 csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
             ) / area
+    return small
+
+
+def phash64(gray: np.ndarray) -> int:
+    """64-bit perceptual hash of a grayscale grid: block-mean resample to
+    32x32, 2D DCT-II, keep the top-left 8x8 block minus the DC term,
+    set bit i iff coefficient i exceeds the median. Robust to uniform
+    brightness shifts (DC excluded) and small pixel noise (low-frequency
+    coefficients dominate)."""
+    small = _block_mean(gray, _DCT_N, _DCT_N)
     coeffs = _DCT_BASIS @ small @ _DCT_BASIS.T
     block = coeffs[:8, :8].flatten()[1:]  # drop DC
     med = np.median(block)

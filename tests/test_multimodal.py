@@ -1063,3 +1063,66 @@ class TestGifCodec:
         ph = {r.asset_id: r for r in image_phash(assets).collect()}
         assert ph[1].decoder == "gif"
         assert ph[2].decoder == "corrupt-fallback"
+
+
+class TestRealThumbnails:
+    """resize_images round 6: real block-mean thumbs for decodable
+    payloads, hash-fake only for undecodable ones."""
+
+    def test_flat_image_exact_thumb(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import encode_bmp
+
+        assets = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(10, 6, (120, 120, 120))))],
+            "asset_id long, payload binary",
+        )
+        row = resize_images(assets, 4, 3).collect()[0]
+        assert row.decoder == "bmp"
+        assert len(row.thumb) == 12
+        assert set(bytes(row.thumb)) == {120}
+
+    def test_checkerboard_block_means(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.gif import encode_gif
+
+        # 4x4 checkerboard of 0/255 -> every 2x2 block means 127.5 -> 128
+        px = np.zeros((4, 4, 3), np.uint8)
+        px[::2, 1::2] = 255
+        px[1::2, ::2] = 255
+        assets = spark.createDataFrame(
+            [(1, bytearray(encode_gif(px)))],
+            "asset_id long, payload binary",
+        )
+        row = resize_images(assets, 2, 2).collect()[0]
+        assert row.decoder == "gif"
+        assert list(bytes(row.thumb)) == [128, 128, 128, 128]
+
+    def test_cross_codec_thumb_equality(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.gif import encode_gif
+
+        rng = np.random.default_rng(5)
+        px = (rng.integers(0, 4, (12, 17, 3)) * 80).astype(np.uint8)
+        ppm = b"P6\n17 12\n255\n" + px.tobytes()
+        assets = spark.createDataFrame(
+            [(1, bytearray(encode_gif(px))), (2, bytearray(ppm))],
+            "asset_id long, payload binary",
+        )
+        rows = {r.asset_id: r for r in resize_images(assets, 5, 5).collect()}
+        assert rows[1].decoder == "gif" and rows[2].decoder == "ppm"
+        assert bytes(rows[1].thumb) == bytes(rows[2].thumb)
+
+    def test_undecodable_keeps_fake_path(self, spark):
+        assets = spark.createDataFrame(
+            [(1, bytearray(b"mp3-not-an-image")),
+             (2, bytearray(b"BM" + b"\x00" * 8))],
+            "asset_id long, payload binary",
+        )
+        rows = {r.asset_id: r for r in resize_images(assets, 8, 8).collect()}
+        assert rows[1].decoder == "fake-deterministic"
+        assert rows[2].decoder == "corrupt-fallback"
+        assert all(len(r.thumb) == 64 for r in rows.values())
