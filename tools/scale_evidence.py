@@ -226,6 +226,51 @@ def generate_100x(spark) -> None:
     )
 
 
+def generate_events10x(spark) -> str:
+    """10x-dense events tier (scale_data/events10x): every event
+    replicated 10x with event_id/user_id namespaced and ts shifted by
+    +rep MICROSECONDS — keeps the registry's globally-unique-ts
+    convention while making every bucket/symbol series 10x denser (the
+    market-data stress: same output keys, 10x input collapsing
+    map-side). Other tables symlink to sf0.1. Returns the dir."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    p = _os.path.join(
+        _os.path.dirname(__file__), "..", "scale_data", "events10x"
+    )
+    p = _os.path.abspath(p)
+    if not _os.path.exists(_os.path.join(p, "events.parquet")):
+        ev = load_table(spark, "/root/testdata/sf0.1", "events")
+        reps = spark.range(10).select(F.col("id").alias("rep"))
+        e10 = ev.crossJoin(F.broadcast(reps)).select(
+            (F.col("event_id") + F.col("rep") * 10_000_000).alias(
+                "event_id"
+            ),
+            (F.col("ts") + F.make_interval(secs=F.col("rep") / 1e6)).alias(
+                "ts"
+            ),
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        e10.repartition(16).write.mode("overwrite").parquet(
+            _os.path.join(p, "events.parquet")
+        )
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            dst = _os.path.join(p, f"{t}.parquet")
+            if not _os.path.exists(dst):
+                _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    return p
+
+
 def run_100x(spark, results: list) -> None:
     """The decade-further dedup-chain drill: f7 / f40 / f35 wall + output
     at 500k docs, plus candidate-vs-true-pair accounting for f7 and f40
