@@ -130,3 +130,30 @@ def test_monotonic_gate_drop_does_not_lower_watermark(spark):
     ]
     out = monotonic_gate(make_candles(spark, rows))
     assert sorted(r["seq"] for r in out.collect()) == [0, 3]
+
+
+def test_sub_second_neighbors_collapse_before_the_sort(spark):
+    # Dense-feed shape (the 10M-event drill's regression): many ticks
+    # inside the same second must collapse BEFORE the per-key ordered
+    # window and contribute no zero deltas — steps are whole-second
+    # semantics, so [0, 0.25, 0.5, 60, 60.75, 120] infers 60 exactly
+    # like [0, 60, 120] does.
+    from pyspark.sql import functions as F
+
+    from borsa_spark.operators.infer import _deltas
+
+    rows = [0.0, 0.25, 0.5, 60.0, 60.75, 120.0]
+    df = spark.createDataFrame(
+        [("AAPL", float(s)) for s in rows], "symbol string, off double"
+    ).select(
+        "symbol",
+        (F.timestamp_seconds(F.lit(1_700_000_000) + F.col("off"))).alias(
+            "ts"
+        ),
+    )
+    deltas = sorted(
+        r["delta"] for r in _deltas(df).collect()
+    )
+    assert deltas == [60, 60]  # no zero rows, no sub-second remnants
+    out = estimate_step_seconds(df).collect()
+    assert {r["symbol"]: r["step_seconds"] for r in out} == {"AAPL": 60}
