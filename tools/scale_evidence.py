@@ -271,6 +271,56 @@ def generate_events10x(spark) -> str:
     return p
 
 
+def generate_rel10x(spark) -> str:
+    """10x relational tier (scale_data/rel10x): lineitem + orders
+    replicated 10x with namespaced orderkeys (6M line items); dimension
+    tables symlink to sf0.1 — broadcast sides deliberately keep their
+    real-world size. Used for the SCALE.md TPC-H drill table."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    p = _os.path.abspath(
+        _os.path.join(_os.path.dirname(__file__), "..", "scale_data", "rel10x")
+    )
+    if not _os.path.exists(_os.path.join(p, "lineitem.parquet")):
+        reps = spark.range(10).select(F.col("id").alias("rep"))
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        (
+            li.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.col("rep") * 1_000_000_000,
+            )
+            .drop("rep")
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(p, "lineitem.parquet"))
+        )
+        od = load_table(spark, "/root/testdata/sf0.1", "orders")
+        (
+            od.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.col("rep") * 1_000_000_000,
+            )
+            .drop("rep")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(p, "orders.parquet"))
+        )
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "events", "documents", "embeddings",
+        ]:
+            dst = _os.path.join(p, f"{t}.parquet")
+            if not _os.path.exists(dst):
+                _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    return p
+
+
 def run_100x(spark, results: list) -> None:
     """The decade-further dedup-chain drill: f7 / f40 / f35 wall + output
     at 500k docs, plus candidate-vs-true-pair accounting for f7 and f40
