@@ -20,11 +20,15 @@ partition sizing). The codec layer has one REAL path and one stub:
 - Uncompressed AVI video decodes for real (`decode_avi`: RIFF walker +
   DIB frame math); `video_frame_features` emits per-frame rows whose
   pHashes drive video near-dup via the image band join.
-- Everything else (lossy audio like mp3/ogg; compressed video) would
-  need soundfile/ffmpeg, which this container lacks: those decodes are
-  DETERMINISTIC FAKES derived from the payload bytes — clearly marked
-  (decoder='fake-deterministic'), same output schema, so swapping in real
-  codecs changes no plan shape.
+- Lossy audio (mp3 — ID3/frame-sync magic; ogg — OggS) would need
+  soundfile/ffmpeg, which this container lacks. Real bytes in those
+  formats are NEVER summarized with fabricated numbers: `audio_features`
+  emits decoder='unsupported-lossy' with NULL features (sha256 stays
+  real) so downstream can drop, not trust. The deterministic
+  digest-derived stub (decoder='fake-deterministic') remains only for
+  unrecognized synthetic fixture bytes, or everywhere behind the opt-in
+  `fake_features=True` flag — same output schema either way, so swapping
+  in real codecs changes no plan shape.
 
 Design for 100 TB of media:
 - payloads stay in `binary` columns; nothing ever collects to the driver;
@@ -127,6 +131,18 @@ def autotune_arrow_batch(
     )
     assets.sparkSession.conf.set(ARROW_BATCH_KEY, str(rows))
     return rows
+
+
+def _is_lossy_audio(data: bytes) -> bool:
+    """True for real-world lossy audio containers we deliberately do NOT
+    decode (no codec libs in scope): mp3 — an ID3v2 tag or a bare MPEG
+    audio frame sync (11 set bits: 0xFF then 0xE0 mask; public ISO 11172-3
+    framing) — and ogg (RFC 3533 'OggS' capture pattern). These route to
+    decoder='unsupported-lossy' with NULL features so downstream never
+    consumes fabricated numbers for real recordings."""
+    if data[:3] == b"ID3" or data[:4] == b"OggS":
+        return True
+    return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
 
 
 def _fake_dims(digest: bytes) -> tuple[int, int, int]:
@@ -638,18 +654,28 @@ def image_features(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
 
 
 def audio_features(
-    assets: DataFrame, window_ms: int = 25, auto_batch: bool = True
+    assets: DataFrame,
+    window_ms: int = 25,
+    auto_batch: bool = True,
+    fake_features: bool = False,
 ) -> DataFrame:
     """Audio feature rows: REAL decode for RIFF/WAVE PCM payloads
     (8/16-bit, any channel count — `decode_wav`, decoder='wav', with
     sample rate / duration / rms taken from the BYTES, metadata columns
-    ignored as a real pipeline must); other formats (mp3/ogg/flac would
-    need soundfile, absent in this container) keep the deterministic
-    hash-derived stub with metadata-based window arithmetic, tagged
-    decoder='fake-deterministic'. A WAV-magic payload that fails to
+    ignored as a real pipeline must) and FLAC (decoder='flac'). Lossy
+    formats we cannot decode (mp3 — ID3 tag or MPEG frame sync; ogg —
+    OggS capture pattern) are NEVER summarized with fabricated numbers:
+    they emit decoder='unsupported-lossy' with NULL sample_rate /
+    duration_ms / rms / n_windows (sha256 stays real, so dedup and
+    provenance still work), and downstream filters can drop them rather
+    than trust made-up features. A WAV/FLAC-magic payload that fails to
     parse degrades to 'corrupt-fallback' rather than killing the job.
-    ``auto_batch`` sizes the Arrow batch from a sampled payload probe
-    (see image_features)."""
+    Unrecognized bytes (synthetic test fixtures, not a known audio
+    container) keep the deterministic hash-derived stub tagged
+    decoder='fake-deterministic'; passing ``fake_features=True`` (an
+    opt-in FIXTURE flag, never for real data) extends that stub to the
+    lossy formats for deterministic-pipeline tests. ``auto_batch`` sizes
+    the Arrow batch from a sampled payload probe (see image_features)."""
     if auto_batch:
         autotune_arrow_batch(assets)
 
@@ -682,6 +708,14 @@ def audio_features(
                     except (ValueError, struct.error):
                         rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
                         dec = "corrupt-fallback"
+                elif not fake_features and _is_lossy_audio(data):
+                    # Real bytes in a format we can't decode: an honest
+                    # NULL-feature marker row, never fabricated numbers.
+                    out.append(
+                        (row.asset_id, None, None, None, None,
+                         digest.hex(), "unsupported-lossy")
+                    )
+                    continue
                 else:
                     rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
                     dec = "fake-deterministic"

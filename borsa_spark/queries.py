@@ -6670,20 +6670,25 @@ def f63_zorder_stats(spark, sf):
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_0'
       GROUP BY l.l_partkey),
-    tot AS (SELECT sum(stock_value) AS t FROM val)
+    tot AS (SELECT avg(stock_value) AS t FROM val)
     SELECT v.l_partkey AS p_partkey, v.stock_value
     FROM val v CROSS JOIN tot
-    WHERE v.stock_value > tot.t * 0.002
+    WHERE v.stock_value > tot.t * 2.0
     """,
 )
 def rel_q11_important_stock(spark, sf):
     """TPC-H Q11 shape (important stock identification), re-keyed to
     this schema (no partsupp table — per-part supplier value rebuilt
     from lineitem, the rel_q2 convention): per-part value of NATION_0's
-    suppliers, keeping parts whose value exceeds a FRACTION OF THE
-    GLOBAL TOTAL. The defining feature is the scalar subquery over the
-    SAME aggregated relation — computed once, broadcast into the filter
-    as a 1-row crossJoin (rel_q22's pattern), never a second scan of
+    suppliers, keeping parts whose value exceeds a MULTIPLE OF THE MEAN
+    part value. TPC-H's spec threshold is a fraction of the total scaled
+    by 1/SF (`0.0001/SF`); a fixed fraction goes vacuous as the part
+    count grows (the r6 form returned 0 rows at the sf1 tier), so this
+    uses the scale-invariant 2x-mean form — same rows at any SF ratio,
+    non-empty witness at every tier (77 rows sf0.01, 1299 sf1). The
+    defining feature is unchanged: a scalar subquery over the SAME
+    aggregated relation — computed once, broadcast into the filter as a
+    1-row crossJoin (rel_q22's pattern), never a second scan of
     lineitem. Group sums snap at 4dp before the threshold compare (the
     discounted-revenue convention).
 
@@ -6707,10 +6712,10 @@ def rel_q11_important_stock(spark, sf):
             ).alias("stock_value")
         )
     )
-    tot = val.agg(F.sum("stock_value").alias("__t"))
+    tot = val.agg(F.avg("stock_value").alias("__t"))
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("stock_value") > F.col("__t") * 0.002)
+        .filter(F.col("stock_value") > F.col("__t") * 2.0)
         .select(F.col("l_partkey").alias("p_partkey"), "stock_value")
     )
 

@@ -527,9 +527,45 @@ class TestWavCodec:
         assert (out[40].sample_rate, out[40].duration_ms) == (8000, 1000)
         assert out[40].rms == pytest.approx(0.25 / np.sqrt(2), abs=1e-3)
         assert out[40].n_windows == 1000 // 25
-        assert out[41].decoder == "fake-deterministic"
-        assert (out[41].sample_rate, out[41].duration_ms) == (22050, 1000)
+        # real mp3 bytes are NEVER summarized with fabricated features
+        assert out[41].decoder == "unsupported-lossy"
+        assert out[41].sample_rate is None and out[41].duration_ms is None
         assert out[42].decoder == "corrupt-fallback"
+
+    def test_audio_lossy_formats_get_unsupported_marker(self, spark):
+        """mp3 (ID3 tag or bare MPEG frame sync) and ogg payloads emit a
+        NULL-feature marker row — sha256 stays real for dedup/provenance —
+        instead of digest-derived fake numbers. The stub survives ONLY
+        behind the opt-in fixture flag."""
+        rows = [
+            (50, "audio", "audio/mpeg", b"ID3\x04\x00tag-then-frames",
+             None, None, 1000, 44100, None),
+            (51, "audio", "audio/mpeg", b"\xff\xfb\x90\x00mpeg-sync",
+             None, None, 2000, 44100, None),
+            (52, "audio", "audio/ogg", b"OggS\x00vorbis-ish",
+             None, None, 3000, 48000, None),
+            (53, "audio", "application/octet-stream", b"not-any-audio",
+             None, None, 4000, 16000, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        out = {r.asset_id: r for r in audio_features(assets).collect()}
+        for k in (50, 51, 52):
+            assert out[k].decoder == "unsupported-lossy"
+            assert out[k].sample_rate is None
+            assert out[k].duration_ms is None
+            assert out[k].rms is None
+            assert out[k].n_windows is None
+            assert len(out[k].sha256) == 64  # provenance digest stays real
+        # unrecognized bytes (synthetic fixtures) keep the documented stub
+        assert out[53].decoder == "fake-deterministic"
+        # opt-in fixture flag restores deterministic features everywhere
+        fake = {
+            r.asset_id: r
+            for r in audio_features(assets, fake_features=True).collect()
+        }
+        for k in (50, 51, 52, 53):
+            assert fake[k].decoder == "fake-deterministic"
+            assert fake[k].rms is not None
 
 
 class TestJpegCodec:

@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -71,8 +72,13 @@ def main():
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
+        # Spark-written tables are directories of part files; single-file
+        # tables (the driver's testdata) are plain .parquet. DuckDB needs a
+        # glob for the former, Spark handles both transparently.
+        path = f"{sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
 
     qs, oracles = m.queries(), m.oracle_sql()
