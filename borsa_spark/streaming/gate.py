@@ -107,21 +107,38 @@ def streaming_monotonic_gate(
 # ---------------------------------------------------------------------------
 
 
-def _tws_available() -> bool:
-    """transformWithStateInPandas needs PySpark >= 4 AND the protobuf
-    runtime (its driver<->worker state channel is proto-encoded). This
-    container ships Spark 4.1 but no google.protobuf, so the operator
-    cannot RUN here — the implementation below is the forward-looking
-    variant for real clusters, its tests skip with this probe, and its
-    vectorized body is shared verbatim with the tested legacy gate."""
+def _tws_unavailable_reason() -> str | None:
+    """Why transformWithStateInPandas cannot run here, or None if it
+    can. It needs PySpark >= 4 AND the protobuf runtime (its
+    driver<->worker state channel is proto-encoded). Exactly TWO
+    outcomes are acceptable: available, or unavailable precisely
+    because google.protobuf is absent (this container's documented
+    state). Any OTHER failure — a Spark upgrade renaming
+    StatefulProcessor, a half-installed protobuf — must surface loudly,
+    so the probe re-raises it instead of folding it into a skip: the
+    guard test in tests/test_streaming.py runs UNSKIPPED and fails on
+    anything but the documented reason, and the equivalence test
+    auto-activates the moment protobuf appears."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
             StatefulProcessor,
         )
-        return True
+    except ImportError as e:  # API moved/renamed: NOT an acceptable skip
+        raise RuntimeError(
+            "transformWithState probe: StatefulProcessor import failed "
+            f"for a reason other than missing protobuf: {e}"
+        ) from e
+    try:
+        from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        return False
+        return "google.protobuf absent"
+    return None
+
+
+def _tws_available() -> bool:
+    """True iff the transformWithState gate variant can run in this
+    environment (see _tws_unavailable_reason)."""
+    return _tws_unavailable_reason() is None
 
 
 def _make_gate_processor(out_cols, ts_col, order_col, ttl_ms):
