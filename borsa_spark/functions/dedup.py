@@ -17,6 +17,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -456,6 +457,7 @@ def dup_clusters(
     nodes: DataFrame,
     max_iters: int = 20,
     algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a pair graph: (id, component) where component
     is the minimum node id in the connected component — the step that turns
@@ -479,9 +481,15 @@ def dup_clusters(
 
     Raises RuntimeError if ``max_iters`` rounds do not converge — loud, not
     a silent partial clustering.
+
+    ``stats``: optional dict the star path fills with drill-grade
+    attribution at zero extra Spark jobs (the numbers fall out of the
+    convergence fingerprints): ``rounds``, ``edge_counts`` (canonical
+    edge count entering each round, then the fixpoint count) and
+    per-round walls ``round_secs``.
     """
     if algorithm == "star":
-        return _dup_clusters_star(pairs, nodes, max_iters)
+        return _dup_clusters_star(pairs, nodes, max_iters, stats)
     if algorithm != "label_prop":
         raise ValueError(f"unknown algorithm {algorithm!r}: star | label_prop")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -551,7 +559,10 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def _dup_clusters_star(
-    pairs: DataFrame, nodes: DataFrame, max_iters: int = 20
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
@@ -577,9 +588,14 @@ def _dup_clusters_star(
     ).filter(F.col("u") != F.col("v")).distinct()
     edges = e0.localCheckpoint(eager=True)
     prev = _edge_checksum(edges)
+    if stats is not None:
+        stats["edge_counts"] = [prev[0]]
+        stats["round_secs"] = []
+        stats["rounds"] = 0
     if prev[0] == 0:  # no edges: every node is its own component
         return nodes.select("id", F.col("id").alias("comp"))
     for _ in range(max_iters):
+        _round_t0 = time.time() if stats is not None else 0.0
         # -- large-star --------------------------------------------------
         adj = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -612,6 +628,10 @@ def _dup_clusters_star(
         new_edges = small.localCheckpoint(eager=True)
         cur = _edge_checksum(new_edges)
         edges = new_edges
+        if stats is not None:
+            stats["edge_counts"].append(cur[0])
+            stats["round_secs"].append(round(time.time() - _round_t0, 3))
+            stats["rounds"] += 1
         if cur == prev:
             # Fixpoint: edges form stars (u -> component min). A node may
             # transiently carry several edges mid-run, but at the fixpoint

@@ -384,6 +384,60 @@ def run_100x(spark, results: list) -> None:
         spark.catalog.clearCache()
 
 
+def run_f17_stages(spark, results: list) -> None:
+    """f17 chain with PER-STAGE wall attribution at the 10x and 100x
+    tiers (VERDICT r6 task 5): stage 1 = LSH pairs (shingle -> in-row
+    signature -> banded candidates -> exact-Jaccard verify), pinned by a
+    localCheckpoint so the contraction can't re-execute it; stage 2 =
+    star-contraction rounds (per-round walls + canonical edge counts out
+    of the convergence fingerprints — zero extra jobs); stage 3 = the
+    final label join over the node universe. The edge_counts sequence is
+    the ~log^2(n) evidence: it must shrink toward one star edge per
+    non-singleton component within O(log^2 n) rounds."""
+    from pyspark.sql import functions as F
+
+    from borsa_spark.functions import dedup as dd
+    from borsa_spark.sources import load_table
+
+    generate_100x(spark)
+    tiers = [
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    for tier, path in tiers:
+        docs = load_table(spark, path, "documents")
+        t0 = time.time()
+        pairs = dd.minhash_dedup_pairs(docs, n=3, threshold=0.5) \
+            .localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        t_pairs = round(time.time() - t0, 3)
+
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        stats: dict = {}
+        t0 = time.time()
+        labeled = dd.dup_clusters(pairs, nodes, stats=stats)
+        t_contract = round(sum(stats["round_secs"]), 3)
+        t0 = time.time()
+        n_docs = labeled.count()
+        n_comps = labeled.select("comp").distinct().count()
+        t_label = round(time.time() - t0, 3)
+
+        emit({
+            "query": "f17_stage_breakdown", "sf": tier,
+            "pairs": n_pairs, "docs": n_docs, "components": n_comps,
+            "sec_pairs": t_pairs, "sec_contraction": t_contract,
+            "sec_label": t_label, "rounds": stats["rounds"],
+            "round_secs": stats["round_secs"],
+            "edge_counts": stats["edge_counts"],
+        })
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -397,6 +451,13 @@ def main() -> None:
     generate(spark)
 
     results = []
+    if "--f17-stages" in sys.argv:
+        run_f17_stages(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
     if "--100x" in sys.argv:
         # decade-further drill only (needs the 10x dir for the ratio
         # comparison rows, which generate() above just ensured)
