@@ -922,14 +922,31 @@ def video_frame_features(
     (uncompressed AVI). Frame pHashes feed `phash_near_pairs` unchanged,
     which makes VIDEO near-dup detection (same clip re-encoded shifted /
     re-muxed) a first-class pipeline: hash frames, band-join, count
-    matching frames per video pair. Non-AVI payloads emit one
-    deterministic fake row (decoder='fake-deterministic'); corrupt AVIs
-    degrade to 'corrupt-fallback' — the job never dies inside the UDF."""
+    matching frames per video pair. Animated GIFs (a real web-crawl
+    "video" format) go through `decode_gif_frames` — every sampled row
+    is the COMPOSITED logical-screen canvas (disposal + transparency
+    applied), decoder='gif', so a GIF re-encode of an AVI clip pairs
+    with it frame-for-frame. Other payloads emit one deterministic fake
+    row (decoder='fake-deterministic'); corrupt AVIs/GIFs degrade to
+    'corrupt-fallback' — the job never dies inside the UDF."""
     if auto_batch:
         autotune_arrow_batch(assets)
     step = max(1, every_n)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from borsa_spark.functions.gif import decode_gif_frames
+
+        def emit_frames(asset_id, frames_list, dec, out):
+            for i in range(0, len(frames_list), step):
+                g = frames_list[i].astype(np.float64).mean(axis=2) / 255.0
+                bits = phash64(g)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out.append((
+                    asset_id, i, g.shape[1], g.shape[0],
+                    float(g.mean()), bits, dec,
+                ))
+
         for pdf in batches:
             out = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -938,19 +955,15 @@ def video_frame_features(
                 if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
                     try:
                         frames, _fps = decode_avi(data)
-                        for i in range(0, len(frames), step):
-                            g = (
-                                frames[i].astype(np.float64).mean(axis=2)
-                                / 255.0
-                            )
-                            bits = phash64(g)
-                            if bits >= 1 << 63:
-                                bits -= 1 << 64
-                            out.append((
-                                asset_id, i, frames.shape[2],
-                                frames.shape[1], float(g.mean()), bits,
-                                "avi",
-                            ))
+                        emit_frames(asset_id, list(frames), "avi", out)
+                        continue
+                    except (ValueError, struct.error):
+                        dec = "corrupt-fallback"
+                elif data[:4] == b"GIF8":
+                    try:
+                        emit_frames(
+                            asset_id, decode_gif_frames(data), "gif", out
+                        )
                         continue
                     except (ValueError, struct.error):
                         dec = "corrupt-fallback"

@@ -181,3 +181,60 @@ class TestGifProperties:
         rng = np.random.default_rng(seed)
         s = bytes(rng.integers(0, min(alphabet, 1 << mcs), n, dtype=np.uint8))
         assert _lzw_decode(_lzw_encode(s, mcs), mcs, n) == s
+
+    @SET
+    @given(
+        sw=st.integers(3, 10),
+        sh=st.integers(3, 10),
+        n_frames=st.integers(1, 5),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_animation_model_equivalence(self, sw, sh, n_frames, seed):
+        """decode_gif_frames vs an INDEPENDENT pixel-loop compositor:
+        random sub-rect frames, random disposal 0-3, random transparency
+        masks — the codec (palette, LZW, GCE wire format) and the
+        compositing rules must agree with the naive model exactly."""
+        from borsa_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.default_rng(seed)
+        bg = tuple(int(v) for v in rng.integers(0, 256, 3))
+        frames = []
+        for _ in range(n_frames):
+            fw = int(rng.integers(1, sw + 1))
+            fh = int(rng.integers(1, sh + 1))
+            left = int(rng.integers(0, sw - fw + 1))
+            top = int(rng.integers(0, sh - fh + 1))
+            # few quantized levels keeps the global palette small
+            px = (rng.integers(0, 4, (fh, fw, 3)) * 80).astype(np.uint8)
+            mask = rng.random((fh, fw)) < 0.7 if rng.random() < 0.5 else None
+            frames.append({
+                "px": px, "left": left, "top": top,
+                "disposal": int(rng.integers(0, 4)), "mask": mask,
+            })
+        data = encode_gif_animation(frames, screen=(sw, sh), background=bg)
+        got = decode_gif_frames(data)
+
+        # naive model: per-pixel loops, no numpy vector tricks
+        canvas = np.empty((sh, sw, 3), np.uint8)
+        canvas[:, :] = bg
+        want = []
+        for f in frames:
+            fh, fw = f["px"].shape[:2]
+            saved = canvas.copy()
+            for y in range(fh):
+                for x in range(fw):
+                    if f["mask"] is None or f["mask"][y, x]:
+                        canvas[f["top"] + y, f["left"] + x] = f["px"][y, x]
+            want.append(canvas.copy())
+            if f["disposal"] == 2:
+                for y in range(fh):
+                    for x in range(fw):
+                        canvas[f["top"] + y, f["left"] + x] = bg
+            elif f["disposal"] == 3:
+                canvas = saved
+        assert len(got) == len(want)
+        for g, m in zip(got, want):
+            assert np.array_equal(g, m)

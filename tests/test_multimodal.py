@@ -1101,6 +1101,112 @@ class TestGifCodec:
         assert ph[2].decoder == "corrupt-fallback"
 
 
+class TestGifAnimation:
+    """Round-7 stretch: animation compositing (decode_gif_frames) — the
+    GCE disposal methods and transparency against a hand-computed
+    compositing oracle, and animated GIFs flowing through
+    video_frame_features as a real multi-frame video format."""
+
+    @staticmethod
+    def _animation_and_oracle():
+        import numpy as np
+
+        from borsa_spark.functions.gif import encode_gif_animation
+
+        f0 = np.zeros((4, 6, 3), np.uint8)
+        f0[:, :3] = (255, 0, 0)
+        f0[:, 3:] = (0, 0, 255)
+        f1 = np.full((2, 2, 3), (0, 255, 0), np.uint8)
+        m1 = np.array([[True, False], [False, True]])
+        f2 = np.full((2, 3, 3), (255, 255, 0), np.uint8)
+        f3 = np.full((4, 6, 3), (128, 128, 128), np.uint8)
+        data = encode_gif_animation(
+            [
+                {"px": f0, "disposal": 1},            # leave as drawn
+                {"px": f1, "left": 2, "top": 1,
+                 "mask": m1, "disposal": 3},          # restore-to-previous
+                {"px": f2, "left": 3, "top": 2,
+                 "disposal": 2},                      # restore-to-background
+                {"px": f3},
+            ],
+            background=(10, 20, 30),
+        )
+        # hand compositing: what a viewer shows after each frame
+        c0 = f0.copy()
+        c1 = c0.copy()
+        for y in range(2):
+            for x in range(2):
+                if m1[y, x]:
+                    c1[1 + y, 2 + x] = f1[y, x]
+        c2 = c0.copy()          # disposal 3 restored c1's frame
+        c2[2:4, 3:6] = f2
+        c3 = f3                 # disposal 2 cleared the rect, then full draw
+        return data, [c0, c1, c2, c3]
+
+    def test_disposal_and_transparency_golden(self):
+        import numpy as np
+
+        from borsa_spark.functions.gif import decode_gif, decode_gif_frames
+
+        data, want = self._animation_and_oracle()
+        frames = decode_gif_frames(data)
+        assert len(frames) == 4
+        for got, exp in zip(frames, want):
+            assert np.array_equal(got, exp)
+        # the still-image path still returns the raw first frame
+        assert np.array_equal(decode_gif(data), want[0])
+        # max_frames bounds hostile inputs
+        assert len(decode_gif_frames(data, max_frames=2)) == 2
+
+    def test_frame_rect_outside_screen_rejected(self):
+        import numpy as np
+
+        from borsa_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        data = encode_gif_animation(
+            [
+                {"px": np.zeros((2, 2, 3), np.uint8)},
+                {"px": np.full((2, 2, 3), 9, np.uint8), "left": 1, "top": 1},
+            ],
+            screen=(3, 3),
+        )
+        # second frame rect [1:3, 1:3] fits a 3x3 screen: fine
+        assert len(decode_gif_frames(data)) == 2
+        # corrupt the second descriptor's left to 200 -> loud reject
+        bad = bytearray(data)
+        idx = bad.rindex(b"\x2c")
+        bad[idx + 1 : idx + 3] = (200).to_bytes(2, "little")
+        with pytest.raises(ValueError):
+            decode_gif_frames(bytes(bad))
+
+    def test_video_frame_features_animated_gif(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions.multimodal import video_frame_features
+
+        data, want = self._animation_and_oracle()
+        assets = spark.createDataFrame(
+            [(70, bytearray(data)), (71, bytearray(data[: len(data) // 2]))],
+            "asset_id long, payload binary",
+        )
+        out = video_frame_features(assets, every_n=2).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.asset_id, []).append(r)
+        got = sorted(r.frame_idx for r in by_id[70])
+        assert got == [0, 2]  # every_n=2 over 4 composited frames
+        assert all(r.decoder == "gif" for r in by_id[70])
+        assert all((r.width, r.height) == (6, 4) for r in by_id[70])
+        lumas = {r.frame_idx: r.frame_luma for r in by_id[70]}
+        for i in (0, 2):
+            exp = want[i].astype(np.float64).mean() / 255.0
+            assert abs(lumas[i] - exp) < 1e-9
+        assert by_id[71][0].decoder == "corrupt-fallback"
+
+
 class TestRealThumbnails:
     """resize_images round 6: real block-mean thumbs for decodable
     payloads, hash-fake only for undecodable ones."""
