@@ -6926,6 +6926,152 @@ def f68_winnow_pairs(spark, sf):
     return winnow_pairs(docs, k=3, w=4, min_shared=2, max_fp_df=50)
 
 
+@query(
+    "f69_gif_animation_features",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             32 * (doc_id % 8) AS g0,
+             50 * (doc_id % 5) AS g1,
+             40 * (doc_id % 6) AS g2
+      FROM documents)
+    SELECT doc_id AS asset_id, t.frame_idx::INT AS frame_idx,
+           8 AS width, 6 AS height, 'gif' AS decoder,
+           CASE t.frame_idx
+             WHEN 0 THEN 48 * g0
+             WHEN 1 THEN 42 * g0 + 6 * g1
+             ELSE        36 * g0 + 12 * g2
+           END::BIGINT AS luma_sum
+    FROM g CROSS JOIN (VALUES (0), (1), (2)) AS t(frame_idx)
+    """,
+)
+def f69_gif_animation_features(spark, sf):
+    """Multimodal video, animated GIF: REAL GCE compositing end-to-end
+    (functions/gif.py `decode_gif_frames` — sub-rect placement,
+    transparent-index skip, disposal restore-to-previous) through
+    `video_frame_features`, against an ANALYTIC integer oracle. Per doc,
+    a 3-frame 8x6 animation derived from doc_id alone: frame 0 a
+    full-screen gray g0; frame 1 a 4x3 rect at (2,1) in g1 under a
+    checkerboard transparency mask (6 of 12 cells opaque) with disposal
+    3; frame 2 a 4x3 rect at (0,0) in g2 whose rect OVERLAPS frame 1's.
+    The per-frame pixel sums are therefore exact integers — 48*g0,
+    42*g0 + 6*g1, 36*g0 + 12*g2 — and the third only holds if disposal
+    3 actually restored the canvas (a leave-as-drawn bug yields
+    28*g0 + 4*g1 + ... through the overlap; a transparency bug breaks
+    frame 1's 42/6 split). The integer-sum convention (luma * n_px *
+    255, rounded to BIGINT) removes the cross-engine float-rounding
+    surface entirely.
+
+    Scale shape: f60's — payload bytes through Arrow `mapInPandas`,
+    per-file decode work, one small typed row per composited frame."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+    from borsa_spark.functions.gif import encode_gif_animation
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    mask = (np.add.outer(np.arange(3), np.arange(4)) % 2) == 0
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g0, g1, g2 = 32 * (did % 8), 50 * (did % 5), 40 * (did % 6)
+                payload = encode_gif_animation(
+                    [
+                        {"px": np.full((6, 8, 3), g0, np.uint8),
+                         "disposal": 1},
+                        {"px": np.full((3, 4, 3), g1, np.uint8),
+                         "left": 2, "top": 1, "mask": mask, "disposal": 3},
+                        {"px": np.full((3, 4, 3), g2, np.uint8)},
+                    ],
+                    background=(0, 0, 0),
+                )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    feats = mm.video_frame_features(assets, every_n=1)
+    return feats.select(
+        "asset_id", "frame_idx", "width", "height", "decoder",
+        F.round(F.col("frame_luma") * (48 * 255)).cast("long")
+        .alias("luma_sum"),
+    )
+
+
+@query(
+    "f70_lossy_audio_policy",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 8000 END::BIGINT AS sample_rate,
+           CASE WHEN doc_id % 3 = 0
+                THEN (800 + (doc_id % 5) * 400) / 8 END::BIGINT
+             AS duration_ms,
+           CASE WHEN doc_id % 3 = 0
+                THEN round(floor((1 + doc_id % 9) / 10.0 * 32768) / 32768, 6)
+           END AS rms,
+           CASE WHEN doc_id % 3 = 0 THEN 'wav'
+                ELSE 'unsupported-lossy' END AS decoder
+    FROM documents
+    """,
+)
+def f70_lossy_audio_policy(spark, sf):
+    """The round-7 honesty contract as an oracle-gated query: a mixed
+    audio corpus — one third real WAV (f58's analytic square waves),
+    one third mp3-magic bytes (ID3 tag), one third ogg-magic bytes
+    (OggS) — through `audio_features`. WAV rows must carry the EXACT
+    bytes-derived features; lossy rows must carry decoder=
+    'unsupported-lossy' with NULL sample_rate/duration/rms — the oracle
+    hash-match fails if the engine ever again fabricates numbers for
+    real lossy payloads (the pre-r7 digest-stub behavior) or
+    misclassifies the magic.
+
+    Scale shape: f58's — binary in via Arrow batches, one typed row per
+    asset, NULL features carry no compute."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    a = (1 + did % 9) / 10.0
+                    n = 800 + (did % 5) * 400
+                    wave = np.where(np.arange(n) % 2 == 0, a, -a)
+                    payload = mm.encode_wav(wave, 8000)
+                elif kind == 1:
+                    payload = b"ID3\x04\x00" + did.to_bytes(8, "big") * 4
+                else:
+                    payload = b"OggS\x00" + did.to_bytes(8, "big") * 4
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(
+        gen, "asset_id long, payload binary"
+    ).select(
+        "asset_id", "payload",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = mm.audio_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "decoder",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------
