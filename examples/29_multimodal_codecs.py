@@ -7,7 +7,10 @@ BMP, PPM, PNG (zlib inflate + full scanline unfilter), baseline JPEG
 video all decode in pure Python + numpy inside Arrow-batched
 mapInPandas stages. The demo builds one asset of each kind, extracts
 features, pHashes the images, and pairs two near-duplicate videos by
-their frame hashes.
+their frame hashes. Animated GIFs decode as a VIDEO format (round 7):
+GCE compositing — disposal methods + transparency — yields one
+composited canvas row per frame, and real lossy audio (mp3/ogg) gets
+the honest `unsupported-lossy` NULL-feature marker instead of numbers.
 
 Run: python examples/29_multimodal_codecs.py
 """
@@ -23,7 +26,10 @@ import numpy as np  # noqa: E402
 
 from borsa_spark import schemas  # noqa: E402
 from borsa_spark.functions import multimodal as mm  # noqa: E402
-from borsa_spark.functions.gif import encode_gif  # noqa: E402
+from borsa_spark.functions.gif import (  # noqa: E402
+    encode_gif,
+    encode_gif_animation,
+)
 from borsa_spark.functions.jpeg import encode_jpeg  # noqa: E402
 from borsa_spark.session import get_spark  # noqa: E402
 
@@ -53,6 +59,17 @@ def main() -> None:
          None, None, None, None, None),
         # GIF needs a palette: quantize the gradient to <= 64 colors
         (6, "image", "image/gif", encode_gif(img // 64 * 64),
+         None, None, None, None, None),
+        # animated GIF: 3 frames with disposal + transparency — decodes
+        # as VIDEO (one composited-canvas row per frame)
+        (7, "video", "image/gif", encode_gif_animation([
+            {"px": np.full((6, 8, 3), 60, np.uint8), "disposal": 1},
+            {"px": np.full((3, 4, 3), 200, np.uint8), "left": 2, "top": 1,
+             "mask": np.indices((3, 4)).sum(0) % 2 == 0, "disposal": 3},
+            {"px": np.full((3, 4, 3), 255, np.uint8)},
+        ]), None, None, None, None, None),
+        # real-world lossy audio: honest marker, never fabricated numbers
+        (8, "audio", "audio/mpeg", b"ID3\x04\x00fake-id3-payload",
          None, None, None, None, None),
     ]
     assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
