@@ -1145,3 +1145,72 @@ def repeated_substring_spans(
         .filter(F.col("len_tokens") >= min_len)
         .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
     )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame, para_words: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level exact dedup accounting (the Dolma / Gopher
+    paragraph filter family — Soldaini et al. 2024 §4.1, Rae et al. 2021
+    §A1.2, public papers): hash every paragraph, count how many DISTINCT
+    documents each hash appears in, and report per document how much of
+    it is corpus-duplicated. Pipelines drop documents whose duplicated
+    fraction is high (boilerplate mirrors) and cut repeated paragraphs
+    from the rest.
+
+    The fixture corpus has no newlines, so a "paragraph" here is the
+    non-overlapping ``para_words``-token chunk (retrieval.doc_chunks
+    with stride == window — one in-row explode, the tail remainder is
+    the last paragraph); on real corpora pass the text pre-split on
+    '\\n\\n' through the same hash->df->join shape. Output (all exact
+    integers, the oracle-portable convention): (doc_id, n_paras,
+    n_dup_paras, n_words, n_dup_words) where "dup" means the paragraph
+    hash occurs in >= 2 distinct documents.
+
+    Scale shape: chunking is in-row at scan speed; the df count is a
+    partial-aggregatable groupBy keyed by chunk_hash (map-side combine
+    collapses hot boilerplate hashes before the shuffle); the join back
+    is an equi-join on chunk_hash followed by a doc_id-keyed groupBy.
+    Nothing is O(n^2) and no window function is involved.
+    """
+    from borsa_spark.functions.retrieval import doc_chunks
+
+    chunks = doc_chunks(docs, window=para_words, stride=para_words)
+    df_counts = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    dup = F.col("__df") >= 2
+    return (
+        chunks.join(df_counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long")
+            .alias("n_dup_paras"),
+            F.sum("n_tokens").cast("long").alias("n_words"),
+            F.sum(F.when(dup, F.col("n_tokens")).otherwise(0)).cast("long")
+            .alias("n_dup_words"),
+        )
+    )
+
+
+def sql_paragraph_dedup_stats(para_words: int = 12) -> str:
+    """DuckDB oracle for paragraph_dedup_stats (same chunking math via
+    sql_doc_chunks, same distinct-doc df rule)."""
+    from borsa_spark.functions.retrieval import sql_doc_chunks
+
+    return f"""
+    WITH chunks AS ({sql_doc_chunks(para_words, para_words)}),
+    dfc AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS df
+      FROM chunks GROUP BY chunk_hash)
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_paras,
+           sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_paras,
+           sum(c.n_tokens)::BIGINT AS n_words,
+           sum(CASE WHEN dfc.df >= 2 THEN c.n_tokens ELSE 0 END)::BIGINT
+             AS n_dup_words
+    FROM chunks c JOIN dfc USING (chunk_hash)
+    GROUP BY c.doc_id
+    """

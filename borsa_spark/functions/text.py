@@ -435,3 +435,184 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model scoring / importance resampling
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_scores(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §3.3, public
+    paper — there a KenLM 5-gram; here the distributed analog a corpus
+    can self-train in two aggregations): fit an add-1-smoothed unigram
+    LM on the corpus itself, then score every document by its mean token
+    log-probability. Documents far below the corpus mean are gibberish /
+    boilerplate; far above are degenerate repetition — both ends get
+    dropped or down-weighted before tokenization.
+
+    p(w) = (c(w) + 1) / (N + V)   with c = corpus count, N = total
+    tokens, V = vocabulary size; avg_logprob = mean over the document's
+    TOKEN OCCURRENCES of ln p(w). Returns (doc_id, n_tokens,
+    avg_logprob rounded to 4 — each ln is engine-bit-identical to ~1
+    ulp and the per-doc sum is a few hundred terms, so the rounded
+    value sits ~1e-13 from the boundary, the portable-float convention).
+
+    Scale shape: the vocab fit is one token-keyed partial-aggregatable
+    groupBy; scoring joins per-(doc, token) tf rows (pre-aggregated, so
+    stopword fanout collapses map-side) against the vocab-sized count
+    relation — broadcast here, a token-keyed equi-join at 100 TB — plus
+    a 1-row totals broadcast; the final agg is keyed by doc_id.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__v")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("__tf"))
+    logp = F.log((F.col("__c") + 1) / (F.col("__n") + F.col("__v")))
+    return (
+        tf.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__tf") * logp) / F.sum("__tf"), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def sql_unigram_logprob_scores(table: str = "documents") -> str:
+    """DuckDB oracle mirroring unigram_logprob_scores."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           round(sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 4)
+             AS avg_logprob
+    FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS — public paper):
+    estimate target and raw distributions over HASHED word-bigram
+    features (the paper's hashed n-gram generative model), and weight
+    every document by its log-likelihood ratio
+
+        llr(doc) = sum over bigram occurrences g of
+                   ln p_target(b(g)) - ln p_raw(b(g))
+
+    with b = portable md5 bucket (`hash_bucket`, engine-stable) and
+    add-1 smoothing over ``n_buckets`` buckets. Selecting documents by
+    top llr (or Gumbel-resampling with it) tilts a raw crawl toward the
+    target domain. ``target`` is any boolean Column over the input rows
+    (e.g. F.col('source') == 'curated').
+
+    Returns (doc_id, n_bigrams, llr rounded to 4); documents with < 2
+    tokens have no features and emit no row — callers treat absent as
+    llr 0.
+
+    Scale shape: two ``n_buckets``-sized partial-aggregatable groupBys
+    fit both distributions in one pass each; the per-bucket weight
+    relation is tiny and broadcast; scoring pre-aggregates per
+    (doc, bucket) so hot buckets collapse map-side, then one
+    doc_id-keyed agg. Nothing scales with vocab — that is the point of
+    the paper's hashing.
+    """
+    base = docs.select(
+        "doc_id",
+        target.alias("__t"),
+        F.split(F.col(text_col), " ").alias("__l"),
+    ).filter(F.size("__l") >= 2)
+    feats = base.select(
+        "doc_id",
+        "__t",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__l) - 1),"
+                " i -> concat(element_at(__l, i), ' ',"
+                " element_at(__l, i + 1)))"
+            )
+        ).alias("__g"),
+    ).select(
+        "doc_id", "__t",
+        hash_bucket(F.col("__g"), salt, n_buckets).alias("__bkt"),
+    )
+    raw = feats.groupBy("__bkt").agg(F.count("*").alias("__cr"))
+    tgt = feats.filter("__t").groupBy("__bkt").agg(
+        F.count("*").alias("__ct")
+    )
+    weights = (
+        raw.join(tgt, "__bkt", "left")
+        .select(
+            "__bkt", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
+        )
+    )
+    totals = weights.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    term = F.log(
+        (F.col("__ct") + 1) / (F.col("__nt") + F.lit(n_buckets))
+    ) - F.log((F.col("__cr") + 1) / (F.col("__nr") + F.lit(n_buckets)))
+    return (
+        feats.groupBy("doc_id", "__bkt")
+        .agg(F.count("*").alias("__tf"))
+        .join(F.broadcast(weights), "__bkt")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("__tf") * term), 4).alias("llr"),
+        )
+    )
+
+
+def sql_dsir_importance_weights(
+    target_sql: str, n_buckets: int = 1024, salt: str = "dsir",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle mirroring dsir_importance_weights (same md5
+    bucketing via sql_hash_bucket, same smoothing)."""
+    bkt = sql_hash_bucket("g", salt, n_buckets)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, ({target_sql}) AS t, string_split(text, ' ') AS l
+      FROM {table}),
+    feats AS (
+      SELECT doc_id, t,
+             {bkt} AS bkt
+      FROM (SELECT doc_id, t,
+                   unnest(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i + 1])) AS g
+            FROM base WHERE len(l) >= 2)),
+    raw AS (SELECT bkt, count(*) AS cr FROM feats GROUP BY bkt),
+    tgt AS (SELECT bkt, count(*) AS ct FROM feats WHERE t GROUP BY bkt),
+    w AS (
+      SELECT raw.bkt, cr, coalesce(ct, 0) AS ct
+      FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM w),
+    tf AS (SELECT doc_id, bkt, count(*) AS tf FROM feats GROUP BY 1, 2)
+    SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           round(sum(tf * (ln((ct + 1.0) / (nt + {n_buckets}))
+                         - ln((cr + 1.0) / (nr + {n_buckets})))), 4)
+             AS llr
+    FROM tf JOIN w USING (bkt) CROSS JOIN tot
+    GROUP BY doc_id
+    """

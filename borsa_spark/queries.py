@@ -7072,6 +7072,150 @@ def f70_lossy_audio_policy(spark, sf):
     )
 
 
+@query(
+    "f71_url_canon_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 40 AS c, (doc_id % 40) % 8 AS h,
+             (doc_id // 40) % 6 AS v
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN v = 4 THEN 'http://site' || h
+                    || '.example.com:8080/p/' || c || '?a=1&b=2'
+                  WHEN v = 5 THEN 'https://site' || h
+                    || '.example.com/p/' || c
+                  ELSE 'https://site' || h || '.example.com/p/' || c
+                    || '?a=1&b=2'
+             END AS canonical_url
+      FROM g)
+    SELECT canonical_url, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keeper
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def f71_url_canon_dedup(spark, sf):
+    """Crawl-style URL dedup: the REAL canonicalizer
+    (functions/urls.py `canonicalize_url` — try_parse_url parts,
+    case-fold, default-port strip, fragment drop, tracking-param
+    removal, bytewise param sort, trailing-slash strip) runs over six
+    deterministic messy spellings derived from doc_id, and the oracle
+    states the expected canonical ANALYTICALLY (never re-running the
+    canonicalizer — the f69 pattern). Spellings v0..v5 per doc:
+    clean / case+param-order mangled / default port + trailing slash +
+    fragment / tracking params injected / genuinely different
+    scheme+port 8080 (must NOT merge) / no query. v0-v3 collapse to one
+    key; v4 and v5 stay distinct — a canonicalizer that over-merges
+    (strips 8080) or under-merges (keeps utm_*) hash-mismatches.
+
+    Scale shape: per-row codegen'd canonicalization at scan speed + one
+    partial-aggregatable groupBy on the canonical key (urls.py
+    docstring; hot keys collapse map-side)."""
+    from borsa_spark.functions.urls import url_dedup_groups
+
+    d = F.col("doc_id")
+    c = (d % 40).cast("string")
+    h = ((d % 40) % 8).cast("string")
+    v = F.floor(d / 40).cast("long") % 6
+    raw = (
+        F.when(v == 1, F.concat(
+            F.lit("HTTPS://Site"), h, F.lit(".EXAMPLE.com/p/"), c,
+            F.lit("?b=2&a=1")))
+        .when(v == 2, F.concat(
+            F.lit("https://site"), h, F.lit(".example.com:443/p/"), c,
+            F.lit("/?a=1&b=2#frag")))
+        .when(v == 3, F.concat(
+            F.lit("https://site"), h, F.lit(".example.com/p/"), c,
+            F.lit("?utm_source=news&a=1&gclid=g"), d.cast("string"),
+            F.lit("&b=2")))
+        .when(v == 4, F.concat(
+            F.lit("http://site"), h, F.lit(".example.com:8080/p/"), c,
+            F.lit("?a=1&b=2")))
+        .when(v == 5, F.concat(
+            F.lit("https://site"), h, F.lit(".example.com/p/"), c))
+        .otherwise(F.concat(
+            F.lit("https://site"), h, F.lit(".example.com/p/"), c,
+            F.lit("?a=1&b=2")))
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", raw.alias("url")
+    )
+    return url_dedup_groups(docs)
+
+
+@query("f72_paragraph_dedup", None)
+def f72_paragraph_dedup(spark, sf):
+    """Dolma/Gopher paragraph-level exact dedup accounting
+    (functions/dedup.py `paragraph_dedup_stats`): non-overlapping
+    12-token paragraphs, md5 per paragraph, distinct-doc df per hash,
+    per-doc integer counts of duplicated paragraphs/words. The oracle
+    replays the chunk math + df rule in SQL (sql_paragraph_dedup_stats
+    — interpolated below via module import at registration time).
+
+    Scale shape: in-row chunking; chunk_hash-keyed partial-agg groupBy;
+    equi-join back on chunk_hash; doc_id-keyed final agg."""
+    from borsa_spark.functions.dedup import paragraph_dedup_stats
+
+    docs = load_table(spark, sf, "documents")
+    return paragraph_dedup_stats(docs, para_words=12)
+
+
+@query("f73_unigram_lm_score", None)
+def f73_unigram_lm_score(spark, sf):
+    """CCNet-style corpus-self-trained LM quality score
+    (functions/text.py `unigram_logprob_scores`): add-1-smoothed
+    unigram LM fit on the corpus in one aggregation, every doc scored
+    by mean token ln-probability (round-4 portable float — see the
+    function docstring's error budget).
+
+    Scale shape: token-keyed vocab groupBy; per-(doc, token) tf
+    pre-agg; vocab-relation join (broadcast at test scale, token-keyed
+    equi-join at 100 TB); doc_id-keyed final agg."""
+    from borsa_spark.functions.text import unigram_logprob_scores
+
+    docs = load_table(spark, sf, "documents")
+    return unigram_logprob_scores(docs)
+
+
+@query("f74_dsir_weights", None)
+def f74_dsir_weights(spark, sf):
+    """DSIR importance resampling weights (functions/text.py
+    `dsir_importance_weights`, Xie et al. 2023): hashed-bigram add-1
+    models of target (source in src0/src1 — 10% of the corpus) vs raw,
+    per-doc log-likelihood ratio. Top-llr selection tilts the mixture
+    toward the target domain.
+
+    Scale shape: two 1024-bucket partial-agg groupBys fit both
+    distributions; bucket-weight relation broadcast; per-(doc, bucket)
+    tf pre-agg then doc_id-keyed agg. Nothing scales with vocab."""
+    from borsa_spark.functions.text import dsir_importance_weights
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_importance_weights(
+        docs, F.col("source").isin("src0", "src1")
+    )
+
+
+def _register_late_oracles() -> None:
+    """f72/f73/f74 oracles are produced by the same sql_* helpers their
+    tests use (single source of truth for the replayed math); attach
+    them here since the @query decorator wants literals."""
+    from borsa_spark.functions.dedup import sql_paragraph_dedup_stats
+    from borsa_spark.functions.text import (
+        sql_dsir_importance_weights,
+        sql_unigram_logprob_scores,
+    )
+
+    ORACLES["f72_paragraph_dedup"] = sql_paragraph_dedup_stats(12)
+    ORACLES["f73_unigram_lm_score"] = sql_unigram_logprob_scores()
+    ORACLES["f74_dsir_weights"] = sql_dsir_importance_weights(
+        "source IN ('src0', 'src1')"
+    )
+
+
+_register_late_oracles()
+
+
 # ---------------------------------------------------------------------------
 # Driver-witness ordering
 # ---------------------------------------------------------------------------

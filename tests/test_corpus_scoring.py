@@ -1,0 +1,90 @@
+"""Unit pins for the corpus-scoring / paragraph-dedup family (f72-f74):
+hand-computed expectations on constructed corpora, independent of the
+DuckDB oracle replay (which re-runs the same math at sf scale)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from borsa_spark.functions.dedup import paragraph_dedup_stats
+from borsa_spark.functions.text import (
+    dsir_importance_weights,
+    unigram_logprob_scores,
+)
+
+
+def _words(tag: str, n: int) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+PARA_A = _words("a", 12)
+PARA_C = _words("c", 3)
+PARA_D = _words("d", 12)
+PARA_E = _words("e", 12)
+
+
+class TestParagraphDedup:
+    def test_counts(self, spark):
+        rows = [
+            (1, PARA_A + " " + _words("b", 12)),   # A shared with doc 2
+            (2, PARA_A + " " + PARA_C),            # A + 3-word tail chunk
+            (3, PARA_D),                           # unique single para
+            (4, PARA_E + " " + PARA_E),            # self-repeat only
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.n_paras, r.n_dup_paras, r.n_words, r.n_dup_words)
+            for r in paragraph_dedup_stats(docs, para_words=12).collect()
+        }
+        assert out == {
+            1: (2, 1, 24, 12),
+            2: (2, 1, 15, 12),
+            3: (1, 0, 12, 0),
+            # df counts DISTINCT docs: a paragraph repeated only within
+            # one document is not corpus-duplicated.
+            4: (2, 0, 24, 0),
+        }
+
+
+class TestUnigramLogprob:
+    def test_exact_tiny_corpus(self, spark):
+        # counts: a=2 b=2 c=1; N=5, V=3 -> p(a)=p(b)=3/8, p(c)=2/8
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: (r.n_tokens, r.avg_logprob)
+            for r in unigram_logprob_scores(docs).collect()
+        }
+        assert out[1] == (3, round(math.log(3 / 8), 4))
+        assert out[2] == (
+            2, round((math.log(3 / 8) + math.log(2 / 8)) / 2, 4)
+        )
+
+
+class TestDsirWeights:
+    def test_target_vocab_scores_higher(self, spark):
+        rows = [
+            (1, "aa bb aa bb aa", "tgt"),
+            (2, "cc dd cc dd cc", "raw"),
+            # same features as the target doc, but NOT in the target
+            # set: llr is a pure function of content, so it must equal
+            # doc 1's weight exactly.
+            (3, "aa bb aa bb aa", "raw"),
+            (4, "solo", "raw"),  # < 2 tokens -> no features, no row
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {
+            r.doc_id: (r.n_bigrams, r.llr)
+            for r in dsir_importance_weights(
+                docs, F.col("source") == "tgt"
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1][0] == 4 and out[2][0] == 4
+        assert out[3] == out[1]
+        assert out[1][1] > out[2][1]

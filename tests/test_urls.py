@@ -1,0 +1,98 @@
+"""URL canonicalization contract: every rule of the urls.py module
+docstring pinned on handcrafted spellings, plus idempotence and the
+dedup grouping/quarantine behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from borsa_spark.functions.urls import canonicalize_url, url_dedup_groups
+
+CASES = [
+    # clean URL is untouched
+    ("https://site3.example.com/p/5?a=1&b=2",
+     "https://site3.example.com/p/5?a=1&b=2"),
+    # scheme/host case-fold + param sort
+    ("HTTPS://Site3.EXAMPLE.com/p/5?b=2&a=1",
+     "https://site3.example.com/p/5?a=1&b=2"),
+    # default port + trailing slash + fragment all stripped
+    ("https://site3.example.com:443/p/5/?a=1&b=2#frag",
+     "https://site3.example.com/p/5?a=1&b=2"),
+    ("http://site3.example.com:80/p/5",
+     "http://site3.example.com/p/5"),
+    # tracking params dropped (name is case-insensitive)
+    ("https://site3.example.com/p/5?utm_source=news&a=1&gclid=g9&b=2",
+     "https://site3.example.com/p/5?a=1&b=2"),
+    ("https://site3.example.com/p/5?UTM_Source=news",
+     "https://site3.example.com/p/5"),
+    # non-default port and scheme are preserved — never over-merge
+    ("http://site3.example.com:8080/p/5?a=1&b=2",
+     "http://site3.example.com:8080/p/5?a=1&b=2"),
+    ("ftp://files.example.com:21/pub/", "ftp://files.example.com:21/pub"),
+    # root path collapses to bare origin
+    ("https://site3.example.com/", "https://site3.example.com"),
+    # userinfo never reaches the canonical key
+    ("https://user:pw@site3.example.com/p/5",
+     "https://site3.example.com/p/5"),
+    # empty params dropped; '=' in values survives sorting bytewise
+    ("https://h.example.com/x?&&b=2&a=c=d",
+     "https://h.example.com/x?a=c=d&b=2"),
+    # www is NOT stripped (distinct resources)
+    ("https://www.site3.example.com/p/5",
+     "https://www.site3.example.com/p/5"),
+    # unparseable / null quarantine to NULL
+    ("not a url", None),
+    (None, None),
+]
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c
+        for r in df.select(
+            canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+
+
+class TestCanonicalizeUrl:
+    def test_contract_cases(self, spark):
+        got = _canon(spark, [u for u, _ in CASES])
+        want = [w for _, w in CASES]
+        assert got == want
+
+    def test_idempotent(self, spark):
+        """canonicalize(canonicalize(u)) == canonicalize(u): canonical
+        spellings are fixed points, so re-running a dedup pass over
+        already-canonical keys is a no-op."""
+        first = [c for c in _canon(spark, [u for u, _ in CASES])
+                 if c is not None]
+        assert _canon(spark, first) == first
+
+
+class TestUrlDedupGroups:
+    def test_groups_and_quarantine(self, spark):
+        rows = [
+            (1, "https://a.example.com/x?b=2&a=1"),
+            (2, "HTTPS://A.Example.com/x/?a=1&b=2#f"),
+            (3, "https://a.example.com/x?a=1&b=2&utm_source=s"),
+            (4, "https://a.example.com/x"),   # different (no query)
+            (5, "junk ://"),                  # quarantined
+            (6, None),                        # quarantined
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {
+            r.canonical_url: (r.n_docs, r.keeper)
+            for r in url_dedup_groups(df).collect()
+        }
+        assert out == {
+            "https://a.example.com/x?a=1&b=2": (3, 1),
+            "https://a.example.com/x": (1, 4),
+        }
+
+
+@pytest.mark.parametrize("bad", ["", "   ", "http://", "//nohost/path"])
+def test_hostless_is_null(spark, bad):
+    assert _canon(spark, [bad]) == [None]
