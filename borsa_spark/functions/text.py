@@ -459,20 +459,23 @@ def unigram_logprob_scores(docs: DataFrame,
     ulp and the per-doc sum is a few hundred terms, so the rounded
     value sits ~1e-13 from the boundary, the portable-float convention).
 
-    Scale shape: the vocab fit is one token-keyed partial-aggregatable
-    groupBy; scoring joins per-(doc, token) tf rows (pre-aggregated, so
-    stopword fanout collapses map-side) against the vocab-sized count
-    relation — broadcast here, a token-keyed equi-join at 100 TB — plus
-    a 1-row totals broadcast; the final agg is keyed by doc_id.
+    Scale shape: ONE corpus scan. Everything derives from the
+    per-(doc, token) tf pre-aggregation (stopword fanout collapses
+    map-side): vocab counts roll tf up by token, totals roll vocab up —
+    identical subtrees, so Spark's ReusedExchange runs the scan +
+    explode once (plan-guarded in tests/test_plan_shapes.py). The
+    vocab relation joins back broadcast here, a token-keyed equi-join
+    at 100 TB; totals is a 1-row broadcast; the final agg is keyed by
+    doc_id.
     """
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("__tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("__tf").alias("__c"))
     totals = vocab.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__v")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("__tf"))
     logp = F.log((F.col("__c") + 1) / (F.col("__n") + F.col("__v")))
     return (
         tf.join(F.broadcast(vocab), "tok")
@@ -529,12 +532,14 @@ def dsir_importance_weights(
     tokens have no features and emit no row — callers treat absent as
     llr 0.
 
-    Scale shape: two ``n_buckets``-sized partial-aggregatable groupBys
-    fit both distributions in one pass each; the per-bucket weight
-    relation is tiny and broadcast; scoring pre-aggregates per
-    (doc, bucket) so hot buckets collapse map-side, then one
-    doc_id-keyed agg. Nothing scales with vocab — that is the point of
-    the paper's hashing.
+    Scale shape: ONE corpus scan. Both distributions and the scoring
+    side derive from the same per-(doc, target-flag, bucket) tf
+    pre-aggregation (hot buckets collapse map-side), so Spark's
+    ReusedExchange runs the scan + bigram explode once (plan-guarded);
+    raw/target rollups are ``n_buckets``-bounded after that collapse,
+    the per-bucket weight relation is tiny and broadcast, and the final
+    agg is keyed by doc_id. Nothing scales with vocab — that is the
+    point of the paper's hashing.
     """
     base = docs.select(
         "doc_id",
@@ -553,29 +558,50 @@ def dsir_importance_weights(
         ).alias("__g"),
     ).select(
         "doc_id", "__t",
-        hash_bucket(F.col("__g"), salt, n_buckets).alias("__bkt"),
+        # coalesce-to-0 never fires (g is non-null post-explode) but
+        # marks __bkt non-nullable, so the scoring join infers no
+        # isnotnull(__bkt) — which would push into the STREAM lineage
+        # only (the build side's Window blocks it), de-canonicalize the
+        # shared tf subtree, and cost a second corpus scan.
+        F.coalesce(
+            hash_bucket(F.col("__g"), salt, n_buckets), F.lit(0)
+        ).alias("__bkt"),
     )
-    raw = feats.groupBy("__bkt").agg(F.count("*").alias("__cr"))
-    tgt = feats.filter("__t").groupBy("__bkt").agg(
-        F.count("*").alias("__ct")
+    # __t is doc-constant, so this tf relation is per-(doc, bucket);
+    # every downstream relation rolls IT up, sharing one exchange.
+    btf = feats.groupBy("doc_id", "__t", "__bkt").agg(
+        F.count("*").alias("__tf")
     )
+    # Both distributions in ONE conditional-sum rollup: a raw/target
+    # split via filter+join would let Catalyst push the __t predicate
+    # below the tf aggregate, de-canonicalizing the subtree and
+    # defeating ReusedExchange (observed: 3 corpus scans instead of 1).
+    # N_raw / N_target as whole-relation window sums INSIDE the
+    # bucket-sized weights relation (n_buckets rows — a SinglePartition
+    # window there is free): a separate `weights.agg(...)` relation
+    # canonicalizes differently from the join's build side (the join
+    # pushes a null-filter into one lineage but not the other) and
+    # costs a second corpus scan.
+    everything = Window.partitionBy()
     weights = (
-        raw.join(tgt, "__bkt", "left")
-        .select(
-            "__bkt", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
+        btf.groupBy("__bkt")
+        .agg(
+            F.sum("__tf").alias("__cr"),
+            F.sum(
+                F.when(F.col("__t"), F.col("__tf")).otherwise(F.lit(0))
+            ).alias("__ct"),
         )
-    )
-    totals = weights.agg(
-        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+        .select(
+            "__bkt", "__cr", "__ct",
+            F.sum("__cr").over(everything).alias("__nr"),
+            F.sum("__ct").over(everything).alias("__nt"),
+        )
     )
     term = F.log(
         (F.col("__ct") + 1) / (F.col("__nt") + F.lit(n_buckets))
     ) - F.log((F.col("__cr") + 1) / (F.col("__nr") + F.lit(n_buckets)))
     return (
-        feats.groupBy("doc_id", "__bkt")
-        .agg(F.count("*").alias("__tf"))
-        .join(F.broadcast(weights), "__bkt")
-        .crossJoin(F.broadcast(totals))
+        btf.join(F.broadcast(weights), "__bkt")
         .groupBy("doc_id")
         .agg(
             F.sum("__tf").cast("long").alias("n_bigrams"),

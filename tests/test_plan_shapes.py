@@ -413,3 +413,54 @@ class TestRound4ContinuedPlanShapes:
         assert "SinglePartition" not in plan
         assert "windowspecdefinition(doc_id" in plan
         assert "partial_" in plan
+
+
+class TestRound7PlanShapes:
+    def test_url_canon_is_scan_plus_one_shuffle(self, spark):
+        # canonicalization is per-row codegen (no Python), the URL here
+        # derives from doc_id alone so the scan reads ONE column, and
+        # the whole dedup is a single canonical-key groupBy shuffle
+        plan = plan_of(spark, "f71_url_canon_dedup")
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange") <= 2  # tree node + Arguments line
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1) == "doc_id:bigint"
+
+    def test_paragraph_dedup_partial_aggs_no_single_partition(self, spark):
+        plan = plan_of(spark, "f72_paragraph_dedup")
+        assert "SinglePartition" not in plan
+        assert "partial_" in plan
+        assert "EvalPython" not in plan
+
+    def _final_plan(self, spark, name):
+        import contextlib
+        import io
+
+        from borsa_spark.queries import QUERIES
+
+        df = QUERIES[name](spark, SF)
+        df.collect()  # let AQE finalize so ReusedExchange is visible
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out = buf.getvalue()
+        final = out.split("== Initial Plan ==")[0]
+        return final
+
+    def test_unigram_lm_single_corpus_scan(self, spark):
+        # vocab and totals roll up the per-(doc, token) tf exchange, so
+        # the executed plan must read the corpus ONCE and reuse the
+        # exchange for both derived relations (the 100 TB contract:
+        # 1 scan, not 3)
+        final = self._final_plan(spark, "f73_unigram_lm_score")
+        assert final.count("Scan parquet") == 1
+        assert "ReusedExchange" in final
+
+    def test_dsir_single_corpus_scan(self, spark):
+        # raw/target distributions and the scoring side all derive from
+        # one per-(doc, flag, bucket) tf exchange: 1 scan, not 5
+        final = self._final_plan(spark, "f74_dsir_weights")
+        assert final.count("Scan parquet") == 1
+        assert "ReusedExchange" in final
