@@ -438,6 +438,36 @@ def run_f17_stages(spark, results: list) -> None:
         spark.catalog.clearCache()
 
 
+def run_r7_family(spark, results: list) -> None:
+    """Round-7 crawl-pipeline family (f71-f74) across three document
+    decades: sf0.1 (5k docs, the bench tier), sf1 (50.3k, 10x) and
+    sf100x (500.3k, 100x). Each query runs end-to-end with a count()
+    sink; walls are comparable across tiers because the plans are
+    identical (plan-guarded single corpus scan for f73/f74)."""
+    from borsa_spark.queries import QUERIES
+
+    generate_100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+    for qname in ("f71_url_canon_dedup", "f72_paragraph_dedup",
+                  "f73_unigram_lm_score", "f74_dsir_weights"):
+        fn = QUERIES[qname]
+        for tier, path in tiers:
+            t0 = time.time()
+            n = fn(spark, path).count()
+            spark.catalog.clearCache()
+            emit({"query": qname, "sf": tier, "rows": n,
+                  "sec": round(time.time() - t0, 3)})
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -453,6 +483,13 @@ def main() -> None:
     results = []
     if "--f17-stages" in sys.argv:
         run_f17_stages(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--r7-family" in sys.argv:
+        run_r7_family(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
