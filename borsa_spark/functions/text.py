@@ -642,3 +642,66 @@ def sql_dsir_importance_weights(
     FROM tf JOIN w USING (bkt) CROSS JOIN tot
     GROUP BY doc_id
     """
+
+
+def dsir_gumbel_topk(
+    docs: DataFrame,
+    target: Column,
+    k: int,
+    temperature: float = 1.0,
+    n_buckets: int = 1024,
+    salt: str = "gumbel",
+    text_col: str = "text",
+) -> DataFrame:
+    """The selection step of DSIR (Xie et al. 2023 §2: sample WITHOUT
+    replacement proportional to exp(llr/T)) via the Gumbel-top-k trick
+    (Kool et al. 2019, public paper): add independent Gumbel noise to
+    each document's scaled log-weight and keep the k largest keys —
+    exactly a weighted sample without replacement, as one top-k.
+
+    The noise is DETERMINISTIC and engine-portable: u = (md5 bucket of
+    the doc id over 1e6 + 0.5) / 1e6 (exact rational, identical double
+    in every engine), g = -ln(-ln(u)). Re-running the pipeline, any
+    repartitioning, or replaying on another engine selects the SAME
+    sample — the property `rand()` loses on task retry — and a new salt
+    draws an independent one. Keys are snapped to 6 decimals with a
+    doc_id tie-break so the top-k boundary cannot flip on the ~1-ulp
+    cross-engine ln() difference.
+
+    Returns the selected rows: (doc_id, llr, key). Scale shape: the llr
+    relation is `dsir_importance_weights` (one corpus scan); the top-k
+    compiles to TakeOrderedAndProject — per-partition heaps of k, no
+    global sort, no full-result shuffle.
+    """
+    w = dsir_importance_weights(
+        docs, target, n_buckets=n_buckets, salt=salt + "-feat",
+        text_col=text_col,
+    )
+    u = (hash_bucket(F.col("doc_id"), salt, 1_000_000) + 0.5) / 1e6
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("llr") / temperature + gumbel, 6)
+    return (
+        w.select("doc_id", "llr", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_dsir_gumbel_topk(
+    target_sql: str, k: int, temperature: float = 1.0,
+    n_buckets: int = 1024, salt: str = "gumbel",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle mirroring dsir_gumbel_topk (same llr SQL, same
+    bucket-derived Gumbel noise, same snap + tie-break)."""
+    llr_sql = sql_dsir_importance_weights(
+        target_sql, n_buckets=n_buckets, salt=salt + "-feat", table=table
+    )
+    u = f"(({sql_hash_bucket('doc_id', salt, 1_000_000)}) + 0.5) / 1e6"
+    return f"""
+    SELECT doc_id, llr,
+           round(llr / {temperature} + (-ln(-ln({u}))), 6) AS key
+    FROM ({llr_sql})
+    ORDER BY key DESC, doc_id
+    LIMIT {k}
+    """

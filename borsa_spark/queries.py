@@ -7196,6 +7196,27 @@ def f74_dsir_weights(spark, sf):
     )
 
 
+@query("f75_dsir_resample", None)
+def f75_dsir_resample(spark, sf):
+    """DSIR's actual selection step (functions/text.py
+    `dsir_gumbel_topk`): weighted sampling WITHOUT replacement
+    proportional to exp(llr/T) via the Gumbel-top-k trick, with
+    DETERMINISTIC engine-portable noise (md5-bucket uniform ->
+    -ln(-ln(u))) so the same 100 docs are selected on every engine,
+    every retry, every partitioning. Keys snapped to 6 decimals with a
+    doc_id tie-break so the selection boundary cannot flip on ~1-ulp
+    ln() differences.
+
+    Scale shape: llr = f74's one-corpus-scan plan; selection compiles
+    to TakeOrderedAndProject (per-partition k-heaps, no global sort)."""
+    from borsa_spark.functions.text import dsir_gumbel_topk
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_gumbel_topk(
+        docs, F.col("source").isin("src0", "src1"), k=100
+    )
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -7210,6 +7231,11 @@ def _register_late_oracles() -> None:
     ORACLES["f73_unigram_lm_score"] = sql_unigram_logprob_scores()
     ORACLES["f74_dsir_weights"] = sql_dsir_importance_weights(
         "source IN ('src0', 'src1')"
+    )
+    from borsa_spark.functions.text import sql_dsir_gumbel_topk
+
+    ORACLES["f75_dsir_resample"] = sql_dsir_gumbel_topk(
+        "source IN ('src0', 'src1')", k=100
     )
 
 

@@ -88,3 +88,56 @@ class TestDsirWeights:
         assert out[1][0] == 4 and out[2][0] == 4
         assert out[3] == out[1]
         assert out[1][1] > out[2][1]
+
+
+class TestDsirGumbelTopk:
+    def _docs(self, spark, n=60):
+        rows = [
+            (i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 5} w{i % 3}",
+             "tgt" if i % 5 == 0 else "raw")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_deterministic_under_repartition(self, spark):
+        from borsa_spark.functions.text import dsir_gumbel_topk
+
+        docs = self._docs(spark)
+        tgt = F.col("source") == "tgt"
+        a = {r.doc_id for r in dsir_gumbel_topk(docs, tgt, k=10).collect()}
+        b = {
+            r.doc_id
+            for r in dsir_gumbel_topk(
+                docs.repartition(7), tgt, k=10
+            ).collect()
+        }
+        assert a == b and len(a) == 10
+
+    def test_new_salt_draws_a_different_sample(self, spark):
+        from borsa_spark.functions.text import dsir_gumbel_topk
+
+        docs = self._docs(spark)
+        tgt = F.col("source") == "tgt"
+        a = {r.doc_id for r in dsir_gumbel_topk(docs, tgt, k=10).collect()}
+        b = {
+            r.doc_id
+            for r in dsir_gumbel_topk(
+                docs, tgt, k=10, salt="other"
+            ).collect()
+        }
+        assert a != b  # independent draw (also re-salts the features)
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        import contextlib
+        import io
+
+        from borsa_spark.functions.text import dsir_gumbel_topk
+
+        docs = self._docs(spark)
+        df = dsir_gumbel_topk(docs, F.col("source") == "tgt", k=10)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "TakeOrderedAndProject" in buf.getvalue()
