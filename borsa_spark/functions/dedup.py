@@ -1214,3 +1214,117 @@ def sql_paragraph_dedup_stats(para_words: int = 12) -> str:
     FROM chunks c JOIN dfc USING (chunk_hash)
     GROUP BY c.doc_id
     """
+
+
+def bloom_bits_fit(
+    keys: DataFrame, key_col: str, m_bits: int, k: int = 3, seed: int = 7
+) -> DataFrame:
+    """Fit a Bloom filter over ``keys`` as a relation of bit-words:
+    (word BIGINT, bits BIGINT) with word = position // 64 — m_bits/64
+    rows total. Built from first principles because Spark's
+    bloom_filter_agg is optimizer-internal (not in the public function
+    registry): k positions per key via seeded xxhash64, explode, one
+    `bit_or` groupBy. The result is tiny (2^20 bits = 16k longs) and
+    broadcastable however large the key set's ORIGIN corpus is — m
+    scales with the key-set cardinality a pipeline chooses, not with
+    the data probed against it.
+
+    Scale shape: one narrow explode (k rows/key) + a word-keyed
+    partial-aggregatable bit_or — bit-words combine map-side, so the
+    shuffle moves at most m_bits/64 rows per mapper.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col(key_col), F.lit(seed + i)),
+                    F.lit(m_bits),
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    return (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Rows of ``df`` whose key passes every Bloom position — k chained
+    BROADCAST joins against the bit-word relation, so the probed side
+    never shuffles (the point of a Bloom prefilter at 100 TB: the
+    corpus flows map-side; only survivors reach the expensive exact
+    stage). False-positive rate is the standard (1 - e^(-kn/m))^k;
+    false negatives are impossible, which is what lets the exact
+    confirm stage downstream restore exact semantics.
+    """
+    out = df
+    for i in range(k):
+        word_i = (
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + i)),
+                   F.lit(m_bits))
+            / 64
+        ).cast("long")
+        mask_i = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST("
+            f"pmod(xxhash64({key_col}, {seed + i}), {m_bits}) % 64 AS INT))"
+        )
+        b = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = (
+            out.join(
+                F.broadcast(b), word_i == F.col(f"__w{i}"), "inner"
+            )
+            .filter((F.col(f"__b{i}").bitwiseAND(mask_i)) != 0)
+            .drop(f"__w{i}", f"__b{i}")
+        )
+    return out
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench_pred,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Two-stage benchmark decontamination — the 100 TB form of f28's
+    exact n-gram overlap: (1) Bloom-prefilter corpus shingles against
+    the benchmark set's filter (map-side, no corpus shuffle), (2) exact
+    join only the survivors to strike false positives. Because a Bloom
+    filter has NO false negatives, the output is byte-identical to the
+    exact single-stage plan — the DuckDB oracle for this operator IS
+    the exact SQL, proving the prefilter preserves semantics while the
+    probed side drops to the true-overlap rate before the join.
+
+    ``bench_pred`` is a boolean Column over shingle rows (id-based)
+    selecting the held-out benchmark documents.
+    Returns (doc_id, n_shared) over non-benchmark documents.
+    """
+    sh = shingles(docs, n)
+    bench = sh.filter(bench_pred).select("shingle").distinct()
+    bloom = bloom_bits_fit(bench, "shingle", m_bits, k)
+    corpus = sh.filter(~bench_pred)
+    survivors = bloom_prefilter(corpus, "shingle", bloom, m_bits, k)
+    return (
+        survivors.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+    )

@@ -7217,6 +7217,41 @@ def f75_dsir_resample(spark, sf):
     )
 
 
+@query(
+    "f76_bloom_decontaminate",
+    f"""
+    WITH sh AS ({_SH8_CTE}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 7 = 0),
+    hits AS (
+      SELECT s.id, count(*) AS n
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.id % 7 <> 0
+      GROUP BY s.id)
+    SELECT id AS doc_id, n::BIGINT AS n_shared FROM hits
+    """,
+)
+def f76_bloom_decontaminate(spark, sf):
+    """f28's decontamination at the 100 TB shape (functions/dedup.py
+    `bloom_decontaminate`): a first-principles Bloom filter (bit_or
+    aggregation over bit-words — Spark's bloom_filter_agg is
+    optimizer-internal) prefilters corpus shingles via k chained
+    BROADCAST joins (the corpus never shuffles), then the exact join
+    runs only on survivors. Bloom filters have no false negatives, so
+    the oracle is the EXACT single-stage SQL — the gate proves the
+    two-stage plan preserves exact semantics, not just approximates
+    them. FPR at these parameters (m=2^20, k=3) is < 1e-3 even at the
+    sf0.1 benchmark-shingle count.
+
+    Scale shape: the filter relation is m/64 = 16k longs regardless of
+    corpus size; fit is a word-keyed bit_or partial agg over the
+    (bounded) benchmark set; probe is map-side; only the true-overlap
+    survivor set reaches the confirm join."""
+    from borsa_spark.functions.dedup import bloom_decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    return bloom_decontaminate(docs, F.col("id") % 7 == 0, n=8)
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
