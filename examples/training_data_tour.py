@@ -133,6 +133,31 @@ def main() -> None:
               .withColumnRenamed("count", "after"), "lang") \
         .orderBy("lang").show()
 
+    # 11. round-7 crawl family: paragraph-level dedup accounting, the
+    # corpus-self-trained LM quality score, DSIR importance weights +
+    # the deterministic Gumbel-top-k selection they feed, and the
+    # Bloom-prefiltered (exact-semantics) decontamination
+    from borsa_spark.functions.dedup import (
+        bloom_decontaminate,
+        paragraph_dedup_stats,
+    )
+
+    print("== paragraph dedup (most corpus-duplicated docs) ==")
+    paragraph_dedup_stats(docs).orderBy(
+        F.desc("n_dup_words"), "doc_id").show(5)
+    print("== unigram-LM quality score (distribution tails get cut) ==")
+    scores = tx.unigram_logprob_scores(docs)
+    scores.orderBy("avg_logprob").show(3)
+    scores.orderBy(F.desc("avg_logprob")).show(3)
+    tgt = F.col("source").isin("src0", "src1")
+    print("== DSIR: top-weighted docs for the src0/src1 target ==")
+    tx.dsir_importance_weights(docs, tgt).orderBy(F.desc("llr")).show(5)
+    print("== DSIR Gumbel-top-k selection (deterministic sample) ==")
+    tx.dsir_gumbel_topk(docs, tgt, k=8).show()
+    print("== Bloom-prefiltered decontamination (exact semantics) ==")
+    bloom_decontaminate(docs, F.col("id") % 7 == 0, n=8) \
+        .orderBy(F.desc("n_shared")).show(5)
+
     spark.stop()
 
 

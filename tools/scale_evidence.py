@@ -458,7 +458,8 @@ def run_r7_family(spark, results: list) -> None:
         ("sf100x", os.path.abspath(SCALE_DIR_100)),
     ]
     for qname in ("f71_url_canon_dedup", "f72_paragraph_dedup",
-                  "f73_unigram_lm_score", "f74_dsir_weights"):
+                  "f73_unigram_lm_score", "f74_dsir_weights",
+                  "f75_dsir_resample", "f76_bloom_decontaminate"):
         fn = QUERIES[qname]
         for tier, path in tiers:
             t0 = time.time()
