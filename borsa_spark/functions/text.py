@@ -687,6 +687,144 @@ def dsir_gumbel_topk(
     )
 
 
+def bigram_backoff_scores(
+    docs: DataFrame,
+    train: Column,
+    alpha: float = 0.4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation", EMNLP §4 — the backoff
+    score designed explicitly for distributed count-based LMs: no
+    normalization pass, every quantity a corpus count). The LM is fit
+    on the ``train`` subset and every document is scored, so held-out
+    documents exercise the backoff path on their unseen bigrams —
+    the CCNet perplexity-filter shape (train on trusted text, score
+    the crawl) one model order up from `unigram_logprob_scores`.
+
+        S(w2 | w1) = c2(w1 w2) / c1ctx(w1)          if c2 > 0
+                   = alpha * (c1(w2) + 1) / (N + V) otherwise
+
+    All counts derive from TRAIN BIGRAM OCCURRENCES (one shared
+    relation): c2 = train count of the bigram, c1ctx(w) = occurrences
+    of w as a predecessor (so S sums to 1 over seen successors),
+    c1(w) = occurrences of w as a successor, N/V = total/distinct
+    successor occurrences, add-1 so out-of-vocabulary words score
+    finitely. Returns (doc_id, n_bigrams, avg_logscore) — the mean ln S
+    over the document's bigram occurrences, rounded to 4 (the f73
+    portable-float budget: each ln is ~1-ulp engine-stable and per-doc
+    sums are a few hundred terms). Documents with < 2 tokens emit no
+    row, the `dsir_importance_weights` convention.
+
+    Scale shape: ONE corpus scan — the per-(doc, train-flag, w1, w2)
+    tf pre-aggregation is the shared subtree (train counts are
+    conditional sums inside it, never a pushed-down filter — the f74
+    de-canonicalization lesson), bigram/context/unigram relations all
+    roll it up (vocab-sized, partial-agg), the score join is keyed on
+    the bigram, and the final agg is keyed by doc_id. Totals is a
+    1-row broadcast.
+    """
+    base = docs.select(
+        "doc_id",
+        train.alias("__t"),
+        F.split(F.col(text_col), " ").alias("__l"),
+    ).filter(F.size("__l") >= 2)
+    pairs = base.select(
+        "doc_id",
+        "__t",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__l) - 1),"
+                " i -> struct(element_at(__l, i) as w1,"
+                " element_at(__l, i + 1) as w2))"
+            )
+        ).alias("__p"),
+    ).select(
+        "doc_id",
+        "__t",
+        # the coalesces never fire (struct fields are non-null
+        # post-explode) but mark w1/w2 non-nullable, so the score join
+        # infers no isnotnull(w1/w2) filters — which would push into
+        # the probe lineage only, de-canonicalize the shared tf
+        # subtree, and cost extra corpus scans (the f74 lesson).
+        F.coalesce(F.col("__p.w1"), F.lit("")).alias("w1"),
+        F.coalesce(F.col("__p.w2"), F.lit("")).alias("w2"),
+    )
+    tf = pairs.groupBy("doc_id", "__t", "w1", "w2").agg(
+        F.count("*").alias("__tf")
+    )
+    big = tf.groupBy("w1", "w2").agg(
+        F.sum(
+            F.when(F.col("__t"), F.col("__tf")).otherwise(F.lit(0))
+        ).alias("__c2")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("__c2").alias("__c1ctx"))
+    uni = big.groupBy("w2").agg(F.sum("__c2").alias("__c1w"))
+    tot = uni.agg(
+        F.sum("__c1w").alias("__n"),
+        F.count(F.when(F.col("__c1w") > 0, True)).alias("__v"),
+    )
+    score = (
+        big.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.when(
+                F.col("__c2") > 0, F.col("__c2") / F.col("__c1ctx")
+            ).otherwise(
+                alpha * (F.col("__c1w") + 1)
+                / (F.col("__n") + F.col("__v"))
+            ).alias("__s"),
+        )
+    )
+    return (
+        tf.join(score, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__tf") * F.log("__s")) / F.sum("__tf"), 4
+            ).alias("avg_logscore"),
+        )
+    )
+
+
+def sql_bigram_backoff_scores(
+    train_sql: str, alpha: float = 0.4, table: str = "documents",
+) -> str:
+    """DuckDB oracle mirroring bigram_backoff_scores (same
+    bigram-occurrence-derived counts, same add-1 backoff)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, ({train_sql}) AS t, string_split(text, ' ') AS l
+      FROM {table} WHERE len(string_split(text, ' ')) >= 2),
+    prs AS (
+      SELECT doc_id, t, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, t, l, unnest(range(1, len(l))) AS i
+            FROM base)),
+    tf AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM prs GROUP BY 1, 2, 3),
+    big AS (
+      SELECT w1, w2, sum(CASE WHEN t THEN 1 ELSE 0 END) AS c2
+      FROM prs GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c2) AS c1ctx FROM big GROUP BY 1),
+    uni AS (SELECT w2, sum(c2) AS c1w FROM big GROUP BY 1),
+    tot AS (
+      SELECT sum(c1w) AS n, count(*) FILTER (WHERE c1w > 0) AS v
+      FROM uni),
+    sc AS (
+      SELECT w1, w2,
+             CASE WHEN c2 > 0 THEN c2 * 1.0 / c1ctx
+                  ELSE {alpha} * (c1w + 1.0) / (n + v) END AS s
+      FROM big JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN tot)
+    SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           round(sum(tf * ln(s)) / sum(tf), 4) AS avg_logscore
+    FROM tf JOIN sc USING (w1, w2)
+    GROUP BY doc_id
+    """
+
+
 def sql_dsir_gumbel_topk(
     target_sql: str, k: int, temperature: float = 1.0,
     n_buckets: int = 1024, salt: str = "gumbel",

@@ -7252,6 +7252,24 @@ def f76_bloom_decontaminate(spark, sf):
     return bloom_decontaminate(docs, F.col("id") % 7 == 0, n=8)
 
 
+@query("f78_bigram_backoff_score", None)
+def f78_bigram_backoff_score(spark, sf):
+    """Stupid Backoff bigram LM quality scoring (functions/text.py
+    `bigram_backoff_scores`, Brants et al. 2007): the LM is fit on the
+    75% train split (doc_id % 4 != 0) and EVERY document is scored, so
+    the held-out quarter exercises the backoff path on bigrams the
+    train split never saw — the CCNet filter shape (train on trusted
+    text, score the crawl) one model order above f73's unigram LM.
+
+    Scale shape: one corpus scan (shared per-(doc, flag, w1, w2) tf
+    subtree; train counts are conditional sums, not pushed-down
+    filters); bigram-keyed score join; doc_id-keyed final agg."""
+    from borsa_spark.functions.text import bigram_backoff_scores
+
+    docs = load_table(spark, sf, "documents")
+    return bigram_backoff_scores(docs, F.col("doc_id") % 4 != 0)
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -7271,6 +7289,11 @@ def _register_late_oracles() -> None:
 
     ORACLES["f75_dsir_resample"] = sql_dsir_gumbel_topk(
         "source IN ('src0', 'src1')", k=100
+    )
+    from borsa_spark.functions.text import sql_bigram_backoff_scores
+
+    ORACLES["f78_bigram_backoff_score"] = sql_bigram_backoff_scores(
+        "doc_id % 4 <> 0"
     )
 
 

@@ -90,6 +90,51 @@ class TestDsirWeights:
         assert out[1][1] > out[2][1]
 
 
+class TestBigramBackoff:
+    def test_exact_tiny_corpus(self, spark):
+        from borsa_spark.functions.text import bigram_backoff_scores
+
+        # train = docs 1,2. Train bigram counts: (a,b)=2 (b,a)=2
+        # (b,c)=1; derived ctx: a=2 b=3 x=0; uni: b=2 a=2 c=1 x=0 y=0;
+        # N=5, V=3. Seen: s(a,b)=2/2 s(b,a)=2/3 s(b,c)=1/3; unseen
+        # backoff: 0.4*(0+1)/(5+3) = 0.05 for (b,x) and (x,y).
+        docs = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "b c"), (3, "a b x y")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.n_bigrams, r.avg_logscore)
+            for r in bigram_backoff_scores(
+                docs, F.col("doc_id") != 3
+            ).collect()
+        }
+        assert out[1] == (4, round(math.log(2 / 3) / 2, 4))
+        assert out[2] == (1, round(math.log(1 / 3), 4))
+        assert out[3] == (3, round(2 * math.log(0.05) / 3, 4))
+
+    def test_heldout_scores_below_train(self, spark):
+        from borsa_spark.functions.text import bigram_backoff_scores
+
+        # identical content scores identically regardless of split
+        # membership; a doc full of unseen bigrams scores lower.
+        docs = spark.createDataFrame(
+            [
+                (1, "p q p q p q"),
+                (2, "p q p q p q"),
+                (3, "zz yy xx ww"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.avg_logscore
+            for r in bigram_backoff_scores(
+                docs, F.col("doc_id") == 1
+            ).collect()
+        }
+        assert out[1] == out[2]
+        assert out[3] < out[1]
+
+
 class TestDsirGumbelTopk:
     def _docs(self, spark, n=60):
         rows = [

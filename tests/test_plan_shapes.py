@@ -458,6 +458,13 @@ class TestRound7PlanShapes:
         assert final.count("Scan parquet") == 1
         assert "ReusedExchange" in final
 
+    def test_bigram_backoff_single_corpus_scan(self, spark):
+        # bigram/context/unigram LM relations and the scoring side all
+        # roll up one per-(doc, flag, w1, w2) tf exchange: 1 scan
+        final = self._final_plan(spark, "f78_bigram_backoff_score")
+        assert final.count("Scan parquet") == 1
+        assert "ReusedExchange" in final
+
     def test_dsir_single_corpus_scan(self, spark):
         # raw/target distributions and the scoring side all derive from
         # one per-(doc, flag, bucket) tf exchange: 1 scan, not 5
