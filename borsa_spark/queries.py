@@ -7252,6 +7252,29 @@ def f76_bloom_decontaminate(spark, sf):
     return bloom_decontaminate(docs, F.col("id") % 7 == 0, n=8)
 
 
+@query("f77_logreg_quality_score", None)
+def f77_logreg_quality_score(spark, sf):
+    """In-engine quality-classifier TRAINING (functions/classifier.py
+    `hashed_logreg_scores`): 3 full-batch logistic-GD steps over
+    256-bucket hashed-bigram features, labels = the f74 target split
+    (src0/src1), then every document scored by the trained model — the
+    discriminative half of the CCNet filter next to f74's generative
+    llr. Weights snap to 8 decimals per update (the pagerank
+    snapped-fixpoint convention) so the iteration-unrolled DuckDB
+    oracle lands on bit-identical weights.
+
+    Scale shape: one corpus scan into a checkpointed per-(doc, bucket)
+    feature relation; per iteration two bounded aggregations over it
+    (doc-keyed z, bucket-keyed gradient <= 257 rows to the driver —
+    the MLlib master-update pattern)."""
+    from borsa_spark.functions.classifier import hashed_logreg_scores
+
+    docs = load_table(spark, sf, "documents")
+    return hashed_logreg_scores(
+        docs, F.col("source").isin("src0", "src1")
+    )
+
+
 @query("f78_bigram_backoff_score", None)
 def f78_bigram_backoff_score(spark, sf):
     """Stupid Backoff bigram LM quality scoring (functions/text.py
@@ -7294,6 +7317,11 @@ def _register_late_oracles() -> None:
 
     ORACLES["f78_bigram_backoff_score"] = sql_bigram_backoff_scores(
         "doc_id % 4 <> 0"
+    )
+    from borsa_spark.functions.classifier import sql_hashed_logreg_scores
+
+    ORACLES["f77_logreg_quality_score"] = sql_hashed_logreg_scores(
+        "source IN ('src0', 'src1')"
     )
 
 
