@@ -22,6 +22,66 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    open_cost_bytes: int = 0,
+) -> dict:
+    """Small-file compaction (the Delta/Iceberg OPTIMIZE bin-packing
+    counterpart to `zorder_layout`'s clustering): rewrite a fragmented
+    parquet table into ~``target_bytes`` files with ZERO shuffle.
+
+    At 100 TB the failure mode this fixes is real: streaming ingest and
+    fine-grained partitioning leave millions of KB-sized files, and
+    every downstream scan pays per-file open cost + a task per file.
+    The Spark-first trick is that the engine already contains the
+    bin-packer — FilePartition packing assigns small files first-fit
+    into ~``spark.sql.files.maxPartitionBytes`` splits at scan time.
+    Pinning that conf to the compaction target and writing the scan
+    back out emits ONE file per bin: no shuffle, no sort, no data
+    movement beyond the rewrite itself, and each task's work is capped
+    by ``target_bytes`` regardless of how many source files exist.
+
+    ``open_cost_bytes`` is Spark's per-file padding during packing
+    (default 4 MiB would cap bins at ~32 tiny files each); 0 packs
+    purely by real bytes.  Returns receipts:
+    ``{"files_before", "files_after", "rows"}`` — file counts measured
+    engine-side via input_file_name so they are cluster-valid, not a
+    driver-local listing.
+    """
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    before = (
+        spark.read.parquet(src)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(target_bytes))
+        conf.set("spark.sql.files.openCostInBytes", str(open_cost_bytes))
+        df = spark.read.parquet(src)
+        df.write.mode("overwrite").parquet(dst)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    out = spark.read.parquet(dst)
+    after = out.select(F.input_file_name().alias("f")).distinct().count()
+    return {
+        "files_before": before,
+        "files_after": after,
+        "rows": out.count(),
+    }
+
+
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     """Morton interleave of ``len(cols)`` already-bucketized NON-NEGATIVE
     integer columns, ``bits`` bits each -> one long. Bit j of column i

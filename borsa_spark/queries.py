@@ -7293,6 +7293,37 @@ def f78_bigram_backoff_score(spark, sf):
     return bigram_backoff_scores(docs, F.col("doc_id") % 4 != 0)
 
 
+@query(
+    "c5_compaction_roundtrip",
+    "SELECT doc_id, source, n_chars FROM documents",
+)
+def c5_compaction_roundtrip(spark, sf):
+    """Lakehouse small-file compaction (functions/layout.py
+    `compact_parquet`): the documents table is deliberately shattered
+    into 64 tiny parquet files, then bin-packed back via Spark's own
+    FilePartition packing (maxPartitionBytes pinned to the target, one
+    output file per scan bin, ZERO shuffle) and read back. Hash-match
+    against the source table proves the rewrite is lossless; the
+    file-count/no-Exchange receipts live in tests/test_layout.py. The
+    c3 pattern: materialized before the scratch dir vanishes."""
+    import tempfile
+
+    from borsa_spark.functions.layout import compact_parquet
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as work:
+        docs.repartition(64).write.parquet(f"{work}/frag")
+        compact_parquet(
+            spark, f"{work}/frag", f"{work}/tight",
+            target_bytes=8 * 1024 * 1024,
+        )
+        out = spark.read.parquet(f"{work}/tight")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach

@@ -111,3 +111,69 @@ class TestZorderLayoutReceipt:
         # ...z-ordered files each cover a small y slice on average
         assert sum(z_ordered) / len(z_ordered) < 0.5
         assert min(z_ordered) <= 0.3
+
+
+class TestCompaction:
+    def test_binpacks_small_files_losslessly(self, spark, tmp_path):
+        from borsa_spark.functions.layout import compact_parquet
+
+        src, dst = str(tmp_path / "frag"), str(tmp_path / "tight")
+        df = spark.range(20_000).select(
+            F.col("id"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        df.repartition(32).write.parquet(src)
+        r = compact_parquet(spark, src, dst, target_bytes=256 * 1024)
+        assert r["files_before"] == 32
+        assert r["rows"] == 20_000
+        # target forces >1 bin, packing collapses far below 32
+        assert 1 < r["files_after"] <= 8
+        got = sorted(
+            (x.id, x.payload) for x in spark.read.parquet(dst).collect()
+        )
+        want = sorted((x.id, x.payload) for x in df.collect())
+        assert got == want
+
+    def test_scan_bins_are_the_output_files_no_shuffle(
+        self, spark, tmp_path
+    ):
+        import contextlib
+        import io
+
+        from borsa_spark.functions.layout import compact_parquet
+
+        src, dst = str(tmp_path / "frag"), str(tmp_path / "tight")
+        spark.range(5_000).repartition(16).write.parquet(src)
+        r = compact_parquet(spark, src, dst, target_bytes=128 * 1024)
+        # re-create the compaction read under the same pinned confs:
+        # output file count must equal the scan's bin count (one file
+        # per FilePartition -> the write added no exchange)
+        saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024)
+            )
+            spark.conf.set("spark.sql.files.openCostInBytes", "0")
+            rd = spark.read.parquet(src)
+            assert rd.rdd.getNumPartitions() == r["files_after"]
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rd.explain("formatted")
+            assert "Exchange" not in buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+    def test_restores_session_confs(self, spark, tmp_path):
+        from borsa_spark.functions.layout import compact_parquet
+
+        before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.range(100).repartition(4).write.parquet(
+            str(tmp_path / "frag")
+        )
+        compact_parquet(
+            spark, str(tmp_path / "frag"), str(tmp_path / "tight"),
+            target_bytes=1024,
+        )
+        assert spark.conf.get(
+            "spark.sql.files.maxPartitionBytes"
+        ) == before
