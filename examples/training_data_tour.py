@@ -158,6 +158,19 @@ def main() -> None:
     bloom_decontaminate(docs, F.col("id") % 7 == 0, n=8) \
         .orderBy(F.desc("n_shared")).show(5)
 
+    # 12. both halves of the CCNet quality filter: the trained
+    # discriminative classifier (f77) and the Stupid Backoff LM whose
+    # held-out docs pay the backoff penalty on unseen bigrams (f78)
+    from borsa_spark.functions.classifier import hashed_logreg_scores
+
+    print("== trained logreg quality classifier (top/bottom probs) ==")
+    probs = hashed_logreg_scores(docs, tgt)
+    probs.orderBy(F.desc("prob")).show(3)
+    probs.orderBy("prob").show(3)
+    print("== Stupid Backoff bigram LM (lowest-scoring docs) ==")
+    tx.bigram_backoff_scores(docs, F.col("doc_id") % 4 != 0) \
+        .orderBy("avg_logscore").show(5)
+
     spark.stop()
 
 

@@ -459,7 +459,9 @@ def run_r7_family(spark, results: list) -> None:
     ]
     for qname in ("f71_url_canon_dedup", "f72_paragraph_dedup",
                   "f73_unigram_lm_score", "f74_dsir_weights",
-                  "f75_dsir_resample", "f76_bloom_decontaminate"):
+                  "f75_dsir_resample", "f76_bloom_decontaminate",
+                  "f77_logreg_quality_score",
+                  "f78_bigram_backoff_score"):
         fn = QUERIES[qname]
         for tier, path in tiers:
             t0 = time.time()
