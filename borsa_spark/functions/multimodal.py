@@ -21,10 +21,15 @@ partition sizing). The codec layer has one REAL path and one stub:
   DIB frame math); `video_frame_features` emits per-frame rows whose
   pHashes drive video near-dup via the image band join.
 - Lossy audio (mp3 — ID3/frame-sync magic; ogg — OggS) would need
-  soundfile/ffmpeg, which this container lacks. Real bytes in those
-  formats are NEVER summarized with fabricated numbers: `audio_features`
-  emits decoder='unsupported-lossy' with NULL features (sha256 stays
-  real) so downstream can drop, not trust. The deterministic
+  soundfile/ffmpeg for the SIGNAL, which this container lacks. Real
+  bytes in those formats are NEVER summarized with fabricated numbers:
+  when the container headers parse (`_lossy_header_info` — MPEG1/2/2.5
+  Layer III framing, Vorbis I / Opus id headers, final-page granule),
+  `audio_features` emits decoder='mp3-header'/'ogg-header' with the
+  REAL sample rate + duration estimate those headers carry and NULL
+  signal features; otherwise decoder='unsupported-lossy' with all
+  features NULL (sha256 stays real) so downstream can drop, not trust.
+  The deterministic
   digest-derived stub (decoder='fake-deterministic') remains only for
   unrecognized synthetic fixture bytes, or everywhere behind the opt-in
   `fake_features=True` flag — same output schema either way, so swapping
@@ -143,6 +148,142 @@ def _is_lossy_audio(data: bytes) -> bool:
     if data[:3] == b"ID3" or data[:4] == b"OggS":
         return True
     return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+_MP3_BR_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320, 0)
+_MP3_BR_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                144, 160, 0)
+_MP3_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+           0: (11025, 12000, 8000)}
+
+
+def _mp3_header_info(data: bytes) -> tuple[int, int] | None:
+    """(sample_rate, est_duration_ms) from an MPEG Layer III frame
+    header (public ISO/IEC 11172-3 / 13818-3 framing; ID3v2.x tag
+    skipped via its synchsafe size). Header fields only — no audio
+    decode; duration is the CBR estimate bytes*8/bitrate. Strict by
+    design: reserved version/layer bits, 'free'/'bad' bitrate indexes,
+    or no sync in the first 4 KiB all return None so junk that merely
+    starts with an ID3 tag (the f70 policy fixtures) is never
+    summarized."""
+    off = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10 or any(b & 0x80 for b in data[6:10]):
+            return None
+        off = 10 + (
+            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        )
+    end = min(len(data) - 4, off + 4096)
+    for i in range(off, end + 1):
+        if data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+            continue
+        b1, b2 = data[i + 1], data[i + 2]
+        ver = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if ver == 1 or layer != 1:  # reserved version / not Layer III
+            continue
+        bi, si = (b2 >> 4) & 15, (b2 >> 2) & 3
+        if not 0 < bi < 15 or si > 2:
+            continue
+        kbps = (_MP3_BR_V1L3 if ver == 3 else _MP3_BR_V2L3)[bi]
+        sr = _MP3_SR[ver][si]
+        return sr, (len(data) - i) * 8 // kbps
+    return None
+
+
+def _ogg_header_info(data: bytes) -> tuple[int, int] | None:
+    """(sample_rate, est_duration_ms) from Ogg page headers (RFC 3533)
+    holding a Vorbis I or Opus (RFC 7845) identification header.
+    Header fields only: sample rate from the id header on the BOS
+    page, duration from the LAST page's granule position (total PCM
+    samples for Vorbis; 48 kHz units for Opus). No audio decode."""
+    if data[:4] != b"OggS" or len(data) < 28 or data[4] != 0:
+        return None
+    if not data[5] & 0x02:  # first page must be beginning-of-stream
+        return None
+    nseg = data[26]
+    body = 27 + nseg
+    if len(data) < body:
+        return None
+    payload = data[body:body + sum(data[27:body])]
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+        sr = int.from_bytes(payload[12:16], "little")
+        unit = sr
+    elif payload[:8] == b"OpusHead" and len(payload) >= 16:
+        sr = int.from_bytes(payload[12:16], "little") or 48_000
+        unit = 48_000
+    else:
+        return None
+    if sr <= 0:
+        return None
+    last = data.rfind(b"OggS")
+    granule = 0
+    if last >= 0 and len(data) >= last + 14:
+        granule = max(
+            0, int.from_bytes(data[last + 6:last + 14], "little",
+                              signed=True)
+        )
+    return sr, granule * 1000 // unit
+
+
+def encode_mp3_header_stub(pad: int, bitrate_index: int = 9,
+                           sr_index: int = 0) -> bytes:
+    """Fixture builder (the encode_wav convention): an empty ID3v2.4
+    tag + one valid MPEG1 Layer III frame header + ``pad`` zero bytes.
+    The header fields are real and parse under `_mp3_header_info`; the
+    audio payload is silence-shaped filler, which is exactly why
+    `audio_features` reports header metadata only, never signal
+    features, for this format."""
+    hdr = bytes([0xFF, 0xFB, (bitrate_index << 4) | (sr_index << 2), 0])
+    return b"ID3\x04\x00\x00\x00\x00\x00\x00" + hdr + b"\x00" * pad
+
+
+def _ogg_page(header_type: int, granule: int, payload: bytes) -> bytes:
+    lacing = bytes([len(payload)]) if payload else b""
+    return (
+        b"OggS\x00" + bytes([header_type])
+        + granule.to_bytes(8, "little")
+        + b"\x01\x00\x00\x00" + b"\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+        + bytes([1 if payload else 0]) + lacing + payload
+    )
+
+
+def encode_ogg_header_stub(codec: str, sample_rate: int,
+                           granule: int) -> bytes:
+    """Fixture builder: a BOS page carrying a real Vorbis I / Opus id
+    header plus an EOS page whose granule position encodes the stream
+    length — the two pages `_ogg_header_info` reads. No audio pages."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + (0).to_bytes(4, "little")
+            + bytes([1]) + sample_rate.to_bytes(4, "little")
+            + b"\x00" * 12 + b"\x66" + b"\x01"
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (0).to_bytes(2, "little") + bytes([0])
+        )
+    else:
+        raise ValueError(codec)
+    return _ogg_page(0x02, 0, ident) + _ogg_page(0x04, granule, b"")
+
+
+def _lossy_header_info(data: bytes) -> tuple[str, int, int] | None:
+    """(decoder_tag, sample_rate, duration_ms) for lossy audio whose
+    CONTAINER HEADERS parse cleanly — honest metadata extracted from
+    the real bytes without pretending to decode the audio — else
+    None (the row stays 'unsupported-lossy')."""
+    got = _mp3_header_info(data)
+    if got is not None:
+        return ("mp3-header", *got)
+    got = _ogg_header_info(data)
+    if got is not None:
+        return ("ogg-header", *got)
+    return None
 
 
 def _fake_dims(digest: bytes) -> tuple[int, int, int]:
@@ -709,12 +850,24 @@ def audio_features(
                         rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF
                         dec = "corrupt-fallback"
                 elif not fake_features and _is_lossy_audio(data):
-                    # Real bytes in a format we can't decode: an honest
-                    # NULL-feature marker row, never fabricated numbers.
-                    out.append(
-                        (row.asset_id, None, None, None, None,
-                         digest.hex(), "unsupported-lossy")
-                    )
+                    # Real bytes in a format we can't decode. If the
+                    # container HEADERS parse, emit the honest metadata
+                    # they carry (sample rate, CBR/granule duration
+                    # estimate) with NULL signal features; otherwise a
+                    # pure NULL-feature marker row. Never fabricated
+                    # numbers either way.
+                    hdr = _lossy_header_info(data)
+                    if hdr is not None:
+                        tag, hsr, hdur = hdr
+                        out.append(
+                            (row.asset_id, hsr, hdur, None, None,
+                             digest.hex(), tag)
+                        )
+                    else:
+                        out.append(
+                            (row.asset_id, None, None, None, None,
+                             digest.hex(), "unsupported-lossy")
+                        )
                     continue
                 else:
                     rms = int.from_bytes(digest[:4], "big") / 0xFFFFFFFF

@@ -7294,6 +7294,76 @@ def f78_bigram_backoff_score(spark, sf):
 
 
 @query(
+    "f79_lossy_header_metadata",
+    """
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 8000
+                ELSE 16000 END::BIGINT AS sample_rate,
+           CASE doc_id % 3 WHEN 0 THEN (104 + doc_id % 50) * 8 // 128
+                WHEN 1 THEN 100 * (1 + doc_id % 5)
+                ELSE 100 * (1 + doc_id % 7) END::BIGINT AS duration_ms,
+           CASE doc_id % 3 WHEN 0 THEN 'mp3-header'
+                ELSE 'ogg-header' END AS decoder
+    FROM documents
+    """,
+)
+def f79_lossy_header_metadata(spark, sf):
+    """The lossy-audio policy's honest upgrade (multimodal.py
+    `_lossy_header_info`): when mp3 / ogg CONTAINER HEADERS parse, the
+    engine reports the real metadata they carry — sample rate from the
+    MPEG1-L3 / Vorbis / Opus id header, duration from the CBR byte
+    estimate or the final Ogg page's granule position — with NULL
+    signal features (still never fabricated). The oracle states every
+    expected value ANALYTICALLY from the fixture construction (the f69
+    pattern): a wrong bitrate table, a mis-skipped ID3 tag, or a
+    granule misread all hash-mismatch. f70's junk-bytes fixtures still
+    land on 'unsupported-lossy' — strict parsing is part of the
+    contract.
+
+    Scale shape: f58's — binary in via Arrow batches, header-only
+    byte math per asset, one typed row out."""
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    payload = mm.encode_mp3_header_stub(100 + did % 50)
+                elif kind == 1:
+                    payload = mm.encode_ogg_header_stub(
+                        "vorbis", 8000, 800 * (1 + did % 5)
+                    )
+                else:
+                    payload = mm.encode_ogg_header_stub(
+                        "opus", 16_000, 4800 * (1 + did % 7)
+                    )
+                out.append((did, payload))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(
+        gen, "asset_id long, payload binary"
+    ).select(
+        "asset_id", "payload",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = mm.audio_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "decoder",
+    )
+
+
+@query(
     "c5_compaction_roundtrip",
     "SELECT doc_id, source, n_chars FROM documents",
 )

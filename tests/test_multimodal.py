@@ -538,10 +538,13 @@ class TestWavCodec:
         instead of digest-derived fake numbers. The stub survives ONLY
         behind the opt-in fixture flag."""
         rows = [
+            # ID3 magic but a nonsense synchsafe size -> headers do NOT
+            # parse -> pure marker row
             (50, "audio", "audio/mpeg", b"ID3\x04\x00tag-then-frames",
              None, None, 1000, 44100, None),
-            (51, "audio", "audio/mpeg", b"\xff\xfb\x90\x00mpeg-sync",
-             None, None, 2000, 44100, None),
+            # a bare VALID MPEG1-L3 sync now yields honest header
+            # metadata (see test_lossy_header_metadata); this row's ogg
+            # magic with a truncated page stays a marker
             (52, "audio", "audio/ogg", b"OggS\x00vorbis-ish",
              None, None, 3000, 48000, None),
             (53, "audio", "application/octet-stream", b"not-any-audio",
@@ -549,7 +552,7 @@ class TestWavCodec:
         ]
         assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
         out = {r.asset_id: r for r in audio_features(assets).collect()}
-        for k in (50, 51, 52):
+        for k in (50, 52):
             assert out[k].decoder == "unsupported-lossy"
             assert out[k].sample_rate is None
             assert out[k].duration_ms is None
@@ -563,7 +566,56 @@ class TestWavCodec:
             r.asset_id: r
             for r in audio_features(assets, fake_features=True).collect()
         }
-        for k in (50, 51, 52, 53):
+        for k in (50, 52, 53):
+            assert fake[k].decoder == "fake-deterministic"
+            assert fake[k].rms is not None
+
+    def test_lossy_header_metadata(self, spark):
+        """mp3/ogg payloads whose CONTAINER HEADERS parse report the
+        real metadata those headers carry (sample rate; CBR/granule
+        duration estimate) — signal features stay NULL, since nothing
+        was decoded."""
+        from borsa_spark.functions.multimodal import (
+            encode_mp3_header_stub,
+            encode_ogg_header_stub,
+        )
+
+        rows = [
+            # metadata columns LIE; header parse must override from bytes
+            (60, "audio", "audio/mpeg", encode_mp3_header_stub(1596),
+             None, None, 9, 8000, None),
+            (61, "audio", "audio/ogg",
+             encode_ogg_header_stub("vorbis", 22050, 44100),
+             None, None, 9, 8000, None),
+            (62, "audio", "audio/ogg",
+             encode_ogg_header_stub("opus", 16000, 96000),
+             None, None, 9, 8000, None),
+            (63, "audio", "audio/mpeg", b"\xff\xfb\x90\x00" + b"\x00" * 60,
+             None, None, 9, 8000, None),
+        ]
+        assets = spark.createDataFrame(rows, schema=schemas.MEDIA_ASSETS)
+        out = {r.asset_id: r for r in audio_features(assets).collect()}
+        # mp3: ID3(10) + frame(4) + pad(1596) -> 1600 audio bytes at
+        # 128 kbps -> 100 ms
+        assert (out[60].decoder, out[60].sample_rate,
+                out[60].duration_ms) == ("mp3-header", 44100, 100)
+        # vorbis: granule is PCM samples at the id-header rate
+        assert (out[61].decoder, out[61].sample_rate,
+                out[61].duration_ms) == ("ogg-header", 22050, 2000)
+        # opus: granule is 48 kHz units regardless of input rate
+        assert (out[62].decoder, out[62].sample_rate,
+                out[62].duration_ms) == ("ogg-header", 16000, 2000)
+        # tagless bare sync: 64 bytes at 128 kbps -> 4 ms
+        assert (out[63].decoder, out[63].sample_rate,
+                out[63].duration_ms) == ("mp3-header", 44100, 4)
+        for k in (60, 61, 62, 63):
+            assert out[k].rms is None and out[k].n_windows is None
+        # opt-in fixture flag bypasses even the header path
+        fake = {
+            r.asset_id: r
+            for r in audio_features(assets, fake_features=True).collect()
+        }
+        for k in (60, 61, 62, 63):
             assert fake[k].decoder == "fake-deterministic"
             assert fake[k].rms is not None
 
