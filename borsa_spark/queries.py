@@ -7394,6 +7394,46 @@ def c5_compaction_roundtrip(spark, sf):
     return out
 
 
+@query("f80_bpe_train")
+def f80_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (functions/bpe.py
+    `learn_bpe`, Sennrich et al. 2016): 12 merge rounds learned from
+    frequency-weighted pair counts over the word-vocabulary relation —
+    the corpus is scanned ONCE; every round touches only the distinct-
+    word relation. The loop is fully declarative (1-row broadcast
+    argmax per round, in-row replace cascade, pagerank-style
+    checkpointing), so the DuckDB oracle replays it byte-for-byte as
+    12 unrolled MATERIALIZED CTE rounds — a wrong pair count, a wrong
+    tie-break, or a divergent merge application all hash-mismatch.
+
+    Scale shape: vocab is |distinct words| << corpus; each round is
+    one partial-agg groupBy + a TakeOrdered(1) + a broadcast
+    crossJoin. Beyond-reference LLM-pipeline operator."""
+    from borsa_spark.functions.bpe import learn_bpe
+
+    docs = load_table(spark, sf, "documents")
+    return learn_bpe(docs, 12)
+
+
+@query("f81_bpe_compression")
+def f81_bpe_compression(spark, sf):
+    """BPE compression-ratio signal (functions/bpe.py
+    `bpe_token_counts`): apply the 8-round corpus-trained tokenizer
+    back to every document — (doc_id, n_words, n_bpe_tokens). Text the
+    tokenizer compresses poorly is far from the training distribution,
+    a standard LLM-data quality filter one step past f73/f78's LM
+    scores.
+
+    Scale shape: the merged segmentation lives on the word-vocab
+    relation; documents join to it word-keyed (AQE broadcasts the
+    small vocab; equi-join at 100 TB) — the corpus is never
+    re-segmented row by row."""
+    from borsa_spark.functions.bpe import bpe_token_counts
+
+    docs = load_table(spark, sf, "documents")
+    return bpe_token_counts(docs, 8)
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -7424,6 +7464,10 @@ def _register_late_oracles() -> None:
     ORACLES["f77_logreg_quality_score"] = sql_hashed_logreg_scores(
         "source IN ('src0', 'src1')"
     )
+    from borsa_spark.functions.bpe import sql_bpe_token_counts, sql_learn_bpe
+
+    ORACLES["f80_bpe_train"] = sql_learn_bpe(12)
+    ORACLES["f81_bpe_compression"] = sql_bpe_token_counts(8)
 
 
 _register_late_oracles()
