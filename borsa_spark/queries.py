@@ -7434,6 +7434,43 @@ def f81_bpe_compression(spark, sf):
     return bpe_token_counts(docs, 8)
 
 
+@query(
+    "c6_incremental_rollup",
+    _OHLC_ORACLE.format(bucket="date_trunc('day', ts)"),
+)
+def c6_incremental_rollup(spark, sf):
+    """Incrementally-maintained OHLCV rollup (operators/rollup.py) —
+    the hypertable continuous-aggregate shape: the first 24 days of
+    events are materialized as MERGEABLE per-(symbol, day) state
+    partitioned by day; the remaining days arrive as a batch and fold
+    in via `merge_into_rollup`, which prunes the state scan to the
+    dirty partitions and rewrites ONLY them (dynamic partition
+    overwrite). The oracle is the FULL recompute over all events (a2's
+    exact SQL) — incremental == full is the semantics-preservation
+    gate (the f76 pattern). Per-batch cost at 100 TB: O(batch + dirty
+    partitions), independent of rollup history length.
+
+    The c3/c5 pattern: materialized before the scratch dir vanishes."""
+    import tempfile
+
+    from borsa_spark.operators.rollup import (
+        merge_into_rollup,
+        read_rollup,
+        rollup_finalize,
+        rollup_state,
+        write_rollup,
+    )
+
+    ev = _event_candles(spark, sf)
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    with tempfile.TemporaryDirectory() as work:
+        write_rollup(rollup_state(ev.filter(F.col("ts") < cutoff)), work)
+        merge_into_rollup(spark, work, ev.filter(F.col("ts") >= cutoff))
+        out = rollup_finalize(read_rollup(spark, work))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach

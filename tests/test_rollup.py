@@ -1,0 +1,140 @@
+"""Unit pins for the incremental rollup (c6): merge must be
+associative/commutative against a one-shot aggregate, duplicate
+timestamps must stay deterministic via the seq tie-break, and the
+partitioned maintenance path must prune the state scan to dirty days
+and leave untouched partitions byte-identical on disk."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from borsa_spark.operators.rollup import (
+    merge_into_rollup,
+    read_rollup,
+    rollup_finalize,
+    rollup_merge,
+    rollup_state,
+    write_rollup,
+)
+
+
+def _ts(day: int, sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+
+def _candles(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, ts timestamp, value double, seq long"
+    )
+
+
+FIX = [
+    ("A", _ts(1, 10), 5.0, 1),
+    ("A", _ts(1, 20), 9.0, 2),
+    ("A", _ts(1, 5), 3.0, 3),
+    ("A", _ts(2, 1), 7.0, 4),
+    ("B", _ts(1, 30), 2.0, 5),
+    ("B", _ts(3, 2), 11.0, 6),
+    ("B", _ts(3, 1), 4.0, 7),
+]
+
+
+def _final_rows(df):
+    return sorted(
+        tuple(r) for r in rollup_finalize(df).collect()
+    )
+
+
+class TestMergeSemantics:
+    def test_merge_equals_one_shot(self, spark):
+        full = rollup_state(_candles(spark, FIX))
+        a = rollup_state(_candles(spark, FIX[:3]))
+        b = rollup_state(_candles(spark, FIX[3:]))
+        assert _final_rows(rollup_merge(a, b)) == _final_rows(full)
+
+    def test_merge_commutes(self, spark):
+        a = rollup_state(_candles(spark, FIX[:4]))
+        b = rollup_state(_candles(spark, FIX[4:]))
+        assert _final_rows(rollup_merge(a, b)) == _final_rows(
+            rollup_merge(b, a)
+        )
+
+    def test_open_close_follow_ts_order_across_batches(self, spark):
+        # batch B carries the EARLIEST tick of day 1: merged open must
+        # switch to it, close must stay with batch A's latest.
+        a = rollup_state(_candles(spark, [("A", _ts(1, 50), 8.0, 1)]))
+        b = rollup_state(_candles(spark, [("A", _ts(1, 1), 2.0, 2)]))
+        row = rollup_finalize(rollup_merge(a, b)).collect()[0]
+        assert (row.open, row.close, row.n_bars) == (2.0, 8.0, 2)
+
+    def test_duplicate_ts_breaks_ties_on_seq(self, spark):
+        rows = [("A", _ts(1, 0), 1.0, 2), ("A", _ts(1, 0), 9.0, 1)]
+        one = rollup_finalize(rollup_state(_candles(spark, rows))).collect()[0]
+        assert (one.open, one.close) == (9.0, 1.0)
+        m = rollup_merge(
+            rollup_state(_candles(spark, rows[:1])),
+            rollup_state(_candles(spark, rows[1:])),
+        )
+        two = rollup_finalize(m).collect()[0]
+        assert (two.open, two.close) == (9.0, 1.0)
+
+
+class TestPartitionedMaintenance:
+    def _file_bytes(self, root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    with open(p, "rb") as f:
+                        out[os.path.relpath(p, root)] = f.read()
+        return out
+
+    def test_only_dirty_partitions_rewritten(self, spark, tmp_path):
+        root = str(tmp_path / "state")
+        write_rollup(rollup_state(_candles(spark, FIX)), root)
+        before = self._file_bytes(root)
+        batch = _candles(
+            spark,
+            [("A", _ts(2, 30), 1.0, 8), ("A", _ts(4, 0), 6.0, 9)],
+        )
+        dirty = merge_into_rollup(spark, root, batch)
+        assert sorted(dirty) == ["2024-01-02", "2024-01-04"]
+        after = self._file_bytes(root)
+        untouched_before = {
+            k: v for k, v in before.items()
+            if "2024-01-02" not in k and "2024-01-04" not in k
+        }
+        untouched_after = {
+            k: v for k, v in after.items()
+            if "2024-01-02" not in k and "2024-01-04" not in k
+        }
+        assert untouched_before == untouched_after
+        assert any("2024-01-04" in k for k in after)  # new day appears
+
+        # and the merged table equals a full recompute
+        all_rows = FIX + [("A", _ts(2, 30), 1.0, 8), ("A", _ts(4, 0), 6.0, 9)]
+        want = _final_rows(rollup_state(_candles(spark, all_rows)))
+        got = _final_rows(read_rollup(spark, root))
+        assert got == want
+
+    def test_state_scan_is_partition_pruned(self, spark, tmp_path):
+        root = str(tmp_path / "state")
+        write_rollup(rollup_state(_candles(spark, FIX)), root)
+        pruned = spark.read.parquet(root).filter(
+            F.col("pday").isin(["2024-01-02"])
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "2024-01-02" in plan
+        assert pruned.count() == 1  # day 2 holds one (A) state row
+
+    def test_empty_batch_is_a_noop(self, spark, tmp_path):
+        root = str(tmp_path / "state")
+        write_rollup(rollup_state(_candles(spark, FIX)), root)
+        before = self._file_bytes(root)
+        dirty = merge_into_rollup(spark, root, _candles(spark, []))
+        assert dirty == []
+        assert self._file_bytes(root) == before

@@ -471,6 +471,61 @@ def run_r7_family(spark, results: list) -> None:
                   "sec": round(time.time() - t0, 3)})
 
 
+def run_bpe_drill(spark, results: list) -> None:
+    """f80/f81 BPE-training drill across three document decades. The
+    100 TB claim under test: the corpus is scanned ONCE (vocab build);
+    every merge round touches only the distinct-word relation, so
+    per-round wall must track |vocab|, not |corpus|. Emits the stage
+    split (vocab-build wall vs 12-round training wall) plus the apply
+    join (f81), per tier."""
+    from borsa_spark.functions import bpe
+    from borsa_spark.sources import load_table
+
+    generate_100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+    for tier, path in tiers:
+        docs = load_table(spark, path, "documents")
+        n_docs = docs.count()
+        t0 = time.time()
+        vocab = bpe._word_vocab(docs, "text").localCheckpoint(eager=True)
+        n_vocab = vocab.count()
+        t_vocab = time.time() - t0
+
+        t0 = time.time()
+        work = vocab
+        for step in range(12):
+            best = bpe._merge_round(work).localCheckpoint(eager=True)
+            work = bpe._apply_merge(work, best)
+            if step % 2 == 1 and step < 11:
+                work = work.localCheckpoint(eager=True)
+        work.count()
+        t_rounds = time.time() - t0
+
+        t0 = time.time()
+        n_scored = bpe.bpe_token_counts(docs, 8).count()
+        t_apply = time.time() - t0
+        spark.catalog.clearCache()
+        emit({
+            "query": "f80_bpe_train", "sf": tier, "n_docs": n_docs,
+            "n_vocab": n_vocab, "vocab_sec": round(t_vocab, 3),
+            "rounds12_sec": round(t_rounds, 3),
+            "per_round_sec": round(t_rounds / 12, 3),
+        })
+        emit({
+            "query": "f81_bpe_compression", "sf": tier, "rows": n_scored,
+            "sec": round(t_apply, 3),
+        })
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -486,6 +541,13 @@ def main() -> None:
     results = []
     if "--f17-stages" in sys.argv:
         run_f17_stages(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--bpe" in sys.argv:
+        run_bpe_drill(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
