@@ -1,0 +1,230 @@
+"""Streaming continuous aggregates: the OHLCV rollup maintained
+per micro-batch, exactly once.
+
+The batch half (operators/rollup.py) rewrites dirty partitions in
+place — safe for a one-shot backfill, NOT for ``foreachBatch``: a
+replayed half-applied batch would merge the batch into state that
+already contains it and double-count. The streaming maintainer
+therefore never mutates a committed file. State is a tiny transaction
+log:
+
+    state_dir/versions/base/          partitioned by pday (build())
+    state_dir/versions/batch-<id>/    dirty pdays only, merged result
+    state_dir/_batches/batch-<id>.json   commit marker, written LAST
+
+A partition day resolves to the NEWEST committed version that wrote it
+(markers record their pdays; foreachBatch ids are monotonic). The
+merge for batch N reads ONLY committed versions, writes its result to
+``versions/batch-N`` in overwrite mode, and commits the marker last —
+so a replay of an uncommitted batch recomputes the identical output
+from the identical committed inputs (idempotent), and a replay of a
+committed batch returns before touching state. Same two-phase-commit
+discipline as `DedupIngest` (streaming/ingest.py) and the
+`borsa_tick_sink` manifest.
+
+Scale shape: per-batch cost is O(batch + dirty partitions) — the dirty
+read is partition-pruned per version dir, and untouched days are never
+opened. ``compact()`` folds the version chain back to one dir when it
+grows long (marker supersedes, delete after — crash leaves either the
+old chain or the new base, never a torn mix).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from borsa_spark.operators.rollup import (
+    rollup_finalize,
+    rollup_merge,
+    rollup_state,
+)
+
+_STATE_SCHEMA = (
+    "symbol string, bucket timestamp, first_ts timestamp, first_seq long,"
+    " last_ts timestamp, last_seq long, open double, close double,"
+    " high double, low double, n_bars long, sum_value double"
+)
+
+
+class RollupMaintainer:
+    """Continuous OHLCV aggregate over ``foreachBatch`` micro-batches.
+    Attach with :meth:`attach`, or drive :meth:`process_batch` directly
+    (the unit-test / backfill path)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 trunc: str = "day"):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.trunc = trunc
+        os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
+        os.makedirs(os.path.join(state_dir, "versions"), exist_ok=True)
+
+    # -- version-log bookkeeping -------------------------------------------
+
+    def _marker_path(self, name: str) -> str:
+        return os.path.join(self.state_dir, "_batches", f"{name}.json")
+
+    def _version_dir(self, name: str) -> str:
+        return os.path.join(self.state_dir, "versions", name)
+
+    def _markers(self) -> list[dict]:
+        """Committed markers in application order: base, then batch /
+        compact markers by ascending batch id (a compact marker sorts
+        AFTER the last batch it folded)."""
+        bdir = os.path.join(self.state_dir, "_batches")
+        out = []
+        for fn in os.listdir(bdir):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(bdir, fn)) as f:
+                    out.append(json.load(f))
+            except (OSError, ValueError):
+                continue
+        return sorted(
+            out,
+            key=lambda m: (m.get("seq", -1), 1 if m.get("compact") else 0),
+        )
+
+    def _mapping(self) -> dict[str, str]:
+        """pday -> committed version dir name holding its newest state."""
+        mapping: dict[str, str] = {}
+        for m in self._markers():
+            for pday in m.get("pdays", []):
+                mapping[pday] = m["version"]
+        return mapping
+
+    def _read_versions(self, mapping: dict[str, str]) -> DataFrame:
+        """Union the resolved (version dir, pday set) reads — each one
+        partition-pruned to the pdays that still resolve to it."""
+        by_dir: dict[str, list[str]] = {}
+        for pday, ver in mapping.items():
+            by_dir.setdefault(ver, []).append(pday)
+        df = None
+        for ver, pdays in sorted(by_dir.items()):
+            part = (
+                self.spark.read.schema(_STATE_SCHEMA + ", pday string")
+                .parquet(self._version_dir(ver))
+                .filter(F.col("pday").isin(pdays))
+                .drop("pday")
+            )
+            df = part if df is None else df.unionByName(part)
+        if df is None:
+            return self.spark.createDataFrame([], _STATE_SCHEMA)
+        return df
+
+    # -- public surface ------------------------------------------------------
+
+    def build(self, candles: DataFrame) -> None:
+        """Materialize the base rollup (idempotent overwrite; marker
+        last, the same discipline as a batch)."""
+        state = rollup_state(candles, self.trunc)
+        out = state.withColumn(
+            "pday", F.date_format("bucket", "yyyy-MM-dd")
+        )
+        out.write.mode("overwrite").partitionBy("pday").parquet(
+            self._version_dir("base")
+        )
+        pdays = [
+            r.pday for r in out.select("pday").distinct().collect()
+        ]
+        with open(self._marker_path("base"), "w") as f:
+            json.dump(
+                {"version": "base", "seq": -1, "pdays": sorted(pdays)}, f
+            )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        marker = self._marker_path(f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed micro-batch: state is final
+        batch_state = rollup_state(batch_df, self.trunc).localCheckpoint(
+            eager=True
+        )
+        dirty = sorted(
+            r.pday
+            for r in batch_state.select(
+                F.date_format("bucket", "yyyy-MM-dd").alias("pday")
+            )
+            .distinct()
+            .collect()
+        )
+        name = f"batch-{batch_id}"
+        if dirty:
+            # merge against COMMITTED state only; overwrite our own
+            # version dir (uncommitted replay redoes identical output)
+            mapping = {
+                p: v for p, v in self._mapping().items() if p in dirty
+            }
+            merged = rollup_merge(self._read_versions(mapping), batch_state)
+            (
+                merged.withColumn(
+                    "pday", F.date_format("bucket", "yyyy-MM-dd")
+                )
+                .write.mode("overwrite")
+                .partitionBy("pday")
+                .parquet(self._version_dir(name))
+            )
+        with open(marker, "w") as f:
+            json.dump(
+                {"version": name, "seq": int(batch_id), "pdays": dirty}, f
+            )
+
+    def current_state(self) -> DataFrame:
+        return self._read_versions(self._mapping())
+
+    def finalized(self) -> DataFrame:
+        return rollup_finalize(self.current_state())
+
+    def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(opts or {"availableNow": True}))
+            .start()
+        )
+
+    def compact(self) -> dict:
+        """Fold the committed version chain into one dir. Marker last:
+        a crash leaves either the old chain (new dir is invisible
+        garbage) or the new compact state (old dirs are garbage,
+        resolution ignores them); cleanup of superseded dirs happens
+        only after the compact marker is durable."""
+        markers = self._markers()
+        batch_seqs = [m["seq"] for m in markers]
+        through = max(batch_seqs) if batch_seqs else -1
+        mapping = self._mapping()
+        name = f"compact-{through}"
+        cur = self._read_versions(mapping).withColumn(
+            "pday", F.date_format("bucket", "yyyy-MM-dd")
+        )
+        cur.write.mode("overwrite").partitionBy("pday").parquet(
+            self._version_dir(name)
+        )
+        with open(self._marker_path(name), "w") as f:
+            json.dump(
+                {
+                    "version": name,
+                    "seq": int(through),
+                    "compact": True,
+                    "pdays": sorted(mapping),
+                },
+                f,
+            )
+        # superseded markers + dirs are garbage now; best-effort removal
+        removed = []
+        for m in markers:
+            if m["version"] == name:
+                continue
+            try:
+                os.remove(self._marker_path(m["version"]))
+                shutil.rmtree(
+                    self._version_dir(m["version"]), ignore_errors=True
+                )
+                removed.append(m["version"])
+            except OSError:
+                pass
+        return {"version": name, "superseded": removed}

@@ -1,0 +1,135 @@
+"""Exactly-once pins for the streaming continuous aggregate
+(streaming/rollup.py): micro-batched maintenance must equal a one-shot
+rollup, committed and UNCOMMITTED replays must not double-count,
+committed files must never be mutated, compaction must preserve state,
+and a live foreachBatch drive must land the same result."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from borsa_spark.operators.rollup import rollup_finalize, rollup_state
+from borsa_spark.streaming.rollup import RollupMaintainer
+
+
+def _ts(day: int, sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day) + dt.timedelta(seconds=sec)
+
+
+def _candles(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, ts timestamp, value double, seq long"
+    )
+
+
+BASE = [
+    ("A", _ts(1, 10), 5.0, 1),
+    ("A", _ts(2, 5), 3.0, 2),
+    ("B", _ts(1, 7), 8.0, 3),
+]
+B0 = [("A", _ts(2, 50), 9.0, 4), ("A", _ts(3, 1), 2.0, 5)]
+B1 = [("A", _ts(2, 1), 7.0, 6), ("B", _ts(4, 2), 1.0, 7)]
+
+
+def _want(spark, rows):
+    return sorted(
+        tuple(r)
+        for r in rollup_finalize(rollup_state(_candles(spark, rows))).collect()
+    )
+
+
+def _got(rm):
+    return sorted(tuple(r) for r in rm.finalized().collect())
+
+
+class TestMicroBatchMaintenance:
+    def test_batches_equal_one_shot(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        rm.process_batch(_candles(spark, B1), 1)
+        assert _got(rm) == _want(spark, BASE + B0 + B1)
+
+    def test_committed_replay_is_noop(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        rm.process_batch(_candles(spark, B0), 0)  # foreachBatch replay
+        assert _got(rm) == _want(spark, BASE + B0)
+
+    def test_uncommitted_replay_does_not_double_count(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        # crash AFTER the version dir landed but BEFORE the marker
+        os.remove(rm._marker_path("batch-0"))
+        rm.process_batch(_candles(spark, B0), 0)  # replay
+        assert _got(rm) == _want(spark, BASE + B0)
+
+    def test_committed_versions_never_mutated(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        basefiles = {}
+        for dirpath, _, names in os.walk(rm._version_dir("base")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    with open(p, "rb") as f:
+                        basefiles[p] = f.read()
+        rm.process_batch(_candles(spark, B0), 0)
+        rm.process_batch(_candles(spark, B1), 1)
+        for p, blob in basefiles.items():
+            with open(p, "rb") as f:
+                assert f.read() == blob
+
+    def test_empty_batch_commits_a_marker(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, []), 0)
+        assert os.path.exists(rm._marker_path("batch-0"))
+        assert _got(rm) == _want(spark, BASE)
+
+    def test_compact_preserves_state_and_folds_chain(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        rm.process_batch(_candles(spark, B1), 1)
+        want = _got(rm)
+        out = rm.compact()
+        assert sorted(out["superseded"]) == ["base", "batch-0", "batch-1"]
+        assert _got(rm) == want
+        # post-compact batches keep working
+        rm.process_batch(
+            _candles(spark, [("B", _ts(4, 9), 4.0, 8)]), 2
+        )
+        assert _got(rm) == _want(
+            spark, BASE + B0 + B1 + [("B", _ts(4, 9), 4.0, 8)]
+        )
+
+
+class TestLiveDrive:
+    def test_foreachbatch_drive(self, spark, tmp_path):
+        src = tmp_path / "incoming"
+        src.mkdir()
+        _candles(spark, B0).coalesce(1).write.parquet(str(src / "b1"))
+        _candles(spark, B1).coalesce(1).write.parquet(str(src / "b2"))
+        stream = (
+            spark.readStream.schema(
+                "symbol string, ts timestamp, value double, seq long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        q = rm.attach(stream, str(tmp_path / "ckpt"))
+        deadline = time.time() + 120
+        while time.time() < deadline and not os.path.exists(
+            rm._marker_path("batch-1")
+        ):
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        assert _got(rm) == _want(spark, BASE + B0 + B1)
