@@ -81,6 +81,32 @@ def main() -> None:
     range_join(pts, windows, on="symbol", bucket_seconds=86400) \
         .groupBy("window_id").count().show()
 
+    # incrementally-maintained rollup (c6): days 1-24 materialized as
+    # mergeable state, the tail folds in touching only dirty partitions
+    import tempfile
+
+    from borsa_spark.operators.rollup import (
+        merge_into_rollup,
+        read_rollup,
+        rollup_finalize,
+        rollup_state,
+        write_rollup,
+    )
+
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"), "ts", "value",
+        F.col("event_id").alias("seq"),
+    )
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    with tempfile.TemporaryDirectory() as work:
+        write_rollup(rollup_state(ticks.filter(F.col("ts") < cutoff)), work)
+        dirty = merge_into_rollup(
+            spark, work, ticks.filter(F.col("ts") >= cutoff)
+        )
+        print(f"== incremental rollup (rewrote {len(dirty)} dirty days) ==")
+        rollup_finalize(read_rollup(spark, work)) \
+            .orderBy(F.desc("bucket_ts"), "symbol").show(8)
+
     spark.stop()
 
 
