@@ -271,6 +271,52 @@ def generate_events10x(spark) -> str:
     return p
 
 
+def generate_events100x(spark) -> str:
+    """100x-dense events tier (scale_data/events100x): the events10x
+    construction with 100 replicas (10M events, same 30-day span, same
+    globally-unique-ts convention)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    p = _os.path.abspath(
+        _os.path.join(
+            _os.path.dirname(__file__), "..", "scale_data", "events100x"
+        )
+    )
+    if not _os.path.exists(_os.path.join(p, "events.parquet")):
+        ev = load_table(spark, "/root/testdata/sf0.1", "events")
+        reps = spark.range(100).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("event_id") + F.col("rep") * 10_000_000).alias(
+                    "event_id"
+                ),
+                (
+                    F.col("ts") + F.make_interval(secs=F.col("rep") / 1e6)
+                ).alias("ts"),
+                (F.col("user_id") + F.col("rep") * 1_000_000).alias(
+                    "user_id"
+                ),
+                "event_type", "value", "props",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(p, "events.parquet"))
+        )
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            dst = _os.path.join(p, f"{t}.parquet")
+            if not _os.path.exists(dst):
+                _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    return p
+
+
 def generate_rel10x(spark) -> str:
     """10x relational tier (scale_data/rel10x): lineitem + orders
     replicated 10x with namespaced orderkeys (6M line items); dimension
@@ -526,6 +572,84 @@ def run_bpe_drill(spark, results: list) -> None:
         })
 
 
+def run_rollup_drill(spark, results: list) -> None:
+    """c6 incremental-maintenance drill. Claim: folding a batch into a
+    materialized rollup costs O(batch + dirty partitions) — independent
+    of how much HISTORY the rollup holds. The SAME fixed ~3.3k-row
+    batch (sf0.1's day-30 events) merges into state built from 100k /
+    1M / 10M events; its wall must stay flat while the full-recompute
+    wall grows with the tier."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.operators.rollup import (
+        merge_into_rollup,
+        rollup_state,
+        write_rollup,
+    )
+    from borsa_spark.sources import load_table
+
+    generate_events10x(spark)
+    generate_events100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def candles(path):
+        ev = load_table(spark, path, "events")
+        return ev.select(
+            F.col("event_type").alias("symbol"), "ts", "value",
+            F.col("event_id").alias("seq"),
+        )
+
+    fixed_batch = candles("/root/testdata/sf0.1").filter(
+        F.col("ts") >= F.lit("2024-01-30").cast("timestamp")
+    ).localCheckpoint(eager=True)
+    n_batch = fixed_batch.count()
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("ev10x", os.path.join("scale_data", "events10x")),
+        ("ev100x", os.path.join("scale_data", "events100x")),
+    ]
+    for tier, path in tiers:
+        ticks = candles(path)
+        n_events = ticks.count()
+
+        t0 = time.time()
+        n_state = rollup_state(ticks).count()
+        t_full = time.time() - t0
+
+        with tempfile.TemporaryDirectory() as work:
+            t0 = time.time()
+            write_rollup(rollup_state(ticks), work)
+            t_base = time.time() - t0
+
+            t0 = time.time()
+            dirty = merge_into_rollup(spark, work, fixed_batch)
+            t_merge = time.time() - t0
+        spark.catalog.clearCache()
+        # rows each path must READ (the quantity that scales at 100 TB;
+        # local walls stay sub-second because 32 cores scan 10M rows
+        # in well under a second): full recompute re-reads every event,
+        # the merge reads the batch + the dirty partitions' state rows.
+        state_rows_dirty = len(dirty) * (
+            n_state // 30  # per-day state rows (uniform 30-day span)
+        )
+        emit({
+            "query": "c6_rollup_maintenance", "sf": tier,
+            "n_events": n_events, "n_state_rows": n_state,
+            "batch_rows": n_batch, "dirty_partitions": len(dirty),
+            "full_rows_read": n_events,
+            "merge_rows_read": n_batch + state_rows_dirty,
+            "full_recompute_sec": round(t_full, 3),
+            "base_materialize_sec": round(t_base, 3),
+            "incremental_merge_sec": round(t_merge, 3),
+        })
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -541,6 +665,13 @@ def main() -> None:
     results = []
     if "--f17-stages" in sys.argv:
         run_f17_stages(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--rollup" in sys.argv:
+        run_rollup_drill(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
