@@ -471,3 +471,74 @@ class TestRound7PlanShapes:
         final = self._final_plan(spark, "f74_dsir_weights")
         assert final.count("Scan parquet") == 1
         assert "ReusedExchange" in final
+
+
+class TestBpeAndRollupShapes:
+    """Round-7 additions: BPE training rounds and the mergeable rollup
+    must keep their SCALE.md shapes — vocab-sized partial aggs, 1-row
+    TakeOrdered argmax, broadcast merge application, Python-free."""
+
+    def test_bpe_round_is_partial_agg_plus_takeordered(self, spark):
+        import contextlib
+        import io
+
+        from borsa_spark.functions.bpe import _merge_round, _word_vocab
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        vocab = _word_vocab(docs, "text")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _merge_round(vocab).explain("formatted")
+        plan = buf.getvalue()
+        assert "partial_sum" in plan  # map-side combine on pair counts
+        assert "TakeOrderedAndProject" in plan  # argmax, no global sort
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_bpe_merge_application_broadcasts_argmax(self, spark):
+        import contextlib
+        import io
+
+        from borsa_spark.functions.bpe import (
+            _apply_merge,
+            _merge_round,
+            _word_vocab,
+        )
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        vocab = _word_vocab(docs, "text").localCheckpoint(eager=True)
+        best = _merge_round(vocab).localCheckpoint(eager=True)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _apply_merge(vocab, best).explain("formatted")
+        plan = buf.getvalue()
+        # 1-row argmax rides as a broadcast relation; the vocab side
+        # must not shuffle or sort to apply a merge
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_rollup_state_is_one_partial_agg(self, spark):
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from borsa_spark.operators.rollup import rollup_state
+        from borsa_spark.sources import load_table
+
+        ev = load_table(spark, SF, "events")
+        ticks = ev.select(
+            F.col("event_type").alias("symbol"), "ts", "value",
+            F.col("event_id").alias("seq"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rollup_state(ticks).explain("formatted")
+        plan = buf.getvalue()
+        assert "partial_min_by" in plan  # map-side combine before shuffle
+        assert plan.count(" Exchange (") == 1  # exactly one shuffle
+        assert "Window" not in plan  # mergeable state needs no windows
+        assert "BatchEvalPython" not in plan
