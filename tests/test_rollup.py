@@ -138,3 +138,33 @@ class TestPartitionedMaintenance:
         dirty = merge_into_rollup(spark, root, _candles(spark, []))
         assert dirty == []
         assert self._file_bytes(root) == before
+
+
+class TestMergeAlgebra:
+    def test_random_partitions_merge_to_identical_state(self, spark):
+        # associativity + commutativity over arbitrary 3-way splits
+        # (including empty parts): fold order must never matter.
+        import random
+
+        rows = [
+            (sym, _ts(1 + i % 4, (i * 37) % 86_000), float((i * 13) % 97),
+             i)
+            for i, sym in enumerate(
+                ["A", "B", "C"][i % 3] for i in range(40)
+            )
+        ]
+        want = _final_rows(rollup_state(_candles(spark, rows)))
+        rng = random.Random(7)
+        for _ in range(5):
+            buckets = [[], [], []]
+            for r in rows:
+                buckets[rng.randrange(3)].append(r)
+            states = [
+                rollup_state(_candles(spark, b)) for b in buckets
+            ]
+            order = rng.sample(range(3), 3)
+            merged = rollup_merge(
+                rollup_merge(states[order[0]], states[order[1]]),
+                states[order[2]],
+            )
+            assert _final_rows(merged) == want
