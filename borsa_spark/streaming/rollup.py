@@ -176,6 +176,20 @@ class RollupMaintainer:
     def current_state(self) -> DataFrame:
         return self._read_versions(self._mapping())
 
+    def state_as_of(self, batch_id: int) -> DataFrame:
+        """Time travel: the rollup as it stood after ``batch_id``
+        committed (base = -1). Free with the version log — resolution
+        just ignores later markers. Compaction trades this away for
+        the folded range: versions at or below a compact marker's seq
+        are superseded and no longer addressable."""
+        mapping: dict[str, str] = {}
+        for m in self._markers():
+            if m.get("seq", -1) > batch_id:
+                continue
+            for pday in m.get("pdays", []):
+                mapping[pday] = m["version"]
+        return self._read_versions(mapping)
+
     def finalized(self) -> DataFrame:
         return rollup_finalize(self.current_state())
 

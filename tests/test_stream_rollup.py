@@ -133,3 +133,40 @@ class TestLiveDrive:
         q.stop()
         q.awaitTermination(30)
         assert _got(rm) == _want(spark, BASE + B0 + B1)
+
+
+class TestTimeTravel:
+    def test_state_as_of_each_batch(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        rm.process_batch(_candles(spark, B1), 1)
+
+        def snap(batch_id):
+            from borsa_spark.operators.rollup import rollup_finalize
+
+            return sorted(
+                tuple(r)
+                for r in rollup_finalize(rm.state_as_of(batch_id)).collect()
+            )
+
+        assert snap(-1) == _want(spark, BASE)
+        assert snap(0) == _want(spark, BASE + B0)
+        assert snap(1) == _want(spark, BASE + B0 + B1)
+        assert snap(99) == _got(rm)  # beyond head == current
+
+    def test_compaction_supersedes_history(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        rm.process_batch(_candles(spark, B1), 1)
+        rm.compact()
+        from borsa_spark.operators.rollup import rollup_finalize
+
+        # pre-compact snapshots are gone (folded into compact-1); the
+        # as-of at the compact seq returns the folded state
+        assert sorted(
+            tuple(r)
+            for r in rollup_finalize(rm.state_as_of(1)).collect()
+        ) == _want(spark, BASE + B0 + B1)
+        assert rollup_finalize(rm.state_as_of(0)).count() == 0
