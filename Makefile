@@ -51,6 +51,7 @@ example-tour:
 	python examples/27_drift_monitor.py
 	python examples/28_stream_enrich.py
 	python examples/29_multimodal_codecs.py
+	python examples/30_incremental_rollup.py
 
 test:
 	python -m pytest tests/ -q
