@@ -62,6 +62,25 @@ class RollupMaintainer:
         self.trunc = trunc
         os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
         os.makedirs(os.path.join(state_dir, "versions"), exist_ok=True)
+        self._guard_params()
+
+    def _guard_params(self) -> None:
+        """A maintainer reopened with a different bucket granularity
+        would silently merge mis-bucketed state; refuse instead (the
+        `guard_state_mode` convention, streaming/ingest.py)."""
+        path = os.path.join(self.state_dir, "_params.json")
+        params = {"trunc": self.trunc}
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            if stored != params:
+                raise ValueError(
+                    f"rollup state at {self.state_dir} was built with "
+                    f"{stored}, reopened with {params}"
+                )
+        else:
+            with open(path, "w") as f:
+                json.dump(params, f)
 
     # -- version-log bookkeeping -------------------------------------------
 
@@ -192,6 +211,58 @@ class RollupMaintainer:
 
     def finalized(self) -> DataFrame:
         return rollup_finalize(self.current_state())
+
+    def changes_for(self, batch_id: int) -> DataFrame:
+        """CDC view of one committed batch: (change, symbol, bucket_ts,
+        before-* / after-*) rows for every rollup key the batch
+        touched — 'insert' for new buckets, 'update' with both images
+        otherwise. Downstream caches/sinks consume this instead of
+        re-diffing snapshots; it reads the batch's own version dir plus
+        the PRIOR state of only its dirty days (partition-pruned), so
+        the CDC cost matches the merge cost, not the history size."""
+        marker = self._marker_path(f"batch-{batch_id}")
+        if not os.path.exists(marker):
+            raise ValueError(f"batch {batch_id} has no committed marker")
+        with open(marker) as f:
+            pdays = json.load(f).get("pdays", [])
+        if not pdays:
+            return self.spark.createDataFrame(
+                [], "change string, symbol string, bucket_ts long"
+            )
+        after = self._read_versions(
+            {p: f"batch-{batch_id}" for p in pdays}
+        )
+        prev_map = {}
+        for m in self._markers():
+            if m.get("seq", -1) >= batch_id:
+                continue
+            for pday in m.get("pdays", []):
+                if pday in pdays:
+                    prev_map[pday] = m["version"]
+        before = self._read_versions(prev_map)
+        a = rollup_finalize(after).select(
+            "symbol", "bucket_ts",
+            *[F.col(c).alias(f"after_{c}") for c in
+              ("open", "high", "low", "close", "n_bars", "sum_value")],
+        )
+        b = rollup_finalize(before).select(
+            "symbol", "bucket_ts",
+            *[F.col(c).alias(f"before_{c}") for c in
+              ("open", "high", "low", "close", "n_bars", "sum_value")],
+        )
+        joined = a.join(b, ["symbol", "bucket_ts"], "left")
+        # a dirty DAY rewrite carries along same-day buckets the batch
+        # never touched (their state is copied verbatim); real changes
+        # always increment n_bars, so no-op rows are filterable exactly
+        return joined.filter(
+            F.col("before_n_bars").isNull()
+            | (F.col("before_n_bars") != F.col("after_n_bars"))
+        ).select(
+            F.when(F.col("before_n_bars").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+            "*",
+        )
 
     def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
         return (

@@ -170,3 +170,49 @@ class TestTimeTravel:
             for r in rollup_finalize(rm.state_as_of(1)).collect()
         ) == _want(spark, BASE + B0 + B1)
         assert rollup_finalize(rm.state_as_of(0)).count() == 0
+
+
+class TestParamsGuard:
+    def test_trunc_mismatch_refused(self, spark, tmp_path):
+        import pytest
+
+        RollupMaintainer(spark, str(tmp_path / "s"), trunc="day")
+        with pytest.raises(ValueError, match="built with"):
+            RollupMaintainer(spark, str(tmp_path / "s"), trunc="hour")
+
+
+class TestChangesFor:
+    def test_cdc_rows_match_batch_effect(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B1), 0)
+        # B1 touches (A, day 2) [exists -> update] and (B, day 4) [new]
+        rows = {
+            (r.change, r.symbol): r for r in rm.changes_for(0).collect()
+        }
+        assert set(rows) == {("update", "A"), ("insert", "B")}
+        upd = rows[("update", "A")]
+        assert (upd.before_n_bars, upd.after_n_bars) == (1, 2)
+        # B1's day-2 tick lands at second 1, EARLIER than base's
+        # second-5 tick: open flips to the new earliest, close stays
+        assert upd.before_open == 3.0 and upd.after_open == 7.0
+        assert upd.after_close == 3.0
+        ins = rows[("insert", "B")]
+        assert ins.before_n_bars is None and ins.after_n_bars == 1
+
+    def test_same_day_untouched_symbol_not_emitted(self, spark, tmp_path):
+        # day 1 holds A and B; a batch touching only A's day-1 bucket
+        # must not emit a no-op row for B
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, [("A", _ts(1, 99), 4.0, 9)]), 0)
+        got = rm.changes_for(0).collect()
+        assert [r.symbol for r in got] == ["A"]
+
+    def test_uncommitted_batch_raises(self, spark, tmp_path):
+        import pytest
+
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        with pytest.raises(ValueError, match="no committed marker"):
+            rm.changes_for(0)
