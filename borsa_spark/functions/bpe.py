@@ -195,6 +195,53 @@ def bpe_token_counts(
     )
 
 
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ALREADY-LEARNED merge table (the persist-and-reuse
+    path: train once with `learn_bpe`, collect its ≤n_merges rows,
+    tokenize any corpus later): (doc_id, n_words, n_bpe_tokens).
+
+    The merge list is bounded driver-side data (a tokenizer is a few
+    thousand rows — the n_probe-centroids convention). All merges fold
+    into ONE chained column expression over the new corpus's word-vocab
+    relation — ordered replace cascades, no per-merge job, no shuffle
+    beyond the vocab groupBy and the final word-keyed join. This is
+    also the honest apply path at 100 TB: scoring a new crawl must not
+    re-run training aggregations."""
+    vocab = _word_vocab(docs, text_col)
+    seg = F.col("seg")
+    for left, right in merges:
+        pat = F.lit(f"{SEP}{left}{SEP}{right}{SEP}")
+        rep = F.lit(f"{SEP}{left}{right}{SEP}")
+        for _ in range(_REPLACE_PASSES):
+            seg = F.replace(seg, pat, rep)
+    done = vocab.select("word", seg.alias("seg"))
+    n_sym = F.size(F.expr(_syms_expr()))
+    toks = (
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            id_col,
+            F.replace(F.col("word"), F.lit(SEP), F.lit("")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        toks.join(done.select("word", n_sym.alias("__k")), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("__k").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle mirrors — identical vocab construction, identical unrolled
 # rounds, identical tie-break and replace-cascade pass count.

@@ -140,3 +140,52 @@ class TestOracleShape:
         sql = sql_learn_bpe(12)
         assert sql.count("AS MATERIALIZED") >= 12 * 3 + 2
         assert "AS (" not in sql.replace("AS MATERIALIZED (", "")
+
+
+class TestApplyBpe:
+    def test_apply_learned_merges_equals_retraining(self, spark):
+        rows = [
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "the five boxing wizards jump quickly",
+        ] * 4
+        docs = _docs(spark, rows)
+        merges = [
+            (r.left, r.right)
+            for r in learn_bpe(docs, 6).orderBy("step").collect()
+        ]
+        from borsa_spark.functions.bpe import apply_bpe
+
+        got = sorted(
+            (r.doc_id, r.n_words, r.n_bpe_tokens)
+            for r in apply_bpe(docs, merges).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_words, r.n_bpe_tokens)
+            for r in bpe_token_counts(docs, 6).collect()
+        )
+        assert got == want
+
+    def test_apply_transfers_to_unseen_corpus(self, spark):
+        train = _docs(spark, ["ab ab ab ab", "abc abc"])
+        merges = [
+            (r.left, r.right)
+            for r in learn_bpe(train, 2).orderBy("step").collect()
+        ]
+        from borsa_spark.functions.bpe import apply_bpe
+
+        # new corpus: "abab" compresses via the learned 'ab' merge even
+        # though it never appeared in training; "xyz" stays char-level
+        new = _docs(spark, ["abab xyz"])
+        row = apply_bpe(new, merges).collect()[0]
+        assert row.n_words == 2
+        # "abab" -> depends on learned merges ("ab" then "abc"): the
+        # 'ab' merge turns it into 2 symbols; "xyz" stays 3 chars
+        assert row.n_bpe_tokens == 5
+
+    def test_apply_no_merges_counts_chars(self, spark):
+        from borsa_spark.functions.bpe import apply_bpe
+
+        docs = _docs(spark, ["ab cde"])
+        row = apply_bpe(docs, []).collect()[0]
+        assert (row.n_words, row.n_bpe_tokens) == (2, 5)
