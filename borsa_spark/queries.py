@@ -7471,6 +7471,127 @@ def c6_incremental_rollup(spark, sf):
     return out
 
 
+@query(
+    "c7_streaming_rollup_exactly_once",
+    _OHLC_ORACLE.format(bucket="date_trunc('day', ts)"),
+)
+def c7_streaming_rollup_exactly_once(spark, sf):
+    """The streaming continuous aggregate under the oracle gate
+    (streaming/rollup.py `RollupMaintainer`): events split into a base
+    build + two micro-batches, WITH batch 0 delivered twice (the
+    foreachBatch replay Structured Streaming is allowed to do after a
+    restart). The versioned-partition log must absorb the replay
+    exactly-once, so the maintained head hash-matches the full
+    recompute over all events (a2's SQL) — double-counting any replayed
+    tick would flip n_bars/sum_value and fail the gate.
+
+    Scale shape: per batch O(batch + dirty partitions); committed
+    files never mutated (the two-phase-commit discipline of
+    streaming/ingest.py)."""
+    import tempfile
+
+    from borsa_spark.streaming.rollup import RollupMaintainer
+
+    ev = _event_candles(spark, sf)
+    c1 = F.lit("2024-01-20").cast("timestamp")
+    c2 = F.lit("2024-01-26").cast("timestamp")
+    with tempfile.TemporaryDirectory() as work:
+        rm = RollupMaintainer(spark, work)
+        rm.build(ev.filter(F.col("ts") < c1))
+        b0 = ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2))
+        rm.process_batch(b0, 0)
+        rm.process_batch(b0, 0)  # replayed delivery: must be absorbed
+        rm.process_batch(ev.filter(F.col("ts") >= c2), 1)
+        out = rm.finalized()
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+@query(
+    "c8_rollup_cdc_images",
+    """
+    WITH e AS (
+      SELECT event_type AS symbol, date_trunc('day', ts) AS bucket, ts,
+             value, event_id
+      FROM events),
+    ranked AS (
+      SELECT symbol, bucket, value,
+             ts < TIMESTAMP '2024-01-26 12:00:00' AS prior,
+             row_number() OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts ASC, event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY symbol, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_z,
+             CASE WHEN ts < TIMESTAMP '2024-01-26 12:00:00' THEN
+               row_number() OVER (PARTITION BY symbol, bucket,
+                                  ts < TIMESTAMP '2024-01-26 12:00:00'
+                                  ORDER BY ts ASC, event_id ASC) END AS prn_a,
+             CASE WHEN ts < TIMESTAMP '2024-01-26 12:00:00' THEN
+               row_number() OVER (PARTITION BY symbol, bucket,
+                                  ts < TIMESTAMP '2024-01-26 12:00:00'
+                                  ORDER BY ts DESC, event_id DESC) END AS prn_z
+      FROM e),
+    aft AS (
+      SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+             max(CASE WHEN rn_a = 1 THEN value END) AS after_open,
+             round(max(value), 2) AS after_high,
+             round(min(value), 2) AS after_low,
+             max(CASE WHEN rn_z = 1 THEN value END) AS after_close,
+             count(*)::BIGINT AS after_n_bars,
+             round(sum(value), 2) AS after_sum_value
+      FROM ranked GROUP BY symbol, bucket),
+    bef AS (
+      SELECT symbol, epoch(bucket)::BIGINT AS bucket_ts,
+             max(CASE WHEN prn_a = 1 THEN value END) AS before_open,
+             round(max(value) FILTER (WHERE prior), 2) AS before_high,
+             round(min(value) FILTER (WHERE prior), 2) AS before_low,
+             max(CASE WHEN prn_z = 1 THEN value END) AS before_close,
+             count(*) FILTER (WHERE prior)::BIGINT AS before_n_bars,
+             round(sum(value) FILTER (WHERE prior), 2) AS before_sum_value
+      FROM ranked WHERE prior GROUP BY symbol, bucket),
+    dirty AS (
+      SELECT DISTINCT symbol, epoch(bucket)::BIGINT AS bucket_ts
+      FROM e WHERE ts >= TIMESTAMP '2024-01-26 12:00:00')
+    SELECT CASE WHEN b.before_n_bars IS NULL THEN 'insert'
+                ELSE 'update' END AS change,
+           a.symbol, a.bucket_ts,
+           a.after_open, a.after_high, a.after_low, a.after_close,
+           a.after_n_bars, a.after_sum_value,
+           b.before_open, b.before_high, b.before_low, b.before_close,
+           b.before_n_bars, b.before_sum_value
+    FROM aft a
+    JOIN dirty d USING (symbol, bucket_ts)
+    LEFT JOIN bef b USING (symbol, bucket_ts)
+    WHERE b.before_n_bars IS NULL OR b.before_n_bars <> a.after_n_bars
+    """,
+)
+def c8_rollup_cdc_images(spark, sf):
+    """The maintainer's CDC deltas under the oracle gate
+    (streaming/rollup.py `changes_for`): batch 1 carries every tick
+    from mid-day Jan 26 on, so day 26 emits UPDATE rows with real
+    before-images (the morning's partial bars) and days 27-30 emit
+    INSERTs. The oracle states both images analytically from the raw
+    events with the cutoff encoded — a wrong before-image resolution
+    (e.g. reading the post-merge state), a missed insert, or an
+    unfiltered same-day carry-along all hash-mismatch."""
+    import tempfile
+
+    from borsa_spark.streaming.rollup import RollupMaintainer
+
+    ev = _event_candles(spark, sf)
+    c1 = F.lit("2024-01-20").cast("timestamp")
+    cut = F.lit("2024-01-26 12:00:00").cast("timestamp")
+    with tempfile.TemporaryDirectory() as work:
+        rm = RollupMaintainer(spark, work)
+        rm.build(ev.filter(F.col("ts") < c1))
+        rm.process_batch(
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < cut)), 0
+        )
+        rm.process_batch(ev.filter(F.col("ts") >= cut), 1)
+        out = rm.changes_for(1)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
