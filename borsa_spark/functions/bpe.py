@@ -40,9 +40,10 @@ would shear non-BMP characters into surrogate halves in Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 _REPLACE_PASSES = 5
+_APPLY_CHUNK = 128
 SEP = "·"
 
 _PAIR_EXPLODE = (
@@ -97,7 +98,10 @@ def _merge_round(vocab: DataFrame) -> DataFrame:
 
 def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
     """Rewrite every word's segmentation with the round's winning merge:
-    broadcast the 1-row argmax and run the bounded replace cascade."""
+    broadcast the 1-row argmax and run the bounded replace cascade.
+    A LEFT join (not crossJoin) keeps the vocab intact when the corpus
+    has run out of mergeable pairs and the argmax is EMPTY — the round
+    is then a no-op instead of annihilating every word."""
     pat = F.concat(
         F.lit(SEP), F.col("a"), F.lit(SEP), F.col("b"), F.lit(SEP)
     )
@@ -105,7 +109,8 @@ def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
     seg = F.col("seg")
     for _ in range(_REPLACE_PASSES):
         seg = F.replace(seg, pat, rep)
-    return vocab.crossJoin(F.broadcast(best)).select(
+    seg = F.when(F.col("a").isNull(), F.col("seg")).otherwise(seg)
+    return vocab.join(F.broadcast(best), F.lit(True), "left").select(
         "word", "freq", seg.alias("seg")
     )
 
@@ -142,9 +147,16 @@ def learn_bpe(
 
     Beyond-reference LLM-pipeline operator (the reference engine,
     /root/reference, has no tokenizer-training path); the distributed
-    shape follows the public Sennrich et al. 2016 algorithm."""
+    shape follows the public Sennrich et al. 2016 algorithm. Rounds
+    past the corpus's merge capacity produce no row (the argmax is
+    empty); n_merges=0 returns an empty, correctly-typed table."""
+    spark = docs.sparkSession
+    schema = (
+        "step long, left string, right string, merged string,"
+        " pair_count long"
+    )
     _, merges = _train(docs, n_merges, text_col)
-    out = None
+    out = spark.createDataFrame([], schema)
     for step, m in enumerate(merges):
         row = m.select(
             F.lit(step).cast("long").alias("step"),
@@ -153,28 +165,15 @@ def learn_bpe(
             F.concat("a", "b").alias("merged"),
             F.col("pair_count").cast("long").alias("pair_count"),
         )
-        out = row if out is None else out.unionByName(row)
+        out = out.unionByName(row)
     return out
 
 
-def bpe_token_counts(
-    docs: DataFrame,
-    n_merges: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Apply the corpus-trained BPE back to every document: (doc_id,
-    n_words, n_bpe_tokens) — the implied chars-per-token compression
-    ratio is a standard quality/fit signal (text the tokenizer
-    compresses poorly is far from the training distribution).
-
-    Scale shape: the merged segmentation lives on the WORD-VOCAB
-    relation; documents join to it word-keyed (plain equi-join — AQE
-    broadcasts the vocab when it is small, shuffles on the word key at
-    100 TB) — the corpus is never re-segmented row by row."""
-    vocab, _ = _train(docs, n_merges, text_col)
-    n_sym = F.size(F.expr(_syms_expr()))
-    toks = (
+def _doc_words(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, word) — the SINGLE definition of word tokenization (split
+    on space, scrub the separator, drop empties); training and
+    application must never diverge on it."""
+    return (
         docs.select(
             id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
         )
@@ -185,14 +184,38 @@ def bpe_token_counts(
         )
         .filter(F.col("word") != "")
     )
+
+
+def _count_tokens(
+    toks: DataFrame, segmented: DataFrame, id_col: str
+) -> DataFrame:
+    """Word-keyed join of documents against a segmented vocab relation
+    -> (id, n_words, n_bpe_tokens). AQE broadcasts the vocab when it is
+    small, shuffles on the word key at 100 TB; the corpus is never
+    re-segmented row by row."""
+    n_sym = F.size(F.expr(_syms_expr()))
     return (
-        toks.join(vocab.select("word", n_sym.alias("__k")), "word")
+        toks.join(segmented.select("word", n_sym.alias("__k")), "word")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum("__k").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on the corpus and apply back to every document: (doc_id,
+    n_words, n_bpe_tokens) — the implied chars-per-token compression
+    ratio is a standard quality/fit signal (text the tokenizer
+    compresses poorly is far from the training distribution)."""
+    vocab, _ = _train(docs, n_merges, text_col)
+    return _count_tokens(_doc_words(docs, text_col, id_col), vocab, id_col)
 
 
 def apply_bpe(
@@ -206,40 +229,29 @@ def apply_bpe(
     tokenize any corpus later): (doc_id, n_words, n_bpe_tokens).
 
     The merge list is bounded driver-side data (a tokenizer is a few
-    thousand rows — the n_probe-centroids convention). All merges fold
-    into ONE chained column expression over the new corpus's word-vocab
-    relation — ordered replace cascades, no per-merge job, no shuffle
-    beyond the vocab groupBy and the final word-keyed join. This is
-    also the honest apply path at 100 TB: scoring a new crawl must not
-    re-run training aggregations."""
-    vocab = _word_vocab(docs, text_col)
-    seg = F.col("seg")
-    for left, right in merges:
-        pat = F.lit(f"{SEP}{left}{SEP}{right}{SEP}")
-        rep = F.lit(f"{SEP}{left}{right}{SEP}")
-        for _ in range(_REPLACE_PASSES):
-            seg = F.replace(seg, pat, rep)
-    done = vocab.select("word", seg.alias("seg"))
-    n_sym = F.size(F.expr(_syms_expr()))
-    toks = (
-        docs.select(
-            id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .select(
-            id_col,
-            F.replace(F.col("word"), F.lit(SEP), F.lit("")).alias("word"),
-        )
-        .filter(F.col("word") != "")
-    )
-    return (
-        toks.join(done.select("word", n_sym.alias("__k")), "word")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("__k").cast("long").alias("n_bpe_tokens"),
-        )
-    )
+    thousand rows — the n_probe-centroids convention). Merges fold into
+    chained column expressions over the new corpus's word-vocab
+    relation — ordered replace cascades, no shuffle beyond the vocab
+    groupBy and the final word-keyed join. Expression depth is the
+    one real limit (each merge nests ``_REPLACE_PASSES`` replace calls;
+    thousands of merges in ONE column overflow the JVM stack during
+    expression conversion), so the fold checkpoints the vocab-sized
+    relation every ``_APPLY_CHUNK`` merges — a realistic 32k-merge
+    tokenizer costs ~256 cheap vocab-relation jobs, never a deep tree.
+    This is the honest apply path at 100 TB: scoring a new crawl must
+    not re-run training aggregations."""
+    vocab = _word_vocab(docs, text_col).select("word", "seg")
+    for start in range(0, len(merges), _APPLY_CHUNK):
+        seg = F.col("seg")
+        for left, right in merges[start:start + _APPLY_CHUNK]:
+            pat = F.lit(f"{SEP}{left}{SEP}{right}{SEP}")
+            rep = F.lit(f"{SEP}{left}{right}{SEP}")
+            for _ in range(_REPLACE_PASSES):
+                seg = F.replace(seg, pat, rep)
+        vocab = vocab.select("word", seg.alias("seg"))
+        if start + _APPLY_CHUNK < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+    return _count_tokens(_doc_words(docs, text_col, id_col), vocab, id_col)
 
 
 # --------------------------------------------------------------------------
@@ -287,8 +299,9 @@ def _sql_round(k: int, passes: int = _REPLACE_PASSES) -> str:
       SELECT a, b, pair_count FROM p{k}
       ORDER BY pair_count DESC, a, b LIMIT 1),
     v{k + 1} AS MATERIALIZED (
-      SELECT v.word, v.freq, {rep} AS seg
-      FROM v{k} v CROSS JOIN m{k} m)
+      SELECT v.word, v.freq,
+             CASE WHEN m.a IS NULL THEN v.seg ELSE {rep} END AS seg
+      FROM v{k} v LEFT JOIN m{k} m ON TRUE)
     """
 
 

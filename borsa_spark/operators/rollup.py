@@ -66,9 +66,18 @@ def rollup_state(candles: DataFrame, trunc: str = "day") -> DataFrame:
     )
 
 
-def _pick(cond: Column, a: Column, b: Column) -> Column:
-    """b if a's side is absent, a if b's side is absent, else by cond."""
-    return F.when(a.isNull(), b).when(b.isNull(), a).when(cond, a).otherwise(b)
+def _pick(
+    cond: Column, a: Column, b: Column,
+    a_present: Column, b_present: Column,
+) -> Column:
+    """b if a's ROW is absent, a if b's row is absent, else by cond.
+    Presence is judged per ROW (the full-outer join side), never per
+    column: a legitimately-NULL value (e.g. a null tick) must not make
+    one field follow a different side than its ordering columns —
+    that would break merge associativity."""
+    return (
+        F.when(~a_present, b).when(~b_present, a).when(cond, a).otherwise(b)
+    )
 
 
 def rollup_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -84,6 +93,9 @@ def rollup_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         & (F.col("a_bucket") == F.col("b_bucket")),
         "full_outer",
     )
+    # row-presence witnesses: n_bars is non-null on every present row
+    ap = F.col("a_n_bars").isNotNull()
+    bp = F.col("b_n_bars").isNotNull()
     a_first = F.struct(F.col("a_first_ts"), F.col("a_first_seq"))
     b_first = F.struct(F.col("b_first_ts"), F.col("b_first_seq"))
     a_last = F.struct(F.col("a_last_ts"), F.col("a_last_seq"))
@@ -93,22 +105,18 @@ def rollup_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return joined.select(
         F.coalesce("a_symbol", "b_symbol").alias("symbol"),
         F.coalesce("a_bucket", "b_bucket").alias("bucket"),
-        _pick(a_wins_open, F.col("a_first_ts"), F.col("b_first_ts")).alias(
-            "first_ts"
-        ),
-        _pick(a_wins_open, F.col("a_first_seq"), F.col("b_first_seq")).alias(
-            "first_seq"
-        ),
-        _pick(a_wins_close, F.col("a_last_ts"), F.col("b_last_ts")).alias(
-            "last_ts"
-        ),
-        _pick(a_wins_close, F.col("a_last_seq"), F.col("b_last_seq")).alias(
-            "last_seq"
-        ),
-        _pick(a_wins_open, F.col("a_open"), F.col("b_open")).alias("open"),
-        _pick(a_wins_close, F.col("a_close"), F.col("b_close")).alias(
-            "close"
-        ),
+        _pick(a_wins_open, F.col("a_first_ts"), F.col("b_first_ts"),
+              ap, bp).alias("first_ts"),
+        _pick(a_wins_open, F.col("a_first_seq"), F.col("b_first_seq"),
+              ap, bp).alias("first_seq"),
+        _pick(a_wins_close, F.col("a_last_ts"), F.col("b_last_ts"),
+              ap, bp).alias("last_ts"),
+        _pick(a_wins_close, F.col("a_last_seq"), F.col("b_last_seq"),
+              ap, bp).alias("last_seq"),
+        _pick(a_wins_open, F.col("a_open"), F.col("b_open"),
+              ap, bp).alias("open"),
+        _pick(a_wins_close, F.col("a_close"), F.col("b_close"),
+              ap, bp).alias("close"),
         F.greatest("a_high", "b_high").alias("high"),
         F.least("a_low", "b_low").alias("low"),
         (

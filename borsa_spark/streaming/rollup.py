@@ -226,8 +226,16 @@ class RollupMaintainer:
         with open(marker) as f:
             pdays = json.load(f).get("pdays", [])
         if not pdays:
+            # same 15-column contract as a non-empty batch: consumers
+            # must not crash on a quiet micro-batch
+            cols = ", ".join(
+                f"{side}_{c} {'long' if c == 'n_bars' else 'double'}"
+                for side in ("after", "before")
+                for c in ("open", "high", "low", "close", "n_bars",
+                          "sum_value")
+            )
             return self.spark.createDataFrame(
-                [], "change string, symbol string, bucket_ts long"
+                [], f"change string, symbol string, bucket_ts long, {cols}"
             )
         after = self._read_versions(
             {p: f"batch-{batch_id}" for p in pdays}
@@ -283,6 +291,12 @@ class RollupMaintainer:
         through = max(batch_seqs) if batch_seqs else -1
         mapping = self._mapping()
         name = f"compact-{through}"
+        if os.path.exists(self._marker_path(name)):
+            # nothing new since the last compact: re-running would read
+            # versions/compact-N while statically overwriting the SAME
+            # directory — the delete lands before the tasks read, and
+            # the only copy of the state is destroyed. Idempotent no-op.
+            return {"version": name, "superseded": []}
         cur = self._read_versions(mapping).withColumn(
             "pday", F.date_format("bucket", "yyyy-MM-dd")
         )

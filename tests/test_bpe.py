@@ -189,3 +189,44 @@ class TestApplyBpe:
         docs = _docs(spark, ["ab cde"])
         row = apply_bpe(docs, []).collect()[0]
         assert (row.n_words, row.n_bpe_tokens) == (2, 5)
+
+
+class TestExhaustionAndEdges:
+    def test_rounds_past_merge_capacity_are_noops(self, spark):
+        # "ab ab cd": merges (a,b) then (c,d) exhaust every pair; the
+        # remaining rounds must be no-ops, not vocab annihilation.
+        docs = _docs(spark, ["ab ab cd"])
+        out = learn_bpe(docs, 5).orderBy("step").collect()
+        assert [(r.left, r.right) for r in out] == [("a", "b"), ("c", "d")]
+        counts = {
+            r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_token_counts(docs, 5).collect()
+        }
+        assert counts == {0: (3, 3)}  # every word fully merged, none lost
+
+    def test_zero_merges_returns_typed_empty_table(self, spark):
+        docs = _docs(spark, ["ab cd"])
+        out = learn_bpe(docs, 0)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "step", "left", "right", "merged", "pair_count"
+        ]
+
+    def test_apply_chunks_past_expression_depth(self, spark, monkeypatch):
+        # force tiny chunks so the checkpoint path is exercised; the
+        # result must be identical to the unchunked fold
+        from borsa_spark.functions import bpe as bpe_mod
+
+        docs = _docs(spark, ["low lower lowest low low"])
+        merges = [
+            (r.left, r.right)
+            for r in learn_bpe(docs, 5).orderBy("step").collect()
+        ]
+        want = sorted(
+            tuple(r) for r in bpe_mod.apply_bpe(docs, merges).collect()
+        )
+        monkeypatch.setattr(bpe_mod, "_APPLY_CHUNK", 2)
+        got = sorted(
+            tuple(r) for r in bpe_mod.apply_bpe(docs, merges).collect()
+        )
+        assert got == want

@@ -168,3 +168,21 @@ class TestMergeAlgebra:
                 states[order[2]],
             )
             assert _final_rows(merged) == want
+
+
+class TestNullValueTicks:
+    def test_null_value_does_not_split_row_identity(self, spark):
+        # a NULL-valued tick is the bucket's earliest: merged open must
+        # stay NULL (that row won) and first_ts must come from the SAME
+        # side — per-column null-picking would mix sides and break
+        # associativity
+        a = rollup_state(_candles(spark, [("A", _ts(1, 1), None, 1)]))
+        b = rollup_state(_candles(spark, [("A", _ts(1, 9), 5.0, 2)]))
+        m = rollup_merge(a, b).collect()[0]
+        assert m.first_ts == _ts(1, 1) and m.first_seq == 1
+        assert m.open is None and m.close == 5.0
+        # and both merge orders agree
+        m2 = rollup_merge(b, a).collect()[0]
+        assert (m.first_ts, m.open, m.close) == (
+            m2.first_ts, m2.open, m2.close
+        )

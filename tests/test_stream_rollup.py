@@ -216,3 +216,27 @@ class TestChangesFor:
         rm.build(_candles(spark, BASE))
         with pytest.raises(ValueError, match="no committed marker"):
             rm.changes_for(0)
+
+
+class TestCompactIdempotence:
+    def test_double_compact_is_a_noop_not_state_loss(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        want = _got(rm)
+        rm.compact()
+        out = rm.compact()  # idle-period re-run: must not destroy state
+        assert out == {"version": "compact-0", "superseded": []}
+        assert _got(rm) == want
+
+
+class TestEmptyBatchCdc:
+    def test_empty_batch_cdc_keeps_full_schema(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, []), 0)
+        cdc = rm.changes_for(0)
+        assert cdc.count() == 0
+        assert "after_n_bars" in cdc.columns  # consumers can still select
+        rm.process_batch(_candles(spark, B0), 1)
+        assert set(cdc.columns) == set(rm.changes_for(1).columns)
