@@ -43,7 +43,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 _REPLACE_PASSES = 5
-_APPLY_CHUNK = 128
 SEP = "·"
 
 _PAIR_EXPLODE = (
@@ -228,29 +227,45 @@ def apply_bpe(
     path: train once with `learn_bpe`, collect its ≤n_merges rows,
     tokenize any corpus later): (doc_id, n_words, n_bpe_tokens).
 
-    The merge list is bounded driver-side data (a tokenizer is a few
-    thousand rows — the n_probe-centroids convention). Merges fold into
-    chained column expressions over the new corpus's word-vocab
-    relation — ordered replace cascades, no shuffle beyond the vocab
-    groupBy and the final word-keyed join. Expression depth is the
-    one real limit (each merge nests ``_REPLACE_PASSES`` replace calls;
-    thousands of merges in ONE column overflow the JVM stack during
-    expression conversion), so the fold checkpoints the vocab-sized
-    relation every ``_APPLY_CHUNK`` merges — a realistic 32k-merge
-    tokenizer costs ~256 cheap vocab-relation jobs, never a deep tree.
-    This is the honest apply path at 100 TB: scoring a new crawl must
-    not re-run training aggregations."""
-    vocab = _word_vocab(docs, text_col).select("word", "seg")
-    for start in range(0, len(merges), _APPLY_CHUNK):
-        seg = F.col("seg")
-        for left, right in merges[start:start + _APPLY_CHUNK]:
-            pat = F.lit(f"{SEP}{left}{SEP}{right}{SEP}")
-            rep = F.lit(f"{SEP}{left}{right}{SEP}")
-            for _ in range(_REPLACE_PASSES):
-                seg = F.replace(seg, pat, rep)
-        vocab = vocab.select("word", seg.alias("seg"))
-        if start + _APPLY_CHUNK < len(merges):
-            vocab = vocab.localCheckpoint(eager=True)
+    The merge table rides as DATA, not expression nodes: it becomes a
+    1-row broadcast relation holding a step-sorted array of (left,
+    right) structs, and the ordered cascade is one `F.aggregate` fold
+    whose lambda has CONSTANT depth — chaining one replace-cascade per
+    merge into a single column expression overflows the JVM stack
+    during expression conversion at a few hundred merges, nowhere near
+    a real 32k-merge tokenizer. One projection over the vocab
+    relation, no per-merge jobs, and the honest apply path at 100 TB:
+    scoring a new crawl never re-runs training aggregations."""
+    spark = docs.sparkSession
+    mdf = spark.createDataFrame(
+        [(i, lt, rt) for i, (lt, rt) in enumerate(merges)],
+        "step long, l string, r string",
+    )
+    marr = mdf.agg(
+        F.sort_array(
+            F.collect_list(F.struct("step", "l", "r"))
+        ).alias("__merges")
+    )
+
+    def one_merge(acc, m):
+        pat = F.concat(F.lit(SEP), m["l"], F.lit(SEP), m["r"], F.lit(SEP))
+        rep = F.concat(F.lit(SEP), m["l"], m["r"], F.lit(SEP))
+        for _ in range(_REPLACE_PASSES):
+            acc = F.replace(acc, pat, rep)
+        return acc
+
+    vocab = (
+        _word_vocab(docs, text_col)
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "word",
+            F.aggregate(
+                F.coalesce("__merges", F.array()),
+                F.col("seg"),
+                one_merge,
+            ).alias("seg"),
+        )
+    )
     return _count_tokens(_doc_words(docs, text_col, id_col), vocab, id_col)
 
 

@@ -212,21 +212,21 @@ class TestExhaustionAndEdges:
             "step", "left", "right", "merged", "pair_count"
         ]
 
-    def test_apply_chunks_past_expression_depth(self, spark, monkeypatch):
-        # force tiny chunks so the checkpoint path is exercised; the
-        # result must be identical to the unchunked fold
-        from borsa_spark.functions import bpe as bpe_mod
+    def test_apply_holds_at_tokenizer_scale(self, spark):
+        # a realistic merge-table size must not blow the expression
+        # converter's stack (merges ride as DATA in one aggregate fold,
+        # not as nested replace nodes) — 2000 merges was a reproduced
+        # StackOverflowError under the chained-expression design
+        from borsa_spark.functions.bpe import apply_bpe
 
-        docs = _docs(spark, ["low lower lowest low low"])
-        merges = [
+        docs = _docs(spark, ["low lower lowest low low"] * 3)
+        real = [
             (r.left, r.right)
             for r in learn_bpe(docs, 5).orderBy("step").collect()
         ]
-        want = sorted(
-            tuple(r) for r in bpe_mod.apply_bpe(docs, merges).collect()
-        )
-        monkeypatch.setattr(bpe_mod, "_APPLY_CHUNK", 2)
+        pad = [(f"z{i}", f"q{i}") for i in range(2000 - len(real))]
+        want = sorted(tuple(r) for r in apply_bpe(docs, real).collect())
         got = sorted(
-            tuple(r) for r in bpe_mod.apply_bpe(docs, merges).collect()
+            tuple(r) for r in apply_bpe(docs, real + pad).collect()
         )
-        assert got == want
+        assert got == want  # non-matching pad merges are no-ops
