@@ -130,6 +130,40 @@ def rollup_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def rollup_cascade(state: DataFrame, trunc: str = "day") -> DataFrame:
+    """Re-bucket mergeable state to a COARSER granularity — the
+    hypertable cascade: the hourly continuous aggregate feeds the
+    daily one without ever touching raw ticks. Exact because every
+    state field is associative across buckets too: open/close follow
+    the (first_ts, first_seq)/(last_ts, last_seq) total order, the
+    rest are max/min/sum. One vocab-sized partial-agg groupBy."""
+    first_key = F.struct("first_ts", "first_seq")
+    last_key = F.struct("last_ts", "last_seq")
+    return (
+        state.groupBy(
+            "symbol", F.date_trunc(trunc, "bucket").alias("bucket")
+        )
+        .agg(
+            F.min_by(first_key, first_key).alias("__f"),
+            F.max_by(last_key, last_key).alias("__l"),
+            F.min_by("open", first_key).alias("open"),
+            F.max_by("close", last_key).alias("close"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_bars").alias("n_bars"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .select(
+            "symbol", "bucket",
+            F.col("__f.first_ts").alias("first_ts"),
+            F.col("__f.first_seq").alias("first_seq"),
+            F.col("__l.last_ts").alias("last_ts"),
+            F.col("__l.last_seq").alias("last_seq"),
+            "open", "close", "high", "low", "n_bars", "sum_value",
+        )
+    )
+
+
 def rollup_finalize(state: DataFrame) -> DataFrame:
     """User-facing OHLCV from mergeable state — the exact column
     contract of the a2/a3/a4 full-recompute rollups (queries.py

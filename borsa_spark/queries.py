@@ -7592,6 +7592,32 @@ def c8_rollup_cdc_images(spark, sf):
     return out
 
 
+@query(
+    "c9_rollup_cascade",
+    _OHLC_ORACLE.format(bucket="date_trunc('day', ts)"),
+)
+def c9_rollup_cascade(spark, sf):
+    """The hypertable cascade (operators/rollup.py `rollup_cascade`):
+    HOURLY mergeable state re-bucketed to DAILY without touching raw
+    ticks — proving every state field is associative across buckets,
+    not just across batches. Oracle = the daily full recompute straight
+    from the events (a2's SQL); a wrong cross-bucket open/close
+    resolution or a lost tie-break hash-mismatches.
+
+    Scale shape at 100 TB: the daily tier reads |hourly state| rows
+    (~24x the daily keyset), never the tick history — cascaded
+    continuous aggregates each pay only their input tier's size."""
+    from borsa_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_finalize,
+        rollup_state,
+    )
+
+    ev = _event_candles(spark, sf)
+    hourly = rollup_state(ev, trunc="hour")
+    return rollup_finalize(rollup_cascade(hourly, trunc="day"))
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach

@@ -186,3 +186,29 @@ class TestNullValueTicks:
         assert (m.first_ts, m.open, m.close) == (
             m2.first_ts, m2.open, m2.close
         )
+
+
+class TestCascade:
+    def test_hourly_to_daily_equals_direct_daily(self, spark):
+        from borsa_spark.operators.rollup import rollup_cascade
+
+        rows = [
+            ("A", _ts(1, 3_600 * h + s), float((h * 7 + s) % 50), h * 100 + s)
+            for h in range(5)
+            for s in (0, 30, 59)
+        ] + [("B", _ts(2, 10), 4.0, 999)]
+        hourly = rollup_state(_candles(spark, rows), trunc="hour")
+        got = _final_rows(rollup_cascade(hourly, trunc="day"))
+        want = _final_rows(rollup_state(_candles(spark, rows), trunc="day"))
+        assert got == want
+
+    def test_cascade_composes_with_merge(self, spark):
+        # merge two hourly states, THEN cascade == cascade of the
+        # one-shot daily — the full associativity story
+        from borsa_spark.operators.rollup import rollup_cascade
+
+        a = rollup_state(_candles(spark, FIX[:4]), trunc="hour")
+        b = rollup_state(_candles(spark, FIX[4:]), trunc="hour")
+        got = _final_rows(rollup_cascade(rollup_merge(a, b), trunc="day"))
+        want = _final_rows(rollup_state(_candles(spark, FIX), trunc="day"))
+        assert got == want
