@@ -69,6 +69,12 @@ def main() -> None:
     rollup_finalize(rm.state_as_of(-1)).orderBy(
         F.desc("bucket_ts"), "symbol"
     ).show(3)
+    print("CDC deltas for batch 1 (before/after images):")
+    rm.changes_for(1).select(
+        "change", "symbol", "bucket_ts",
+        "before_n_bars", "after_n_bars",
+        "before_close", "after_close",
+    ).orderBy("bucket_ts", "symbol").show(5)
     print("compact:", rm.compact())
 
     spark.stop()
