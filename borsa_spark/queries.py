@@ -7618,6 +7618,22 @@ def c9_rollup_cascade(spark, sf):
     return rollup_finalize(rollup_cascade(hourly, trunc="day"))
 
 
+@query("f82_embedding_covariance")
+def f82_embedding_covariance(spark, sf):
+    """The data-sized half of distributed PCA (functions/pca.py):
+    the 64x64 embedding covariance in ONE corpus pass — in-row outer
+    products ride a posexplode into a 4096-key partial agg (map-side
+    combine collapses the d^2 amplification before the shuffle,
+    corpus-size-independent key count), means reuse the pass
+    structure. Double-cast before multiplication so both engines
+    accumulate in float64; 8dp round. The eigensolve half is bounded
+    64x64 driver math, pinned by tests/test_pca.py."""
+    from borsa_spark.functions.pca import embedding_covariance
+
+    embs = load_table(spark, sf, "embeddings")
+    return embedding_covariance(embs)
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -7652,6 +7668,9 @@ def _register_late_oracles() -> None:
 
     ORACLES["f80_bpe_train"] = sql_learn_bpe(12)
     ORACLES["f81_bpe_compression"] = sql_bpe_token_counts(8)
+    from borsa_spark.functions.pca import sql_embedding_covariance
+
+    ORACLES["f82_embedding_covariance"] = sql_embedding_covariance()
 
 
 _register_late_oracles()

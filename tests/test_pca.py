@@ -1,0 +1,94 @@
+"""Pins for distributed PCA (f82 + pca_fit/pca_project): the covariance
+pass must match numpy exactly, the fitted components must be an
+orthonormal eigenbasis with descending variances, projections must
+carry exactly the per-component variances, whitening must unit-scale
+them, and the sign convention must make the whole fit deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from borsa_spark.functions.pca import (
+    embedding_covariance,
+    pca_fit,
+    pca_project,
+)
+
+
+def _embs(spark, n=60, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud: variance concentrated along a few directions
+    basis = rng.normal(size=(d, d))
+    scales = np.array([5.0, 3.0, 1.0] + [0.2] * (d - 3))
+    pts = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in row], 0) for i, row in enumerate(pts)],
+            "vec_id long, embedding array<float>, label int",
+        ),
+        pts.astype(np.float32).astype(np.float64),
+    )
+
+
+class TestCovariance:
+    def test_matches_numpy_population_covariance(self, spark):
+        df, pts = _embs(spark)
+        got = {
+            (r.i, r.j): r.cov for r in embedding_covariance(df).collect()
+        }
+        want = np.cov(pts, rowvar=False, bias=True)
+        for (i, j), v in got.items():
+            assert v == pytest.approx(want[i][j], abs=2e-8)
+        assert len(got) == pts.shape[1] ** 2
+
+
+class TestFitProject:
+    def test_components_orthonormal_descending(self, spark):
+        df, _ = _embs(spark)
+        model = pca_fit(df, k=4)
+        comps = np.array(model["components"])
+        assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+        vs = model["variances"]
+        assert vs == sorted(vs, reverse=True) and vs[0] > vs[-1]
+
+    def test_projection_variance_equals_eigenvalues(self, spark):
+        df, _ = _embs(spark)
+        model = pca_fit(df, k=3)
+        proj = np.array(
+            [r.proj for r in pca_project(df, model).collect()]
+        )
+        got = proj.var(axis=0)  # population variance, mean-centered data
+        assert np.allclose(got, model["variances"][:3], rtol=1e-6)
+
+    def test_whitening_unit_variance(self, spark):
+        df, _ = _embs(spark)
+        model = pca_fit(df, k=3)
+        proj = np.array(
+            [r.proj for r in pca_project(df, model, whiten=True).collect()]
+        )
+        assert np.allclose(proj.var(axis=0), 1.0, rtol=1e-5)
+
+    def test_sign_convention_is_deterministic(self, spark):
+        df, _ = _embs(spark)
+        a = pca_fit(df, k=2)
+        b = pca_fit(df.repartition(7), k=2)
+        assert np.allclose(a["components"], b["components"], atol=1e-9)
+
+    def test_reconstruction_error_shrinks_with_k(self, spark):
+        df, pts = _embs(spark)
+        errs = []
+        for k in (1, 3, 6):
+            model = pca_fit(df, k=k)
+            comps = np.array(model["components"])
+            mean = np.array(model["mean"])
+            proj = np.array(
+                [r.proj for r in pca_project(df, model).collect()]
+            )
+            recon = proj @ comps + mean
+            # align row order: pca_project preserves vec_id
+            ids = [r.vec_id for r in pca_project(df, model).collect()]
+            errs.append(
+                float(np.mean((recon - pts[np.array(ids)]) ** 2))
+            )
+        assert errs[0] > errs[1] > errs[2]
