@@ -185,6 +185,17 @@ def main() -> None:
         F.round(F.col("n_bpe_tokens") / F.col("n_words"), 3),
     ).orderBy(F.desc("tokens_per_word")).show(5)
 
+    # 14. distributed PCA over the embedding table: one covariance
+    # pass, bounded driver eigensolve, in-row whitening (f82)
+    from borsa_spark.functions.pca import pca_fit, pca_project
+
+    embs = load_table(spark, SF, "embeddings")
+    model = pca_fit(embs, k=4)
+    print("== PCA: top-4 variances ==")
+    print([round(v, 4) for v in model["variances"]])
+    print("== whitened projections (first rows) ==")
+    pca_project(embs, model, whiten=True).orderBy("vec_id").show(3)
+
     spark.stop()
 
 

@@ -572,6 +572,54 @@ def run_bpe_drill(spark, results: list) -> None:
         })
 
 
+def run_pca_drill(spark, results: list) -> None:
+    """f82/PCA drill across embedding decades (2k / 20k / 200k
+    vectors x 64d). Claim: the covariance pass partial-aggregates the
+    in-row outer products into a FIXED 4096-key shuffle, so wall grows
+    with the scan (linear, embarrassingly parallel) while shuffle and
+    driver work stay constant; fit adds only bounded 64x64 eigensolve,
+    projection is one in-row pass."""
+    import time as _t
+
+    from borsa_spark.functions.pca import (
+        embedding_covariance,
+        pca_fit,
+        pca_project,
+    )
+    from borsa_spark.sources import load_table
+
+    generate_100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+    for tier, path in tiers:
+        embs = load_table(spark, path, "embeddings")
+        n = embs.count()
+        t0 = _t.time()
+        rows = embedding_covariance(embs).count()
+        t_cov = _t.time() - t0
+        t0 = _t.time()
+        model = pca_fit(embs, k=8)
+        t_fit = _t.time() - t0
+        t0 = _t.time()
+        n_proj = pca_project(embs, model, whiten=True).count()
+        t_proj = _t.time() - t0
+        spark.catalog.clearCache()
+        emit({
+            "query": "f82_pca", "sf": tier, "n_vectors": n,
+            "cov_rows": rows, "cov_sec": round(t_cov, 3),
+            "fit_sec": round(t_fit, 3), "project_sec": round(t_proj, 3),
+            "top_variance": round(model["variances"][0], 4),
+        })
+
+
 def run_rollup_drill(spark, results: list) -> None:
     """c6 incremental-maintenance drill. Claim: folding a batch into a
     materialized rollup costs O(batch + dirty partitions) — independent
@@ -672,6 +720,13 @@ def main() -> None:
         return
     if "--rollup" in sys.argv:
         run_rollup_drill(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--pca" in sys.argv:
+        run_pca_drill(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
