@@ -90,18 +90,98 @@ def sql_embedding_covariance(table: str = "embeddings") -> str:
     """
 
 
+def embedding_covariance_fast(
+    embs: DataFrame, col: str = "embedding"
+) -> DataFrame:
+    """The scale path for the same (i, j, cov) relation: per-partition
+    numpy ``X^T X`` / column sums / counts via Arrow-batched
+    `mapInPandas` (BLAS does the d² work in-core), then ONE partial
+    agg over d²+d+1 keyed partials. Bit-comparable to
+    `embedding_covariance` at 8dp (same float64 accumulation, order
+    differences below the round); the JVM explode path remains the
+    oracle-matched reference. Measured 100x-tier speedup in SCALE.md."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        gram = None
+        sums = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            if gram is None:
+                gram = X.T @ X
+                sums = X.sum(axis=0)
+            else:
+                gram += X.T @ X
+                sums += X.sum(axis=0)
+            n += len(X)
+        if n == 0:
+            return
+        d = gram.shape[0]
+        pos = np.arange(d * d)
+        yield pd.DataFrame(
+            {
+                "kind": ["g"] * (d * d) + ["m"] * d + ["n"],
+                "pos": np.concatenate([pos, np.arange(d), [0]]),
+                "val": np.concatenate([gram.ravel(), sums, [float(n)]]),
+            }
+        )
+
+    parts = embs.mapInPandas(part, "kind string, pos long, val double")
+    agg = parts.groupBy("kind", "pos").agg(F.sum("val").alias("v"))
+    n_rel = agg.filter(F.col("kind") == "n").select(
+        F.col("v").alias("n_total")
+    )
+    m_rel = agg.filter(F.col("kind") == "m").select(
+        F.col("pos").alias("k"), F.col("v").alias("s")
+    )
+    d_rel = m_rel.groupBy().agg(F.count("*").alias("d"))
+    g = (
+        agg.filter(F.col("kind") == "g")
+        .crossJoin(F.broadcast(d_rel))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            (F.col("pos") / F.col("d")).cast("long").alias("i"),
+            (F.col("pos") % F.col("d")).alias("j"),
+            F.col("v"),
+            F.col("n_total"),
+        )
+    )
+    mi = m_rel.select(F.col("k").alias("i"), F.col("s").alias("si"))
+    mj = m_rel.select(F.col("k").alias("j"), F.col("s").alias("sj"))
+    return (
+        g.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("v") / F.col("n_total")
+                - (F.col("si") / F.col("n_total"))
+                * (F.col("sj") / F.col("n_total")),
+                8,
+            ).alias("cov"),
+        )
+    )
+
+
 def pca_fit(
-    embs: DataFrame, k: int, col: str = "embedding"
+    embs: DataFrame, k: int, col: str = "embedding", fast: bool = False
 ) -> dict:
     """Fit PCA on the corpus: returns {mean, components, variances}
     as plain Python lists (bounded d / k×d / k driver data — the
     n_probe-centroids convention). Components are rows of V^T for the
     top-k eigenvalues, each sign-normalized so its largest-magnitude
     coordinate is positive (eigh's sign is otherwise arbitrary and
-    would break determinism)."""
+    would break determinism). ``fast=True`` swaps in the Arrow/numpy
+    covariance pass (identical at the 8dp snap)."""
     import numpy as np
 
-    rows = embedding_covariance(embs, col).collect()
+    cov_fn = embedding_covariance_fast if fast else embedding_covariance
+    rows = cov_fn(embs, col).collect()
     d = max(r.i for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:

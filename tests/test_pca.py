@@ -92,3 +92,27 @@ class TestFitProject:
                 float(np.mean((recon - pts[np.array(ids)]) ** 2))
             )
         assert errs[0] > errs[1] > errs[2]
+
+
+class TestFastPath:
+    def test_fast_covariance_equals_reference(self, spark):
+        df, _ = _embs(spark)
+        from borsa_spark.functions.pca import embedding_covariance_fast
+
+        slow = {
+            (r.i, r.j): r.cov for r in embedding_covariance(df).collect()
+        }
+        fast = {
+            (r.i, r.j): r.cov
+            for r in embedding_covariance_fast(df.repartition(5)).collect()
+        }
+        assert set(slow) == set(fast)
+        for key, v in slow.items():
+            assert fast[key] == pytest.approx(v, abs=2e-8)
+
+    def test_fast_fit_matches(self, spark):
+        df, _ = _embs(spark)
+        a = pca_fit(df, k=3)
+        b = pca_fit(df, k=3, fast=True)
+        assert np.allclose(a["components"], b["components"], atol=1e-6)
+        assert np.allclose(a["variances"], b["variances"], atol=1e-8)

@@ -606,7 +606,12 @@ def run_pca_drill(spark, results: list) -> None:
         rows = embedding_covariance(embs).count()
         t_cov = _t.time() - t0
         t0 = _t.time()
-        model = pca_fit(embs, k=8)
+        from borsa_spark.functions.pca import embedding_covariance_fast
+
+        embedding_covariance_fast(embs).count()
+        t_cov_fast = _t.time() - t0
+        t0 = _t.time()
+        model = pca_fit(embs, k=8, fast=True)
         t_fit = _t.time() - t0
         t0 = _t.time()
         n_proj = pca_project(embs, model, whiten=True).count()
@@ -615,6 +620,7 @@ def run_pca_drill(spark, results: list) -> None:
         emit({
             "query": "f82_pca", "sf": tier, "n_vectors": n,
             "cov_rows": rows, "cov_sec": round(t_cov, 3),
+            "cov_fast_sec": round(t_cov_fast, 3),
             "fit_sec": round(t_fit, 3), "project_sec": round(t_proj, 3),
             "top_variance": round(model["variances"][0], 4),
         })
