@@ -3,8 +3,8 @@
 The classic two-phase shape (the public Spark MLlib RowMatrix design —
 computePrincipalComponents aggregates a Gram matrix and eigensolves on
 the driver; reimplemented here DataFrame-first with no mllib
-dependency): the DATA-sized work is one pass computing the d×d
-covariance (d = embedding width, 64 here — thousands at most in
+dependency): the DATA-sized work is one pass computing the d×d second
++ first moments (d = embedding width, 64 here — thousands at most in
 practice), the d×d eigendecomposition is bounded driver math (numpy
 `eigh` on a symmetric matrix), and projection/whitening are in-row
 column expressions over broadcast components. Dimension reduction and
@@ -12,55 +12,82 @@ whitening are standard preprocessing for the ANN / SemDeDup family
 (functions/similarity.py) — distances in the whitened space are
 Mahalanobis distances in the original.
 
-Scale shape: the covariance pass explodes each vector's in-row outer
-product to (pos, prod) and partial-aggregates — 4096 grouping keys
-regardless of corpus size, so the map-side combine collapses the d²
-amplification before any shuffle; means ride the same pass. Everything
-else is O(d²) driver work or in-row arithmetic. Accumulation is cast
-to double BEFORE multiplication so both engines sum in float64 (the
-oracle rounds to 8dp; float32 products would diverge at far coarser
-digits)."""
+Two plan shapes for the moment pass, agreeing at the 8dp snap:
+
+- `embedding_covariance` (the DuckDB-oracle-matched reference): ONE
+  posexplode per vector over the concatenation of its in-row outer
+  product and its raw elements — products and mean sums ride the SAME
+  exchange (d²+d grouping keys regardless of corpus size; the two
+  consumers of the aggregate reuse it, so the corpus is scanned once).
+- `embedding_covariance_fast` (the 100 TB path): per-partition numpy
+  ``X^T X`` / column-sum / count partials via Arrow `mapInPandas`
+  (BLAS does the d² work in-core), one d²+d+1-key agg of partials —
+  measured 10x faster at the 200k-vector tier (SCALE.md).
+
+Null embeddings are SKIPPED by both paths (posexplode of a null array
+emits nothing; the fast path filters before stacking). Accumulation is
+cast to double BEFORE multiplication so engines sum in float64 (the
+oracle rounds to 8dp; float32 products would diverge far coarser).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
 
+def _moment_expr(col: str) -> str:
+    """The per-row moment array: d² outer products followed by the d
+    raw elements — one posexplode carries both the Gram sums and the
+    mean sums through a single exchange."""
+    return (
+        f"concat("
+        f"flatten(transform({col}, x -> transform({col}, y ->"
+        f" cast(x as double) * cast(y as double)))),"
+        f" transform({col}, x -> cast(x as double)))"
+    )
+
+
+def _moment_agg(embs: DataFrame, col: str = "embedding") -> DataFrame:
+    """(d, pos, s, n): summed moment cells. pos < d*d is Gram cell
+    (i = pos div d, j = pos mod d); pos >= d*d is element k = pos - d*d
+    (mean = s/n). One corpus scan, d²+d grouping keys."""
+    return (
+        embs.filter(F.col(col).isNotNull())
+        .select(
+            F.size(F.col(col)).alias("__d"),
+            F.posexplode(F.expr(_moment_expr(col))).alias("pos", "val"),
+        )
+        .groupBy("__d", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+
+
 def embedding_covariance(
     embs: DataFrame, col: str = "embedding"
 ) -> DataFrame:
     """The d×d population covariance as (i, j, cov) rows, cov rounded
-    to 8dp: cov_ij = E[x_i x_j] − E[x_i]E[x_j]. One corpus pass: the
-    in-row outer product rides a single posexplode into a 4096-key
-    partial agg; the means reuse the diagonal pass structure."""
-    d = F.size(F.col(col))
-    prods = embs.select(
-        d.alias("__d"),
-        F.posexplode(
-            F.expr(
-                f"flatten(transform({col}, x ->"
-                f" transform({col}, y ->"
-                " cast(x as double) * cast(y as double))))"
-            )
-        ).alias("pos", "prod"),
-    )
-    sums = prods.groupBy(
+    to 8dp: cov_ij = E[x_i x_j] − E[x_i]E[x_j]. Products and means
+    come out of ONE moment aggregation; the d²+d-row aggregate is
+    localCheckpointed before the two consumers split, because Catalyst
+    otherwise pushes each consumer's pos-filter BELOW the aggregation
+    (pos is a grouping key) and the now-different subtrees each
+    re-scan and re-explode the corpus — checkpointing the tiny
+    aggregate is what actually makes this one pass."""
+    agg = _moment_agg(embs, col).localCheckpoint(eager=False)
+    dd = F.col("__d") * F.col("__d")
+    prods = agg.filter(F.col("pos") < dd).select(
         (F.col("pos") / F.col("__d")).cast("long").alias("i"),
         (F.col("pos") % F.col("__d")).alias("j"),
-    ).agg(F.sum("prod").alias("s"), F.count("*").alias("n"))
-    means = (
-        embs.select(
-            F.posexplode(
-                F.expr(f"transform({col}, x -> cast(x as double))")
-            ).alias("k", "x")
-        )
-        .groupBy("k")
-        .agg((F.sum("x") / F.count("*")).alias("m"))
+        F.col("s"),
+        F.col("n"),
+    )
+    means = agg.filter(F.col("pos") >= dd).select(
+        (F.col("pos") - dd).alias("k"), (F.col("s") / F.col("n")).alias("m")
     )
     mi = means.select(F.col("k").alias("i"), F.col("m").alias("mi"))
     mj = means.select(F.col("k").alias("j"), F.col("m").alias("mj"))
     return (
-        sums.join(F.broadcast(mi), "i")
+        prods.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .select(
             "i",
@@ -73,11 +100,12 @@ def embedding_covariance(
 
 
 def sql_embedding_covariance(table: str = "embeddings") -> str:
-    """DuckDB oracle: the same one-pass sums/means/combination."""
+    """DuckDB oracle: the same sums/means/combination."""
     return f"""
     WITH x AS (
       SELECT vec_id, u.i - 1 AS k, CAST(e[u.i] AS DOUBLE) AS v
-      FROM (SELECT vec_id, embedding AS e FROM {table})
+      FROM (SELECT vec_id, embedding AS e FROM {table}
+            WHERE embedding IS NOT NULL)
            , unnest(range(1, len(e) + 1)) AS u(i)),
     s AS (
       SELECT a.k AS i, b.k AS j, sum(a.v * b.v) AS s, count(*) AS n
@@ -90,16 +118,9 @@ def sql_embedding_covariance(table: str = "embeddings") -> str:
     """
 
 
-def embedding_covariance_fast(
-    embs: DataFrame, col: str = "embedding"
-) -> DataFrame:
-    """The scale path for the same (i, j, cov) relation: per-partition
-    numpy ``X^T X`` / column sums / counts via Arrow-batched
-    `mapInPandas` (BLAS does the d² work in-core), then ONE partial
-    agg over d²+d+1 keyed partials. Bit-comparable to
-    `embedding_covariance` at 8dp (same float64 accumulation, order
-    differences below the round); the JVM explode path remains the
-    oracle-matched reference. Measured 100x-tier speedup in SCALE.md."""
+def _fast_agg(embs: DataFrame, col: str = "embedding") -> DataFrame:
+    """(kind, pos, v): per-partition numpy Gram ('g'), column-sum
+    ('m') and count ('n') partials, summed in one d²+d+1-key agg."""
     import numpy as np
     import pandas as pd
 
@@ -108,6 +129,7 @@ def embedding_covariance_fast(
         sums = None
         n = 0
         for pdf in batches:
+            pdf = pdf[pdf[col].notna()]
             if not len(pdf):
                 continue
             X = np.stack(pdf[col].to_numpy()).astype(np.float64)
@@ -121,17 +143,59 @@ def embedding_covariance_fast(
         if n == 0:
             return
         d = gram.shape[0]
-        pos = np.arange(d * d)
         yield pd.DataFrame(
             {
                 "kind": ["g"] * (d * d) + ["m"] * d + ["n"],
-                "pos": np.concatenate([pos, np.arange(d), [0]]),
+                "pos": np.concatenate(
+                    [np.arange(d * d), np.arange(d), [0]]
+                ),
                 "val": np.concatenate([gram.ravel(), sums, [float(n)]]),
             }
         )
 
-    parts = embs.mapInPandas(part, "kind string, pos long, val double")
-    agg = parts.groupBy("kind", "pos").agg(F.sum("val").alias("v"))
+    return (
+        embs.mapInPandas(part, "kind string, pos long, val double")
+        .groupBy("kind", "pos")
+        .agg(F.sum("val").alias("v"))
+    )
+
+
+def _assemble(rows, fast: bool):
+    """Driver-side (cov matrix, mean vector, n) from collected moment
+    rows — bounded d²+d+1 data either way."""
+    import numpy as np
+
+    if fast:
+        n = sum(r.v for r in rows if r.kind == "n")
+        if n == 0:
+            raise ValueError("PCA fit on an empty corpus (no embeddings)")
+        g = {r.pos: r.v for r in rows if r.kind == "g"}
+        s = {r.pos: r.v for r in rows if r.kind == "m"}
+        d = len(s)
+        gram = np.array([g[p] for p in range(d * d)]).reshape(d, d)
+        sums = np.array([s[p] for p in range(d)])
+    else:
+        if not rows:
+            raise ValueError("PCA fit on an empty corpus (no embeddings)")
+        d = rows[0]["__d"]  # Row.__getattr__ rejects dunder-ish names
+        n = rows[0]["n"]
+        g = {r["pos"]: r["s"] for r in rows if r["pos"] < d * d}
+        s = {r["pos"] - d * d: r["s"] for r in rows if r["pos"] >= d * d}
+        gram = np.array([g[p] for p in range(d * d)]).reshape(d, d)
+        sums = np.array([s[p] for p in range(d)])
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    return cov, mean, n
+
+
+def embedding_covariance_fast(
+    embs: DataFrame, col: str = "embedding"
+) -> DataFrame:
+    """The scale path for the same (i, j, cov) relation — see the
+    module docstring. Bit-comparable to `embedding_covariance` at the
+    8dp snap (same float64 accumulation, order differences below the
+    round)."""
+    agg = _fast_agg(embs, col)
     n_rel = agg.filter(F.col("kind") == "n").select(
         F.col("v").alias("n_total")
     )
@@ -173,31 +237,17 @@ def pca_fit(
 ) -> dict:
     """Fit PCA on the corpus: returns {mean, components, variances}
     as plain Python lists (bounded d / k×d / k driver data — the
-    n_probe-centroids convention). Components are rows of V^T for the
-    top-k eigenvalues, each sign-normalized so its largest-magnitude
-    coordinate is positive (eigh's sign is otherwise arbitrary and
-    would break determinism). ``fast=True`` swaps in the Arrow/numpy
-    covariance pass (identical at the 8dp snap)."""
+    n_probe-centroids convention). ONE action over ONE corpus scan:
+    the moment aggregation (JVM explode or Arrow/numpy per ``fast``)
+    is collected raw (d²+d+1 rows) and covariance/mean assemble on the
+    driver. Components are rows of V^T for the top-k eigenvalues, each
+    sign-normalized so its largest-magnitude coordinate is positive
+    (eigh's sign is otherwise arbitrary and would break determinism).
+    Raises ValueError on an empty corpus."""
     import numpy as np
 
-    cov_fn = embedding_covariance_fast if fast else embedding_covariance
-    rows = cov_fn(embs, col).collect()
-    d = max(r.i for r in rows) + 1
-    cov = np.zeros((d, d))
-    for r in rows:
-        cov[r.i][r.j] = r.cov
-    mean = [
-        r.m
-        for r in embs.select(
-            F.posexplode(
-                F.expr(f"transform({col}, x -> cast(x as double))")
-            ).alias("k", "x")
-        )
-        .groupBy("k")
-        .agg((F.sum("x") / F.count("*")).alias("m"))
-        .orderBy("k")
-        .collect()
-    ]
+    rows = (_fast_agg if fast else _moment_agg)(embs, col).collect()
+    cov, mean, _ = _assemble(rows, fast)
     vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(vals)[::-1][:k]
     comps, variances = [], []
@@ -207,7 +257,11 @@ def pca_fit(
             v = -v
         comps.append([float(c) for c in v])
         variances.append(float(max(vals[idx], 0.0)))
-    return {"mean": mean, "components": comps, "variances": variances}
+    return {
+        "mean": [float(m) for m in mean],
+        "components": comps,
+        "variances": variances,
+    }
 
 
 def pca_project(

@@ -82,15 +82,11 @@ class TestFitProject:
             model = pca_fit(df, k=k)
             comps = np.array(model["components"])
             mean = np.array(model["mean"])
-            proj = np.array(
-                [r.proj for r in pca_project(df, model).collect()]
-            )
+            rows = pca_project(df, model).collect()
+            ids = np.array([r.vec_id for r in rows])
+            proj = np.array([r.proj for r in rows])
             recon = proj @ comps + mean
-            # align row order: pca_project preserves vec_id
-            ids = [r.vec_id for r in pca_project(df, model).collect()]
-            errs.append(
-                float(np.mean((recon - pts[np.array(ids)]) ** 2))
-            )
+            errs.append(float(np.mean((recon - pts[ids]) ** 2)))
         assert errs[0] > errs[1] > errs[2]
 
 
@@ -116,3 +112,54 @@ class TestFastPath:
         b = pca_fit(df, k=3, fast=True)
         assert np.allclose(a["components"], b["components"], atol=1e-6)
         assert np.allclose(a["variances"], b["variances"], atol=1e-8)
+
+
+class TestEdges:
+    def test_empty_corpus_raises_clearly(self, spark):
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        with pytest.raises(ValueError, match="empty corpus"):
+            pca_fit(empty, 2)
+        with pytest.raises(ValueError, match="empty corpus"):
+            pca_fit(empty, 2, fast=True)
+
+    def test_null_embeddings_skipped_by_both_paths(self, spark):
+        from borsa_spark.functions.pca import embedding_covariance_fast
+
+        df, _ = _embs(spark, n=20)
+        withnull = df.unionByName(
+            spark.createDataFrame(
+                [(999, None, 0)],
+                "vec_id long, embedding array<float>, label int",
+            )
+        )
+        slow = {
+            (r.i, r.j): r.cov
+            for r in embedding_covariance(withnull).collect()
+        }
+        fast = {
+            (r.i, r.j): r.cov
+            for r in embedding_covariance_fast(withnull).collect()
+        }
+        clean = {
+            (r.i, r.j): r.cov for r in embedding_covariance(df).collect()
+        }
+        for key, v in clean.items():
+            assert slow[key] == pytest.approx(v, abs=2e-8)
+            assert fast[key] == pytest.approx(v, abs=2e-8)
+
+    def test_covariance_plan_reuses_one_scan(self, spark):
+        import contextlib
+        import io
+
+        df, _ = _embs(spark, n=20)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            embedding_covariance(df).explain()
+        plan = buf.getvalue()
+        # the moment aggregate is checkpointed before products/means
+        # split, so the final plan contains NO posexplode at all — the
+        # corpus-sized work happened exactly once upstream
+        assert "Generate" not in plan
+        assert plan.count("Scan ExistingRDD") >= 2  # both read the ckpt
