@@ -7634,6 +7634,113 @@ def f82_embedding_covariance(spark, sf):
     return embedding_covariance(embs)
 
 
+@query(
+    "f83_corpus_card",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             md5(text) AS h,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_words,
+             length(text) AS n_chars
+      FROM documents),
+    hashes AS (
+      SELECT h, count(*) AS c FROM per_doc GROUP BY h)
+    SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM per_doc
+    UNION ALL
+    SELECT 'total_words', sum(n_words)::DOUBLE FROM per_doc
+    UNION ALL
+    SELECT 'total_chars', sum(n_chars)::DOUBLE FROM per_doc
+    UNION ALL
+    SELECT 'mean_doc_words', round(avg(n_words), 4) FROM per_doc
+    UNION ALL
+    SELECT 'p50_doc_words', round(quantile_cont(n_words, 0.5), 4)
+    FROM per_doc
+    UNION ALL
+    SELECT 'p90_doc_words', round(quantile_cont(n_words, 0.9), 4)
+    FROM per_doc
+    UNION ALL
+    SELECT 'distinct_sources', count(DISTINCT source)::DOUBLE
+    FROM per_doc
+    UNION ALL
+    SELECT 'exact_dup_docs', coalesce(sum(c - 1), 0)::DOUBLE FROM hashes
+    WHERE c > 1
+    UNION ALL
+    SELECT 'exact_dup_groups', count(*)::DOUBLE FROM hashes WHERE c > 1
+    """,
+)
+def f83_corpus_card(spark, sf):
+    """The corpus card (dataset-datasheet numbers every pipeline owner
+    reports): doc/word/char totals, exact word-count percentiles, source
+    diversity, exact-dup accounting — one small metrics relation.
+
+    Scale shape: ONE corpus scan computes the per-doc relation (words
+    via in-row split, md5 via JVM hash); the aggregate family reuses
+    its exchange/cache (localCheckpoint, the f82 convention — the
+    metric rows are a union of tiny aggregates over the same per-doc
+    relation). Spark `percentile` is exact interpolated, matching
+    DuckDB quantile_cont."""
+    docs = load_table(spark, sf, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(
+            F.expr("filter(split(text, ' '), w -> w <> '')")
+        ).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).localCheckpoint(eager=False)
+
+    def metric(name, col):
+        return per_doc.agg(col.cast("double").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    hashes = per_doc.groupBy("h").agg(F.count("*").alias("c"))
+    dups = hashes.filter(F.col("c") > 1).agg(
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("double").alias(
+            "dup_docs"
+        ),
+        F.count("*").cast("double").alias("dup_groups"),
+    )
+    out = (
+        metric("n_docs", F.count("*"))
+        .unionByName(metric("total_words", F.sum("n_words")))
+        .unionByName(metric("total_chars", F.sum("n_chars")))
+        .unionByName(
+            metric("mean_doc_words", F.round(F.avg("n_words"), 4))
+        )
+        .unionByName(
+            metric(
+                "p50_doc_words",
+                F.round(F.expr("percentile(n_words, 0.5)"), 4),
+            )
+        )
+        .unionByName(
+            metric(
+                "p90_doc_words",
+                F.round(F.expr("percentile(n_words, 0.9)"), 4),
+            )
+        )
+        .unionByName(
+            metric("distinct_sources", F.countDistinct("source"))
+        )
+        .unionByName(
+            dups.select(
+                F.lit("exact_dup_docs").alias("metric"),
+                F.col("dup_docs").alias("value"),
+            )
+        )
+        .unionByName(
+            dups.select(
+                F.lit("exact_dup_groups").alias("metric"),
+                F.col("dup_groups").alias("value"),
+            )
+        )
+    )
+    return out
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
