@@ -24,8 +24,9 @@ Two plan shapes for the moment pass, agreeing at the 8dp snap:
   (BLAS does the d² work in-core), one d²+d+1-key agg of partials —
   measured 10x faster at the 200k-vector tier (SCALE.md).
 
-Null embeddings are SKIPPED by both paths (posexplode of a null array
-emits nothing; the fast path filters before stacking). Accumulation is
+Null embeddings, and vectors containing a null or NaN element, are
+SKIPPED by both paths and the oracle (shared `_usable` filter; the
+fast path drops NaN rows after stacking). Accumulation is
 cast to double BEFORE multiplication so engines sum in float64 (the
 oracle rounds to 8dp; float32 products would diverge far coarser).
 """
@@ -47,12 +48,24 @@ def _moment_expr(col: str) -> str:
     )
 
 
+def _usable(col: str):
+    """Row filter shared by both moment paths: a vector participates
+    only if it is non-null AND has no null/NaN element — a null
+    element would skew the explode path's sums (sum skips null, count
+    doesn't), and either poisons the fast path's Gram matrix with NaN;
+    skipping the row keeps the two paths (and the oracle) in exact
+    agreement."""
+    return F.col(col).isNotNull() & ~F.expr(
+        f"exists({col}, x -> x is null or isnan(x))"
+    )
+
+
 def _moment_agg(embs: DataFrame, col: str = "embedding") -> DataFrame:
     """(d, pos, s, n): summed moment cells. pos < d*d is Gram cell
     (i = pos div d, j = pos mod d); pos >= d*d is element k = pos - d*d
     (mean = s/n). One corpus scan, d²+d grouping keys."""
     return (
-        embs.filter(F.col(col).isNotNull())
+        embs.filter(_usable(col))
         .select(
             F.size(F.col(col)).alias("__d"),
             F.posexplode(F.expr(_moment_expr(col))).alias("pos", "val"),
@@ -105,7 +118,9 @@ def sql_embedding_covariance(table: str = "embeddings") -> str:
     WITH x AS (
       SELECT vec_id, u.i - 1 AS k, CAST(e[u.i] AS DOUBLE) AS v
       FROM (SELECT vec_id, embedding AS e FROM {table}
-            WHERE embedding IS NOT NULL)
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                    y -> y IS NULL OR isnan(y))) = 0)
            , unnest(range(1, len(e) + 1)) AS u(i)),
     s AS (
       SELECT a.k AS i, b.k AS j, sum(a.v * b.v) AS s, count(*) AS n
@@ -133,6 +148,9 @@ def _fast_agg(embs: DataFrame, col: str = "embedding") -> DataFrame:
             if not len(pdf):
                 continue
             X = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            X = X[~np.isnan(X).any(axis=1)]  # null elements: skip row
+            if not len(X):
+                continue
             if gram is None:
                 gram = X.T @ X
                 sums = X.sum(axis=0)

@@ -7622,10 +7622,11 @@ def c9_rollup_cascade(spark, sf):
 def f82_embedding_covariance(spark, sf):
     """The data-sized half of distributed PCA (functions/pca.py):
     the 64x64 embedding covariance in ONE corpus pass — in-row outer
-    products ride a posexplode into a 4096-key partial agg (map-side
-    combine collapses the d^2 amplification before the shuffle,
-    corpus-size-independent key count), means reuse the pass
-    structure. Double-cast before multiplication so both engines
+    products AND raw elements ride a single posexplode into a
+    (d^2+d)-key partial agg (4160 keys at d=64; map-side combine
+    collapses the amplification before the shuffle,
+    corpus-size-independent key count), so the mean sums share the
+    products' exchange. Double-cast before multiplication so both engines
     accumulate in float64; 8dp round. The eigensolve half is bounded
     64x64 driver math, pinned by tests/test_pca.py."""
     from borsa_spark.functions.pca import embedding_covariance
@@ -7675,11 +7676,13 @@ def f83_corpus_card(spark, sf):
     diversity, exact-dup accounting — one small metrics relation.
 
     Scale shape: ONE corpus scan computes the per-doc relation (words
-    via in-row split, md5 via JVM hash); the aggregate family reuses
-    its exchange/cache (localCheckpoint, the f82 convention — the
-    metric rows are a union of tiny aggregates over the same per-doc
-    relation). Spark `percentile` is exact interpolated, matching
-    DuckDB quantile_cont."""
+    via in-row split, md5 via JVM hash), EAGERLY checkpointed — a lazy
+    checkpoint lets the consumer stages race and each re-runs the
+    corpus lineage (observed: ~6 redundant scans in one action). Two
+    consumers total: one scalar aggregate computing all seven
+    corpus-level metrics (unpivoted via stack) and the dup-accounting
+    groupBy. Spark `percentile` is exact interpolated, matching DuckDB
+    quantile_cont."""
     docs = load_table(spark, sf, "documents")
     per_doc = docs.select(
         "doc_id",
@@ -7689,56 +7692,49 @@ def f83_corpus_card(spark, sf):
             F.expr("filter(split(text, ' '), w -> w <> '')")
         ).cast("long").alias("n_words"),
         F.length("text").cast("long").alias("n_chars"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
-    def metric(name, col):
-        return per_doc.agg(col.cast("double").alias("value")).select(
-            F.lit(name).alias("metric"), "value"
-        )
-
-    hashes = per_doc.groupBy("h").agg(F.count("*").alias("c"))
-    dups = hashes.filter(F.col("c") > 1).agg(
-        F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("double").alias(
-            "dup_docs"
+    scalars = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_words").cast("double").alias("total_words"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.round(F.avg("n_words"), 4).alias("mean_doc_words"),
+        F.round(F.expr("percentile(n_words, 0.5)"), 4).alias(
+            "p50_doc_words"
         ),
-        F.count("*").cast("double").alias("dup_groups"),
+        F.round(F.expr("percentile(n_words, 0.9)"), 4).alias(
+            "p90_doc_words"
+        ),
+        F.countDistinct("source").cast("double").alias(
+            "distinct_sources"
+        ),
+    ).selectExpr(
+        "stack(7,"
+        " 'n_docs', n_docs,"
+        " 'total_words', total_words,"
+        " 'total_chars', total_chars,"
+        " 'mean_doc_words', mean_doc_words,"
+        " 'p50_doc_words', p50_doc_words,"
+        " 'p90_doc_words', p90_doc_words,"
+        " 'distinct_sources', distinct_sources) AS (metric, value)"
     )
-    out = (
-        metric("n_docs", F.count("*"))
-        .unionByName(metric("total_words", F.sum("n_words")))
-        .unionByName(metric("total_chars", F.sum("n_chars")))
-        .unionByName(
-            metric("mean_doc_words", F.round(F.avg("n_words"), 4))
+    dups = (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("double")
+            .alias("exact_dup_docs"),
+            F.count("*").cast("double").alias("exact_dup_groups"),
         )
-        .unionByName(
-            metric(
-                "p50_doc_words",
-                F.round(F.expr("percentile(n_words, 0.5)"), 4),
-            )
-        )
-        .unionByName(
-            metric(
-                "p90_doc_words",
-                F.round(F.expr("percentile(n_words, 0.9)"), 4),
-            )
-        )
-        .unionByName(
-            metric("distinct_sources", F.countDistinct("source"))
-        )
-        .unionByName(
-            dups.select(
-                F.lit("exact_dup_docs").alias("metric"),
-                F.col("dup_docs").alias("value"),
-            )
-        )
-        .unionByName(
-            dups.select(
-                F.lit("exact_dup_groups").alias("metric"),
-                F.col("dup_groups").alias("value"),
-            )
+        .selectExpr(
+            "stack(2,"
+            " 'exact_dup_docs', exact_dup_docs,"
+            " 'exact_dup_groups', exact_dup_groups) AS (metric, value)"
         )
     )
-    return out
+    return scalars.unionByName(dups)
 
 
 def _register_late_oracles() -> None:

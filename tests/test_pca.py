@@ -128,9 +128,16 @@ class TestEdges:
         from borsa_spark.functions.pca import embedding_covariance_fast
 
         df, _ = _embs(spark, n=20)
+        # null vector, null ELEMENT, and NaN element must all be
+        # skipped identically by both paths (a null element skews the
+        # explode path's sums; either poisons the fast path's Gram)
         withnull = df.unionByName(
             spark.createDataFrame(
-                [(999, None, 0)],
+                [
+                    (999, None, 0),
+                    (998, [1.0, None] + [0.5] * 6, 0),
+                    (997, [float("nan")] + [0.25] * 7, 0),
+                ],
                 "vec_id long, embedding array<float>, label int",
             )
         )
