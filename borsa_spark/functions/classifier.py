@@ -101,6 +101,12 @@ def hashed_logreg_scores(
         .localCheckpoint(eager=True)
     )
     n_docs = x.select("doc_id").distinct().count()
+    if n_docs == 0:
+        # every document had < 2 tokens: no features to fit — loud,
+        # matching pca_fit's empty-corpus convention (ADVICE r7: the
+        # first update would otherwise raise a raw ZeroDivisionError)
+        raise ValueError("logreg fit on an empty feature relation "
+                         "(no document has >= 2 tokens)")
     spark = docs.sparkSession
     w = [0.0] * n_buckets
     b = 0.0
@@ -120,19 +126,36 @@ def hashed_logreg_scores(
         )
 
     for _ in range(iters):
+        # one z_of execution per round: the per-doc error relation is
+        # eagerly checkpointed (the multi-consumer convention — a lazy
+        # checkpoint's consumers race and re-run the lineage), then ONE
+        # fused aggregation returns the bucket gradients AND the bias
+        # row together (bias keyed as bucket -1, disjoint from the real
+        # 0..n_buckets-1 keys so partial aggregation never mixes them).
+        # Previously this was two actions each re-executing z_of
+        # (r7 verdict polish note, classifier.py:123-134).
         err = z_of(w, b).select(
             "doc_id",
             (F.col("__y") - 1.0 / (1.0 + F.exp(-F.col("__z"))))
             .alias("__e"),
-        )
+        ).localCheckpoint(eager=True)
         grad = (
             x.join(err, "doc_id")
+            .select(
+                "__bkt", (F.col("__e") * F.col("__x")).alias("__c")
+            )
+            .unionByName(
+                err.select(
+                    F.lit(-1).cast("long").alias("__bkt"),
+                    F.col("__e").alias("__c"),
+                )
+            )
             .groupBy("__bkt")
-            .agg(F.sum(F.col("__e") * F.col("__x")).alias("__g"))
+            .agg(F.sum("__c").alias("__g"))
             .collect()
         )
-        gb = err.agg(F.sum("__e").alias("__g")).collect()[0]["__g"]
         by_bkt = {r["__bkt"]: r["__g"] for r in grad}
+        gb = by_bkt.pop(-1, 0.0)
         w = [
             round(w[i] + lr * by_bkt.get(i, 0.0) / n_docs, snap)
             for i in range(n_buckets)

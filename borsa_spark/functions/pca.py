@@ -195,6 +195,15 @@ def _assemble(rows, fast: bool):
     else:
         if not rows:
             raise ValueError("PCA fit on an empty corpus (no embeddings)")
+        widths = sorted({r["__d"] for r in rows})
+        if len(widths) > 1:
+            # pos keys are only unique within one width; mixed-dimension
+            # corpora would silently overwrite colliding keys and yield
+            # a wrong covariance (ADVICE r7) — refuse loudly instead.
+            raise ValueError(
+                f"PCA fit on mixed embedding dimensions {widths}; "
+                "filter the corpus to one width first"
+            )
         d = rows[0]["__d"]  # Row.__getattr__ rejects dunder-ish names
         n = rows[0]["n"]
         g = {r["pos"]: r["s"] for r in rows if r["pos"] < d * d}

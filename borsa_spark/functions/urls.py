@@ -38,9 +38,14 @@ from pyspark.sql import functions as F
 
 #: Query parameters that never identify a resource — analytics and
 #: click-attribution decorations (Google/Facebook/Microsoft/Mailchimp).
+#: Deliberately NOT included: bare "ref" — it is content-significant on
+#: many real sites (selects a branch/revision on code hosts), and the
+#: module contract is that canonicalization must never merge distinct
+#: resources. Callers who know their corpus can widen the list via the
+#: ``tracking_params`` argument.
 TRACKING_PARAMS: tuple[str, ...] = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "msclkid", "mc_eid", "ref",
+    "gclid", "fbclid", "msclkid", "mc_eid",
 )
 
 _DEFAULT_PORTS: dict[str, str] = {"http": "80", "https": "443"}
@@ -52,23 +57,27 @@ def _part(url: Column, part: str) -> Column:
     return F.try_parse_url(url, F.lit(part))
 
 
-def canonical_query(query: Column) -> Column:
+def canonical_query(
+    query: Column, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """Sorted, tracking-stripped query string ('' when nothing survives).
 
-    split on '&', drop empty params and TRACKING_PARAMS (name = text
+    split on '&', drop empty params and ``tracking_params`` (name = text
     before the first '=', compared lowercased), bytewise sort, rejoin.
     """
     params = F.array_sort(
         F.filter(
             F.split(F.coalesce(query, F.lit("")), "&"),
             lambda p: (p != "")
-            & ~F.lower(F.substring_index(p, "=", 1)).isin(*TRACKING_PARAMS),
+            & ~F.lower(F.substring_index(p, "=", 1)).isin(*tracking_params),
         )
     )
     return F.array_join(params, "&")
 
 
-def canonicalize_url(url: Column) -> Column:
+def canonicalize_url(
+    url: Column, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """The canonical spelling of ``url`` per the module contract, or NULL
     when the URL has no parseable scheme/host."""
     scheme = F.lower(_part(url, "PROTOCOL"))
@@ -86,7 +95,7 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(F.coalesce(_part(url, "PATH"), F.lit("")),
                             "/+$", "")
-    q = canonical_query(_part(url, "QUERY"))
+    q = canonical_query(_part(url, "QUERY"), tracking_params)
     q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
     return F.when(
         scheme.isNotNull() & host.isNotNull() & (host != ""),

@@ -203,7 +203,18 @@ def merge_into_rollup(
     read), and the write uses dynamic partition overwrite so untouched
     partitions' files are left byte-identical on disk. The dirty-day
     collect is bounded control-plane data (distinct calendar days in
-    one batch)."""
+    one batch).
+
+    NOT crash-safe: this reads ``state_dir`` and dynamic-partition-
+    overwrites the same path in one job. The commit lands after the
+    reads complete, but a crash MID-commit can leave some dirty
+    partitions rewritten and others not, with no record that the batch
+    was half-applied — re-running then double-counts the rewritten
+    days. Use it only for one-shot backfills where a failure is
+    answered by rebuilding from scratch via :func:`write_rollup`; for
+    replayed deliveries (``foreachBatch``) use
+    ``streaming.rollup.RollupMaintainer``, whose version-log +
+    marker-last protocol is exactly-once under crash and replay."""
     batch_state = rollup_state(batch, trunc).localCheckpoint(eager=True)
     dirty = [
         r.pday

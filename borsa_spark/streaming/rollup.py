@@ -79,13 +79,41 @@ class RollupMaintainer:
                     f"{stored}, reopened with {params}"
                 )
         else:
-            with open(path, "w") as f:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(params, f)
+            os.rename(tmp, path)
 
     # -- version-log bookkeeping -------------------------------------------
 
     def _marker_path(self, name: str) -> str:
         return os.path.join(self.state_dir, "_batches", f"{name}.json")
+
+    def _write_marker(self, name: str, payload: dict) -> None:
+        """Commit a marker ATOMICALLY: write to a temp name in the same
+        directory, fsync, then os.rename() into place (atomic on
+        POSIX). A crash mid-write leaves only the temp file, which
+        :meth:`_load_marker` and :meth:`_markers` ignore — the batch is
+        uncommitted and a replay re-processes it, never silently drops
+        it (ADVICE r7: a torn plain-open marker passed the
+        os.path.exists replay check while _markers() skipped it)."""
+        path = self._marker_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def _load_marker(self, name: str) -> dict | None:
+        """The committed marker, or None if absent OR torn — replay
+        short-circuits must require a PARSEABLE marker, else a
+        crash-torn file reads as committed and the batch is lost."""
+        try:
+            with open(self._marker_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     def _version_dir(self, name: str) -> str:
         return os.path.join(self.state_dir, "versions", name)
@@ -98,7 +126,7 @@ class RollupMaintainer:
         out = []
         for fn in os.listdir(bdir):
             if not fn.endswith(".json"):
-                continue
+                continue  # in-flight .tmp markers are uncommitted
             try:
                 with open(os.path.join(bdir, fn)) as f:
                     out.append(json.load(f))
@@ -151,15 +179,14 @@ class RollupMaintainer:
         pdays = [
             r.pday for r in out.select("pday").distinct().collect()
         ]
-        with open(self._marker_path("base"), "w") as f:
-            json.dump(
-                {"version": "base", "seq": -1, "pdays": sorted(pdays)}, f
-            )
+        self._write_marker(
+            "base", {"version": "base", "seq": -1, "pdays": sorted(pdays)}
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        marker = self._marker_path(f"batch-{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed micro-batch: state is final
+        name = f"batch-{batch_id}"
+        if self._load_marker(name) is not None:
+            return  # replayed micro-batch with a PARSEABLE marker: final
         batch_state = rollup_state(batch_df, self.trunc).localCheckpoint(
             eager=True
         )
@@ -171,7 +198,6 @@ class RollupMaintainer:
             .distinct()
             .collect()
         )
-        name = f"batch-{batch_id}"
         if dirty:
             # merge against COMMITTED state only; overwrite our own
             # version dir (uncommitted replay redoes identical output)
@@ -187,10 +213,9 @@ class RollupMaintainer:
                 .partitionBy("pday")
                 .parquet(self._version_dir(name))
             )
-        with open(marker, "w") as f:
-            json.dump(
-                {"version": name, "seq": int(batch_id), "pdays": dirty}, f
-            )
+        self._write_marker(
+            name, {"version": name, "seq": int(batch_id), "pdays": dirty}
+        )
 
     def current_state(self) -> DataFrame:
         return self._read_versions(self._mapping())
@@ -220,11 +245,10 @@ class RollupMaintainer:
         re-diffing snapshots; it reads the batch's own version dir plus
         the PRIOR state of only its dirty days (partition-pruned), so
         the CDC cost matches the merge cost, not the history size."""
-        marker = self._marker_path(f"batch-{batch_id}")
-        if not os.path.exists(marker):
+        m = self._load_marker(f"batch-{batch_id}")
+        if m is None:
             raise ValueError(f"batch {batch_id} has no committed marker")
-        with open(marker) as f:
-            pdays = json.load(f).get("pdays", [])
+        pdays = m.get("pdays", [])
         if not pdays:
             # same 15-column contract as a non-empty batch: consumers
             # must not crash on a quiet micro-batch
@@ -291,7 +315,7 @@ class RollupMaintainer:
         through = max(batch_seqs) if batch_seqs else -1
         mapping = self._mapping()
         name = f"compact-{through}"
-        if os.path.exists(self._marker_path(name)):
+        if self._load_marker(name) is not None:
             # nothing new since the last compact: re-running would read
             # versions/compact-N while statically overwriting the SAME
             # directory — the delete lands before the tasks read, and
@@ -303,16 +327,15 @@ class RollupMaintainer:
         cur.write.mode("overwrite").partitionBy("pday").parquet(
             self._version_dir(name)
         )
-        with open(self._marker_path(name), "w") as f:
-            json.dump(
-                {
-                    "version": name,
-                    "seq": int(through),
-                    "compact": True,
-                    "pdays": sorted(mapping),
-                },
-                f,
-            )
+        self._write_marker(
+            name,
+            {
+                "version": name,
+                "seq": int(through),
+                "compact": True,
+                "pdays": sorted(mapping),
+            },
+        )
         # superseded markers + dirs are garbage now; best-effort removal
         removed = []
         for m in markers:

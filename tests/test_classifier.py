@@ -76,3 +76,16 @@ class TestHashedLogreg:
         # scoring plan must derive from it (no fresh corpus scan per
         # iteration or per score pass)
         assert "Scan parquet" not in buf.getvalue()
+
+
+class TestEmptyCorpus:
+    def test_all_short_docs_raise_clearly(self, spark):
+        import pytest
+
+        # ADVICE r8: n_docs == 0 previously hit a raw ZeroDivisionError
+        docs = spark.createDataFrame(
+            [(1, "solo", "pos"), (2, "word", "neg")],
+            "doc_id long, text string, source string",
+        )
+        with pytest.raises(ValueError, match="empty feature relation"):
+            hashed_logreg_scores(docs, F.col("source") == "pos")

@@ -170,3 +170,15 @@ class TestEdges:
         # corpus-sized work happened exactly once upstream
         assert "Generate" not in plan
         assert plan.count("Scan ExistingRDD") >= 2  # both read the ckpt
+
+
+class TestMixedDimensions:
+    def test_mixed_width_corpus_raises(self, spark):
+        # ADVICE r8: pos keys collide across widths in the explode
+        # path's assembly — must refuse loudly, not return wrong cov
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match=r"mixed embedding.*\[2, 3\]"):
+            pca_fit(df, 1)

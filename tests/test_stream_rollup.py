@@ -240,3 +240,47 @@ class TestEmptyBatchCdc:
         assert "after_n_bars" in cdc.columns  # consumers can still select
         rm.process_batch(_candles(spark, B0), 1)
         assert set(cdc.columns) == set(rm.changes_for(1).columns)
+
+
+class TestTornMarkers:
+    """ADVICE r8: a crash mid-marker-write must never read as committed.
+    Markers are written temp-then-rename (atomic on POSIX) and the
+    replay short-circuit requires a PARSEABLE marker."""
+
+    def test_torn_marker_reprocesses_not_drops(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        # simulate a crash that tore the marker file mid-write
+        with open(rm._marker_path("batch-0"), "w") as f:
+            f.write('{"version": "batch-0", "se')
+        rm.process_batch(_candles(spark, B0), 0)  # foreachBatch replay
+        assert _got(rm) == _want(spark, BASE + B0)
+
+    def test_empty_marker_reprocesses(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        open(rm._marker_path("batch-0"), "w").close()  # 0-byte marker
+        rm.process_batch(_candles(spark, B0), 0)
+        assert _got(rm) == _want(spark, BASE + B0)
+
+    def test_inflight_tmp_marker_is_invisible(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        # a crash between temp-write and rename leaves only the .tmp:
+        # the batch is uncommitted, resolution ignores it, replay works
+        os.rename(
+            rm._marker_path("batch-0"), rm._marker_path("batch-0") + ".tmp"
+        )
+        assert _got(rm) == _want(spark, BASE)  # batch-0 invisible
+        rm.process_batch(_candles(spark, B0), 0)
+        assert _got(rm) == _want(spark, BASE + B0)
+
+    def test_markers_written_atomically(self, spark, tmp_path):
+        rm = RollupMaintainer(spark, str(tmp_path / "state"))
+        rm.build(_candles(spark, BASE))
+        rm.process_batch(_candles(spark, B0), 0)
+        bdir = os.path.join(str(tmp_path / "state"), "_batches")
+        assert not [f for f in os.listdir(bdir) if f.endswith(".tmp")]

@@ -96,3 +96,34 @@ class TestUrlDedupGroups:
 @pytest.mark.parametrize("bad", ["", "   ", "http://", "//nohost/path"])
 def test_hostless_is_null(spark, bad):
     assert _canon(spark, [bad]) == [None]
+
+
+class TestTrackingParamPolicy:
+    """ADVICE r8: bare 'ref' is content-significant on many hosts
+    (branch/revision selectors) — the conservative default keeps it;
+    callers widen via tracking_params."""
+
+    def test_ref_param_preserved_by_default(self, spark):
+        got = _canon(spark, ["https://code.example.com/r/repo?ref=main"])
+        assert got == ["https://code.example.com/r/repo?ref=main"]
+
+    def test_caller_supplied_list_can_strip_ref(self, spark):
+        from borsa_spark.functions.urls import TRACKING_PARAMS
+
+        df = spark.createDataFrame(
+            [("https://h.example.com/x?ref=abc&a=1",)], "url string"
+        )
+        got = [
+            r.c
+            for r in df.select(
+                canonicalize_url(
+                    F.col("url"), TRACKING_PARAMS + ("ref",)
+                ).alias("c")
+            ).collect()
+        ]
+        assert got == ["https://h.example.com/x?a=1"]
+
+    def test_default_list_has_no_ref(self):
+        from borsa_spark.functions.urls import TRACKING_PARAMS
+
+        assert "ref" not in TRACKING_PARAMS
