@@ -1,10 +1,22 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and print ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "probe_s": ..., "ratios": {...}, "tier2_queries": {...}, "sf": ...}
 
 Each query is executed to completion (df.count() after a foreach-style
 materialization via write-to-noop is overkill locally; count() forces the
 full plan incl. aggregations/joins/windows).
+
+Host-speed calibration (round 8): the shared host's wall-clock band for
+the identical binary is 22-32s (~1.45x) — totals stopped being usable
+round-over-round evidence (r6->r7 artifacts differed 24% on
+byte-untouched plans; two judge re-runs confirmed host shift). The
+harness therefore runs a FIXED pure-JVM probe first (generated rows,
+codegen hash + shuffle agg — no disk, no Python, no testdata
+dependence) and reports every query as wall AND wall/probe ratio. The
+regression rule (BASELINE.md) reads the RATIOS: a query whose ratio
+moves >1.3x against a flat field is a real plan regression; a round
+where walls move together while ratios hold is the host.
 """
 
 from __future__ import annotations
@@ -48,6 +60,48 @@ HEADLINE = [
     "rel_q17_small_qty_revenue",
     "rel_q22_dormant_balance",
 ]
+
+# Second headline tier (round 8): the round-3-7 operator families the
+# 29-query tier-1 set predates — clustering, packing, SemDeDup, spans,
+# in-engine training (logreg/BPE/PCA), paragraph dedup, and the
+# incremental-rollup subsystem. Previously only timed in SCALE.md
+# drills, so the per-round artifact could not see a regression in them.
+TIER2 = [
+    "f17_dup_clusters",
+    "f38_sequence_packing",
+    "f52_semdedup",
+    "f61_substring_spans",
+    "f72_paragraph_dedup",
+    "f77_logreg_quality_score",
+    "f80_bpe_train",
+    "f81_bpe_compression",
+    "f82_embedding_covariance",
+    "c6_incremental_rollup",
+    "c7_streaming_rollup_exactly_once",
+]
+
+
+def calibration_probe(spark) -> float:
+    """Host-speed denominator: 800M generated longs -> codegen xxhash64
+    + modulo -> 8192-key shuffle agg. Pure JVM, no disk, no testdata —
+    the same binary computes the same plan every round, so its wall
+    moves ONLY with host speed (CPU contention from sibling builds).
+    min-of-3 after one discarded warmup."""
+    import time as _t
+
+    def once() -> float:
+        t0 = _t.time()
+        (
+            spark.range(0, 800_000_000, 1, 32)
+            .selectExpr("xxhash64(id) % 8192 as k", "id")
+            .groupBy("k")
+            .agg({"id": "sum"})
+            .count()
+        )
+        return _t.time() - t0
+
+    once()  # warmup: first touch pays codegen compilation
+    return round(min(once() for _ in range(3)), 3)
 
 
 ROCKSDB_PROVIDER = (
@@ -139,32 +193,41 @@ def main() -> None:
     # first-touch class loading.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    probe_s = calibration_probe(spark)
+
     # min of two runs per query: the machine hosts concurrent builders, and
     # a single sample can be 2-4x off under load; min-of-2 reports the plan,
     # not the neighbors.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        # Outlier guard: the machine hosts sibling builds whose bursts can
-        # inflate BOTH samples of one query by 10-100x (observed: a 1.9s
-        # query at 127s). If the best sample is implausibly slow, give the
-        # query one more chance after the burst has likely passed.
-        if best > 15.0:
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        # Drop any intermediates a library path persisted for this query so
-        # the harness, not the query fn, owns cache lifetime.
-        spark.catalog.clearCache()
+    def time_set(names: list[str], slow_retry: float) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            # Outlier guard: the machine hosts sibling builds whose bursts
+            # can inflate BOTH samples of one query by 10-100x (observed: a
+            # 1.9s query at 127s). If the best sample is implausibly slow,
+            # give the query one more chance after the burst has passed.
+            if best > slow_retry:
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+            # Drop any intermediates a library path persisted for this
+            # query so the harness, not the query fn, owns cache lifetime.
+            spark.catalog.clearCache()
+        return out
+
+    timings = time_set(HEADLINE, slow_retry=15.0)
+    # tier 2 runs genuinely heavier plans (f17's clustering fixpoint sits
+    # at ~9-11s quiet); the retry threshold scales accordingly
+    tier2 = time_set(TIER2, slow_retry=25.0)
 
     # Warm the Structured Streaming + Arrow/pandas-UDF path on the tiny sf
     # before timing: the first streaming drain in a process pays one-time
@@ -181,6 +244,7 @@ def main() -> None:
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    all_walls = {**timings, **tier2}
     print(
         json.dumps(
             {
@@ -188,6 +252,13 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "tier2_queries": tier2,
+                "tier2_total": round(sum(tier2.values()), 3),
+                "probe_s": probe_s,
+                "ratios": {
+                    k: round(v / probe_s, 2) for k, v in all_walls.items()
+                },
+                "total_ratio": round(sum(timings.values()) / probe_s, 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "shingle_hash": os.environ["BORSA_SPARK_SHINGLE_HASH"],
             }
