@@ -7737,6 +7737,106 @@ def f83_corpus_card(spark, sf):
     return scalars.unionByName(dups)
 
 
+@query(
+    "f84_html_extract",
+    """
+    WITH g AS (SELECT doc_id, text, doc_id % 4 AS v FROM documents)
+    SELECT doc_id,
+           CASE WHEN v <= 1 THEN text ELSE '' END AS extracted,
+           (CASE WHEN v <= 1 THEN 1 ELSE 0 END)::BIGINT AS kept_blocks
+    FROM g
+    """,
+)
+def f84_html_extract(spark, sf):
+    """Crawl stage zero: HTML-to-text extraction with jusText/C4
+    boilerplate rules (functions/html.py `html_extract_docs` — script/
+    style/comment strip, block split on block-level tags, keep iff
+    visible length >= 30 and link density <= 0.3; all JVM regex/array
+    ops, no UDF). The fixture wraps each document's text in messy HTML
+    generated ANALYTICALLY from doc_id (the f71 pattern — the oracle
+    states the expected text exactly, never re-running the extractor):
+    every page carries a script with stopword junk, a style block, an
+    HTML comment, a link-dominated nav (33 visible chars, 32 of them
+    anchor text — dropped by DENSITY, not length), and a 13-char footer
+    (dropped by LENGTH); the content block varies by v = doc_id % 4:
+    v0 plain <p>, v1 uppercase tags + inline <B> + newlines (extraction
+    must normalize to the bare text), v2 fully link-wrapped (density 1.0
+    -> dropped), v3 truncated to 20 chars (-> dropped). An extractor
+    that leaks script/comment text, misses the nav, or mis-normalizes
+    whitespace hash-mismatches.
+
+    Scale shape: per-row codegen'd regex/array projection at scan
+    speed, zero shuffle — the exact shape stage zero must have at
+    100 TB (html.py module docstring)."""
+    from borsa_spark.functions.html import html_extract_docs
+
+    d = F.col("doc_id")
+    v = d % 4
+    t = F.col("text")
+    content = (
+        F.when(v == 1, F.concat(
+            F.lit('<P CLASS="x">\n<B>'), t, F.lit("</B>\n</P>")))
+        .when(v == 2, F.concat(
+            F.lit('<p><a href="/x">'), t, F.lit("</a></p>")))
+        .when(v == 3, F.concat(
+            F.lit("<p>"), F.substring("text", 1, 20), F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<p>"), t, F.lit("</p>")))
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title>'
+            '<SCRIPT type="text/javascript">'
+            'if(a<b){alert("junk the of and to in")}</SCRIPT>'
+            "<style>.c{color:red}</style></head><body>"
+            "<!-- hidden the of and boilerplate -->"
+            '<div><a href="/a">home</a> '
+            '<a href="/b">about us and more links here</a></div>'
+        ),
+        content,
+        F.lit("<div>(c) 2026 corp</div></body></html>"),
+    )
+    crawl = load_table(spark, sf, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    return html_extract_docs(crawl)
+
+
+@query("f85_langid_nb", None)
+def f85_langid_nb(spark, sf):
+    """Trained language ID (functions/langid.py `charngram_nb_langid`):
+    char-bigram multinomial Naive Bayes fit in-engine on an 80% md5
+    split (the f78 train/score pattern), holdout predictions returned.
+    The fixture generates (lang, text) ANALYTICALLY from doc_id —
+    12 words from per-language pools (`LANG_POOLS`): each language's
+    5 stopwords (f4's own vocabulary) plus 3 distinctive words; a third
+    of docs draw ONLY distinctive words, where the f4 stopword-argmax
+    degenerates to its all-tie default while the NB still reads the
+    character signature (held-out accuracy assertion in
+    tests/test_langid.py). Oracle: the identical count-closed-form NB
+    in SQL (`sql_charngram_nb_langid` — no iteration; scores snapped to
+    4dp before the argmax, ties on ascending label, the portable-float
+    convention).
+
+    Scale shape: one corpus scan for the tf relation; the model is
+    charset² × n_langs rows (broadcast); scoring is tf × 5-label panel
+    with a doc_id-keyed agg and a 5-rows-per-doc argmax window."""
+    from borsa_spark.functions.langid import (
+        charngram_nb_langid,
+        langid_fixture_spark_sql,
+    )
+    from borsa_spark.functions.text import hash_bucket
+
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", *langid_fixture_spark_sql()
+    )
+    scored = charngram_nb_langid(
+        docs, train=hash_bucket(F.col("doc_id"), "f85", 10) < 8
+    )
+    return scored.filter(
+        hash_bucket(F.col("doc_id"), "f85", 10) >= 8
+    )
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -7774,6 +7874,18 @@ def _register_late_oracles() -> None:
     from borsa_spark.functions.pca import sql_embedding_covariance
 
     ORACLES["f82_embedding_covariance"] = sql_embedding_covariance()
+    from borsa_spark.functions.langid import (
+        langid_fixture_duckdb_sql,
+        sql_charngram_nb_langid,
+    )
+    from borsa_spark.functions.text import sql_hash_bucket
+
+    _f85_bkt = sql_hash_bucket("doc_id", "f85", 10)
+    ORACLES["f85_langid_nb"] = sql_charngram_nb_langid(
+        langid_fixture_duckdb_sql(),
+        f"({_f85_bkt}) < 8",
+        out_where=f"({_f85_bkt}) >= 8",
+    )
 
 
 _register_late_oracles()

@@ -542,3 +542,26 @@ class TestBpeAndRollupShapes:
         assert plan.count(" Exchange (") == 1  # exactly one shuffle
         assert "Window" not in plan  # mergeable state needs no windows
         assert "BatchEvalPython" not in plan
+
+
+class TestRound8PlanShapes:
+    def test_html_extract_is_scan_plus_project_zero_shuffle(self, spark):
+        # crawl stage zero must run at scan speed: per-row regex/array
+        # projection, no Python, no exchange of any kind
+        plan = plan_of(spark, "f84_html_extract")
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and "doc_id:bigint" in m.group(1)
+
+    def test_langid_nb_model_relations_broadcast(self, spark):
+        # the NB model (counts/totals/priors/vocab) is bounded by
+        # charset^2 x n_langs: every join against the corpus-sized tf
+        # relation must be broadcast, never a sort-merge shuffle
+        plan = plan_of(spark, "f85_langid_nb")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "BroadcastNestedLoopJoin" in plan  # tiny label panel
+        assert "EvalPython" not in plan
