@@ -7618,6 +7618,49 @@ def c9_rollup_cascade(spark, sf):
     return rollup_finalize(rollup_cascade(hourly, trunc="day"))
 
 
+@query(
+    "c10_tiered_rollup",
+    _OHLC_ORACLE.format(bucket="date_trunc('day', ts)"),
+)
+def c10_tiered_rollup(spark, sf):
+    """The two-tier continuous-aggregate tower under the oracle gate
+    (streaming/rollup.py `TieredRollupMaintainer`): hourly AND daily
+    rollups maintained from one foreachBatch delivery — the daily tier
+    consumes the hourly tier's change log (committed marker pday set)
+    and re-derives exactly the dirty days via `rollup_cascade`,
+    committed with replacement semantics. The gate injects BOTH failure
+    modes Structured Streaming permits: a full replayed delivery
+    (batch 0 twice) and a crash BETWEEN tiers (batch 1's hourly tier
+    committed directly, then the whole delivery replayed) — the daily
+    head must still hash-match the daily full recompute over all
+    events (a2's SQL). Double-counting a replay, merging instead of
+    replacing the cascaded state, or losing the inter-tier crash
+    window all flip n_bars/sum_value and fail the gate.
+
+    Scale shape: tier 1 O(batch + dirty partitions); tier 2 O(hourly
+    state of the dirty days) — never the tick history (module
+    docstring)."""
+    import tempfile
+
+    from borsa_spark.streaming.rollup import TieredRollupMaintainer
+
+    ev = _event_candles(spark, sf)
+    c1 = F.lit("2024-01-20").cast("timestamp")
+    c2 = F.lit("2024-01-26").cast("timestamp")
+    with tempfile.TemporaryDirectory() as work:
+        tm = TieredRollupMaintainer(spark, work)
+        tm.build(ev.filter(F.col("ts") < c1))
+        b0 = ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2))
+        tm.process_batch(b0, 0)
+        tm.process_batch(b0, 0)  # replayed delivery: must be absorbed
+        b1 = ev.filter(F.col("ts") >= c2)
+        tm.hourly.process_batch(b1, 1)  # crash between tiers...
+        tm.process_batch(b1, 1)  # ...then the replayed delivery
+        out = tm.finalized()
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 @query("f82_embedding_covariance")
 def f82_embedding_covariance(spark, sf):
     """The data-sized half of distributed PCA (functions/pca.py):

@@ -38,6 +38,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from borsa_spark.operators.rollup import (
+    rollup_cascade,
     rollup_finalize,
     rollup_merge,
     rollup_state,
@@ -166,22 +167,36 @@ class RollupMaintainer:
 
     # -- public surface ------------------------------------------------------
 
-    def build(self, candles: DataFrame) -> None:
-        """Materialize the base rollup (idempotent overwrite; marker
-        last, the same discipline as a batch)."""
-        state = rollup_state(candles, self.trunc)
+    def _commit_version(
+        self, state: DataFrame, name: str, seq: int
+    ) -> list[str]:
+        """Write ``state`` as version ``name`` and commit its marker
+        LAST; returns the pday list. The shared write half of build /
+        process_batch / replace_batch."""
         out = state.withColumn(
             "pday", F.date_format("bucket", "yyyy-MM-dd")
         )
         out.write.mode("overwrite").partitionBy("pday").parquet(
-            self._version_dir("base")
+            self._version_dir(name)
         )
-        pdays = [
+        pdays = sorted(
             r.pday for r in out.select("pday").distinct().collect()
-        ]
-        self._write_marker(
-            "base", {"version": "base", "seq": -1, "pdays": sorted(pdays)}
         )
+        self._write_marker(
+            name, {"version": name, "seq": seq, "pdays": pdays}
+        )
+        return pdays
+
+    def build(self, candles: DataFrame) -> None:
+        """Materialize the base rollup (idempotent overwrite; marker
+        last, the same discipline as a batch)."""
+        self.build_from_state(rollup_state(candles, self.trunc))
+
+    def build_from_state(self, state: DataFrame) -> None:
+        """Base build from ALREADY-AGGREGATED mergeable state — the
+        cascaded-tier entry point (the daily tier's base is the hourly
+        tier's base re-bucketed, never a second tick scan)."""
+        self._commit_version(state, "base", -1)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         name = f"batch-{batch_id}"
@@ -205,17 +220,35 @@ class RollupMaintainer:
                 p: v for p, v in self._mapping().items() if p in dirty
             }
             merged = rollup_merge(self._read_versions(mapping), batch_state)
-            (
-                merged.withColumn(
-                    "pday", F.date_format("bucket", "yyyy-MM-dd")
-                )
-                .write.mode("overwrite")
-                .partitionBy("pday")
-                .parquet(self._version_dir(name))
+            self._commit_version(merged, name, int(batch_id))
+        else:
+            self._write_marker(
+                name, {"version": name, "seq": int(batch_id), "pdays": []}
             )
-        self._write_marker(
-            name, {"version": name, "seq": int(batch_id), "pdays": dirty}
-        )
+
+    def replace_batch(self, new_state: DataFrame, batch_id: int) -> None:
+        """Commit ``new_state`` — the COMPLETE mergeable state of every
+        pday it contains — as this batch's version. Replacement
+        semantics per partition day (resolution already maps each pday
+        to its newest committed version), used by cascaded tiers whose
+        input is a parent tier's already-merged state: merging would
+        double-count, because the parent state is cumulative, not a
+        delta. Same replay discipline as process_batch: parseable
+        marker short-circuits, uncommitted replay rewrites identical
+        output."""
+        name = f"batch-{batch_id}"
+        if self._load_marker(name) is not None:
+            return
+        self._commit_version(new_state, name, int(batch_id))
+
+    def dirty_days_for(self, batch_id: int) -> list[str]:
+        """The pday set a committed batch touched — the key index of
+        its change log (`changes_for` restricted to partition keys),
+        readable without opening any data file."""
+        m = self._load_marker(f"batch-{batch_id}")
+        if m is None:
+            raise ValueError(f"batch {batch_id} has no committed marker")
+        return list(m.get("pdays", []))
 
     def current_state(self) -> DataFrame:
         return self._read_versions(self._mapping())
@@ -350,3 +383,86 @@ class RollupMaintainer:
             except OSError:
                 pass
         return {"version": name, "superseded": removed}
+
+
+class TieredRollupMaintainer:
+    """Chained continuous aggregates — hourly AND daily maintained
+    exactly-once from ONE ``foreachBatch`` delivery (the TimescaleDB
+    "continuous aggregate on a continuous aggregate" shape, public
+    docs; the reference's resample tower a2->a3 recomputes from ticks,
+    this maintains both tiers incrementally).
+
+    Protocol per micro-batch:
+      1. the hourly tier absorbs the batch (`process_batch` — replay-
+         idempotent, marker-last);
+      2. the daily tier consumes the hourly tier's CHANGE LOG for this
+         batch — the committed marker's pday set (`dirty_days_for`, the
+         partition-key index of `changes_for`) — and re-derives the
+         daily state of exactly those days from the hourly tier's
+         state via `rollup_cascade`, committing it with REPLACEMENT
+         semantics (`replace_batch`). The full CDC images are not the
+         input here: finalization rounds and drops the merge fields
+         (first/last ts+seq), and mergeable-state maintenance of
+         max/min needs the parent state, not deltas.
+
+    Exactly-once across BOTH tiers under crash/replay: a replay after
+    full commit no-ops both tiers (parseable markers); a crash BETWEEN
+    tiers leaves the hourly marker committed, and the replayed delivery
+    no-ops tier 1 then recomputes tier 2 from the hourly state of the
+    marker's pdays — final for this batch id, so the rewrite is
+    bit-identical. Monotonic batch ids (the Structured Streaming
+    contract: batch N replays only before N+1 starts) are assumed,
+    exactly as in `RollupMaintainer`.
+
+    Scale shape: tier-1 cost is O(batch + dirty partitions); tier-2
+    cost is O(hourly state of the dirty DAYS) — ~24 rows per dirty
+    symbol-day, never the tick history. A k-tier tower pays each tier
+    only its parent's state size."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.hourly = RollupMaintainer(
+            spark, os.path.join(state_dir, "hourly"), trunc="hour"
+        )
+        self.daily = RollupMaintainer(
+            spark, os.path.join(state_dir, "daily"), trunc="day"
+        )
+
+    def build(self, candles: DataFrame) -> None:
+        """Base builds for both tiers from ONE tick aggregation: the
+        hourly base materializes, the daily base cascades from it."""
+        self.hourly.build(candles)
+        hourly_base = self.hourly.current_state()
+        self.daily.build_from_state(rollup_cascade(hourly_base, "day"))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.hourly.process_batch(batch_df, batch_id)
+        dirty_days = self.hourly.dirty_days_for(batch_id)
+        if not dirty_days:
+            self.daily.replace_batch(
+                self.daily.spark.createDataFrame([], _STATE_SCHEMA),
+                batch_id,
+            )
+            return
+        # the hourly state of exactly the dirty days, partition-pruned
+        mapping = {
+            p: v
+            for p, v in self.hourly._mapping().items()
+            if p in set(dirty_days)
+        }
+        hourly_state = self.hourly._read_versions(mapping)
+        self.daily.replace_batch(
+            rollup_cascade(hourly_state, "day"), batch_id
+        )
+
+    def finalized(self) -> DataFrame:
+        """The DAILY head (the tower's public face); the hourly head
+        stays available as ``self.hourly.finalized()``."""
+        return self.daily.finalized()
+
+    def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(opts or {"availableNow": True}))
+            .start()
+        )

@@ -284,3 +284,93 @@ class TestTornMarkers:
         rm.process_batch(_candles(spark, B0), 0)
         bdir = os.path.join(str(tmp_path / "state"), "_batches")
         assert not [f for f in os.listdir(bdir) if f.endswith(".tmp")]
+
+
+def _want_trunc(spark, rows, trunc):
+    return sorted(
+        tuple(r)
+        for r in rollup_finalize(
+            rollup_state(_candles(spark, rows), trunc)
+        ).collect()
+    )
+
+
+class TestTieredMaintainer:
+    """Two-tier (hourly -> daily) exactly-once: both tiers must equal
+    their one-shot recomputes under replays and the inter-tier crash
+    window (streaming/rollup.py TieredRollupMaintainer)."""
+
+    def _tm(self, spark, tmp_path):
+        from borsa_spark.streaming.rollup import TieredRollupMaintainer
+
+        return TieredRollupMaintainer(spark, str(tmp_path / "tiered"))
+
+    def _check_both(self, spark, tm, rows):
+        daily = sorted(tuple(r) for r in tm.finalized().collect())
+        hourly = sorted(
+            tuple(r) for r in tm.hourly.finalized().collect()
+        )
+        assert daily == _want_trunc(spark, rows, "day")
+        assert hourly == _want_trunc(spark, rows, "hour")
+
+    def test_batches_equal_one_shot_both_tiers(self, spark, tmp_path):
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, BASE))
+        tm.process_batch(_candles(spark, B0), 0)
+        tm.process_batch(_candles(spark, B1), 1)
+        self._check_both(spark, tm, BASE + B0 + B1)
+
+    def test_committed_replay_is_noop(self, spark, tmp_path):
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, BASE))
+        tm.process_batch(_candles(spark, B0), 0)
+        tm.process_batch(_candles(spark, B0), 0)
+        self._check_both(spark, tm, BASE + B0)
+
+    def test_crash_between_tiers_then_replay(self, spark, tmp_path):
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, BASE))
+        # tier 1 commits, then the process dies before tier 2 runs
+        tm.hourly.process_batch(_candles(spark, B0), 0)
+        # daily head is stale but CONSISTENT (still the base state)
+        assert sorted(tuple(r) for r in tm.finalized().collect()) == \
+            _want_trunc(spark, BASE, "day")
+        # the delivery replays in full
+        tm.process_batch(_candles(spark, B0), 0)
+        self._check_both(spark, tm, BASE + B0)
+
+    def test_torn_daily_marker_reprocesses_tier2(self, spark, tmp_path):
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, BASE))
+        tm.process_batch(_candles(spark, B0), 0)
+        with open(tm.daily._marker_path("batch-0"), "w") as f:
+            f.write("{torn")
+        tm.process_batch(_candles(spark, B0), 0)
+        self._check_both(spark, tm, BASE + B0)
+
+    def test_empty_batch_commits_markers_in_both_tiers(
+        self, spark, tmp_path
+    ):
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, BASE))
+        tm.process_batch(_candles(spark, []), 0)
+        assert tm.hourly._load_marker("batch-0") is not None
+        assert tm.daily._load_marker("batch-0") is not None
+        self._check_both(spark, tm, BASE)
+
+    def test_foreachbatch_drive(self, spark, tmp_path):
+        import os as _os
+
+        src = str(tmp_path / "src")
+        _os.makedirs(src)
+        _candles(spark, BASE + B0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, []))
+        stream = spark.readStream.schema(
+            "symbol string, ts timestamp, value double, seq long"
+        ).parquet(src)
+        q = tm.attach(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        self._check_both(spark, tm, BASE + B0)
