@@ -367,6 +367,95 @@ def generate_rel10x(spark) -> str:
     return p
 
 
+def generate_rel100x(spark) -> str:
+    """100x relational tier (scale_data/rel100x, TPC-H sf10 fact
+    scale): lineitem + orders replicated 100x with namespaced orderkeys
+    (60M line items / 15M orders); dimension tables symlink to sf0.1 —
+    broadcast sides deliberately keep their real-world size. The next
+    decade after the round-7 sf1 oracle sweep (SCALE.md)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+
+    p = _os.path.abspath(
+        _os.path.join(
+            _os.path.dirname(__file__), "..", "scale_data", "rel100x"
+        )
+    )
+    if not _os.path.exists(_os.path.join(p, "lineitem.parquet")):
+        reps = spark.range(100).select(F.col("id").alias("rep"))
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        (
+            li.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.col("rep") * 1_000_000_000,
+            )
+            .drop("rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(p, "lineitem.parquet"))
+        )
+        od = load_table(spark, "/root/testdata/sf0.1", "orders")
+        (
+            od.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.col("rep") * 1_000_000_000,
+            )
+            .drop("rep")
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(p, "orders.parquet"))
+        )
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "events", "documents", "embeddings",
+        ]:
+            dst = _os.path.join(p, f"{t}.parquet")
+            if not _os.path.exists(dst):
+                _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    return p
+
+
+REL_QUERIES = [
+    "rel_q1_pricing_summary", "rel_q2_min_cost_supplier",
+    "rel_q3_top_orders", "rel_q4_order_priority",
+    "rel_q5_region_revenue", "rel_q6_revenue_filter",
+    "rel_q7_nation_volume", "rel_q8_market_share",
+    "rel_q9_nation_year_profit", "rel_q10_returned_revenue",
+    "rel_q11_important_stock", "rel_q12_shipmode_priority",
+    "rel_q13_customer_distribution", "rel_q14_promo_revenue",
+    "rel_q15_top_supplier", "rel_q16_supplier_part_counts",
+    "rel_q17_small_qty_revenue", "rel_q18_large_orders",
+    "rel_q19_disjunctive_revenue", "rel_q20_part_promotion_suppliers",
+    "rel_q21_returned_without_discount", "rel_q22_dormant_balance",
+]
+
+
+def run_rel100x(spark, results: list) -> None:
+    """sf10 decade drill: wall-clock for all 22 TPC-H shapes at 60M
+    lineitem (the correctness half — DuckDB oracle hash-match on the
+    aggregate-heavy subset — runs via tools/check_oracle.py
+    scale_data/rel100x, recorded in SCALE.md)."""
+    from borsa_spark.queries import QUERIES
+
+    p = generate_rel100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    for qname in REL_QUERIES:
+        t0 = time.time()
+        n = QUERIES[qname](spark, p).count()
+        spark.catalog.clearCache()
+        emit({"query": qname, "sf": "rel100x_sf10", "rows": n,
+              "sec": round(time.time() - t0, 3)})
+
+
 def run_100x(spark, results: list) -> None:
     """The decade-further dedup-chain drill: f7 / f40 / f35 wall + output
     at 500k docs, plus candidate-vs-true-pair accounting for f7 and f40
@@ -747,6 +836,13 @@ def main() -> None:
         return
     if "--r7-family" in sys.argv:
         run_r7_family(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--rel100x" in sys.argv:
+        run_rel100x(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
