@@ -157,3 +157,165 @@ class DriftMonitor:
             .option("checkpointLocation", checkpoint)
             .start()
         )
+
+
+_MOMENTS_SCHEMA = "__d int, pos int, s double, n long"
+
+
+class EmbeddingDriftMonitor:
+    """Embedding-distribution drift per micro-batch — the vector-side
+    sibling of the unigram-KL monitor above, built on f82's one-pass
+    moment aggregation (functions/pca.py `_moment_agg`): each batch
+    reduces to its d²+d Gram/mean sums, which are ASSOCIATIVE, so the
+    corpus state is just the per-batch moment relations summed —
+    no raw vector is ever re-read.
+
+    Why a pipeline wants this: an embedding model silently swapped,
+    re-normalized, or fed a shifted domain moves the embedding cloud's
+    mean and covariance long before any per-document filter notices.
+    Per batch we score
+
+        mean_shift = ||mu_b - mu_c||_2 / sqrt(trace(cov_c) / d)
+        cov_shift  = ||cov_b - cov_c||_F / ||cov_c||_F
+
+    (shift in units of the corpus's own spread — scale-free, so one
+    threshold works across embedding models) and alert when either
+    exceeds its threshold, BEFORE the batch is folded into state.
+
+    Scale shape: the only distributed work is the batch's moment
+    aggregation (d²+d+1 grouping keys, corpus-size-independent,
+    map-side combined); corpus state is a d²+d-row parquet per
+    committed batch; the assembly and norms are bounded d×d driver
+    math (the pca.py `_assemble` path). Same marker-last exactly-once
+    protocol as the token monitor, with the atomic temp-then-rename
+    markers of streaming/rollup.py."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        alert_mean_shift: float = 0.5,
+        alert_cov_shift: float = 0.5,
+        embedding_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.alert_mean_shift = alert_mean_shift
+        self.alert_cov_shift = alert_cov_shift
+        self.embedding_col = embedding_col
+        os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(
+            self._path("_batches"), f"batch-{batch_id}.json"
+        )
+
+    def drift_log(self) -> list[dict]:
+        out = []
+        bdir = self._path("_batches")
+        for f in sorted(os.listdir(bdir)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(bdir, f)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, ValueError):
+                continue  # torn marker: that batch is uncommitted
+        return sorted(out, key=lambda e: e["batch"])
+
+    def corpus_moments(self) -> DataFrame:
+        committed = [
+            self._path(f"moments/batch-{e['batch']}")
+            for e in self.drift_log()
+        ]
+        committed = [p for p in committed if os.path.exists(p)]
+        if not committed:
+            return self.spark.createDataFrame([], _MOMENTS_SCHEMA)
+        return (
+            self.spark.read.schema(_MOMENTS_SCHEMA)
+            .parquet(*committed)
+            .groupBy("__d", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+
+    @staticmethod
+    def _assemble(rows):
+        """(cov, mean, n) from collected moment rows — pca.py's
+        assembly contract (bounded d²+d driver data)."""
+        from borsa_spark.functions.pca import _assemble
+
+        return _assemble(rows, fast=False)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from borsa_spark.functions.pca import _moment_agg
+
+        if os.path.exists(self._marker(batch_id)):
+            try:
+                with open(self._marker(batch_id)) as f:
+                    json.load(f)
+                return  # parseable marker: replay, state is final
+            except (OSError, ValueError):
+                pass  # torn marker: fall through and re-process
+        import numpy as np
+
+        bm = _moment_agg(
+            batch_df.select(self.embedding_col), self.embedding_col
+        )
+        batch_rows = bm.collect()
+        corpus_rows = self.corpus_moments().collect()
+
+        metrics = {"mean_shift": 0.0, "cov_shift": 0.0}
+        if batch_rows and corpus_rows:
+            cov_b, mean_b, _ = self._assemble(batch_rows)
+            cov_c, mean_c, _ = self._assemble(corpus_rows)
+            d = len(mean_c)
+            spread = float(np.sqrt(max(np.trace(cov_c) / d, 1e-300)))
+            cnorm = float(np.linalg.norm(cov_c))
+            metrics["mean_shift"] = round(
+                float(np.linalg.norm(mean_b - mean_c)) / spread, 6
+            )
+            metrics["cov_shift"] = round(
+                float(np.linalg.norm(cov_b - cov_c))
+                / max(cnorm, 1e-300),
+                6,
+            )
+        if batch_rows:
+            self.spark.createDataFrame(
+                [
+                    (r["__d"], r["pos"], float(r["s"]), int(r["n"]))
+                    for r in batch_rows
+                ],
+                _MOMENTS_SCHEMA,
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._path(f"moments/batch-{batch_id}")
+            )
+        marker = self._marker(batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch": int(batch_id),
+                    "n_vectors": int(
+                        batch_rows[0]["n"] if batch_rows else 0
+                    ),
+                    **metrics,
+                    "alert": bool(
+                        metrics["mean_shift"] > self.alert_mean_shift
+                        or metrics["cov_shift"] > self.alert_cov_shift
+                    ),
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

@@ -57,3 +57,91 @@ class TestDriftMonitor:
         mon.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
         log = mon.drift_log()
         assert log[1]["kl"] < 0.1 and log[1]["alert"] is False
+
+
+def _vecs(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+class TestEmbeddingDriftMonitor:
+    """Vector-side drift (streaming/drift.py EmbeddingDriftMonitor):
+    mean/cov shift from f82's mergeable one-pass moments."""
+
+    def _cloud(self, n, d, seed, scale=None, shift=0.0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, d))
+        if scale is not None:
+            x = x * np.asarray(scale)
+        return x + shift
+
+    def test_first_batch_scores_zero(self, spark, tmp_path):
+        from borsa_spark.streaming.drift import EmbeddingDriftMonitor
+
+        mon = EmbeddingDriftMonitor(spark, str(tmp_path / "e1"))
+        mon.process_batch(_vecs(spark, self._cloud(50, 6, 1)), 0)
+        log = mon.drift_log()
+        assert log[0]["mean_shift"] == 0.0
+        assert log[0]["cov_shift"] == 0.0
+        assert log[0]["alert"] is False
+
+    def test_planted_covariance_shift_alerts(self, spark, tmp_path):
+        from borsa_spark.streaming.drift import EmbeddingDriftMonitor
+
+        mon = EmbeddingDriftMonitor(spark, str(tmp_path / "e2"))
+        # two in-distribution batches build the corpus...
+        mon.process_batch(_vecs(spark, self._cloud(80, 6, 1)), 0)
+        mon.process_batch(_vecs(spark, self._cloud(80, 6, 2)), 1)
+        # ...then a batch whose covariance is stretched 4x along the
+        # first axis (same mean) — the model-swap signature
+        mon.process_batch(
+            _vecs(spark, self._cloud(80, 6, 3, scale=[4, 1, 1, 1, 1, 1])),
+            2,
+        )
+        log = {e["batch"]: e for e in mon.drift_log()}
+        assert log[1]["alert"] is False, log[1]
+        assert log[2]["cov_shift"] > log[1]["cov_shift"] * 3
+        assert log[2]["alert"] is True, log[2]
+
+    def test_planted_mean_shift_alerts(self, spark, tmp_path):
+        from borsa_spark.streaming.drift import EmbeddingDriftMonitor
+
+        mon = EmbeddingDriftMonitor(spark, str(tmp_path / "e3"))
+        mon.process_batch(_vecs(spark, self._cloud(80, 6, 1)), 0)
+        mon.process_batch(_vecs(spark, self._cloud(80, 6, 2)), 1)
+        mon.process_batch(
+            _vecs(spark, self._cloud(80, 6, 3, shift=2.0)), 2
+        )
+        log = {e["batch"]: e for e in mon.drift_log()}
+        assert log[1]["alert"] is False
+        assert log[2]["mean_shift"] > 0.5
+        assert log[2]["alert"] is True
+
+    def test_replay_idempotent_and_torn_marker_reprocesses(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from borsa_spark.streaming.drift import EmbeddingDriftMonitor
+
+        mon = EmbeddingDriftMonitor(spark, str(tmp_path / "e4"))
+        batch = _vecs(spark, self._cloud(50, 6, 1))
+        mon.process_batch(batch, 0)
+        mon.process_batch(batch, 0)  # committed replay: no-op
+        assert len(mon.drift_log()) == 1
+        mon.process_batch(_vecs(spark, self._cloud(50, 6, 2)), 1)
+        first = mon.drift_log()
+        # tear batch 1's marker: the replay must re-process, and the
+        # recomputed metrics are identical (deterministic moments)
+        with open(mon._marker(1), "w") as f:
+            f.write("{torn")
+        mon.process_batch(_vecs(spark, self._cloud(50, 6, 2)), 1)
+        assert mon.drift_log() == first
+        assert not [
+            f for f in os.listdir(mon._path("_batches"))
+            if f.endswith(".tmp")
+        ]
