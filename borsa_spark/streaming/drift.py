@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from borsa_spark.functions.dedup import token_hash64
+from borsa_spark.streaming import markers
 
 _COUNTS_SCHEMA = "token_hash long, n long"
 
@@ -53,18 +54,14 @@ class DriftMonitor:
         return os.path.join(self.state_dir, name)
 
     def drift_log(self) -> list[dict]:
-        # NOTE: this is the same committed-batch-dirs + marker-last
-        # protocol as DedupIngest (streaming/ingest.py), minus the
-        # compaction supersession logic — drift state has no compactor.
-        # If one is ever added, fold these into the shared manifest rules
-        # there (admission_log's compacted_from handling) rather than
-        # growing a second diverging copy.
-        out = []
-        bdir = self._path("_batches")
-        for f in sorted(os.listdir(bdir)):
-            with open(os.path.join(bdir, f)) as fh:
-                out.append(json.load(fh))
-        return out
+        # committed-batch-dirs + marker-last protocol, shared helpers
+        # in streaming/markers.py (torn/in-flight files skipped — one
+        # torn marker must not wedge the stream); numeric batch order,
+        # not the lexicographic listdir order (batch-10 < batch-2)
+        return sorted(
+            markers.read_log(self._path("_batches")),
+            key=lambda e: e["batch"],
+        )
 
     def corpus_counts(self) -> DataFrame:
         committed = [
@@ -98,8 +95,8 @@ class DriftMonitor:
 
         guard_state_mode(self.state_dir, {"kind": "drift"})
         marker = os.path.join(self._path("_batches"), f"batch-{batch_id}.json")
-        if os.path.exists(marker):
-            return
+        if markers.load_marker(marker) is not None:
+            return  # replay with a PARSEABLE marker: committed
 
         bc = self._batch_counts(batch_df.select("text")).persist()
         corpus = self.corpus_counts()
@@ -137,17 +134,16 @@ class DriftMonitor:
         bc.write.mode("overwrite").parquet(
             self._path(f"counts/batch-{batch_id}")
         )
-        with open(marker, "w") as f:
-            json.dump(
-                {
-                    "batch": int(batch_id),
-                    "kl": round(kl, 6),
-                    "alert": bool(kl > self.alert_kl),
-                    "batch_tokens": int(row.Nb or 0),
-                    "new_vocab": int(n_new),
-                },
-                f,
-            )
+        markers.write_marker(
+            marker,
+            {
+                "batch": int(batch_id),
+                "kl": round(kl, 6),
+                "alert": bool(kl > self.alert_kl),
+                "batch_tokens": int(row.Nb or 0),
+                "new_vocab": int(n_new),
+            },
+        )
         bc.unpersist()
         joined.unpersist()
 
@@ -214,17 +210,10 @@ class EmbeddingDriftMonitor:
         )
 
     def drift_log(self) -> list[dict]:
-        out = []
-        bdir = self._path("_batches")
-        for f in sorted(os.listdir(bdir)):
-            if not f.endswith(".json"):
-                continue
-            try:
-                with open(os.path.join(bdir, f)) as fh:
-                    out.append(json.load(fh))
-            except (OSError, ValueError):
-                continue  # torn marker: that batch is uncommitted
-        return sorted(out, key=lambda e: e["batch"])
+        return sorted(
+            markers.read_log(self._path("_batches")),
+            key=lambda e: e["batch"],
+        )
 
     def corpus_moments(self) -> DataFrame:
         committed = [
@@ -252,13 +241,8 @@ class EmbeddingDriftMonitor:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from borsa_spark.functions.pca import _moment_agg
 
-        if os.path.exists(self._marker(batch_id)):
-            try:
-                with open(self._marker(batch_id)) as f:
-                    json.load(f)
-                return  # parseable marker: replay, state is final
-            except (OSError, ValueError):
-                pass  # torn marker: fall through and re-process
+        if markers.load_marker(self._marker(batch_id)) is not None:
+            return  # replay with a PARSEABLE marker: committed
         import numpy as np
 
         bm = _moment_agg(
@@ -267,22 +251,45 @@ class EmbeddingDriftMonitor:
         batch_rows = bm.collect()
         corpus_rows = self.corpus_moments().collect()
 
+        # A changed embedding WIDTH is the most blatant model swap the
+        # monitor exists to catch — it must raise an ALERT marker, not
+        # crash the stream (round-8 review finding: _assemble's mixed-
+        # dimension guard, or the numpy broadcast on mean_b - mean_c,
+        # would otherwise throw and crash-loop the foreachBatch). The
+        # offending batch's moments are QUARANTINED (not folded into
+        # state) so the corpus keeps one consistent width.
+        batch_ds = sorted({r["__d"] for r in batch_rows})
+        corpus_ds = sorted({r["__d"] for r in corpus_rows})
+        dim_change = bool(
+            len(batch_ds) > 1
+            or (batch_ds and corpus_ds and batch_ds != corpus_ds)
+        )
+
         metrics = {"mean_shift": 0.0, "cov_shift": 0.0}
-        if batch_rows and corpus_rows:
-            cov_b, mean_b, _ = self._assemble(batch_rows)
-            cov_c, mean_c, _ = self._assemble(corpus_rows)
-            d = len(mean_c)
-            spread = float(np.sqrt(max(np.trace(cov_c) / d, 1e-300)))
-            cnorm = float(np.linalg.norm(cov_c))
-            metrics["mean_shift"] = round(
-                float(np.linalg.norm(mean_b - mean_c)) / spread, 6
+        if dim_change:
+            alert = True
+        else:
+            if batch_rows and corpus_rows:
+                cov_b, mean_b, _ = self._assemble(batch_rows)
+                cov_c, mean_c, _ = self._assemble(corpus_rows)
+                d = len(mean_c)
+                spread = float(
+                    np.sqrt(max(np.trace(cov_c) / d, 1e-300))
+                )
+                cnorm = float(np.linalg.norm(cov_c))
+                metrics["mean_shift"] = round(
+                    float(np.linalg.norm(mean_b - mean_c)) / spread, 6
+                )
+                metrics["cov_shift"] = round(
+                    float(np.linalg.norm(cov_b - cov_c))
+                    / max(cnorm, 1e-300),
+                    6,
+                )
+            alert = bool(
+                metrics["mean_shift"] > self.alert_mean_shift
+                or metrics["cov_shift"] > self.alert_cov_shift
             )
-            metrics["cov_shift"] = round(
-                float(np.linalg.norm(cov_b - cov_c))
-                / max(cnorm, 1e-300),
-                6,
-            )
-        if batch_rows:
+        if batch_rows and not dim_change:
             self.spark.createDataFrame(
                 [
                     (r["__d"], r["pos"], float(r["s"]), int(r["n"]))
@@ -292,26 +299,20 @@ class EmbeddingDriftMonitor:
             ).coalesce(1).write.mode("overwrite").parquet(
                 self._path(f"moments/batch-{batch_id}")
             )
-        marker = self._marker(batch_id)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "batch": int(batch_id),
-                    "n_vectors": int(
-                        batch_rows[0]["n"] if batch_rows else 0
-                    ),
-                    **metrics,
-                    "alert": bool(
-                        metrics["mean_shift"] > self.alert_mean_shift
-                        or metrics["cov_shift"] > self.alert_cov_shift
-                    ),
-                },
-                f,
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, marker)
+        markers.write_marker(
+            self._marker(batch_id),
+            {
+                "batch": int(batch_id),
+                "n_vectors": int(
+                    batch_rows[0]["n"] if batch_rows else 0
+                ),
+                **metrics,
+                "dim_change": dim_change,
+                "batch_dims": batch_ds,
+                "corpus_dims": corpus_ds,
+                "alert": alert,
+            },
+        )
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (

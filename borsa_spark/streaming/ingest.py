@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from borsa_spark.functions import dedup as dd
+from borsa_spark.streaming import markers
 
 _ARRAYS_SCHEMA = "id long, text_md5 string, shingles array<long>"
 _BANDS_SCHEMA = "id long, band int, band_key long"
@@ -101,11 +102,10 @@ class DedupIngest:
         return self._read_state("bands", _BANDS_SCHEMA)
 
     def admission_log(self) -> list[dict]:
-        out = []
-        bdir = self._path("_batches")
-        for f in sorted(os.listdir(bdir)):
-            with open(os.path.join(bdir, f)) as fh:
-                out.append(json.load(fh))
+        # shared torn-tolerant log read (streaming/markers.py): a
+        # crash-torn or in-flight .tmp marker is uncommitted, never a
+        # stream-wedging JSONDecodeError
+        out = markers.read_log(self._path("_batches"))
         # A compaction marker supersedes the batches it folded: if the
         # process died between writing it and deleting the old markers,
         # both are on disk — the superseded ones must not double-count.
@@ -128,8 +128,8 @@ class DedupIngest:
             self.state_dir, {"n": self.n, "threshold": self.threshold}
         )
         marker = os.path.join(self._path("_batches"), f"batch-{batch_id}.json")
-        if os.path.exists(marker):
-            return  # replayed micro-batch: already admitted, state is final
+        if markers.load_marker(marker) is not None:
+            return  # replay with a PARSEABLE marker: state is final
 
         docs = batch_df.select("doc_id", "text")
         n_in = docs.count()
@@ -218,17 +218,16 @@ class DedupIngest:
             self._path(f"bands/batch-{batch_id}")
         )
 
-        with open(marker, "w") as f:
-            json.dump(
-                {
-                    "batch": int(batch_id),
-                    "received": int(n_in),
-                    "admitted": int(n_admit),
-                    "rejected": int(n_in - n_admit),
-                    "rejected_quality": int(n_quality_rejected),
-                },
-                f,
-            )
+        markers.write_marker(
+            marker,
+            {
+                "batch": int(batch_id),
+                "received": int(n_in),
+                "admitted": int(n_admit),
+                "rejected": int(n_in - n_admit),
+                "rejected_quality": int(n_quality_rejected),
+            },
+        )
         arr_all.unpersist()
         admitted.unpersist()
 
@@ -423,20 +422,19 @@ def compact_state(ing: DedupIngest) -> dict:
         ing._path(f"bands/batch-{new_id}")
     )
     marker = os.path.join(ing._path("_batches"), f"batch-{new_id}.json")
-    with open(marker, "w") as f:
-        json.dump(
-            {
-                "batch": new_id,
-                "received": sum(e["received"] for e in log),
-                "admitted": sum(e["admitted"] for e in log),
-                "rejected": sum(e["rejected"] for e in log),
-                "rejected_quality": sum(
-                    e.get("rejected_quality", 0) for e in log
-                ),
-                "compacted_from": old_ids,
-            },
-            f,
-        )
+    markers.write_marker(
+        marker,
+        {
+            "batch": new_id,
+            "received": sum(e["received"] for e in log),
+            "admitted": sum(e["admitted"] for e in log),
+            "rejected": sum(e["rejected"] for e in log),
+            "rejected_quality": sum(
+                e.get("rejected_quality", 0) for e in log
+            ),
+            "compacted_from": old_ids,
+        },
+    )
     for bid in old_ids:
         os.remove(os.path.join(ing._path("_batches"), f"batch-{bid}.json"))
         for name in ("arrays", "bands"):

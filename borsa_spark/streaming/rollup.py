@@ -37,6 +37,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from borsa_spark.streaming import markers
 from borsa_spark.operators.rollup import (
     rollup_cascade,
     rollup_finalize,
@@ -91,30 +92,14 @@ class RollupMaintainer:
         return os.path.join(self.state_dir, "_batches", f"{name}.json")
 
     def _write_marker(self, name: str, payload: dict) -> None:
-        """Commit a marker ATOMICALLY: write to a temp name in the same
-        directory, fsync, then os.rename() into place (atomic on
-        POSIX). A crash mid-write leaves only the temp file, which
-        :meth:`_load_marker` and :meth:`_markers` ignore — the batch is
-        uncommitted and a replay re-processes it, never silently drops
-        it (ADVICE r7: a torn plain-open marker passed the
-        os.path.exists replay check while _markers() skipped it)."""
-        path = self._marker_path(name)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)
+        """Atomic commit — see streaming/markers.py for the protocol
+        (parseable-marker replays, torn markers read as uncommitted;
+        ADVICE r7: a torn plain-open marker passed the os.path.exists
+        replay check while _markers() skipped it)."""
+        markers.write_marker(self._marker_path(name), payload)
 
     def _load_marker(self, name: str) -> dict | None:
-        """The committed marker, or None if absent OR torn — replay
-        short-circuits must require a PARSEABLE marker, else a
-        crash-torn file reads as committed and the batch is lost."""
-        try:
-            with open(self._marker_path(name)) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        return markers.load_marker(self._marker_path(name))
 
     def _version_dir(self, name: str) -> str:
         return os.path.join(self.state_dir, "versions", name)
@@ -123,18 +108,8 @@ class RollupMaintainer:
         """Committed markers in application order: base, then batch /
         compact markers by ascending batch id (a compact marker sorts
         AFTER the last batch it folded)."""
-        bdir = os.path.join(self.state_dir, "_batches")
-        out = []
-        for fn in os.listdir(bdir):
-            if not fn.endswith(".json"):
-                continue  # in-flight .tmp markers are uncommitted
-            try:
-                with open(os.path.join(bdir, fn)) as f:
-                    out.append(json.load(f))
-            except (OSError, ValueError):
-                continue
         return sorted(
-            out,
+            markers.read_log(os.path.join(self.state_dir, "_batches")),
             key=lambda m: (m.get("seq", -1), 1 if m.get("compact") else 0),
         )
 
@@ -172,15 +147,20 @@ class RollupMaintainer:
     ) -> list[str]:
         """Write ``state`` as version ``name`` and commit its marker
         LAST; returns the pday list. The shared write half of build /
-        process_batch / replace_batch."""
-        out = state.withColumn(
+        process_batch / replace_batch. The pday set is read back from
+        the written directory's ``pday=`` partition names — free, and
+        it never re-executes the (possibly expensive merge) plan a
+        second time (round-8 review finding: a distinct().collect() on
+        the plan here doubled the per-batch read work)."""
+        state.withColumn(
             "pday", F.date_format("bucket", "yyyy-MM-dd")
-        )
-        out.write.mode("overwrite").partitionBy("pday").parquet(
+        ).write.mode("overwrite").partitionBy("pday").parquet(
             self._version_dir(name)
         )
         pdays = sorted(
-            r.pday for r in out.select("pday").distinct().collect()
+            d.split("=", 1)[1]
+            for d in os.listdir(self._version_dir(name))
+            if d.startswith("pday=")
         )
         self._write_marker(
             name, {"version": name, "seq": seq, "pdays": pdays}

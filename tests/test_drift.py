@@ -145,3 +145,72 @@ class TestEmbeddingDriftMonitor:
             f for f in os.listdir(mon._path("_batches"))
             if f.endswith(".tmp")
         ]
+
+
+class TestMarkerRobustness:
+    """Round-8 review: torn markers must read as uncommitted in BOTH
+    monitors, and a dimension change must alert, never crash."""
+
+    def test_token_monitor_torn_marker_reprocesses(self, spark, tmp_path):
+        mon = DriftMonitor(spark, str(tmp_path / "t1"))
+        mon.process_batch(_docs(spark, STABLE), 0)
+        mon.process_batch(_docs(spark, STABLE), 1)
+        import os
+
+        marker = os.path.join(
+            mon._path("_batches"), "batch-1.json"
+        )
+        with open(marker, "w") as f:
+            f.write('{"batch": 1, "k')  # crash-torn
+        # the torn file neither wedges the log nor reads as committed
+        assert [e["batch"] for e in mon.drift_log()] == [0]
+        mon.process_batch(_docs(spark, STABLE), 1)
+        log = mon.drift_log()
+        assert [e["batch"] for e in log] == [0, 1]
+        assert log[1]["alert"] is False
+
+    def test_token_monitor_log_is_numeric_order(self, spark, tmp_path):
+        mon = DriftMonitor(spark, str(tmp_path / "t2"))
+        for b in (0, 1, 2, 10):  # 'batch-10' < 'batch-2' lexically
+            mon.process_batch(_docs(spark, STABLE), b)
+        assert [e["batch"] for e in mon.drift_log()] == [0, 1, 2, 10]
+
+    def test_embedding_dim_change_alerts_not_crashes(
+        self, spark, tmp_path
+    ):
+        import numpy as np
+
+        from borsa_spark.streaming.drift import EmbeddingDriftMonitor
+
+        mon = EmbeddingDriftMonitor(spark, str(tmp_path / "t3"))
+        rng = np.random.default_rng(5)
+        mon.process_batch(_vecs(spark, rng.normal(size=(150, 6))), 0)
+        # the embedding model is swapped: width 6 -> 8. Must ALERT.
+        mon.process_batch(_vecs(spark, rng.normal(size=(150, 8))), 1)
+        log = {e["batch"]: e for e in mon.drift_log()}
+        assert log[1]["alert"] is True and log[1]["dim_change"] is True
+        assert log[1]["batch_dims"] == [8]
+        assert log[1]["corpus_dims"] == [6]
+        # the offending batch is quarantined: the corpus stays width-6
+        # and a following width-6 batch scores normally
+        mon.process_batch(_vecs(spark, rng.normal(size=(150, 6))), 2)
+        log = {e["batch"]: e for e in mon.drift_log()}
+        assert log[2]["dim_change"] is False
+        assert log[2]["alert"] is False
+
+    def test_embedding_mixed_width_batch_alerts(self, spark, tmp_path):
+        import numpy as np
+
+        from borsa_spark.streaming.drift import EmbeddingDriftMonitor
+
+        mon = EmbeddingDriftMonitor(spark, str(tmp_path / "t4"))
+        rng = np.random.default_rng(6)
+        mon.process_batch(_vecs(spark, rng.normal(size=(40, 6))), 0)
+        rows = [(1, [0.1] * 6), (2, [0.2] * 8)]
+        mixed = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        mon.process_batch(mixed, 1)
+        log = {e["batch"]: e for e in mon.drift_log()}
+        assert log[1]["alert"] is True and log[1]["dim_change"] is True
+        assert log[1]["batch_dims"] == [6, 8]

@@ -384,7 +384,11 @@ def generate_rel100x(spark) -> str:
             _os.path.dirname(__file__), "..", "scale_data", "rel100x"
         )
     )
-    if not _os.path.exists(_os.path.join(p, "lineitem.parquet")):
+    # completion sentinel, written LAST: a crashed first run must not
+    # leave a partial dataset that reruns silently measure (round-8
+    # review finding — existence of the first-written dir is not done)
+    done = _os.path.join(p, "_COMPLETE")
+    if not _os.path.exists(done):
         reps = spark.range(100).select(F.col("id").alias("rep"))
         li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
         (
@@ -417,6 +421,8 @@ def generate_rel100x(spark) -> str:
             dst = _os.path.join(p, f"{t}.parquet")
             if not _os.path.exists(dst):
                 _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+        with open(done, "w") as f:
+            f.write("lineitem+orders x100 + dims\n")
     return p
 
 
