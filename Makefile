@@ -52,6 +52,7 @@ example-tour:
 	python examples/28_stream_enrich.py
 	python examples/29_multimodal_codecs.py
 	python examples/30_incremental_rollup.py
+	python examples/31_crawl_stage_zero.py
 
 test:
 	python -m pytest tests/ -q
