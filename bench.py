@@ -78,6 +78,9 @@ TIER2 = [
     "f82_embedding_covariance",
     "c6_incremental_rollup",
     "c7_streaming_rollup_exactly_once",
+    # round 8 additions (first-baselined in BENCH_r08)
+    "f84_html_extract",
+    "f85_langid_nb",
 ]
 
 

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def main() -> None:
-    from bench import HEADLINE
+    from bench import HEADLINE, TIER2
 
     from borsa_spark.queries import QUERIES
     from borsa_spark.session import get_spark
@@ -29,7 +29,8 @@ def main() -> None:
     lines = [
         "# PLANS — physical operator trees (auto-generated)",
         "",
-        "`python tools/plan_report.py` over the bench HEADLINE at sf0.001.",
+        "`python tools/plan_report.py` over the bench HEADLINE + TIER2 at",
+        "sf0.001.",
         "One block per query: the numbered operator list from",
         '`explain("formatted")` plus every PushedFilters/PartitionFilters',
         "line, so pushdown and join strategy are checkable at a glance.",
@@ -37,7 +38,7 @@ def main() -> None:
         "is the reviewable rendering and is regenerated, not hand-edited.",
         "",
     ]
-    for name in HEADLINE:
+    for name in HEADLINE + TIER2:
         fn = QUERIES.get(name)
         if fn is None:
             continue
