@@ -3,9 +3,12 @@
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
    "probe_s": ..., "ratios": {...}, "tier2_queries": {...}, "sf": ...}
 
-Each query is executed to completion (df.count() after a foreach-style
-materialization via write-to-noop is overkill locally; count() forces the
-full plan incl. aggregations/joins/windows).
+Each query is executed to completion through the noop sink
+(`df.write.format("noop")`), which materializes EVERY output column.
+count() — the pre-round-8 sink — is wrong for projection-shaped queries:
+Catalyst prunes columns count() doesn't need, so a pure-scan operator
+like f84's regex extraction would be optimized away and the "wall" would
+measure an empty scan.
 
 Host-speed calibration (round 8): the shared host's wall-clock band for
 the identical binary is 22-32s (~1.45x) — totals stopped being usable
@@ -201,26 +204,24 @@ def main() -> None:
     # min of two runs per query: the machine hosts concurrent builders, and
     # a single sample can be 2-4x off under load; min-of-2 reports the plan,
     # not the neighbors.
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     def time_set(names: list[str], slow_retry: float) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             fn = QUERIES.get(name)
             if fn is None:
                 continue
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            best = min(run_once(fn) for _ in range(2))
             # Outlier guard: the machine hosts sibling builds whose bursts
             # can inflate BOTH samples of one query by 10-100x (observed: a
             # 1.9s query at 127s). If the best sample is implausibly slow,
             # give the query one more chance after the burst has passed.
             if best > slow_retry:
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                best = min(best, time.time() - t0)
+                best = min(best, run_once(fn))
             out[name] = round(best, 3)
             # Drop any intermediates a library path persisted for this
             # query so the harness, not the query fn, owns cache lifetime.

@@ -612,6 +612,38 @@ def run_r7_family(spark, results: list) -> None:
                   "sec": round(time.time() - t0, 3)})
 
 
+def run_r8_family(spark, results: list) -> None:
+    """Round-8 crawl-stage-zero family (f84 HTML extraction, f85
+    trained langid) across three document decades — both are
+    corpus-scan-shaped (f84 zero-shuffle projection; f85 one tf scan +
+    broadcast model), so walls should track corpus size ~linearly."""
+    from borsa_spark.queries import QUERIES
+
+    generate_100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+    for qname in ("f84_html_extract", "f85_langid_nb"):
+        fn = QUERIES[qname]
+        for tier, path in tiers:
+            # noop sink, not count(): f84 is a pure projection and
+            # count() would let Catalyst prune the regex work away
+            t0 = time.time()
+            df = fn(spark, path)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            n = df.count()
+            spark.catalog.clearCache()
+            emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
+
+
 def run_bpe_drill(spark, results: list) -> None:
     """f80/f81 BPE-training drill across three document decades. The
     100 TB claim under test: the corpus is scanned ONCE (vocab build);
@@ -842,6 +874,13 @@ def main() -> None:
         return
     if "--r7-family" in sys.argv:
         run_r7_family(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--r8-family" in sys.argv:
+        run_r8_family(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
