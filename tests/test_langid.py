@@ -78,3 +78,75 @@ class TestCharngramNb:
         )
         out = charngram_nb_langid(docs, train=F.lit(True))
         assert {r.doc_id for r in out.collect()} == {2}
+
+
+class TestModelEquivalence:
+    """The Spark NB must equal an independent pure-Python NB replay —
+    the third implementation, independent of both the DataFrame plan
+    and the DuckDB oracle — on randomized small corpora."""
+
+    def _python_nb(self, rows, train_ids, snap=4):
+        import math
+        from collections import Counter, defaultdict
+
+        def bigrams(t):
+            return [t[i:i + 2] for i in range(len(t) - 1)]
+
+        counts = defaultdict(Counter)
+        nd = Counter()
+        n_train = 0
+        for doc_id, lang, text in rows:
+            if len(text) < 2 or doc_id not in train_ids:
+                continue
+            counts[lang].update(bigrams(text))
+            nd[lang] += 1
+            n_train += 1
+        vocab = {bg for c in counts.values() for bg in c}
+        v = len(vocab)
+        tot = {lg: sum(c.values()) for lg, c in counts.items()}
+        preds = {}
+        for doc_id, lang, text in rows:
+            if len(text) < 2:
+                continue
+            tf = Counter(bigrams(text))
+            best = None
+            for lg in sorted(counts):
+                s = sum(
+                    n * math.log((counts[lg].get(bg, 0) + 1.0)
+                                 / (tot[lg] + v))
+                    for bg, n in tf.items()
+                ) + math.log(nd[lg] / n_train)
+                s = round(s, snap)
+                # max score, ties to the ascending label
+                if best is None or s > best[0]:
+                    best = (s, lg)
+            preds[doc_id] = (lang, best[1])
+        return preds
+
+    def test_random_corpora_match_python_model(self, spark):
+        import random
+
+        rng = random.Random(42)
+        langs = list(LANG_POOLS)
+        for trial in range(3):
+            rows = []
+            for i in range(60):
+                lg = langs[rng.randrange(5)]
+                pool = LANG_POOLS[lg]
+                n = rng.randrange(2, 12)
+                text = " ".join(
+                    pool[rng.randrange(len(pool))] for _ in range(n)
+                )
+                rows.append((i, lg, text))
+            train_ids = {i for i in range(60) if i % 5 != trial % 5}
+            docs = spark.createDataFrame(
+                rows, "doc_id long, lang string, text string"
+            )
+            got = {
+                r.doc_id: (r.lang, r.pred)
+                for r in charngram_nb_langid(
+                    docs, train=(F.col("doc_id") % 5) != (trial % 5)
+                ).collect()
+            }
+            want = self._python_nb(rows, train_ids)
+            assert got == want, f"trial {trial}"
