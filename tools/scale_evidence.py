@@ -699,6 +699,79 @@ def run_bpe_drill(spark, results: list) -> None:
         })
 
 
+def run_tiered_drill(spark, results: list) -> None:
+    """c10 two-tier maintenance drill. Claim: one foreachBatch delivery
+    costs tier-1 O(batch + dirty partitions) + tier-2 O(hourly state of
+    the dirty DAYS) — both independent of history length. The SAME
+    fixed batch lands on towers built from 100k / 1M / 10M events; the
+    per-batch wall and tier-2 rows-read must stay flat while the tower
+    build wall grows with the tier."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.sources import load_table
+    from borsa_spark.streaming.rollup import TieredRollupMaintainer
+
+    generate_events10x(spark)
+    generate_events100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def candles(path):
+        ev = load_table(spark, path, "events")
+        return ev.select(
+            F.col("event_type").alias("symbol"), "ts", "value",
+            F.col("event_id").alias("seq"),
+        )
+
+    fixed_batch = candles("/root/testdata/sf0.1").filter(
+        F.col("ts") >= F.lit("2024-01-30").cast("timestamp")
+    ).localCheckpoint(eager=True)
+    n_batch = fixed_batch.count()
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("ev10x", os.path.join("scale_data", "events10x")),
+        ("ev100x", os.path.join("scale_data", "events100x")),
+    ]
+    for tier, path in tiers:
+        ticks = candles(path)
+        n_events = ticks.count()
+        with tempfile.TemporaryDirectory() as work:
+            t0 = time.time()
+            tm = TieredRollupMaintainer(spark, work)
+            tm.build(ticks)
+            t_build = time.time() - t0
+            n_hourly = tm.hourly.current_state().count()
+
+            t0 = time.time()
+            tm.process_batch(fixed_batch, 0)
+            t_batch = time.time() - t0
+
+            dirty = tm.hourly.dirty_days_for(0)
+            # rows tier-2 actually read: the hourly state of exactly
+            # the dirty days (partition-pruned) — the quantity that
+            # must NOT grow with history
+            mapping = {
+                p: v
+                for p, v in tm.hourly._mapping().items()
+                if p in set(dirty)
+            }
+            t2_rows = tm.hourly._read_versions(mapping).count()
+        spark.catalog.clearCache()
+        emit({
+            "query": "c10_tiered_maintenance", "sf": tier,
+            "n_events": n_events, "n_hourly_state": n_hourly,
+            "batch_rows": n_batch, "dirty_days": len(dirty),
+            "tier2_rows_read": t2_rows,
+            "tower_build_sec": round(t_build, 3),
+            "per_batch_sec": round(t_batch, 3),
+        })
+
+
 def run_pca_drill(spark, results: list) -> None:
     """f82/PCA drill across embedding decades (2k / 20k / 200k
     vectors x 64d). Claim: the covariance pass partial-aggregates the
@@ -874,6 +947,13 @@ def main() -> None:
         return
     if "--r7-family" in sys.argv:
         run_r7_family(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--tiered" in sys.argv:
+        run_tiered_drill(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
