@@ -90,6 +90,46 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""))
 
 
+#: C4 line-filter constants (Raffel et al. 2020 §2.2, public paper):
+#: a line survives iff it ends in terminal punctuation, has at least
+#: MIN_WORDS words, and mentions none of the boilerplate markers.
+C4_LINE_MIN_WORDS = 5
+C4_TERMINAL_RE = "[.!?\"']$"
+C4_LINE_BLOCKLIST: tuple[str, ...] = ("javascript", "lorem ipsum", "{")
+
+
+def c4_line_filter(text: Column, min_words: int = C4_LINE_MIN_WORDS
+                   ) -> Column:
+    """struct(clean_text, n_lines, n_kept) — C4's line-level cleaning
+    as one in-row array expression (split on newline, per-line rules in
+    a filter lambda, rejoin): the text-side stage between f84's
+    block-level HTML extraction and document-level scoring. Pure JVM,
+    zero shuffle — at 100 TB this rides the same scan as extraction.
+
+    Kept iff the trimmed line ends in . ! ? or a quote, has >=
+    ``min_words`` whitespace words, and contains no
+    `C4_LINE_BLOCKLIST` marker (case-insensitive)."""
+    lines = F.split(text, "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        low = F.lower(t)
+        words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        cond = t.rlike(C4_TERMINAL_RE) & (words >= F.lit(min_words))
+        for marker in C4_LINE_BLOCKLIST:
+            cond = cond & ~low.contains(marker)
+        return cond
+
+    kept = F.filter(lines, keep)
+    return F.struct(
+        F.array_join(
+            F.transform(kept, lambda line: F.trim(line)), "\n"
+        ).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def sql_stopword_hits(text_sql: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return (

@@ -7844,6 +7844,73 @@ def f84_html_extract(spark, sf):
     return html_extract_docs(crawl)
 
 
+@query(
+    "f86_c4_line_filter",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 AS v,
+             'the quick brown fox jumps over dog '
+               || (doc_id % 7) || '.' AS l1
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN v = 2 THEN l1 || chr(10)
+                  || 'he said "hello there my good friend."'
+                ELSE l1 END AS clean_text,
+           5::BIGINT AS n_lines,
+           (CASE WHEN v = 2 THEN 2 ELSE 1 END)::BIGINT AS n_kept
+    FROM g
+    """,
+)
+def f86_c4_line_filter(spark, sf):
+    """C4's line-level cleaning (functions/text.py `c4_line_filter`,
+    Raffel et al. 2020 §2.2): terminal-punctuation rule, >=5-word rule,
+    javascript/lorem-ipsum/brace blocklist — one in-row array
+    expression, the text-side stage between f84's block-level HTML
+    extraction and document scoring. Fixture lines are generated
+    ANALYTICALLY from doc_id (the f84 pattern) with every rule
+    load-bearing: a good sentence (kept), a 2-word line (dropped by
+    MIN WORDS), a 10-word no-punctuation line (dropped by TERMINAL), a
+    'javascript' line (dropped by BLOCKLIST), and a v = doc_id % 3
+    variant — lorem-ipsum (dropped) / brace snippet (dropped) /
+    quote-terminated dialogue (KEPT — quotes are terminal). A filter
+    that mis-handles any rule changes clean_text/n_kept and
+    hash-mismatches.
+
+    Scale shape: per-row codegen'd array ops at scan speed, zero
+    shuffle (plan-guarded with f84)."""
+    from borsa_spark.functions.text import c4_line_filter
+
+    d = F.col("doc_id")
+    l1 = F.concat(
+        F.lit("the quick brown fox jumps over dog "),
+        (d % 7).cast("string"), F.lit("."),
+    )
+    v = d % 3
+    l5 = (
+        F.when(v == 0, F.lit("lorem ipsum dolor sit amet text here."))
+        .when(v == 1, F.lit("a config snippet { with brace inside }."))
+        .otherwise(F.lit('he said "hello there my good friend."'))
+    )
+    text = F.concat_ws(
+        "\n",
+        l1,
+        F.lit("short line."),
+        F.lit("this line has six words but no terminal mark"),
+        F.lit("please enable javascript to view this page."),
+        l5,
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    out = c4_line_filter(F.col("text"))
+    return docs.select(
+        "doc_id",
+        out["clean_text"].alias("clean_text"),
+        out["n_lines"].alias("n_lines"),
+        out["n_kept"].alias("n_kept"),
+    )
+
+
 @query("f85_langid_nb", None)
 def f85_langid_nb(spark, sf):
     """Trained language ID (functions/langid.py `charngram_nb_langid`):

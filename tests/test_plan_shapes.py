@@ -565,3 +565,8 @@ class TestRound8PlanShapes:
         assert plan.count("BroadcastHashJoin") >= 3
         assert "BroadcastNestedLoopJoin" in plan  # tiny label panel
         assert "EvalPython" not in plan
+
+    def test_c4_line_filter_is_scan_plus_project_zero_shuffle(self, spark):
+        plan = plan_of(spark, "f86_c4_line_filter")
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
