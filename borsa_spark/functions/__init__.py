@@ -1,3 +1,20 @@
-from borsa_spark.functions import dedup, similarity, text
+from borsa_spark.functions import (
+    bpe,
+    classifier,
+    dedup,
+    graph,
+    html,
+    langid,
+    layout,
+    packing,
+    pca,
+    retrieval,
+    similarity,
+    text,
+    urls,
+)
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = [
+    "bpe", "classifier", "dedup", "graph", "html", "langid", "layout",
+    "packing", "pca", "retrieval", "similarity", "text", "urls",
+]
