@@ -374,3 +374,14 @@ class TestTieredMaintainer:
         q = tm.attach(stream, str(tmp_path / "ckpt"))
         q.awaitTermination(120)
         self._check_both(spark, tm, BASE + B0)
+
+    def test_compaction_mid_stream_both_tiers(self, spark, tmp_path):
+        # folding either tier's version chain between deliveries must
+        # not disturb subsequent batches or the heads
+        tm = self._tm(spark, tmp_path)
+        tm.build(_candles(spark, BASE))
+        tm.process_batch(_candles(spark, B0), 0)
+        tm.hourly.compact()
+        tm.daily.compact()
+        tm.process_batch(_candles(spark, B1), 1)
+        self._check_both(spark, tm, BASE + B0 + B1)
