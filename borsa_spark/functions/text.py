@@ -90,25 +90,34 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""))
 
 
-#: C4 line-filter constants (Raffel et al. 2020 §2.2, public paper):
-#: a line survives iff it ends in terminal punctuation, has at least
-#: MIN_WORDS words, and mentions none of the boilerplate markers.
-C4_LINE_MIN_WORDS = 5
+#: C4 cleaning constants, faithful to where Raffel et al. 2020 §2.2
+#: applies each rule (public paper). LINE rules: terminal punctuation,
+#: >= 3 words, no "javascript". PAGE rules: the whole page is dropped
+#: if it mentions "lorem ipsum" or contains a curly brace (code) — so
+#: those surface as a page-level flag here, not as line removal. (The
+#: paper's 5-count is its minimum SENTENCES PER PAGE, a separate
+#: page rule callers apply over n_kept — not a words-per-line bound.)
+C4_LINE_MIN_WORDS = 3
 C4_TERMINAL_RE = "[.!?\"']$"
-C4_LINE_BLOCKLIST: tuple[str, ...] = ("javascript", "lorem ipsum", "{")
+C4_LINE_BLOCKLIST: tuple[str, ...] = ("javascript",)
+C4_PAGE_BLOCKLIST: tuple[str, ...] = ("lorem ipsum", "{")
 
 
 def c4_line_filter(text: Column, min_words: int = C4_LINE_MIN_WORDS
                    ) -> Column:
-    """struct(clean_text, n_lines, n_kept) — C4's line-level cleaning
-    as one in-row array expression (split on newline, per-line rules in
-    a filter lambda, rejoin): the text-side stage between f84's
-    block-level HTML extraction and document-level scoring. Pure JVM,
-    zero shuffle — at 100 TB this rides the same scan as extraction.
+    """struct(clean_text, n_lines, n_kept, page_flagged) — C4's
+    cleaning as one in-row array expression (split on newline, per-line
+    rules in a filter lambda, rejoin): the text-side stage between
+    f84's block-level HTML extraction and document-level scoring. Pure
+    JVM, zero shuffle — at 100 TB this rides the same scan as
+    extraction.
 
-    Kept iff the trimmed line ends in . ! ? or a quote, has >=
+    A line is kept iff trimmed it ends in . ! ? or a quote, has >=
     ``min_words`` whitespace words, and contains no
-    `C4_LINE_BLOCKLIST` marker (case-insensitive)."""
+    `C4_LINE_BLOCKLIST` marker (case-insensitive). ``page_flagged`` is
+    true when the PAGE mentions a `C4_PAGE_BLOCKLIST` marker — C4
+    drops such pages whole; the decision is surfaced, not applied, so
+    callers can count what a drop policy would cost."""
     lines = F.split(text, "\n")
 
     def keep(line: Column) -> Column:
@@ -121,12 +130,16 @@ def c4_line_filter(text: Column, min_words: int = C4_LINE_MIN_WORDS
         return cond
 
     kept = F.filter(lines, keep)
+    flagged = F.lit(False)
+    for marker in C4_PAGE_BLOCKLIST:
+        flagged = flagged | F.lower(text).contains(marker)
     return F.struct(
         F.array_join(
             F.transform(kept, lambda line: F.trim(line)), "\n"
         ).alias("clean_text"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
+        flagged.alias("page_flagged"),
     )
 
 

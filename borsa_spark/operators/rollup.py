@@ -39,10 +39,17 @@ def rollup_state(candles: DataFrame, trunc: str = "day") -> DataFrame:
     """Partial-aggregate a candle/tick relation (symbol, ts, value,
     seq) into mergeable per-(symbol, bucket) rollup state. One
     map-side-combined groupBy; (ts, seq) is the total order so
-    duplicate timestamps stay deterministic."""
+    duplicate timestamps stay deterministic.
+
+    Null-ts ticks are DROPPED here: they cannot be bucketed, and
+    letting them through would land their state in the Hive default
+    partition (`pday=__HIVE_DEFAULT_PARTITION__`), which the
+    maintainer's pday-keyed resolution can never read back — committed
+    yet unreachable state (round-8 review finding)."""
     ord_key = F.struct("ts", "seq")
     return (
-        candles.groupBy(
+        candles.filter(F.col("ts").isNotNull())
+        .groupBy(
             "symbol", F.date_trunc(trunc, "ts").alias("bucket")
         )
         .agg(

@@ -7853,28 +7853,33 @@ def f84_html_extract(spark, sf):
                || (doc_id % 7) || '.' AS l1
       FROM documents)
     SELECT doc_id,
-           CASE WHEN v = 2 THEN l1 || chr(10)
-                  || 'he said "hello there my good friend."'
-                ELSE l1 END AS clean_text,
+           l1 || chr(10) || CASE
+             WHEN v = 0 THEN 'lorem ipsum dolor sit amet text here.'
+             WHEN v = 1 THEN 'a config snippet { with brace inside }.'
+             ELSE 'he said "hello there my good friend."'
+           END AS clean_text,
            5::BIGINT AS n_lines,
-           (CASE WHEN v = 2 THEN 2 ELSE 1 END)::BIGINT AS n_kept
+           2::BIGINT AS n_kept,
+           v <> 2 AS page_flagged
     FROM g
     """,
 )
 def f86_c4_line_filter(spark, sf):
-    """C4's line-level cleaning (functions/text.py `c4_line_filter`,
-    Raffel et al. 2020 §2.2): terminal-punctuation rule, >=5-word rule,
-    javascript/lorem-ipsum/brace blocklist — one in-row array
-    expression, the text-side stage between f84's block-level HTML
-    extraction and document scoring. Fixture lines are generated
-    ANALYTICALLY from doc_id (the f84 pattern) with every rule
-    load-bearing: a good sentence (kept), a 2-word line (dropped by
-    MIN WORDS), a 10-word no-punctuation line (dropped by TERMINAL), a
-    'javascript' line (dropped by BLOCKLIST), and a v = doc_id % 3
-    variant — lorem-ipsum (dropped) / brace snippet (dropped) /
-    quote-terminated dialogue (KEPT — quotes are terminal). A filter
-    that mis-handles any rule changes clean_text/n_kept and
-    hash-mismatches.
+    """C4's cleaning rules where the paper applies them
+    (functions/text.py `c4_line_filter`, Raffel et al. 2020 §2.2):
+    LINE rules — terminal punctuation, >= 3 words, no 'javascript';
+    PAGE rule — lorem-ipsum / curly-brace pages flagged whole. One
+    in-row array expression, the text-side stage between f84's
+    block-level HTML extraction and document scoring. Fixture lines
+    are generated ANALYTICALLY from doc_id (the f84 pattern) with
+    every rule load-bearing: a good sentence (kept), a 2-word line
+    (dropped by MIN WORDS), a 9-word no-punctuation line (dropped by
+    TERMINAL), a 'javascript' line (dropped by the LINE blocklist),
+    and a v = doc_id % 3 tail line that is line-clean in all three
+    variants but trips the PAGE flag for lorem-ipsum (v0) and brace
+    (v1) while the quote-terminated dialogue (v2) stays unflagged — a
+    filter that drops page-rule lines, misses the flag, or mis-handles
+    any line rule hash-mismatches.
 
     Scale shape: per-row codegen'd array ops at scan speed, zero
     shuffle (plan-guarded with f84)."""
@@ -7908,6 +7913,7 @@ def f86_c4_line_filter(spark, sf):
         out["clean_text"].alias("clean_text"),
         out["n_lines"].alias("n_lines"),
         out["n_kept"].alias("n_kept"),
+        out["page_flagged"].alias("page_flagged"),
     )
 
 

@@ -299,13 +299,17 @@ class EmbeddingDriftMonitor:
             ).coalesce(1).write.mode("overwrite").parquet(
                 self._path(f"moments/batch-{batch_id}")
             )
+        # n per (width, pos) is the vector count of that width group;
+        # total arrivals = one representative per width, summed (a
+        # single-width batch reduces to rows[0]['n'])
+        n_by_width: dict = {}
+        for r in batch_rows:
+            n_by_width.setdefault(r["__d"], int(r["n"]))
         markers.write_marker(
             self._marker(batch_id),
             {
                 "batch": int(batch_id),
-                "n_vectors": int(
-                    batch_rows[0]["n"] if batch_rows else 0
-                ),
+                "n_vectors": int(sum(n_by_width.values())),
                 **metrics,
                 "dim_change": dim_change,
                 "batch_dims": batch_ds,

@@ -162,6 +162,14 @@ class RollupMaintainer:
             for d in os.listdir(self._version_dir(name))
             if d.startswith("pday=")
         )
+        if "__HIVE_DEFAULT_PARTITION__" in pdays:
+            # unbucketable (null-bucket) state would be committed yet
+            # unreadable by the pday-keyed resolution; rollup_state
+            # drops null-ts ticks so this is unreachable — keep it loud
+            raise ValueError(
+                f"version {name} wrote a null-bucket partition; "
+                "null-ts ticks must be dropped before the maintainer"
+            )
         self._write_marker(
             name, {"version": name, "seq": seq, "pdays": pdays}
         )
@@ -323,8 +331,8 @@ class RollupMaintainer:
         garbage) or the new compact state (old dirs are garbage,
         resolution ignores them); cleanup of superseded dirs happens
         only after the compact marker is durable."""
-        markers = self._markers()
-        batch_seqs = [m["seq"] for m in markers]
+        committed = self._markers()
+        batch_seqs = [m["seq"] for m in committed]
         through = max(batch_seqs) if batch_seqs else -1
         mapping = self._mapping()
         name = f"compact-{through}"
@@ -351,7 +359,7 @@ class RollupMaintainer:
         )
         # superseded markers + dirs are garbage now; best-effort removal
         removed = []
-        for m in markers:
+        for m in committed:
             if m["version"] == name:
                 continue
             try:

@@ -212,3 +212,23 @@ class TestCascade:
         got = _final_rows(rollup_cascade(rollup_merge(a, b), trunc="day"))
         want = _final_rows(rollup_state(_candles(spark, FIX), trunc="day"))
         assert got == want
+
+
+def test_null_ts_ticks_dropped_not_hive_default_partition(spark):
+    # a null-ts tick cannot be bucketed; letting it through would land
+    # state in pday=__HIVE_DEFAULT_PARTITION__, unreadable by the
+    # maintainer's pday-keyed resolution (round-8 review finding)
+    import datetime as dt
+
+    from borsa_spark.operators.rollup import rollup_state
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 5), 1.0, 1),
+        ("A", None, 99.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, value double, seq long"
+    )
+    got = rollup_state(df).collect()
+    assert len(got) == 1
+    assert got[0].n_bars == 1 and got[0].high == 1.0

@@ -19,6 +19,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SF = "/root/testdata/sf0.001"
 
 
+# gate-harness queries that EXECUTE a full maintenance protocol and
+# return a collected LocalRelation — explaining them costs minutes and
+# yields a one-line 'Scan ExistingRDD' with zero plan evidence
+MATERIALIZED_GATES = {
+    "c6_incremental_rollup",
+    "c7_streaming_rollup_exactly_once",
+}
+
+
 def main() -> None:
     from bench import HEADLINE, TIER2
 
@@ -41,6 +50,13 @@ def main() -> None:
     for name in HEADLINE + TIER2:
         fn = QUERIES.get(name)
         if fn is None:
+            continue
+        if name in MATERIALIZED_GATES:
+            lines += [f"## {name}", "",
+                      "(materialized gate-harness query — the plan is a "
+                      "LocalRelation of the protocol's output; the real "
+                      "plans are rollup_state/rollup_merge, audited in "
+                      "tests/test_plan_shapes.py)", ""]
             continue
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

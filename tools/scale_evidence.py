@@ -50,7 +50,9 @@ def generate(spark) -> None:
 
     from borsa_spark.sources import load_table
 
-    if os.path.exists(os.path.join(SCALE_DIR, "embeddings.parquet")):
+    # completion sentinel written LAST (round-8 review: existence of an
+    # individual artifact does not prove the whole tier generated)
+    if os.path.exists(os.path.join(SCALE_DIR, "_COMPLETE")):
         return
 
     base = "/root/testdata/sf0.1"
@@ -127,6 +129,8 @@ def generate(spark) -> None:
     e10.repartition(8).write.mode("overwrite").parquet(
         os.path.join(SCALE_DIR, "embeddings.parquet")
     )
+    with open(os.path.join(SCALE_DIR, "_COMPLETE"), "w") as f:
+        f.write("sf1 tier complete\n")
 
 
 def generate_100x(spark) -> None:
@@ -134,7 +138,7 @@ def generate_100x(spark) -> None:
 
     from borsa_spark.sources import load_table
 
-    if os.path.exists(os.path.join(SCALE_DIR_100, "documents.parquet")):
+    if os.path.exists(os.path.join(SCALE_DIR_100, "_COMPLETE")):
         return
 
     base = "/root/testdata/sf0.1"
@@ -224,6 +228,8 @@ def generate_100x(spark) -> None:
     e100.repartition(16).write.mode("overwrite").parquet(
         os.path.join(SCALE_DIR_100, "embeddings.parquet")
     )
+    with open(os.path.join(SCALE_DIR_100, "_COMPLETE"), "w") as f:
+        f.write("sf100x tier complete\n")
 
 
 def generate_events10x(spark) -> str:
@@ -243,7 +249,7 @@ def generate_events10x(spark) -> str:
         _os.path.dirname(__file__), "..", "scale_data", "events10x"
     )
     p = _os.path.abspath(p)
-    if not _os.path.exists(_os.path.join(p, "events.parquet")):
+    if not _os.path.exists(_os.path.join(p, "_COMPLETE")):
         ev = load_table(spark, "/root/testdata/sf0.1", "events")
         reps = spark.range(10).select(F.col("id").alias("rep"))
         e10 = ev.crossJoin(F.broadcast(reps)).select(
@@ -268,6 +274,8 @@ def generate_events10x(spark) -> str:
             dst = _os.path.join(p, f"{t}.parquet")
             if not _os.path.exists(dst):
                 _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+        with open(_os.path.join(p, "_COMPLETE"), "w") as f:
+            f.write("events10x tier complete\n")
     return p
 
 
@@ -286,7 +294,7 @@ def generate_events100x(spark) -> str:
             _os.path.dirname(__file__), "..", "scale_data", "events100x"
         )
     )
-    if not _os.path.exists(_os.path.join(p, "events.parquet")):
+    if not _os.path.exists(_os.path.join(p, "_COMPLETE")):
         ev = load_table(spark, "/root/testdata/sf0.1", "events")
         reps = spark.range(100).select(F.col("id").alias("rep"))
         (
@@ -314,6 +322,8 @@ def generate_events100x(spark) -> str:
             dst = _os.path.join(p, f"{t}.parquet")
             if not _os.path.exists(dst):
                 _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+        with open(_os.path.join(p, "_COMPLETE"), "w") as f:
+            f.write("events100x tier complete\n")
     return p
 
 
@@ -331,7 +341,7 @@ def generate_rel10x(spark) -> str:
     p = _os.path.abspath(
         _os.path.join(_os.path.dirname(__file__), "..", "scale_data", "rel10x")
     )
-    if not _os.path.exists(_os.path.join(p, "lineitem.parquet")):
+    if not _os.path.exists(_os.path.join(p, "_COMPLETE")):
         reps = spark.range(10).select(F.col("id").alias("rep"))
         li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
         (
@@ -634,12 +644,15 @@ def run_r8_family(spark, results: list) -> None:
         fn = QUERIES[qname]
         for tier, path in tiers:
             # noop sink, not count(): f84 is a pure projection and
-            # count() would let Catalyst prune the regex work away
+            # count() would let Catalyst prune the regex work away.
+            # persist so the row count reads the materialized result
+            # instead of re-executing the whole plan untimed.
+            df = fn(spark, path).persist()
             t0 = time.time()
-            df = fn(spark, path)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             n = df.count()
+            df.unpersist()
             spark.catalog.clearCache()
             emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
 
@@ -713,8 +726,8 @@ def run_tiered_drill(spark, results: list) -> None:
     from borsa_spark.sources import load_table
     from borsa_spark.streaming.rollup import TieredRollupMaintainer
 
-    generate_events10x(spark)
-    generate_events100x(spark)
+    p10 = generate_events10x(spark)
+    p100 = generate_events100x(spark)
 
     def emit(rec):
         results.append(rec)
@@ -732,10 +745,12 @@ def run_tiered_drill(spark, results: list) -> None:
     ).localCheckpoint(eager=True)
     n_batch = fixed_batch.count()
 
+    # absolute generator-returned paths: the drill must not depend on
+    # the caller's cwd (round-8 review finding)
     tiers = [
         ("sf0.1", "/root/testdata/sf0.1"),
-        ("ev10x", os.path.join("scale_data", "events10x")),
-        ("ev100x", os.path.join("scale_data", "events100x")),
+        ("ev10x", p10),
+        ("ev100x", p100),
     ]
     for tier, path in tiers:
         ticks = candles(path)
@@ -844,8 +859,8 @@ def run_rollup_drill(spark, results: list) -> None:
     )
     from borsa_spark.sources import load_table
 
-    generate_events10x(spark)
-    generate_events100x(spark)
+    p10 = generate_events10x(spark)
+    p100 = generate_events100x(spark)
 
     def emit(rec):
         results.append(rec)
@@ -863,10 +878,12 @@ def run_rollup_drill(spark, results: list) -> None:
     ).localCheckpoint(eager=True)
     n_batch = fixed_batch.count()
 
+    # absolute generator-returned paths: the drill must not depend on
+    # the caller's cwd (round-8 review finding)
     tiers = [
         ("sf0.1", "/root/testdata/sf0.1"),
-        ("ev10x", os.path.join("scale_data", "events10x")),
-        ("ev100x", os.path.join("scale_data", "events100x")),
+        ("ev10x", p10),
+        ("ev100x", p100),
     ]
     for tier, path in tiers:
         ticks = candles(path)
