@@ -7917,6 +7917,151 @@ def f86_c4_line_filter(spark, sf):
     )
 
 
+@query(
+    "f87_pq_adc_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    js AS (SELECT unnest(range(0, 4))::BIGINT AS j),
+    books AS (
+      SELECT js.j, e.vec_id AS cid, e.v[(js.j*16+1):(js.j*16+16)] AS cemb
+      FROM e CROSS JOIN js WHERE e.vec_id < 8),
+    sub AS (
+      SELECT e.vec_id, js.j, e.v[(js.j*16+1):(js.j*16+16)] AS sv
+      FROM e CROSS JOIN js),
+    enc AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, b.cid, row_number() OVER (
+          PARTITION BY s.vec_id, s.j ORDER BY
+            round(list_sum(list_transform(range(1, 17),
+              i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+            ASC, b.cid ASC) AS rn
+        FROM sub s JOIN books b USING (j)) t
+      WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS q_id, s.j, b.cid,
+             round(list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+               AS d
+      FROM sub s JOIN books b USING (j) WHERE s.vec_id < 10),
+    adc AS (
+      SELECT qd.q_id, enc.vec_id AS c_id, round(sum(qd.d), 4) AS adc_dist
+      FROM enc JOIN qd ON qd.j = enc.j AND qd.cid = enc.cid
+      WHERE qd.q_id <> enc.vec_id
+      GROUP BY 1, 2)
+    SELECT q_id, c_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist ASC, c_id ASC) AS rank
+      FROM adc) t
+    WHERE rank <= 5
+    """,
+)
+def f87_pq_adc_topk(spark, sf):
+    """Product-quantization ANN (functions/pq.py, Jegou et al. 2011 —
+    the FAISS PQ core): d=64 vectors split into m=4 subspaces, each
+    quantized against an 8-centroid codebook (seed codebooks = sliced
+    lowest-id vectors, the f15 convention so the oracle replays
+    exactly; trained codebooks are the pq_train_codebooks path, pinned
+    by pytest recall), then ADC top-5 per query — the query stays
+    exact, each corpus vector costs m table lookups. The fourth scale
+    path next to brute force (f10), hyperplane LSH (f11), and IVF
+    (f15), and the one that shrinks corpus memory 64x.
+
+    Scale shape: codebooks m x k rows and the query distance table
+    q x m x k rows (both broadcast); encode is one partial-agg argmin
+    keyed (vec, j); the corpus never shuffles except the (query, vec)
+    ADC partial agg."""
+    from borsa_spark.functions.pq import pq_adc_topk, pq_codebooks_seed
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_codebooks_seed(emb, m=4, k=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = pq_adc_topk(emb, q, books, m=4, k_top=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "f88_pq_rerank_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    js AS (SELECT unnest(range(0, 4))::BIGINT AS j),
+    books AS (
+      SELECT js.j, e.vec_id AS cid, e.v[(js.j*16+1):(js.j*16+16)] AS cemb
+      FROM e CROSS JOIN js WHERE e.vec_id < 8),
+    sub AS (
+      SELECT e.vec_id, js.j, e.v[(js.j*16+1):(js.j*16+16)] AS sv
+      FROM e CROSS JOIN js),
+    enc AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, b.cid, row_number() OVER (
+          PARTITION BY s.vec_id, s.j ORDER BY
+            round(list_sum(list_transform(range(1, 17),
+              i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+            ASC, b.cid ASC) AS rn
+        FROM sub s JOIN books b USING (j)) t
+      WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS q_id, s.j, b.cid,
+             round(list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+               AS d
+      FROM sub s JOIN books b USING (j) WHERE s.vec_id < 10),
+    adc AS (
+      SELECT qd.q_id, enc.vec_id AS c_id, round(sum(qd.d), 4) AS adc_dist
+      FROM enc JOIN qd ON qd.j = enc.j AND qd.cid = enc.cid
+      WHERE qd.q_id <> enc.vec_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_dist ASC, c_id ASC) AS rn
+        FROM adc) t
+      WHERE rn <= 50),
+    ex AS (
+      SELECT s.q_id, s.c_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 4)
+               AS l2_dist
+      FROM short s JOIN e q ON q.vec_id = s.q_id
+                   JOIN e c ON c.vec_id = s.c_id)
+    SELECT q_id, c_id, l2_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY l2_dist ASC, c_id ASC) AS rank
+      FROM ex) t
+    WHERE rank <= 5
+    """,
+)
+def f88_pq_rerank_topk(spark, sf):
+    """The production PQ shape (functions/pq.py `pq_adc_rerank_topk`):
+    ADC over the 4-byte codes selects a 50-candidate shortlist per
+    query, exact L2 re-ranks the shortlist only — float vectors are
+    touched for 50 x queries rows, never scanned per query. Same seed
+    codebooks as f87 so the whole two-stage pipeline (encode -> ADC ->
+    shortlist -> exact rerank) replays exactly in SQL; a wrong
+    shortlist rank, a lost tie-break, or rerank reading anything
+    outside the shortlist hash-mismatches.
+
+    Scale shape: f87's + one shortlist-sized equi-join back to the
+    vectors (candidates broadcast against the corpus at 100 TB)."""
+    from borsa_spark.functions.pq import (
+        pq_adc_rerank_topk,
+        pq_codebooks_seed,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_codebooks_seed(emb, m=4, k=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = pq_adc_rerank_topk(emb, q, books, m=4, k_top=5, shortlist=50)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("f85_langid_nb", None)
 def f85_langid_nb(spark, sf):
     """Trained language ID (functions/langid.py `charngram_nb_langid`):
