@@ -84,6 +84,8 @@ TIER2 = [
     # round 8 additions (first-baselined in BENCH_r08)
     "f84_html_extract",
     "f85_langid_nb",
+    "f87_pq_adc_topk",
+    "f88_pq_rerank_topk",
 ]
 
 
