@@ -640,7 +640,8 @@ def run_r8_family(spark, results: list) -> None:
         ("sf1x10", os.path.abspath(SCALE_DIR)),
         ("sf100x", os.path.abspath(SCALE_DIR_100)),
     ]
-    for qname in ("f84_html_extract", "f85_langid_nb"):
+    for qname in ("f84_html_extract", "f85_langid_nb",
+                  "f87_pq_adc_topk", "f88_pq_rerank_topk"):
         fn = QUERIES[qname]
         for tier, path in tiers:
             # noop sink, not count(): f84 is a pure projection and
