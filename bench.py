@@ -86,6 +86,7 @@ TIER2 = [
     "f85_langid_nb",
     "f87_pq_adc_topk",
     "f88_pq_rerank_topk",
+    "f89_ivfpq_topk",
 ]
 
 

@@ -8062,6 +8062,96 @@ def f88_pq_rerank_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "f89_ivfpq_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    js AS (SELECT unnest(range(0, 4))::BIGINT AS j),
+    coarse AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < 8),
+    lists AS (
+      SELECT vec_id, ccid AS centroid_id FROM (
+        SELECT e.vec_id, c.ccid, row_number() OVER (
+          PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) ASC,
+            c.ccid ASC) AS rn
+        FROM e CROSS JOIN coarse c) t WHERE rn = 1),
+    books AS (
+      SELECT js.j, e.vec_id AS cid, e.v[(js.j*16+1):(js.j*16+16)] AS cemb
+      FROM e CROSS JOIN js WHERE e.vec_id < 8),
+    sub AS (
+      SELECT e.vec_id, js.j, e.v[(js.j*16+1):(js.j*16+16)] AS sv
+      FROM e CROSS JOIN js),
+    enc AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, b.cid, row_number() OVER (
+          PARTITION BY s.vec_id, s.j ORDER BY
+            round(list_sum(list_transform(range(1, 17),
+              i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+            ASC, b.cid ASC) AS rn
+        FROM sub s JOIN books b USING (j)) t
+      WHERE rn = 1),
+    probed AS (
+      SELECT q_id, ccid AS centroid_id FROM (
+        SELECT q.vec_id AS q_id, c.ccid, row_number() OVER (
+          PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) ASC,
+            c.ccid ASC) AS rn
+        FROM e q CROSS JOIN coarse c WHERE q.vec_id < 10) t
+      WHERE rn <= 2),
+    qd AS (
+      SELECT s.vec_id AS q_id, s.j, b.cid,
+             round(list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+               AS d
+      FROM sub s JOIN books b USING (j) WHERE s.vec_id < 10),
+    adc AS (
+      SELECT qd.q_id, enc.vec_id AS c_id, round(sum(qd.d), 4) AS adc_dist
+      FROM enc
+      JOIN lists ON lists.vec_id = enc.vec_id
+      JOIN probed ON probed.centroid_id = lists.centroid_id
+      JOIN qd ON qd.q_id = probed.q_id AND qd.j = enc.j
+             AND qd.cid = enc.cid
+      WHERE qd.q_id <> enc.vec_id
+      GROUP BY 1, 2)
+    SELECT q_id, c_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist ASC, c_id ASC) AS rank
+      FROM adc) t
+    WHERE rank <= 5
+    """,
+)
+def f89_ivfpq_topk(spark, sf):
+    """The full FAISS IVFPQ composition (functions/pq.py `ivfpq_topk`):
+    f15's coarse quantizer narrows each query to its 2 probed inverted
+    lists, f87's PQ-ADC scores only those lists' CODE rows — per query
+    the scan is n_probe/n_lists of a table already 64x smaller than
+    the vectors; the two reductions compose. Seed coarse centroids and
+    seed codebooks (the f15/f87 conventions) so assignment, encoding,
+    probing, and ADC all replay exactly in SQL. Raw-vector codes, not
+    residuals (documented simplification — one broadcast codebook; the
+    recall cost is measured in tests/test_pq.py, not hidden).
+
+    Scale shape: coarse assignment and encode are broadcast-join scans;
+    the per-query work is an equi-join on centroid_id against the code
+    table + the (q, vec)-keyed ADC partial agg."""
+    from borsa_spark.functions.pq import ivfpq_topk, pq_codebooks_seed
+
+    emb = load_table(spark, sf, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    books = pq_codebooks_seed(emb, m=4, k=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivfpq_topk(emb, q, coarse, books, m=4, k_top=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("f85_langid_nb", None)
 def f85_langid_nb(spark, sf):
     """Trained language ID (functions/langid.py `charngram_nb_langid`):

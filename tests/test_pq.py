@@ -133,3 +133,56 @@ class TestPq:
         d = len(emb.first().embedding)
         assert d == 64
         assert (d * 4) / 4 == 64  # float32 bytes / m code bytes
+
+
+class TestIvfPq:
+    def test_ivfpq_subset_of_pq_and_recall(self, spark):
+        from borsa_spark.functions.pq import ivfpq_topk
+
+        emb = _emb(spark)
+        q = _queries(emb)
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        books = pq_train_codebooks(emb, m=4, k=16, iters=2)
+        want = _exact_topk(spark)
+
+        full = pq_adc_topk(emb, q, books, m=4, k_top=5).collect()
+        probed = ivfpq_topk(
+            emb, q, coarse, books, m=4, k_top=5, n_probe=2
+        ).collect()
+        r_full = _recall(full, want)
+        r_probed = _recall(probed, want)
+        # probing trades recall for scan fraction: the probed result
+        # must stay within a bounded drop of full-corpus ADC
+        assert r_probed >= r_full - 0.25, (r_full, r_probed)
+        # every probed hit scores identically to full ADC (same codes,
+        # same tables — probing only SHRINKS the candidate set)
+        full_d = {(r.q_id, r.c_id): r.adc_dist for r in full}
+        for r in probed:
+            if (r.q_id, r.c_id) in full_d:
+                assert full_d[(r.q_id, r.c_id)] == r.adc_dist
+
+    def test_probe_widening_recovers_full_adc(self, spark):
+        from borsa_spark.functions.pq import ivfpq_topk
+
+        emb = _emb(spark)
+        q = _queries(emb)
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        books = pq_codebooks_seed(emb, m=4, k=8)
+        full = sorted(
+            (r.q_id, r.c_id)
+            for r in pq_adc_topk(emb, q, books, m=4, k_top=5).collect()
+        )
+        all_probes = sorted(
+            (r.q_id, r.c_id)
+            for r in ivfpq_topk(
+                emb, q, coarse, books, m=4, k_top=5, n_probe=8
+            ).collect()
+        )
+        # probing EVERY list == full-corpus ADC exactly
+        assert all_probes == full
