@@ -48,6 +48,12 @@ from borsa_spark.functions.similarity import (
 def _subvectors(emb: DataFrame, m: int, id_col: str, emb_col: str,
                 d: int) -> DataFrame:
     """(id, j, sv): the m in-row slices, double-cast."""
+    if d % m != 0:
+        # a silent d // m would drop the trailing d % m components from
+        # every distance (round-8 review finding) — refuse loudly
+        raise ValueError(
+            f"m={m} must divide the embedding dimension d={d}"
+        )
     sub = d // m
     js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
     return emb.select(F.col(id_col), js, F.col(emb_col)).select(
@@ -68,8 +74,11 @@ def pq_codebooks_seed(
 ) -> DataFrame:
     """(j, cid, cemb): codebook j = the sliced subvectors of the k
     lowest-id vectors — deterministic, exactly SQL-replayable (the
-    f15 seed-centroid convention)."""
-    seeds = emb.filter(F.col(id_col) < k)
+    f15 seed-centroid convention). orderBy+limit, not filter(id < k):
+    the filter form silently yields fewer (possibly zero) seeds on
+    sparse/offset id spaces (the kmeans_centroids seeding lesson,
+    similarity.py) — TakeOrderedAndProject, never a full sort."""
+    seeds = emb.orderBy(id_col).limit(k)
     return _subvectors(seeds, m, id_col, emb_col, d).select(
         "j", F.col(id_col).alias("cid"), F.col("sv").alias("cemb")
     )
@@ -116,6 +125,39 @@ def pq_encode(
     )
 
 
+def _query_dist_table(
+    queries: DataFrame, books: DataFrame, m: int, d: int,
+    q_id: str, q_emb: str,
+) -> DataFrame:
+    """(q_id, j, cid, __d): the ADC lookup table — queries x m x k
+    rows, always broadcast by callers."""
+    qsub = _subvectors(
+        queries.select(F.col(q_id), F.col(q_emb)), m, q_id, q_emb, d
+    )
+    return qsub.join(F.broadcast(books), "j").select(
+        q_id, "j", "cid",
+        F.round(sq_l2(F.col("sv"), F.col("cemb")), 4).alias("__d"),
+    )
+
+
+def _probe_lists(
+    queries: DataFrame, coarse: DataFrame, n_probe: int,
+    q_id: str, q_emb: str,
+) -> DataFrame:
+    """(q_id, centroid_id): each query's n_probe nearest coarse lists
+    (the ivf_topk probe selection; ``coarse`` is the (cid, cemb)
+    contract)."""
+    probes = queries.crossJoin(F.broadcast(coarse))
+    w = Window.partitionBy(q_id).orderBy(
+        sq_l2(F.col(q_emb), F.col("cemb")).asc(), F.col("cid").asc()
+    )
+    return (
+        probes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select(q_id, F.col("cid").alias("centroid_id"))
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame, queries: DataFrame, books: DataFrame,
     m: int = 4, k_top: int = 5, d: int = 64,
@@ -123,19 +165,13 @@ def pq_adc_topk(
     q_id: str = "q_id", q_emb: str = "q_emb",
 ) -> DataFrame:
     """(q_id, c_id, adc_dist, rank): ADC top-``k_top`` per query over
-    the PQ-encoded corpus. Self-matches excluded; deterministic
-    (adc asc, c_id asc) rank."""
+    the PQ-encoded corpus. Deterministic (adc asc, c_id asc) rank.
+    Precondition (the ivf_topk convention): queries and corpus share
+    one id space — a row with ``q_id == c_id`` is treated as a
+    self-match and excluded; external queries must use ids disjoint
+    from the corpus or expect that exclusion."""
     codes = pq_encode(emb, books, m, d, id_col, emb_col)
-    qsub = _subvectors(
-        queries.select(F.col(q_id), F.col(q_emb)), m, q_id, q_emb, d
-    )
-    qdist = (
-        qsub.join(F.broadcast(books), "j")
-        .select(
-            q_id, "j", "cid",
-            F.round(sq_l2(F.col("sv"), F.col("cemb")), 4).alias("__d"),
-        )
-    )
+    qdist = _query_dist_table(queries, books, m, d, q_id, q_emb)
     adc = (
         codes.join(F.broadcast(qdist), ["j", "cid"])
         .groupBy(q_id, F.col(id_col).alias("c_id"))
@@ -165,7 +201,8 @@ def pq_adc_rerank_topk(
     recall is bounded by the shortlist's candidate recall (measured in
     tests/test_pq.py — on this unit-norm, distance-concentrated
     corpus ADC@100 holds ~84% of the true top-5, which the rerank then
-    orders exactly)."""
+    orders exactly). Shares pq_adc_topk's one-id-space self-match
+    precondition."""
     cands = pq_adc_topk(
         emb, queries, books, m, shortlist, d,
         id_col, emb_col, q_id, q_emb,
@@ -216,29 +253,16 @@ def ivfpq_topk(
     encoding needs per-list codebooks; the raw-vector form keeps ONE
     broadcast codebook and replays exactly in SQL — the recall
     difference on unit-norm corpora is small and is measured, not
-    hidden, in tests/test_pq.py)."""
+    hidden, in tests/test_pq.py). Shares pq_adc_topk's one-id-space
+    self-match precondition."""
     lists = ivf_assign(
         emb.select(id_col, emb_col), coarse, emb_col
     ).select(id_col, "centroid_id")
     enc = pq_encode(emb, books, m, d, id_col, emb_col).join(
         lists, id_col
     )
-    probes = queries.crossJoin(F.broadcast(coarse))
-    wp = Window.partitionBy(q_id).orderBy(
-        sq_l2(F.col(q_emb), F.col("cemb")).asc(), F.col("cid").asc()
-    )
-    probed = (
-        probes.withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= n_probe)
-        .select(q_id, F.col("cid").alias("centroid_id"))
-    )
-    qsub = _subvectors(
-        queries.select(F.col(q_id), F.col(q_emb)), m, q_id, q_emb, d
-    )
-    qdist = qsub.join(F.broadcast(books), "j").select(
-        q_id, "j", "cid",
-        F.round(sq_l2(F.col("sv"), F.col("cemb")), 4).alias("__d"),
-    )
+    probed = _probe_lists(queries, coarse, n_probe, q_id, q_emb)
+    qdist = _query_dist_table(queries, books, m, d, q_id, q_emb)
     adc = (
         enc.join(F.broadcast(probed), "centroid_id")
         .join(F.broadcast(qdist), [q_id, "j", "cid"])

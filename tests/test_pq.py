@@ -84,28 +84,31 @@ class TestPq:
         want = _exact_topk(spark)
 
         seed_books = pq_codebooks_seed(emb, m=4, k=8)
-        trained = pq_train_codebooks(emb, m=4, k=16, iters=2)
+        trained_k8 = pq_train_codebooks(emb, m=4, k=8, iters=2)
+        trained_k16 = pq_train_codebooks(emb, m=4, k=16, iters=2)
 
         r_seed = _recall(
             pq_adc_topk(emb, q, seed_books, m=4, k_top=5).collect(), want
         )
+        # like-for-like: same centroid budget, trained vs seed slices —
+        # training must be >= (the property COVERAGE.md advertises)
         r_trained = _recall(
-            pq_adc_topk(emb, q, trained, m=4, k_top=5).collect(), want
+            pq_adc_topk(emb, q, trained_k8, m=4, k_top=5).collect(), want
         )
         r_rerank = _recall(
             pq_adc_rerank_topk(
-                emb, q, trained, m=4, k_top=5, shortlist=100
+                emb, q, trained_k16, m=4, k_top=5, shortlist=100
             ).collect(),
             want,
         )
         # This corpus is unit-normalized with concentrated distances
         # (p5/p95 L2^2 = 1.58/2.41) — the hard case for coarse PQ, so
-        # pure ADC@5 recall is honestly modest. The pins: training
-        # must not LOSE recall vs arbitrary seed slices, ADC ordering
-        # must be meaningfully correlated with exact distance, and the
-        # production two-stage shape (ADC shortlist -> exact rerank)
-        # must recover most of the true neighbors.
-        assert r_trained >= r_seed - 0.05, (r_seed, r_trained)
+        # pure ADC@5 recall is honestly modest. The pins: training beats
+        # arbitrary seed slices at the SAME centroid budget, ADC
+        # ordering is meaningfully correlated with exact distance, and
+        # the production two-stage shape (ADC shortlist -> exact
+        # rerank) recovers most of the true neighbors.
+        assert r_trained >= r_seed, (r_seed, r_trained)
         assert r_trained >= 0.2, r_trained
         assert r_rerank >= 0.7, r_rerank
         assert r_rerank >= r_trained, (r_trained, r_rerank)
