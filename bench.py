@@ -87,6 +87,7 @@ TIER2 = [
     "f87_pq_adc_topk",
     "f88_pq_rerank_topk",
     "f89_ivfpq_topk",
+    "f90_image_dhash_pairs",
 ]
 
 

@@ -1373,3 +1373,101 @@ def phash_near_pairs(ph: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def image_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
+    """(asset_id, bands array<int>, decoder): 64-bit difference hash as
+    8 per-row bytes — the EXACT-ARITHMETIC perceptual hash next to
+    `image_phash`'s DCT form: block-mean resample to 9x8 (the shared
+    `_block_mean`, identity on a native 9x8 image — which is what lets
+    the f90 oracle state every bit analytically through the REAL
+    decoder), then bit x of row y = 1 iff px[y, x+1] > px[y, x].
+    Integer-safe band keys (0..255) slot straight into the LSH band
+    join; hamming(a, b) = sum of bit_count(xor) over the 8 bytes.
+    Corrupt payloads degrade to the sha256 fallback like image_phash.
+    """
+    import pandas as pd
+
+    if auto_batch:
+        autotune_arrow_batch(assets)  # session conf ratchet, not a df
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    if data[:2] == b"BM":
+                        gray, dec = _gray_bmp(data), "bmp"
+                    elif data[:2] == b"P6":
+                        gray, dec = _gray_ppm(data), "ppm"
+                    elif data[:8] == _PNG_SIG:
+                        gray, dec = _gray_png(data), "png"
+                    elif data[:2] == b"\xff\xd8":
+                        gray, dec = _gray_jpeg(data), "jpeg"
+                    elif data[:4] == b"GIF8":
+                        gray, dec = _gray_gif(data), "gif"
+                    else:
+                        raise ValueError("no known magic")
+                    # quantize the block means back to 8-bit levels
+                    # before comparing: the integral-image cumsum
+                    # carries ~1-ulp float noise, and a strict > on a
+                    # CONSTANT region would otherwise emit spurious
+                    # bits (dHash is defined over 8-bit pixels anyway)
+                    small = np.rint(
+                        _block_mean(gray, 8, 9) * 255.0
+                    ).astype(np.int64)
+                    bands = []
+                    for y in range(8):
+                        b = 0
+                        for x in range(8):
+                            if small[y, x + 1] > small[y, x]:
+                                b |= 1 << x
+                        bands.append(b)
+                except (ValueError, struct.error):
+                    digest = hashlib.sha256(data).digest()
+                    bands = list(digest[:8])
+                    dec = "corrupt-fallback"
+                out.append((asset_id, bands, dec))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "bands", "decoder"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema="asset_id long, bands array<int>, decoder string"
+    )
+
+
+def dhash_near_pairs(dh: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs by dHash: each of the 8 row bytes is a band
+    key, candidates on any shared band, exact hamming filter — the
+    `phash_near_pairs` pigeonhole (<= 7 differing bits leave one band
+    intact) with the bands already materialized as the hash encoding."""
+    bk = dh.select(
+        F.col("asset_id").alias("id"), "bands",
+        F.posexplode("bands").alias("band", "band_key"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.bands"), F.col("b.bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -8152,6 +8152,115 @@ def f89_ivfpq_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "f90_image_dhash_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
+                  ELSE doc_id END AS base,
+             (doc_id % 10 = 9) AS pert
+      FROM documents),
+    px AS (
+      SELECT doc_id, t.y,
+             list_transform(range(0, 9), x ->
+               CASE WHEN pert AND x = 0 AND t.y = 0
+                    THEN (((((base*37 + (x*8 + t.y + 1)*97)
+                             * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                           * (((base*37 + (x*8 + t.y + 1)*97)
+                               * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                           >> 7) + 7) % 256
+                    ELSE ((((base*37 + (x*8 + t.y + 1)*97)
+                            * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                          * (((base*37 + (x*8 + t.y + 1)*97)
+                              * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                          >> 7) % 256
+               END) AS row
+      FROM g, unnest(range(0, 8)) AS t(y)),
+    bands AS (
+      SELECT doc_id, y AS band,
+             list_sum(list_transform(range(0, 8), x ->
+               CASE WHEN row[x+2] > row[x+1]
+                    THEN 1 << x ELSE 0 END))::BIGINT AS key
+      FROM px),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(ba.key, bb.key)))::BIGINT AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.band = ba.band
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+    """,
+)
+def f90_image_dhash_pairs(spark, sf):
+    """Image near-dup detection with REAL decode in the loop
+    (multimodal.py `image_dhash` + `dhash_near_pairs`): one 9x8
+    grayscale PNG per document (Paeth-filtered — the hardest unfilter
+    branch) with a double-squared analytic luma (h=37*base+97*k;
+    ((h^2 mod 2^16)^2 >> 7) mod 256 — nonlinear in BOTH base and pixel
+    index, so unrelated documents' hashes land ~32 bits apart and the
+    planted pairs are the ONLY survivors: pair emission is O(planted),
+    never O(n^2); verified 50/50 planted + 0 extras at 500 docs), and
+    every 10th document carrying a COPY of another document's image
+    with one pixel bumped — the crawl re-encode/near-duplicate shape.
+    The exact-arithmetic dHash (bit = right pixel > left pixel, 8
+    row-byte bands) lets the oracle state every bit ANALYTICALLY from
+    doc_id, so the gate covers the PNG decode, the hash, the band
+    join, and the hamming filter end-to-end — unlike the DCT pHash,
+    which stays pytest-pinned. A decoder that misreads the Paeth
+    recurrence or a banding that loses the pigeonhole guarantee
+    (hamming <= 7 always shares a band) hash-mismatches.
+
+    Scale shape: Arrow-batched decode (bytes in, 8 ints out); the only
+    shuffle is the band-key equi-join (the f9/SimHash shape) — hot
+    bands are genuinely-duplicate clusters, the dedup signal itself."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - 9 if did % 10 == 9 else did
+                def luma(y, x):
+                    h = base * 37 + (x * 8 + y + 1) * 97
+                    g = (h * h) % 65536
+                    return ((g * g) >> 7) % 256
+
+                px = np.fromfunction(
+                    luma, (8, 9), dtype=np.int64
+                ).astype(np.uint8)
+                if did % 10 == 9:
+                    px[0, 0] = (int(px[0, 0]) + 7) % 256
+                data = mm.encode_png_pixels(
+                    px[:, :, None], filter_type=4
+                )
+                out.append((did, data))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    dh = mm.image_dhash(assets)
+    return dhash_out_cast(mm.dhash_near_pairs(dh, max_hamming=6))
+
+
+def dhash_out_cast(df):
+    return df.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 @query("f85_langid_nb", None)
 def f85_langid_nb(spark, sf):
     """Trained language ID (functions/langid.py `charngram_nb_langid`):

@@ -1320,3 +1320,75 @@ class TestRealThumbnails:
         assert rows[1].decoder == "fake-deterministic"
         assert rows[2].decoder == "corrupt-fallback"
         assert all(len(r.thumb) == 64 for r in rows.values())
+
+
+class TestImageDhash:
+    """Exact-arithmetic perceptual hash (multimodal.image_dhash): the
+    SQL-replayable sibling of the DCT pHash."""
+
+    def _assets(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "asset_id long, payload binary"
+        )
+
+    def test_constant_image_hashes_to_zero(self, spark):
+        # the round-8 float-noise pin: _block_mean's integral image
+        # carries ~1-ulp noise; without 8-bit requantization a CONSTANT
+        # image emitted spurious bits through the strict >
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        px = np.full((8, 9, 1), 32, dtype=np.uint8)
+        out = mm.image_dhash(
+            self._assets(
+                spark, [(1, mm.encode_png_pixels(px, filter_type=4))]
+            )
+        ).collect()[0]
+        assert list(out.bands) == [0] * 8 and out.decoder == "png"
+
+    def test_perturbed_copy_is_near(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(8, 9, 1)).astype(np.uint8)
+        px2 = px.copy()
+        px2[0, 0, 0] = (int(px2[0, 0, 0]) + 7) % 256
+        dh = mm.image_dhash(self._assets(spark, [
+            (1, mm.encode_png_pixels(px)),
+            (2, mm.encode_png_pixels(px2)),
+        ]))
+        pairs = mm.dhash_near_pairs(dh, max_hamming=6).collect()
+        assert len(pairs) == 1
+        assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+        assert pairs[0].hamming <= 1
+
+    def test_corrupt_payload_degrades(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        out = mm.image_dhash(
+            self._assets(spark, [(1, b"\x89PNG\r\n\x1a\ntruncated")])
+        ).collect()[0]
+        assert out.decoder == "corrupt-fallback"
+        assert len(out.bands) == 8
+
+    def test_bmp_and_png_same_pixels_same_hash(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        gray = rng.integers(0, 256, size=(8, 9)).astype(np.uint8)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        png = mm.encode_png_pixels(gray[:, :, None])
+        # encode_bmp is solid-color only; use PPM raster for the cross-
+        # format pin (P6 carries the same rgb grid)
+        header = f"P6\n9 8\n255\n".encode()
+        ppm = header + rgb.tobytes()
+        dh = {r.asset_id: (list(r.bands), r.decoder)
+              for r in mm.image_dhash(self._assets(spark, [
+                  (1, png), (2, ppm)])).collect()}
+        assert dh[1][1] == "png" and dh[2][1] == "ppm"
+        assert dh[1][0] == dh[2][0]
