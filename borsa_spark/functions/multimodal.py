@@ -1282,6 +1282,45 @@ def phash64(gray: np.ndarray) -> int:
     return bits
 
 
+def _image_magic(data: bytes) -> str | None:
+    """Decoder name by magic bytes, or None for unknown formats — the
+    ONE dispatch behind image_features/image_phash/image_dhash (it had
+    grown four diverging copies; round-8 review)."""
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:4] == b"GIF8":
+        return "gif"
+    return None
+
+
+_GRAY_DECODERS = {}
+
+
+def _gray_decode(data: bytes, dec: str) -> np.ndarray:
+    """Grayscale grid for a magic-identified payload (raises
+    ValueError/struct.error on corrupt bytes, like the _gray_* it
+    dispatches to)."""
+    if not _GRAY_DECODERS:
+        _GRAY_DECODERS.update({
+            "bmp": _gray_bmp, "ppm": _gray_ppm, "png": _gray_png,
+            "jpeg": _gray_jpeg, "gif": _gray_gif,
+        })
+    return _GRAY_DECODERS[dec](data)
+
+
+def _fallback_tag(dec: str | None) -> str:
+    """The module-wide decoder-tag contract: magic-matching but
+    undecodable payloads are 'corrupt-fallback'; unknown formats are
+    'fake-deterministic' (module docstring)."""
+    return "corrupt-fallback" if dec else "fake-deterministic"
+
+
 def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
     """Perceptual hash per image payload: (asset_id, phash, decoder). Same
     dispatch as `image_features` — real pixels for BMP/PPM, deterministic
@@ -1301,29 +1340,15 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                 # unsupported bpp, 16-bit PPM) must not kill the Spark
                 # job from inside the UDF: it degrades to the
                 # deterministic fallback, tagged so downstream can audit.
+                dec = _image_magic(data)
                 try:
-                    if data[:2] == b"BM":
-                        bits, dec = phash64(_gray_bmp(data)), "bmp"
-                    elif data[:2] == b"P6":
-                        bits, dec = phash64(_gray_ppm(data)), "ppm"
-                    elif data[:8] == _PNG_SIG:
-                        bits, dec = phash64(_gray_png(data)), "png"
-                    elif data[:2] == b"\xff\xd8":
-                        bits, dec = phash64(_gray_jpeg(data)), "jpeg"
-                    elif data[:4] == b"GIF8":
-                        bits, dec = phash64(_gray_gif(data)), "gif"
-                    else:
+                    if dec is None:
                         raise ValueError("no known magic")
+                    bits = phash64(_gray_decode(data, dec))
                 except (ValueError, struct.error):
                     digest = hashlib.sha256(data).digest()
                     bits = int.from_bytes(digest[:8], "big")
-                    dec = (
-                        "corrupt-fallback"
-                        if data[:2] in (b"BM", b"P6", b"\xff\xd8")
-                        or data[:4] == b"GIF8"
-                        or data[:8] == _PNG_SIG
-                        else "fake-deterministic"
-                    )
+                    dec = _fallback_tag(dec)
                 # two's-complement into int64 for the Spark LongType
                 if bits >= 1 << 63:
                     bits -= 1 << 64
@@ -1332,6 +1357,37 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         fn, schema="asset_id long, phash long, decoder string"
+    )
+
+
+def _band_near_pairs(bk: DataFrame, ham, max_hamming: int) -> DataFrame:
+    """The shared band-LSH pairing skeleton behind phash_near_pairs and
+    dhash_near_pairs: self-join on (band, band_key) with id ordering,
+    exact hamming filter. ``bk`` carries (id, band, band_key) plus
+    whatever columns ``ham(aCol, bCol)`` needs; ``ham`` receives the
+    two aliased sides and returns the hamming Column. max_hamming > 7
+    is refused: 8 bands pigeonhole only <= 7 differing bits — beyond
+    that a qualifying pair can miss every band and the recall guarantee
+    silently breaks (previously an undocumented hole in BOTH copies)."""
+    if max_hamming > 7:
+        raise ValueError(
+            "8-band LSH guarantees recall only for max_hamming <= 7"
+        )
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham(a, b).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1356,22 +1412,12 @@ def phash_near_pairs(ph: DataFrame, max_hamming: int = 6) -> DataFrame:
         "id", "phash",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"),
     )
-    a, b = bk.alias("a"), bk.alias("b")
-    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return _band_near_pairs(
+        bk,
+        lambda a, b: F.bit_count(
+            F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+        ),
+        max_hamming,
     )
 
 
@@ -1396,19 +1442,11 @@ def image_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
             out = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
+                dec = _image_magic(data)
                 try:
-                    if data[:2] == b"BM":
-                        gray, dec = _gray_bmp(data), "bmp"
-                    elif data[:2] == b"P6":
-                        gray, dec = _gray_ppm(data), "ppm"
-                    elif data[:8] == _PNG_SIG:
-                        gray, dec = _gray_png(data), "png"
-                    elif data[:2] == b"\xff\xd8":
-                        gray, dec = _gray_jpeg(data), "jpeg"
-                    elif data[:4] == b"GIF8":
-                        gray, dec = _gray_gif(data), "gif"
-                    else:
+                    if dec is None:
                         raise ValueError("no known magic")
+                    gray = _gray_decode(data, dec)
                     # quantize the block means back to 8-bit levels
                     # before comparing: the integral-image cumsum
                     # carries ~1-ulp float noise, and a strict > on a
@@ -1427,7 +1465,7 @@ def image_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
                 except (ValueError, struct.error):
                     digest = hashlib.sha256(data).digest()
                     bands = list(digest[:8])
-                    dec = "corrupt-fallback"
+                    dec = _fallback_tag(dec)
                 out.append((asset_id, bands, dec))
             yield pd.DataFrame(
                 out, columns=["asset_id", "bands", "decoder"]
@@ -1447,27 +1485,15 @@ def dhash_near_pairs(dh: DataFrame, max_hamming: int = 6) -> DataFrame:
         F.col("asset_id").alias("id"), "bands",
         F.posexplode("bands").alias("band", "band_key"),
     )
-    a, b = bk.alias("a"), bk.alias("b")
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("a.bands"), F.col("b.bands"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+    return _band_near_pairs(
+        bk,
+        lambda a, b: F.aggregate(
+            F.zip_with(
+                F.col("a.bands"), F.col("b.bands"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        max_hamming,
     )

@@ -8250,11 +8250,7 @@ def f90_image_dhash_pairs(spark, sf):
 
     assets = docs.mapInPandas(gen, "asset_id long, payload binary")
     dh = mm.image_dhash(assets)
-    return dhash_out_cast(mm.dhash_near_pairs(dh, max_hamming=6))
-
-
-def dhash_out_cast(df):
-    return df.select(
+    return mm.dhash_near_pairs(dh, max_hamming=6).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),

@@ -1374,7 +1374,29 @@ class TestImageDhash:
         assert out.decoder == "corrupt-fallback"
         assert len(out.bands) == 8
 
-    def test_bmp_and_png_same_pixels_same_hash(self, spark):
+    def test_no_magic_payload_is_fake_deterministic(self, spark):
+        # the module-wide tag contract: unknown formats are
+        # 'fake-deterministic', NOT 'corrupt-fallback' (round-8 review:
+        # this copy of the dispatch had dropped the distinction)
+        from borsa_spark.functions import multimodal as mm
+
+        out = mm.image_dhash(
+            self._assets(spark, [(1, b"<html>not an image</html>")])
+        ).collect()[0]
+        assert out.decoder == "fake-deterministic"
+
+    def test_max_hamming_beyond_pigeonhole_refused(self, spark):
+        import pytest
+
+        from borsa_spark.functions import multimodal as mm
+
+        dh = mm.image_dhash(
+            self._assets(spark, [(1, b"x")])
+        )
+        with pytest.raises(ValueError, match="max_hamming"):
+            mm.dhash_near_pairs(dh, max_hamming=8)
+
+    def test_ppm_and_png_same_pixels_same_hash(self, spark):
         import numpy as np
 
         from borsa_spark.functions import multimodal as mm
@@ -1383,8 +1405,9 @@ class TestImageDhash:
         gray = rng.integers(0, 256, size=(8, 9)).astype(np.uint8)
         rgb = np.repeat(gray[:, :, None], 3, axis=2)
         png = mm.encode_png_pixels(gray[:, :, None])
-        # encode_bmp is solid-color only; use PPM raster for the cross-
-        # format pin (P6 carries the same rgb grid)
+        # cross-format pin via PPM raster (P6 carries the same rgb
+        # grid; encode_bmp is solid-color only, so the BMP branch is
+        # covered by its own decode tests, not cross-format here)
         header = f"P6\n9 8\n255\n".encode()
         ppm = header + rgb.tobytes()
         dh = {r.asset_id: (list(r.bands), r.decoder)
