@@ -7,8 +7,10 @@ from __future__ import annotations
 import importlib
 
 __all__ = [
-    "bpe", "classifier", "dedup", "graph", "html", "langid", "layout",
-    "packing", "pca", "retrieval", "similarity", "text", "urls",
+    "bpe", "classifier", "dedup", "flac", "gif", "graph", "html",
+    "jpeg", "langid", "layout", "multimodal", "packing", "pca",
+    "pipeline", "pq", "retrieval", "similarity", "text", "urls",
+    "vector_index",
 ]
 
 

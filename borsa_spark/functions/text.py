@@ -123,7 +123,9 @@ def c4_line_filter(text: Column, min_words: int = C4_LINE_MIN_WORDS
     def keep(line: Column) -> Column:
         t = F.trim(line)
         low = F.lower(t)
-        words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        # \s+ not a literal space: C4 tokenizes on any whitespace, and
+        # a tab-separated >=3-word line must not collapse to one token
+        words = F.size(F.filter(F.split(t, "\\s+"), lambda w: w != ""))
         cond = t.rlike(C4_TERMINAL_RE) & (words >= F.lit(min_words))
         for marker in C4_LINE_BLOCKLIST:
             cond = cond & ~low.contains(marker)

@@ -25,6 +25,10 @@ LINE_CASES = [
     ("lorem ipsum dolor sit amet text here.", True),
     ("a config snippet { with brace inside }.", True),
     ("   padded line with several words inside.   ", True),  # trimmed
+    # C4 tokenizes on ANY whitespace: tabs / runs of spaces separate
+    # words too (was: literal-space split collapsed this to 1 token)
+    ("tab\tseparated\twords\there.", True),
+    ("double  spaced   words  here.", True),
     ("", False),
 ]
 

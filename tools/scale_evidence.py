@@ -374,6 +374,10 @@ def generate_rel10x(spark) -> str:
             dst = _os.path.join(p, f"{t}.parquet")
             if not _os.path.exists(dst):
                 _os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+        # completion sentinel, written LAST like every other tier —
+        # without it the 6M-row build silently reran per invocation
+        with open(_os.path.join(p, "_COMPLETE"), "w") as f:
+            f.write("rel10x\n")
     return p
 
 
