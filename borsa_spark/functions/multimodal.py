@@ -1360,7 +1360,12 @@ def image_phash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
     )
 
 
-def _band_near_pairs(bk: DataFrame, ham, max_hamming: int) -> DataFrame:
+def _band_near_pairs(
+    bk: DataFrame,
+    ham,
+    max_hamming: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """The shared band-LSH pairing skeleton behind phash_near_pairs and
     dhash_near_pairs: self-join on (band, band_key) with id ordering,
     exact hamming filter. ``bk`` carries (id, band, band_key) plus
@@ -1368,10 +1373,39 @@ def _band_near_pairs(bk: DataFrame, ham, max_hamming: int) -> DataFrame:
     two aliased sides and returns the hamming Column. max_hamming > 7
     is refused: 8 bands pigeonhole only <= 7 differing bits — beyond
     that a qualifying pair can miss every band and the recall guarantee
-    silently breaks (previously an undocumented hole in BOTH copies)."""
+    silently breaks (previously an undocumented hole in BOTH copies).
+
+    The band relation is a handful of ints per asset but its LINEAGE is
+    the full decode (MapInPandas over raw image/frame bytes). A lazy
+    self-join therefore executes that decode once per join side — at
+    crawl scale decode dominates, so doubling it is the scale bug (the
+    f8 persist lesson). localCheckpoint(eager=True) materializes the
+    tiny relation here so both join legs — and the bucket-count agg
+    when the guard is on — read stored blocks.
+
+    ``max_bucket_size`` is the hot-bucket guard ported from
+    `dedup.minhash_candidates`: real crawls are full of constant-color
+    images and flat video frames, which dHash/pHash map to IDENTICAL
+    band keys (all-zero rows), so one bucket can hold millions of ids
+    and the candidate join goes O(n²) exactly on production inputs.
+    Buckets above the cap are EXCLUDED FROM CANDIDATES, not sampled —
+    `band_oversized_buckets` accounts for what was skipped (never a
+    silent cap); flat-image cohorts are near-identical by construction,
+    so routing them through exact (full-hash) dedup is the right call.
+    """
     if max_hamming > 7:
         raise ValueError(
             "8-band LSH guarantees recall only for max_hamming <= 7"
+        )
+    bk = bk.localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        counts = bk.groupBy("band", "band_key").agg(
+            F.count("*").alias("__n")
+        )
+        bk = (
+            bk.join(F.broadcast(counts), ["band", "band_key"])
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
     a, b = bk.alias("a"), bk.alias("b")
     return (
@@ -1391,14 +1425,25 @@ def _band_near_pairs(bk: DataFrame, ham, max_hamming: int) -> DataFrame:
     )
 
 
-def phash_near_pairs(ph: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs by pHash: 8 byte-bands over the full 64-bit
-    hash, candidates on any shared band, exact hamming filter.
-    Pigeonhole guarantee: hamming <= 7 differing bits cannot touch all 8
-    bands, so every pair within ``max_hamming`` (default 6) has at least
-    one intact band and is ALWAYS generated — no recall hole. (The text
-    SimHash path uses 4 bands because its hash is 32-bit; reusing it here
-    would silently band only the low half.)"""
+def band_oversized_buckets(
+    bk: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """The accounting side of the image/video band guard: (band,
+    band_key, n_assets) for every band bucket the cap excluded — the
+    `dedup.oversized_buckets` contract over a (id, band, band_key)
+    relation (use `phash_band_keys` / `dhash_band_keys` to build one
+    from a hash DataFrame)."""
+    return (
+        bk.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_assets"))
+        .filter(F.col("n_assets") > max_bucket_size)
+    )
+
+
+def phash_band_keys(ph: DataFrame) -> DataFrame:
+    """(id, phash, band, band_key): the 8 byte-bands of each 64-bit
+    pHash, the input relation for `_band_near_pairs` /
+    `band_oversized_buckets`."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -1406,18 +1451,40 @@ def phash_near_pairs(ph: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         for b in range(8)
     ])
-    bk = ph.select(
+    return ph.select(
         F.col("asset_id").alias("id"), "phash", F.explode(bands).alias("bk")
     ).select(
         "id", "phash",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"),
     )
+
+
+def phash_near_pairs(
+    ph: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by pHash: 8 byte-bands over the full 64-bit
+    hash, candidates on any shared band, exact hamming filter.
+    Pigeonhole guarantee: hamming <= 7 differing bits cannot touch all 8
+    bands, so every pair within ``max_hamming`` (default 6) has at least
+    one intact band and is ALWAYS generated — no recall hole. (The text
+    SimHash path uses 4 bands because its hash is 32-bit; reusing it here
+    would silently band only the low half.)
+
+    ``max_bucket_size`` caps quadratic hot buckets (flat images hash
+    identically); excluded buckets are reported by
+    `band_oversized_buckets(phash_band_keys(ph), cap)`, never silently
+    dropped. Note the cap weakens the pigeonhole guarantee for pairs
+    whose every shared band is oversized — by construction those live in
+    giant near-identical cohorts better served by exact dedup."""
     return _band_near_pairs(
-        bk,
+        phash_band_keys(ph),
         lambda a, b: F.bit_count(
             F.col("a.phash").bitwiseXOR(F.col("b.phash"))
         ),
         max_hamming,
+        max_bucket_size,
     )
 
 
@@ -1476,17 +1543,30 @@ def image_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
     )
 
 
-def dhash_near_pairs(dh: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Image near-dup pairs by dHash: each of the 8 row bytes is a band
-    key, candidates on any shared band, exact hamming filter — the
-    `phash_near_pairs` pigeonhole (<= 7 differing bits leave one band
-    intact) with the bands already materialized as the hash encoding."""
-    bk = dh.select(
+def dhash_band_keys(dh: DataFrame) -> DataFrame:
+    """(id, bands, band, band_key): each of the 8 row bytes of a dHash
+    as a band key — the input relation for `_band_near_pairs` /
+    `band_oversized_buckets`."""
+    return dh.select(
         F.col("asset_id").alias("id"), "bands",
         F.posexplode("bands").alias("band", "band_key"),
     )
+
+
+def dhash_near_pairs(
+    dh: DataFrame,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by dHash: each of the 8 row bytes is a band
+    key, candidates on any shared band, exact hamming filter — the
+    `phash_near_pairs` pigeonhole (<= 7 differing bits leave one band
+    intact) with the bands already materialized as the hash encoding.
+    ``max_bucket_size`` / `band_oversized_buckets`: see
+    `phash_near_pairs` — flat images make one band key quadratic at
+    crawl scale without the guard."""
     return _band_near_pairs(
-        bk,
+        dhash_band_keys(dh),
         lambda a, b: F.aggregate(
             F.zip_with(
                 F.col("a.bands"), F.col("b.bands"),
@@ -1496,4 +1576,5 @@ def dhash_near_pairs(dh: DataFrame, max_hamming: int = 6) -> DataFrame:
             lambda acc, x: acc + x,
         ),
         max_hamming,
+        max_bucket_size,
     )

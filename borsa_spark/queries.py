@@ -8293,6 +8293,135 @@ def f85_langid_nb(spark, sf):
     )
 
 
+@query(
+    "f91_image_band_guard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 5 = 0 AS textured,
+             CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
+                  ELSE doc_id END AS base,
+             (doc_id % 10 = 5) AS pert
+      FROM documents),
+    px AS (
+      SELECT doc_id, t.y,
+             list_transform(range(0, 9), x ->
+               CASE WHEN pert AND x = 0 AND t.y = 0
+                    THEN (((((base*37 + (x*8 + t.y + 1)*97)
+                             * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                           * (((base*37 + (x*8 + t.y + 1)*97)
+                               * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                           >> 7) + 7) % 256
+                    ELSE ((((base*37 + (x*8 + t.y + 1)*97)
+                            * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                          * (((base*37 + (x*8 + t.y + 1)*97)
+                              * (base*37 + (x*8 + t.y + 1)*97)) % 65536)
+                          >> 7) % 256
+               END) AS row
+      FROM g, unnest(range(0, 8)) AS t(y)
+      WHERE textured),
+    tb AS (
+      SELECT doc_id, y AS band,
+             list_sum(list_transform(range(0, 8), x ->
+               CASE WHEN row[x+2] > row[x+1]
+                    THEN 1 << x ELSE 0 END))::BIGINT AS key
+      FROM px),
+    fb AS (
+      SELECT doc_id, t.b AS band, 0::BIGINT AS key
+      FROM g, unnest(range(0, 8)) AS t(b)
+      WHERE NOT textured),
+    bands AS (SELECT * FROM tb UNION ALL SELECT * FROM fb),
+    cnt AS (
+      SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+    keep AS (
+      SELECT b.doc_id, b.band, b.key
+      FROM bands b JOIN cnt ON cnt.band = b.band AND cnt.key = b.key
+      WHERE cnt.n <= 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keep a JOIN keep b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(ba.key, bb.key)))::BIGINT AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.band = ba.band
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+    """,
+)
+def f91_image_band_guard(spark, sf):
+    """The crawl-degenerate case f90's engineered fixture dodges, with
+    the hot-bucket guard ORACLE-FACED (multimodal.py `dhash_near_pairs
+    (max_bucket_size=10)`, the `minhash_candidates` guard ported to the
+    image band join): 80% of documents carry a CONSTANT-COLOR image —
+    dHash maps every one to the all-zero bands, so one band bucket
+    holds the whole cohort and an unguarded candidate join goes O(n²)
+    exactly on what a real crawl serves (flat backgrounds, blank
+    frames). The cap excludes those buckets from candidates — flat
+    cohorts are near-identical by construction and belong to exact
+    dedup — while the textured 20% (the f90 double-squared analytic
+    luma, planted one-pixel-perturbed copies at doc_id % 10 = 5) keeps
+    its planted pairs: their band buckets stay under the cap. The
+    oracle recomputes bands analytically (flat rows are 0 by the
+    requantization pin), mirrors the bucket-count cap in SQL, and
+    hash-matches pairs — a guard that drops the wrong buckets, skips
+    the count, or caps silently on one side mismatches. Exclusion
+    accounting is `band_oversized_buckets` (pytest-pinned:
+    TestBandHotBucketGuard).
+
+    Scale shape: the guard adds one (band, key) count agg over the
+    localCheckpointed 8-ints-per-image relation + a broadcast semi-join
+    (<= 2048 distinct byte-keyed buckets); candidate emission drops
+    from O(n²) to O(planted)."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        flat = mm.encode_png_pixels(
+            np.full((8, 9, 1), 77, dtype=np.uint8), filter_type=4
+        )
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 != 0:
+                    out.append((did, flat))
+                    continue
+                base = did - 5 if did % 10 == 5 else did
+
+                def luma(y, x):
+                    h = base * 37 + (x * 8 + y + 1) * 97
+                    g = (h * h) % 65536
+                    return ((g * g) >> 7) % 256
+
+                px = np.fromfunction(
+                    luma, (8, 9), dtype=np.int64
+                ).astype(np.uint8)
+                if did % 10 == 5:
+                    px[0, 0] = (int(px[0, 0]) + 7) % 256
+                out.append(
+                    (did, mm.encode_png_pixels(px[:, :, None],
+                                               filter_type=4))
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    dh = mm.image_dhash(assets)
+    return mm.dhash_near_pairs(
+        dh, max_hamming=6, max_bucket_size=10
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach

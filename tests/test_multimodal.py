@@ -1415,3 +1415,81 @@ class TestImageDhash:
                   (1, png), (2, ppm)])).collect()}
         assert dh[1][1] == "png" and dh[2][1] == "ppm"
         assert dh[1][0] == dh[2][0]
+
+class TestBandHotBucketGuard:
+    """The crawl-scale degenerate case: constant-color images all hash
+    to the SAME bands (dHash rows are 0 by construction — pinned above
+    by test_constant_image_hashes_to_zero), so one band bucket holds the
+    whole flat cohort and the candidate self-join goes O(n²) exactly on
+    production inputs. `max_bucket_size` must bound emission, account
+    for what it skipped, and NOT cost the planted pair among normal
+    images."""
+
+    N_FLAT = 40
+
+    def _fixture(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        rows = []
+        flat = np.full((8, 9, 1), 77, dtype=np.uint8)
+        flat_png = mm.encode_png_pixels(flat, filter_type=4)
+        for i in range(self.N_FLAT):
+            rows.append((i, flat_png))
+        rng = np.random.default_rng(23)
+        px = rng.integers(0, 256, size=(8, 9, 1)).astype(np.uint8)
+        px2 = px.copy()
+        px2[0, 0, 0] = (int(px2[0, 0, 0]) + 9) % 256
+        rows.append((1000, mm.encode_png_pixels(px)))
+        rows.append((1001, mm.encode_png_pixels(px2)))
+        return spark.createDataFrame(
+            rows, "asset_id long, payload binary"
+        )
+
+    def test_unguarded_flat_cohort_is_quadratic(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        dh = mm.image_dhash(self._fixture(spark))
+        n = mm.dhash_near_pairs(dh, max_hamming=6).count()
+        # C(40,2) flat pairs + 1 planted — the blowup the guard exists for
+        assert n == self.N_FLAT * (self.N_FLAT - 1) // 2 + 1
+
+    def test_guard_bounds_emission_keeps_planted_pair(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        dh = mm.image_dhash(self._fixture(spark))
+        pairs = mm.dhash_near_pairs(
+            dh, max_hamming=6, max_bucket_size=10
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1000, 1001)]
+
+    def test_oversized_accounting_names_the_flat_bucket(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        dh = mm.image_dhash(self._fixture(spark))
+        over = mm.band_oversized_buckets(
+            mm.dhash_band_keys(dh), max_bucket_size=10
+        ).collect()
+        # all 8 bands of the flat cohort (key 0) are oversized
+        assert len(over) == 8
+        assert all(r.band_key == 0 and r.n_assets == self.N_FLAT
+                   for r in over)
+        assert sorted(r.band for r in over) == list(range(8))
+
+    def test_phash_guard_same_contract(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        ph = mm.image_phash(self._fixture(spark))
+        pairs = mm.phash_near_pairs(
+            ph, max_hamming=6, max_bucket_size=10
+        ).collect()
+        # identical flat images share every phash band -> all excluded;
+        # the planted near-identical pair survives the cap
+        assert (1000, 1001) in [(p.id_a, p.id_b) for p in pairs]
+        assert all(p.id_a >= 1000 for p in pairs)
+        over = mm.band_oversized_buckets(
+            mm.phash_band_keys(ph), max_bucket_size=10
+        ).collect()
+        assert len(over) == 8
+        assert all(r.n_assets == self.N_FLAT for r in over)

@@ -570,3 +570,22 @@ class TestRound8PlanShapes:
         plan = plan_of(spark, "f86_c4_line_filter")
         assert "EvalPython" not in plan
         assert "Exchange" not in plan
+
+    def test_image_band_join_decodes_once(self, spark):
+        # the round-9 f90 fix: the band relation is localCheckpointed
+        # inside _band_near_pairs, so the pairing join's legs read
+        # stored blocks (ExistingRDD) and the PNG-decode MapInPandas
+        # subtree appears ZERO times in the join plan — previously it
+        # ran once per join side (2x decode, the dominant cost at
+        # image-crawl scale)
+        plan = plan_of(spark, "f90_image_dhash_pairs")
+        assert "MapInPandas" not in plan
+        assert "ExistingRDD" in plan
+
+    def test_image_band_guard_broadcasts_bucket_counts(self, spark):
+        # the hot-bucket guard's count relation is <= 2048 rows (8
+        # bands x 256 byte keys): it must broadcast into the semi-join,
+        # never shuffle the band relation a second time
+        plan = plan_of(spark, "f91_image_band_guard")
+        assert "MapInPandas" not in plan
+        assert "BroadcastHashJoin" in plan
