@@ -88,6 +88,11 @@ TIER2 = [
     "f88_pq_rerank_topk",
     "f89_ivfpq_topk",
     "f90_image_dhash_pairs",
+    # round 9 additions (first-baselined in BENCH_r09): the two round-8
+    # queries no tier carried, plus the guarded image band join
+    "f86_c4_line_filter",
+    "c10_tiered_rollup",
+    "f91_image_band_guard",
 ]
 
 

@@ -1365,15 +1365,17 @@ def _band_near_pairs(
     ham,
     max_hamming: int,
     max_bucket_size: int | None = None,
+    n_bands: int = 8,
 ) -> DataFrame:
     """The shared band-LSH pairing skeleton behind phash_near_pairs and
     dhash_near_pairs: self-join on (band, band_key) with id ordering,
     exact hamming filter. ``bk`` carries (id, band, band_key) plus
     whatever columns ``ham(aCol, bCol)`` needs; ``ham`` receives the
-    two aliased sides and returns the hamming Column. max_hamming > 7
-    is refused: 8 bands pigeonhole only <= 7 differing bits — beyond
-    that a qualifying pair can miss every band and the recall guarantee
-    silently breaks (previously an undocumented hole in BOTH copies).
+    two aliased sides and returns the hamming Column. max_hamming >
+    n_bands - 1 is refused: n bands pigeonhole only <= n-1 differing
+    bits — beyond that a qualifying pair can miss every band and the
+    recall guarantee silently breaks (previously an undocumented hole
+    in BOTH copies).
 
     The band relation is a handful of ints per asset but its LINEAGE is
     the full decode (MapInPandas over raw image/frame bytes). A lazy
@@ -1393,9 +1395,10 @@ def _band_near_pairs(
     silent cap); flat-image cohorts are near-identical by construction,
     so routing them through exact (full-hash) dedup is the right call.
     """
-    if max_hamming > 7:
+    if max_hamming > n_bands - 1:
         raise ValueError(
-            "8-band LSH guarantees recall only for max_hamming <= 7"
+            f"{n_bands}-band LSH guarantees recall only for "
+            f"max_hamming <= {n_bands - 1}"
         )
     bk = bk.localCheckpoint(eager=True)
     if max_bucket_size is not None:
@@ -1485,6 +1488,7 @@ def phash_near_pairs(
         ),
         max_hamming,
         max_bucket_size,
+        n_bands=8,
     )
 
 
@@ -1543,13 +1547,40 @@ def image_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
     )
 
 
-def dhash_band_keys(dh: DataFrame) -> DataFrame:
-    """(id, bands, band, band_key): each of the 8 row bytes of a dHash
-    as a band key — the input relation for `_band_near_pairs` /
-    `band_oversized_buckets`."""
+def dhash_band_keys(dh: DataFrame, rows_per_band: int = 1) -> DataFrame:
+    """(id, bands, band, band_key): the dHash's 8 row bytes grouped
+    ``rows_per_band`` at a time into band keys — the input relation for
+    `_band_near_pairs` / `band_oversized_buckets`.
+
+    rows_per_band widens the band KEY SPACE, the density lever for
+    crawl scale: 1 → 8 bands of 8-bit keys (256 values — every bucket
+    goes hot once a partition-population far exceeds ~256·cap, and the
+    guard starts excluding everything); 2 → 4 bands of 16-bit keys
+    (65536 values, 256× lower bucket density, pigeonhole recall bound
+    tightens to hamming <= 3); 4 → 2 bands of 32-bit keys (<= 1).
+    Must divide 8."""
+    if 8 % rows_per_band:
+        raise ValueError("rows_per_band must divide the 8 dHash rows")
+    n = 8 // rows_per_band
+    grouped = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            sum(
+                (
+                    F.col("bands")[i * rows_per_band + j]
+                    .cast("long") * F.lit(1 << (8 * j))
+                )
+                for j in range(rows_per_band)
+            ).alias("key"),
+        )
+        for i in range(n)
+    ])
     return dh.select(
         F.col("asset_id").alias("id"), "bands",
-        F.posexplode("bands").alias("band", "band_key"),
+        F.explode(grouped).alias("bk"),
+    ).select(
+        "id", "bands",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"),
     )
 
 
@@ -1557,16 +1588,20 @@ def dhash_near_pairs(
     dh: DataFrame,
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """Image near-dup pairs by dHash: each of the 8 row bytes is a band
-    key, candidates on any shared band, exact hamming filter — the
-    `phash_near_pairs` pigeonhole (<= 7 differing bits leave one band
-    intact) with the bands already materialized as the hash encoding.
-    ``max_bucket_size`` / `band_oversized_buckets`: see
+    """Image near-dup pairs by dHash: the 8 row bytes grouped into band
+    keys (``rows_per_band``, default 1 → 8 byte bands), candidates on
+    any shared band, exact hamming filter — the `phash_near_pairs`
+    pigeonhole (8/rows_per_band bands recall-guarantee hamming <=
+    n_bands - 1) with the bands already materialized as the hash
+    encoding. ``max_bucket_size`` / `band_oversized_buckets`: see
     `phash_near_pairs` — flat images make one band key quadratic at
-    crawl scale without the guard."""
+    crawl scale without the guard. At crawl density prefer
+    rows_per_band=2: 16-bit keys cut benign bucket collisions 256× so
+    the cap excludes only genuine hot cohorts (see dhash_band_keys)."""
     return _band_near_pairs(
-        dhash_band_keys(dh),
+        dhash_band_keys(dh, rows_per_band),
         lambda a, b: F.aggregate(
             F.zip_with(
                 F.col("a.bands"), F.col("b.bands"),
@@ -1577,4 +1612,5 @@ def dhash_near_pairs(
         ),
         max_hamming,
         max_bucket_size,
+        n_bands=8 // rows_per_band,
     )

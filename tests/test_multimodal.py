@@ -1493,3 +1493,40 @@ class TestBandHotBucketGuard:
         ).collect()
         assert len(over) == 8
         assert all(r.n_assets == self.N_FLAT for r in over)
+
+    def test_wide_bands_keep_planted_pair_tighter_pigeonhole(self, spark):
+        import pytest
+
+        from borsa_spark.functions import multimodal as mm
+
+        dh = mm.image_dhash(self._fixture(spark))
+        # 16-bit bands: 4 bands recall-guarantee hamming <= 3; the
+        # planted one-pixel bump flips <= 1 bit, so it must survive
+        pairs = mm.dhash_near_pairs(
+            dh, max_hamming=3, max_bucket_size=10, rows_per_band=2
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1000, 1001)]
+        # pigeonhole bound moves with the band count
+        with pytest.raises(ValueError, match="max_hamming <= 3"):
+            mm.dhash_near_pairs(dh, max_hamming=4, rows_per_band=2)
+        with pytest.raises(ValueError, match="divide"):
+            mm.dhash_near_pairs(dh, max_hamming=1, rows_per_band=3)
+
+    def test_wide_band_keys_compose_bytes(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, size=(8, 9, 1)).astype(np.uint8)
+        dh = mm.image_dhash(spark.createDataFrame(
+            [(1, mm.encode_png_pixels(px))],
+            "asset_id long, payload binary",
+        ))
+        narrow = {r.band: r.band_key
+                  for r in mm.dhash_band_keys(dh, 1).collect()}
+        wide = {r.band: r.band_key
+                for r in mm.dhash_band_keys(dh, 2).collect()}
+        assert len(wide) == 4
+        for i in range(4):
+            assert wide[i] == narrow[2 * i] + 256 * narrow[2 * i + 1]

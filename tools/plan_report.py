@@ -25,6 +25,7 @@ SF = "/root/testdata/sf0.001"
 MATERIALIZED_GATES = {
     "c6_incremental_rollup",
     "c7_streaming_rollup_exactly_once",
+    "c10_tiered_rollup",
 }
 
 

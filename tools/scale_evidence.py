@@ -662,6 +662,104 @@ def run_r8_family(spark, results: list) -> None:
             emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
 
 
+def run_f90_drill(spark, results: list) -> None:
+    """Image near-dup family (f90/f91) across three document decades,
+    on the f91 crawl-degenerate fixture (80% flat images, planted
+    one-pixel-perturbed copies among the textured 20%). Measures the
+    three costs separately:
+
+    - decode+hash (`image_dhash`): Arrow-batched PNG decode, the
+      dominant cost at image-crawl scale — expect ~linear walls.
+    - guarded byte-band pairing (rows_per_band=1, cap=10): the f91
+      shape. Byte keys have a 256-value space, so bucket density grows
+      with the decade and the cap rightly excludes ever more buckets —
+      at 100x EVERY textured bucket is hot and emission drops toward 0.
+      That is the density wall, not a bug: the accounting names it.
+    - guarded wide-band pairing (rows_per_band=2, cap=10): the scale
+      path — 16-bit keys cut benign collisions 256x, so planted pairs
+      keep surviving while flat cohorts stay excluded. Expect pair
+      counts ~10x per decade and walls dominated by the decode.
+
+    Textured images use FULL-ENTROPY per-base pixels (seeded rng), not
+    f91's analytic luma: the first drill run showed the luma's row
+    bytes are low-entropy (only a few thousand distinct 16-bit keys —
+    498 oversized wide buckets from just 10.3k textured images at 10x,
+    planted-pair recall 0 at 100x), so it measures the FIXTURE's key
+    entropy, not the operator. Band keys inherit the entropy of the
+    content; real photos have it, analytic gradients don't — recorded
+    as a divergence lesson in SCALE.md.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+    from borsa_spark.sources import load_table
+
+    generate_100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def gen(batches):
+        flat = mm.encode_png_pixels(
+            np.full((8, 9, 1), 77, dtype=np.uint8), filter_type=4
+        )
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 != 0:
+                    out.append((did, flat))
+                    continue
+                base = did - 5 if did % 10 == 5 else did
+                px = np.random.default_rng(base).integers(
+                    0, 256, size=(8, 9, 1)
+                ).astype(np.uint8)
+                if did % 10 == 5:
+                    px[0, 0, 0] = (int(px[0, 0, 0]) + 7) % 256
+                out.append(
+                    (did, mm.encode_png_pixels(px, filter_type=4))
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+    for tier, path in tiers:
+        docs = load_table(spark, path, "documents").select("doc_id")
+        assets = docs.repartition(32).mapInPandas(
+            gen, "asset_id long, payload binary"
+        )
+        t0 = time.time()
+        dh = mm.image_dhash(assets).persist()
+        n_imgs = dh.count()
+        t_hash = round(time.time() - t0, 3)
+        emit({"stage": "decode_hash", "sf": tier, "rows": n_imgs,
+              "sec": t_hash})
+        for label, rpb, maxham in (
+            ("pairs_byte_bands", 1, 6),
+            ("pairs_wide_bands", 2, 3),
+        ):
+            t0 = time.time()
+            pairs = mm.dhash_near_pairs(
+                dh, max_hamming=maxham, max_bucket_size=10,
+                rows_per_band=rpb,
+            ).persist()
+            n = pairs.count()
+            dt = round(time.time() - t0, 3)
+            over = mm.band_oversized_buckets(
+                mm.dhash_band_keys(dh, rpb), 10
+            ).count()
+            pairs.unpersist()
+            emit({"stage": label, "sf": tier, "rows": n, "sec": dt,
+                  "oversized_buckets": over})
+        dh.unpersist()
+        spark.catalog.clearCache()
+
+
 def run_bpe_drill(spark, results: list) -> None:
     """f80/f81 BPE-training drill across three document decades. The
     100 TB claim under test: the corpus is scanned ONCE (vocab build);
@@ -976,6 +1074,13 @@ def main() -> None:
         return
     if "--tiered" in sys.argv:
         run_tiered_drill(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--f90" in sys.argv:
+        run_f90_drill(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
