@@ -93,6 +93,7 @@ TIER2 = [
     "f86_c4_line_filter",
     "c10_tiered_rollup",
     "f91_image_band_guard",
+    "c11_crawl_corpus_prep",
 ]
 
 

@@ -1147,6 +1147,104 @@ def repeated_substring_spans(
     )
 
 
+def drop_repeated_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Rewrite documents with corpus-duplicated paragraphs removed,
+    keeping each paragraph's FIRST occurrence (ordered by (doc id,
+    position)) — the cutting side of the Dolma/Gopher paragraph rule
+    that `paragraph_dedup_stats` only accounts for (Soldaini et al.
+    2024 §4.1; Lee et al. 2022 apply the same keep-first convention at
+    the sequence level). Paragraphs are ``sep``-separated spans
+    (newline by default — pass '\\n\\n' for blank-line paragraphs).
+    Documents whose every paragraph is a later duplicate drop out of
+    the output entirely (their text would be '').
+
+    Output: (id_col, <other columns>, text_col) with text_col rebuilt
+    from the kept paragraphs in original order; all non-text columns
+    ride along untouched.
+
+    Scale shape: posexplode at scan speed; first-occurrence is ONE
+    min_by aggregation keyed by the paragraph hash (map-side combine
+    collapses hot boilerplate keys — deliberately NOT a row_number
+    window, whose per-key sort would put a million-row boilerplate
+    partition on one task); the join back is an equi-join on the hash;
+    the rebuild is a doc-keyed groupBy. Hot paragraphs are the dedup
+    signal itself, and they collapse in the combiner."""
+    import re as _re
+
+    other = [c for c in docs.columns if c not in (id_col, text_col)]
+    # sep is a LITERAL separator on both sides: F.split takes a regex,
+    # so escape it (an unescaped '|' or '.' would split every char)
+    paras = docs.select(
+        id_col, *other,
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("__pos", "__p"),
+    ).withColumn("__h", F.md5(F.col("__p")))
+    first = paras.groupBy("__h").agg(
+        F.min(F.struct(id_col, "__pos")).alias("__first")
+    )
+    kept = paras.join(first, "__h").filter(
+        (F.col(id_col) == F.col("__first")[id_col])
+        & (F.col("__pos") == F.col("__first")["__pos"])
+    )
+    return (
+        kept.groupBy(id_col, *other)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__p"))
+                    ),
+                    lambda s: s["__p"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+
+
+def sql_drop_repeated_paragraphs(
+    docs_sql: str, sep: str = "\n", id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB mirror of `drop_repeated_paragraphs` over a (doc_id,
+    [extra], text) relation: same keep-first-(id, pos) rule, same
+    separator rebuild. The oracle may use a window where the engine
+    uses min_by — values are identical, only the shuffle shape
+    differs."""
+    extras = "".join(f", {c}" for c in extra_cols)
+    # literal separator, quote-safe (a raw newline inside a DuckDB
+    # string literal is legal; only ' needs doubling)
+    sep_sql = (
+        "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    )
+    return f"""
+    WITH __docs AS ({docs_sql}),
+    __paras AS (
+      -- DuckDB 1.0 has no WITH ORDINALITY; positions via struct unnest
+      SELECT {id_col}{extras},
+             u.__s.__p AS __p, u.__s.__pos::BIGINT AS __pos
+      FROM (SELECT *, string_split(text, {sep_sql}) AS __lines
+            FROM __docs),
+           unnest(list_transform(range(1, len(__lines) + 1),
+                  i -> {{'__pos': i - 1, '__p': __lines[i]}}))
+             AS u(__s)),
+    __kept AS (
+      SELECT * FROM __paras
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(__p) ORDER BY {id_col}, __pos) = 1)
+    SELECT {id_col}{extras},
+           string_agg(__p, {sep_sql} ORDER BY __pos) AS text
+    FROM __kept
+    GROUP BY {id_col}{extras}
+    """
+
+
 def paragraph_dedup_stats(
     docs: DataFrame, para_words: int = 12, text_col: str = "text"
 ) -> DataFrame:

@@ -8422,6 +8422,282 @@ def f91_image_band_guard(spark, sf):
     )
 
 
+# --- c11: end-to-end crawl corpus-prep DAG -------------------------------
+
+#: c11 fixture lines (each its own <p> block, every one >= 30 visible
+#: chars so EXTRACTION keeps all content lines and each later stage's
+#: drop is attributable to exactly one rule)
+_C11_L2 = "please enable javascript to view this page now"
+_C11_L3 = "subscribe to our newsletter for daily updates."
+_C11_L4 = "dup slow crash dup slow crash in nightly builds."
+_C11_L5 = "lorem ipsum dolor sit amet consectetur adipiscing elit."
+_C11_CHROME = (
+    '<html><head><script type="text/javascript">'
+    'if(a<b){track("the of and to in")}</script>'
+    "<style>.n{color:red}</style></head><body>"
+    "<!-- hidden the of and comment -->"
+    '<div><a href="/">home</a> '
+    '<a href="/about">about us and other navigation</a></div>'
+)
+_C11_FOOTER = "<div>(c) 2026 corp</div></body></html>"
+
+
+def _c11_stages(spark, sf) -> dict:
+    """The c11 pipeline, one stage relation per key — the full crawl
+    corpus-prep lifecycle composed from the round-7/8/9 stage
+    operators (mirrors the reference's end-to-end router lifecycle
+    discipline, `borsa/src/router/history.rs` merge pipeline, at the
+    LLM-data layer the Spark engine adds):
+
+        fixture -> f84 extract -> f71 URL dedup -> f86 line filter ->
+        f53 blocklist -> f1 exact dedup -> paragraph dedup (round 9,
+        `dedup.drop_repeated_paragraphs`) -> f85 trained langid
+
+    Single corpus scan: every stage through the blocklist is a row-
+    local projection/filter fused into the scan; the relation is
+    persisted ONCE before the first multi-consumer stage (URL dedup's
+    count+join) so dedup group-bys, the paragraph rewrite, and the NB
+    model's several passes all read the cache, never the parquet
+    again (plan-guarded in tests/test_plan_shapes.py)."""
+    from borsa_spark.functions.dedup import drop_repeated_paragraphs
+    from borsa_spark.functions.html import extract_html
+    from borsa_spark.functions.langid import langid_fixture_spark_sql
+    from borsa_spark.functions.text import c4_line_filter, hash_bucket
+    from borsa_spark.functions.urls import canonicalize_url
+
+    d = F.col("doc_id")
+    base = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % 10 == 9, d - 9).otherwise(d).alias("__eff"),
+        F.when(d % 10 == 7, d - 7).otherwise(d).alias("__uid"),
+    )
+    # fixture text/lang derive from __eff (so %10==9 docs are content
+    # copies of their base — the exact-dedup plant): alias __eff to
+    # doc_id, apply the shared f85 fixture expressions, restore
+    fxd = (
+        base.select(
+            F.col("doc_id").alias("__real"), "__uid",
+            F.col("__eff").alias("doc_id"),
+        )
+        .selectExpr("__real", "__uid", "doc_id",
+                    *langid_fixture_spark_sql())
+        .select(F.col("__real").alias("doc_id"), "__uid", "lang", "text",
+                F.col("doc_id").alias("__eff"))
+    )
+    r = F.col("doc_id")
+    # L1 is salted with the EFF id: the shared f85 pool text alone has
+    # only ~10^2 distinct values, which would hand exact-dedup the
+    # whole corpus; the salt makes the planted %10==9 copies (same
+    # __eff -> same salt) the only exact duplicates by construction
+    html = F.concat(
+        F.lit(_C11_CHROME),
+        F.lit("<p>"), F.col("text"),
+        F.lit(" x"), F.col("__eff").cast("string"), F.lit("."),
+        F.lit("</p>"),
+        F.lit(f"<p>{_C11_L2}</p><p>{_C11_L3}</p>"),
+        F.when(r % 7 == 3, F.lit(f"<p>{_C11_L4}</p>")).otherwise(F.lit("")),
+        F.when(r % 11 == 4, F.lit(f"<p>{_C11_L5}</p>")).otherwise(F.lit("")),
+        F.lit(_C11_FOOTER),
+    )
+    url = F.concat(
+        F.lit("HTTPS://Crawl.example.com/doc/"),
+        F.col("__uid").cast("string"),
+        F.lit("?utm_source=feed&gclid=g"), r.cast("string"),
+    )
+    crawl = fxd.select("doc_id", "lang", "__uid",
+                       html.alias("html"), url.alias("url"))
+    ext = extract_html(F.col("html"))
+    extracted = crawl.select(
+        "doc_id", "lang", "__uid", "url",
+        ext["extracted"].alias("extracted"),
+        ext["kept_blocks"].cast("long").alias("kept_blocks"),
+    ).filter(F.col("kept_blocks") > 0)
+    # ONE corpus materialization before the first multi-consumer stage
+    extracted = extracted.withColumn(
+        "__canon", canonicalize_url(F.col("url"))
+    ).persist()
+
+    def keep_first(df, key, cols):
+        """min-doc_id-per-key survivor selection: partial-aggregatable
+        groupBy + equi-join back (the drop_repeated_paragraphs shape —
+        no corpus-sized row_number partition)."""
+        firsts = df.groupBy(key).agg(F.min("doc_id").alias("__keeper"))
+        return (
+            df.join(firsts, key)
+            .filter(F.col("doc_id") == F.col("__keeper"))
+            .select(*cols)
+        )
+
+    urld = keep_first(extracted, "__canon",
+                      ["doc_id", "lang", "extracted"])
+
+    c4 = c4_line_filter(F.col("extracted"))
+    lined = (
+        urld.select(
+            "doc_id", "lang",
+            c4["clean_text"].alias("text"),
+            c4["n_kept"].alias("__n_kept"),
+            c4["page_flagged"].alias("__flagged"),
+        )
+        .filter((F.col("__n_kept") > 0) & ~F.col("__flagged"))
+        .select("doc_id", "lang", "text")
+    )
+
+    toks = F.split(F.col("text"), "\\s+")
+    hits = F.filter(toks, lambda w: w.isin(*_BLOCKLIST))
+    blocked = lined.filter(
+        F.size(hits) <= _BLOCK_DENSITY * F.size(toks)
+    )
+
+    exd = keep_first(
+        blocked.withColumn("__h", F.md5(F.col("text"))),
+        "__h", ["doc_id", "lang", "text"],
+    )
+
+    parad = drop_repeated_paragraphs(exd).persist()
+    return {
+        "fixture": crawl,
+        "extracted": extracted,
+        "url_deduped": urld,
+        "line_filtered": lined,
+        "blocklisted": blocked,
+        "exact_deduped": exd,
+        "para_deduped": parad,
+        "hash_bucket": hash_bucket,
+    }
+
+
+def c11_stage_counts(spark, sf) -> dict:
+    """Per-stage corpus sizes (tests assert every stage is load-
+    bearing); 'boilerplate_cut' = docs the paragraph rewrite shrank."""
+    s = _c11_stages(spark, sf)
+    pre = s["exact_deduped"].select(
+        "doc_id", F.length("text").alias("__pre")
+    )
+    cut = (
+        s["para_deduped"].select("doc_id", F.length("text").alias("__post"))
+        .join(pre, "doc_id")
+        .filter(F.col("__post") < F.col("__pre"))
+        .count()
+    )
+    out = {
+        k: s[k].count()
+        for k in ("fixture", "extracted", "url_deduped", "line_filtered",
+                  "blocklisted", "exact_deduped", "para_deduped")
+    }
+    out["boilerplate_cut"] = cut
+    s["extracted"].unpersist()
+    s["para_deduped"].unpersist()
+    return out
+
+
+@query("c11_crawl_corpus_prep", None)
+def c11_crawl_corpus_prep(spark, sf):
+    """End-to-end crawl corpus prep, oracle-faced: raw messy HTML ->
+    boilerplate extraction (f84 rules) -> canonical-URL dedup (f71's
+    real canonicalizer) -> C4 line/page cleaning (f86) -> blocklist
+    density gate (f53) -> exact doc dedup (f1) -> cross-doc paragraph
+    dedup (round 9 `drop_repeated_paragraphs`) -> trained char-bigram
+    langid (f85) scored on the md5-holdout survivors. Every stage is
+    LOAD-BEARING on the fixture (tests/test_crawl_e2e.py pins that
+    each one drops or rewrites docs): tracking-params URLs collapse
+    10% of docs, the lorem page flag removes ~9%, the blocklist line
+    ~14%, planted content copies (doc_id%10==9 carries base
+    doc_id-9's text) fall to exact dedup, and the shared newsletter
+    boilerplate line survives in exactly ONE document corpus-wide.
+    The oracle recomposes every stage in DuckDB SQL — generically for
+    line filter / blocklist / both dedups / the NB closed form
+    (sql_drop_repeated_paragraphs, sql_charngram_nb_langid); the
+    extraction and canonical-URL results are stated analytically from
+    doc_id, the f84/f71 oracle pattern (those operators' own gates
+    cover their rules bit-for-bit).
+
+    Scale shape: one corpus scan fused through extraction+cleaning
+    projections, persisted once before the dedup group-bys (the
+    multi-consumer point); every dedup is a partial-aggregatable
+    min_by groupBy + equi-join back — no windows over corpus-sized
+    partitions; the NB model is charset²-bounded broadcast
+    (langid.py). See _c11_stages."""
+    from borsa_spark.functions.langid import charngram_nb_langid
+
+    s = _c11_stages(spark, sf)
+    bkt = s["hash_bucket"](F.col("doc_id"), "c11", 10)
+    scored = charngram_nb_langid(s["para_deduped"], train=bkt < 8)
+    return scored.filter(
+        s["hash_bucket"](F.col("doc_id"), "c11", 10) >= 8
+    )
+
+
+def _c11_oracle_sql() -> str:
+    """The c11 oracle: the full pipeline as one nested-CTE DuckDB
+    query, stage for stage (see c11_crawl_corpus_prep docstring for
+    which stages are recomputed generically vs stated analytically)."""
+    from borsa_spark.functions.dedup import sql_drop_repeated_paragraphs
+    from borsa_spark.functions.langid import (
+        langid_fixture_duckdb_sql,
+        sql_charngram_nb_langid,
+    )
+    from borsa_spark.functions.text import sql_hash_bucket
+
+    blk = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    pipeline = f"""
+    WITH fx AS ({langid_fixture_duckdb_sql()}),
+    ids AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
+                  ELSE doc_id END AS eff,
+             CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+                  ELSE doc_id END AS uid
+      FROM documents),
+    ext AS (
+      SELECT i.doc_id, f.lang, i.uid,
+             f.text || ' x' || i.eff::VARCHAR || '.'
+               || chr(10) || '{_C11_L2}'
+               || chr(10) || '{_C11_L3}'
+               || CASE WHEN i.doc_id % 7 = 3
+                       THEN chr(10) || '{_C11_L4}' ELSE '' END
+               || CASE WHEN i.doc_id % 11 = 4
+                       THEN chr(10) || '{_C11_L5}' ELSE '' END
+               AS ext
+      FROM ids i JOIN fx f ON f.doc_id = i.eff),
+    urld AS (
+      SELECT doc_id, lang, ext FROM ext
+      QUALIFY row_number() OVER (PARTITION BY uid ORDER BY doc_id) = 1),
+    lined AS (
+      SELECT doc_id, lang,
+             array_to_string(list_transform(
+               list_filter(string_split(ext, chr(10)),
+                 l -> regexp_matches(trim(l), '[.!?"'']$')
+                      AND len(list_filter(
+                            regexp_split_to_array(trim(l), '\\s+'),
+                            w -> w <> '')) >= 3
+                      AND NOT contains(lower(l), 'javascript')),
+               l -> trim(l)), chr(10)) AS text
+      FROM urld
+      WHERE NOT contains(lower(ext), 'lorem ipsum')
+        AND NOT contains(ext, '{{')),
+    blocked AS (
+      SELECT doc_id, lang, text FROM lined
+      WHERE length(text) > 0
+        AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+                w -> w IN ({blk})))
+            <= {_BLOCK_DENSITY} *
+               len(regexp_split_to_array(text, '\\s+'))),
+    exd AS (
+      SELECT doc_id, lang, text FROM blocked
+      QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) = 1)
+    SELECT * FROM (
+      {sql_drop_repeated_paragraphs("SELECT * FROM exd",
+                                    extra_cols=("lang",))}
+    )
+    """
+    bkt = sql_hash_bucket("doc_id", "c11", 10)
+    return sql_charngram_nb_langid(
+        pipeline, f"({bkt}) < 8", out_where=f"({bkt}) >= 8"
+    )
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -8471,6 +8747,7 @@ def _register_late_oracles() -> None:
         f"({_f85_bkt}) < 8",
         out_where=f"({_f85_bkt}) >= 8",
     )
+    ORACLES["c11_crawl_corpus_prep"] = _c11_oracle_sql()
 
 
 _register_late_oracles()

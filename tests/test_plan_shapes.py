@@ -589,3 +589,17 @@ class TestRound8PlanShapes:
         plan = plan_of(spark, "f91_image_band_guard")
         assert "MapInPandas" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_c11_crawl_dag_single_corpus_scan(self, spark):
+        # the end-to-end crawl DAG reads the documents parquet ONCE:
+        # extraction/cleaning fuse into the scan, the relation persists
+        # before the first multi-consumer stage, and every dedup/NB
+        # pass reads the cache (explain prints the cached subtree at
+        # each reference, so count DISTINCT scan node ids, not lines)
+        import re
+
+        plan = plan_of(spark, "c11_crawl_corpus_prep")
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) == 1
+        assert "EvalPython" not in plan  # all JVM until the argmax
+        assert "InMemoryTableScan" in plan
