@@ -243,19 +243,28 @@ class DedupIngest:
         )
 
 
-def guard_state_mode(state_dir: str, params: dict) -> None:
-    """Persistent shingle/token state is only meaningful under the hash
-    mode (and build params) it was written with: stored xxhash64 band
-    keys joined against md5-mode batch keys match NOTHING, so dedup
-    screening would silently admit every duplicate with a healthy-looking
-    log. Stamp the mode on first use and refuse loudly on mismatch —
-    ``BORSA_SPARK_SHINGLE_HASH`` is part of the state's identity, exactly
-    as it is for `CorpusArtifacts` markers (functions/pipeline.py)."""
+def guard_state_mode(
+    state_dir: str, params: dict, include_env_hash: bool = True
+) -> None:
+    """Persistent dedup state is only meaningful under the build params
+    it was written with: stored band keys joined against another
+    banding/hash mode match NOTHING, so screening would silently admit
+    every duplicate with a healthy-looking log. Stamp the mode on first
+    use and refuse loudly on mismatch. ``include_env_hash`` adds
+    ``BORSA_SPARK_SHINGLE_HASH`` to the identity (the text-shingle
+    state depends on it, exactly as `CorpusArtifacts` markers do;
+    image-dHash state does not — pass False there, or an unrelated env
+    flip would refuse perfectly valid state). Call this from EVERY
+    process_batch, not just construction: a long-lived stream must
+    refuse the moment the state is rebuilt under different params
+    beneath it (this is THE shared implementation — a second copy is a
+    bug farm, the markers.py lesson)."""
     path = os.path.join(state_dir, "_mode.json")
     current = dict(params)
-    current["shingle_hash"] = os.environ.get(
-        "BORSA_SPARK_SHINGLE_HASH", "md5"
-    )
+    if include_env_hash:
+        current["shingle_hash"] = os.environ.get(
+            "BORSA_SPARK_SHINGLE_HASH", "md5"
+        )
     try:
         with open(path) as f:
             stored = json.load(f)
@@ -440,3 +449,236 @@ def compact_state(ing: DedupIngest) -> dict:
         for name in ("arrays", "bands"):
             shutil.rmtree(ing._path(f"{name}/batch-{bid}"), ignore_errors=True)
     return {"compacted": len(old_ids), "into": new_id}
+
+
+_IMG_HASH_SCHEMA = "id long, payload_md5 string, bands array<int>"
+_IMG_BANDS_SCHEMA = "id long, band int, band_key long"
+
+
+class ImageDedupIngest:
+    """`DedupIngest`'s contract for IMAGE assets: each micro-batch of
+    (asset_id, payload binary) is screened before admission —
+
+    1. **intra-batch exact dedup** — md5(payload), first asset_id wins;
+    2. **exact-vs-corpus** — payload md5 anti-join against stored
+       hashes (byte-identical refetches);
+    3. **near-dup-vs-corpus** — the batch's dHash band keys equi-join
+       the corpus's STORED band keys (functions/multimodal.py
+       `dhash_band_keys`; precomputed at admission, never re-decoded),
+       candidates verified with EXACT hamming over the stored 8-byte
+       band arrays; re-encodes / one-pixel edits land within
+       ``max_hamming`` and are rejected.
+
+    Decode runs ONCE per batch (`image_dhash`, Arrow-batched), and only
+    for docs that survive the exact screens; survivors append (id,
+    payload_md5, bands) plus band keys to state, so corpus images are
+    never re-decoded — state per image is the md5 + 8 small ints
+    (~50 bytes), independent of payload size.
+
+    Defaults follow the SCALE.md round-9 drill: ``rows_per_band=2``
+    (16-bit band keys — byte keys saturate at ~10^4 images) with the
+    pigeonhole bound max_hamming <= 8/rows_per_band - 1 enforced, and
+    the intra-batch hot-bucket cap from `minhash`-style screening
+    (flat images all hash alike; a capped bucket's members are handled
+    by the EXACT screen, which flat duplicates always hit).
+
+    Exactly-once: the `streaming/markers.py` protocol — per-batch
+    overwrite state dirs, marker written LAST, parseable-marker replay
+    short-circuit — identical to the text ingest."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        max_hamming: int = 3,
+        rows_per_band: int = 2,
+        max_bucket_size: int | None = 64,
+    ):
+        if 8 % rows_per_band:
+            raise ValueError("rows_per_band must divide the 8 dHash rows")
+        n_bands = 8 // rows_per_band
+        if max_hamming > n_bands - 1:
+            raise ValueError(
+                f"{n_bands}-band LSH guarantees recall only for "
+                f"max_hamming <= {n_bands - 1}"
+            )
+        self.spark = spark
+        self.state_dir = state_dir
+        self.max_hamming = max_hamming
+        self.rows_per_band = rows_per_band
+        self.max_bucket_size = max_bucket_size
+        os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
+        self._guard_mode()
+
+    def _guard_mode(self) -> None:
+        """Band keys are only joinable against state built with the
+        same banding — the shared `guard_state_mode`, without the
+        shingle-hash env field (image state does not depend on it)."""
+        guard_state_mode(
+            self.state_dir,
+            {
+                "kind": "image_dhash",
+                "rows_per_band": self.rows_per_band,
+                "max_hamming": self.max_hamming,
+            },
+            include_env_hash=False,
+        )
+
+    # -- state ------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def admission_log(self) -> list[dict]:
+        out = markers.read_log(self._path("_batches"))
+        out.sort(key=lambda e: e["batch"])
+        return out
+
+    def _read_state(self, name: str, schema: str) -> DataFrame:
+        base = self._path(name)
+        committed = [
+            os.path.join(base, f"batch-{e['batch']}")
+            for e in self.admission_log()
+        ]
+        committed = [p for p in committed if os.path.exists(p)]
+        if committed:
+            return self.spark.read.schema(schema).parquet(*committed)
+        return self.spark.createDataFrame([], schema)
+
+    def corpus_hashes(self) -> DataFrame:
+        return self._read_state("hashes", _IMG_HASH_SCHEMA)
+
+    def corpus_bands(self) -> DataFrame:
+        return self._read_state("bands", _IMG_BANDS_SCHEMA)
+
+    # -- the batch hook ----------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from borsa_spark.functions import multimodal as mm
+
+        # per-batch, not just construction: a long-lived stream must
+        # refuse the moment the state is rebuilt under other params
+        self._guard_mode()
+        marker = os.path.join(
+            self._path("_batches"), f"batch-{batch_id}.json"
+        )
+        if markers.load_marker(marker) is not None:
+            return  # committed replay: state is final
+
+        assets = batch_df.select("asset_id", "payload")
+        n_in = assets.count()
+        corpus_h = self.corpus_hashes()
+
+        # 1+2. exact screens FIRST (md5 over raw bytes — no decode):
+        # intra-batch first-id-wins, then stored-hash anti-join.
+        hashed = assets.withColumn("payload_md5", F.md5("payload"))
+        first = hashed.groupBy("payload_md5").agg(
+            F.min("asset_id").alias("keep_id")
+        )
+        uniq = (
+            hashed.join(first, "payload_md5")
+            .filter(F.col("asset_id") == F.col("keep_id"))
+            .drop("keep_id")
+        )
+        uniq = uniq.join(
+            corpus_h.select("payload_md5").distinct(),
+            "payload_md5", "left_anti",
+        )
+
+        # 3. decode ONCE (only exact-survivors pay it), then band-join
+        # the stored corpus keys; exact hamming verifies candidates.
+        dh = (
+            mm.image_dhash(uniq.select("asset_id", "payload"))
+            .join(
+                uniq.select("asset_id", "payload_md5"), "asset_id"
+            )
+            .persist()
+        )
+        bk = mm.dhash_band_keys(
+            dh.select("asset_id", "bands"), self.rows_per_band
+        )
+        if self.max_bucket_size is not None:
+            counts = bk.groupBy("band", "band_key").agg(
+                F.count("*").alias("__n")
+            )
+            bk = (
+                bk.join(counts, ["band", "band_key"])
+                .filter(F.col("__n") <= self.max_bucket_size)
+                .drop("__n")
+            )
+        cands = (
+            bk.select(F.col("id").alias("id_a"), "band", "band_key")
+            .join(
+                self.corpus_bands().select(
+                    F.col("id").alias("id_b"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ham = (
+            cands.join(
+                dh.select(F.col("asset_id").alias("id_a"),
+                          F.col("bands").alias("__ba")),
+                "id_a",
+            )
+            .join(
+                corpus_h.select(
+                    F.col("id").alias("id_b"),
+                    F.col("bands").alias("__bb"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "__h",
+                F.aggregate(
+                    F.zip_with(
+                        "__ba", "__bb",
+                        lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        dup_ids = (
+            ham.filter(F.col("__h") <= self.max_hamming)
+            .select(F.col("id_a").alias("asset_id"))
+            .distinct()
+        )
+        admitted = dh.join(dup_ids, dh.asset_id == dup_ids.asset_id,
+                           "left_anti").persist()
+        n_admit = admitted.count()
+
+        # 4. per-batch overwrite state dirs, marker LAST
+        adm = admitted.select(
+            F.col("asset_id").alias("id"), "payload_md5", "bands"
+        )
+        adm.write.mode("overwrite").parquet(
+            self._path(f"hashes/batch-{batch_id}")
+        )
+        mm.dhash_band_keys(
+            admitted.select("asset_id", "bands"), self.rows_per_band
+        ).select("id", "band", "band_key").write.mode("overwrite").parquet(
+            self._path(f"bands/batch-{batch_id}")
+        )
+
+        markers.write_marker(
+            marker,
+            {
+                "batch": int(batch_id),
+                "received": int(n_in),
+                "admitted": int(n_admit),
+                "rejected": int(n_in - n_admit),
+            },
+        )
+        dh.unpersist()
+        admitted.unpersist()
+
+    # -- attach to a stream ------------------------------------------
+    def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .options(**opts)
+            .start()
+        )

@@ -270,3 +270,126 @@ class TestStateModeGuard:
         assert compact_state(ing)["into"] == "c2"
         ids = {r.id for r in ing.corpus_arrays().collect()}
         assert ids == {1, 2, 3, 12, 40, 41}
+
+
+class TestImageDedupIngest:
+    """Image admission gate (streaming/ingest.py ImageDedupIngest):
+    dHash-vs-stored-bands screening with the text ingest's marker
+    protocol — decode once per batch, exact md5 screens first, stored
+    corpus never re-decoded."""
+
+    def _png(self, seed, bump=False):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(8, 9, 1)
+        ).astype(np.uint8)
+        if bump:
+            px[0, 0, 0] = (int(px[0, 0, 0]) + 7) % 256
+        return mm.encode_png_pixels(px, filter_type=4)
+
+    def _assets(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows],
+            "asset_id long, payload binary",
+        )
+
+    def test_screens_exact_near_and_intra(self, spark, tmp_path):
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        ing = ImageDedupIngest(spark, str(tmp_path / "img1"))
+        b1 = [(1, self._png(1)), (2, self._png(2)), (3, self._png(3))]
+        ing.process_batch(self._assets(spark, b1), 0)
+        assert ing.admission_log() == [
+            {"batch": 0, "received": 3, "admitted": 3, "rejected": 0}
+        ]
+        b2 = [
+            (10, self._png(1)),             # exact dup of 1 (same bytes)
+            (11, self._png(2, bump=True)),  # near dup of 2 (hamming <= 1)
+            (12, self._png(9)),             # fresh
+            (13, self._png(9)),             # intra-batch exact dup of 12
+        ]
+        ing.process_batch(self._assets(spark, b2), 1)
+        assert ing.admission_log()[1] == {
+            "batch": 1, "received": 4, "admitted": 1, "rejected": 3
+        }
+        assert {r.id for r in ing.corpus_hashes().collect()} == {1, 2, 3, 12}
+
+    def test_crash_replay_is_exactly_once(self, spark, tmp_path):
+        import os
+
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        ing = ImageDedupIngest(spark, str(tmp_path / "img2"))
+        b1 = [(1, self._png(1)), (2, self._png(2))]
+        ing.process_batch(self._assets(spark, b1), 0)
+        # crash AFTER state write, BEFORE marker: state invisible
+        marker = str(tmp_path / "img2" / "_batches" / "batch-0.json")
+        os.remove(marker)
+        assert ing.corpus_hashes().count() == 0
+        ing.process_batch(self._assets(spark, b1), 0)  # replay
+        assert ing.corpus_hashes().count() == 2
+        assert len(ing.admission_log()) == 1
+        # committed replay: short-circuits, no double state
+        ing.process_batch(self._assets(spark, b1), 0)
+        assert ing.corpus_hashes().count() == 2
+
+    def test_banding_mode_flip_refused(self, spark, tmp_path):
+        import pytest
+
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        ing = ImageDedupIngest(spark, str(tmp_path / "img3"),
+                               rows_per_band=2, max_hamming=3)
+        ing.process_batch(
+            self._assets(spark, [(1, self._png(1))]), 0
+        )
+        with pytest.raises(RuntimeError, match="band join"):
+            ImageDedupIngest(spark, str(tmp_path / "img3"),
+                             rows_per_band=1, max_hamming=3)
+        # per-batch guard (not just construction): a live instance must
+        # refuse once the state is re-stamped beneath it
+        import json as _json
+        import os as _os
+
+        mode = str(tmp_path / "img3" / "_mode.json")
+        stamped = _json.load(open(mode))
+        stamped["rows_per_band"] = 4
+        with open(mode, "w") as f:
+            _json.dump(stamped, f)
+        with pytest.raises(RuntimeError, match="band join"):
+            ing.process_batch(
+                self._assets(spark, [(2, self._png(2))]), 1
+            )
+
+    def test_pigeonhole_bound_enforced(self, spark, tmp_path):
+        import pytest
+
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        with pytest.raises(ValueError, match="max_hamming"):
+            ImageDedupIngest(spark, str(tmp_path / "img4"),
+                             rows_per_band=2, max_hamming=4)
+
+    def test_foreachbatch_drive(self, spark, tmp_path):
+        # live Structured Streaming drive over a file stream — the
+        # production attach() path, availableNow drain
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        src = str(tmp_path / "imgsrc")
+        self._assets(
+            spark, [(1, self._png(1)), (2, self._png(1))]  # 1 exact dup
+        ).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        ing = ImageDedupIngest(spark, str(tmp_path / "img5"))
+        q = ing.attach(
+            spark.readStream.schema(schema).parquet(src),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        log = ing.admission_log()
+        assert sum(e["received"] for e in log) == 2
+        assert sum(e["admitted"] for e in log) == 1

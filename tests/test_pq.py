@@ -189,3 +189,79 @@ class TestIvfPq:
         )
         # probing EVERY list == full-corpus ADC exactly
         assert all_probes == full
+
+
+class TestClusteredCorpusRecall:
+    """The round-8 pins above run on the driver's unit-norm,
+    distance-concentrated corpus — the HARD case, where honest ADC@5
+    sits at 0.2-0.3. This fixture is the other half of the story: a
+    mixture of 8 well-separated Gaussians (center = 10·e_{8c},
+    noise ±0.25 per dim, analytic from vec_id), where PQ should and
+    DOES win — proving the operator family exploits structure when it
+    exists and guarding codebook-training regressions against a
+    meaningful target (the round-8 verdict task)."""
+
+    N, D, C = 256, 64, 8
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        vecs = np.zeros((self.N, self.D), dtype=np.float64)
+        for i in range(self.N):
+            g = np.random.default_rng(i)
+            vecs[i] = (g.integers(0, 1000, self.D) / 1000.0 - 0.5) * 0.5
+            vecs[i, 8 * (i % self.C)] += 10.0
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(self.N)],
+            "vec_id long, embedding array<float>",
+        )
+        # exact ground truth over the float32-rounded vectors Spark
+        # stores (same tie rule as _exact_topk: dist asc, c_id asc)
+        v32 = vecs.astype(np.float32).astype(np.float64)
+        want = set()
+        for qi in range(10):
+            dist = ((v32 - v32[qi]) ** 2).sum(axis=1)
+            top = sorted(
+                (dist[j], j) for j in range(self.N) if j != qi
+            )[:5]
+            want |= {(qi, j) for _, j in top}
+        return emb, want
+
+    def test_recall_on_separable_structure(self, spark, clustered):
+        from borsa_spark.functions.pq import (
+            ivfpq_topk,
+            pq_adc_rerank_topk,
+        )
+
+        emb, want = clustered
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        books = pq_train_codebooks(emb, m=4, k=16, iters=2)
+        # one member per cluster (vec_id 0..7 ARE clusters 0..7) makes
+        # a perfect coarse quantizer — the IVF structural best case
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        r_adc = _recall(
+            pq_adc_topk(emb, q, books, m=4, k_top=5).collect(), want
+        )
+        r_rerank = _recall(
+            pq_adc_rerank_topk(
+                emb, q, books, m=4, k_top=5, shortlist=50
+            ).collect(),
+            want,
+        )
+        r_ivf = _recall(
+            ivfpq_topk(
+                emb, q, coarse, books, m=4, k_top=5, n_probe=2
+            ).collect(),
+            want,
+        )
+        # measured on this fixture: ADC 0.48, rerank 1.0, IVFPQ 0.48 —
+        # pins leave headroom for k-means tie drift, not for regression
+        assert r_adc >= 0.4, r_adc        # ~2x the concentrated corpus
+        assert r_ivf >= 0.4, r_ivf        # probing keeps ADC's recall
+        assert r_rerank >= 0.9, r_rerank  # the verdict's >= 0.8 target
+        assert r_rerank > r_adc
