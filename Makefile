@@ -53,6 +53,7 @@ example-tour:
 	python examples/29_multimodal_codecs.py
 	python examples/30_incremental_rollup.py
 	python examples/31_crawl_stage_zero.py
+	python examples/32_corpus_prep_e2e.py
 
 test:
 	python -m pytest tests/ -q
