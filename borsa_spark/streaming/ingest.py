@@ -49,6 +49,26 @@ _ARRAYS_SCHEMA = "id long, text_md5 string, shingles array<long>"
 _BANDS_SCHEMA = "id long, band int, band_key long"
 
 
+def _committed_log(batches_dir: str) -> list[dict]:
+    """Committed admission log, shared by every ingest class:
+    torn-tolerant marker reads (streaming/markers.py — a crash-torn or
+    in-flight .tmp marker is uncommitted, never a stream-wedging
+    JSONDecodeError), compaction supersession (if the process died
+    between writing a compaction marker and deleting the batches it
+    folded, both are on disk — the superseded ones must not
+    double-count), and stable chronology (compaction ids "cN" replace
+    the OLDEST batches, so they sort before live integer ids)."""
+    out = markers.read_log(batches_dir)
+    superseded = {b for e in out for b in e.get("compacted_from", [])}
+    out = [e for e in out if e["batch"] not in superseded]
+    out.sort(
+        key=lambda e: (0, int(str(e["batch"])[1:]))
+        if isinstance(e["batch"], str)
+        else (1, e["batch"])
+    )
+    return out
+
+
 class DedupIngest:
     """Stateful dedup-admission over micro-batches. Attach with
     ``stream.writeStream.foreachBatch(ingest.process_batch)`` or drive
@@ -102,25 +122,7 @@ class DedupIngest:
         return self._read_state("bands", _BANDS_SCHEMA)
 
     def admission_log(self) -> list[dict]:
-        # shared torn-tolerant log read (streaming/markers.py): a
-        # crash-torn or in-flight .tmp marker is uncommitted, never a
-        # stream-wedging JSONDecodeError
-        out = markers.read_log(self._path("_batches"))
-        # A compaction marker supersedes the batches it folded: if the
-        # process died between writing it and deleting the old markers,
-        # both are on disk — the superseded ones must not double-count.
-        superseded = {
-            b for e in out for b in e.get("compacted_from", [])
-        }
-        out = [e for e in out if e["batch"] not in superseded]
-        # stable chronology: compaction markers ("cN") replace the OLDEST
-        # batches, so they sort before live integer batch ids
-        out.sort(
-            key=lambda e: (0, int(str(e["batch"])[1:]))
-            if isinstance(e["batch"], str)
-            else (1, e["batch"])
-        )
-        return out
+        return _committed_log(self._path("_batches"))
 
     # -- the batch hook -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -400,6 +402,28 @@ def compact_state(ing: DedupIngest) -> dict:
     invisible without its marker) or the new one (old dirs are garbage,
     never double-counted: their markers are deleted before their data).
     """
+    return _compact(
+        ing, stages=("arrays", "bands"),
+        sum_fields=("received", "admitted", "rejected",
+                    "rejected_quality"),
+    )
+
+
+def compact_image_state(ing: "ImageDedupIngest") -> dict:
+    """`compact_state` for the image ingest: folds committed per-batch
+    hashes/bands dirs into one reserved-id dir with the identical
+    two-phase crash discipline."""
+    return _compact(
+        ing, stages=("hashes", "bands"),
+        sum_fields=("received", "admitted", "rejected"),
+    )
+
+
+def _compact(ing, stages: tuple[str, ...],
+             sum_fields: tuple[str, ...]) -> dict:
+    """Shared compaction core over any ingest with per-batch stage dirs
+    + `_committed_log` markers (see compact_state docstring for the
+    crash discipline)."""
     import shutil
 
     log = ing.admission_log()
@@ -422,31 +446,23 @@ def compact_state(ing: DedupIngest) -> dict:
             used.append(int(m.group(1)))
     new_id = f"c{max(used) + 1}"
 
-    arrays = ing.corpus_arrays()
-    bands = ing.corpus_bands()
-    arrays.repartition(8).write.mode("overwrite").parquet(
-        ing._path(f"arrays/batch-{new_id}")
-    )
-    bands.repartition(8).write.mode("overwrite").parquet(
-        ing._path(f"bands/batch-{new_id}")
-    )
+    readers = {
+        "arrays": lambda: ing.corpus_arrays(),
+        "bands": lambda: ing.corpus_bands(),
+        "hashes": lambda: ing.corpus_hashes(),
+    }
+    for stage in stages:
+        readers[stage]().repartition(8).write.mode("overwrite").parquet(
+            ing._path(f"{stage}/batch-{new_id}")
+        )
     marker = os.path.join(ing._path("_batches"), f"batch-{new_id}.json")
-    markers.write_marker(
-        marker,
-        {
-            "batch": new_id,
-            "received": sum(e["received"] for e in log),
-            "admitted": sum(e["admitted"] for e in log),
-            "rejected": sum(e["rejected"] for e in log),
-            "rejected_quality": sum(
-                e.get("rejected_quality", 0) for e in log
-            ),
-            "compacted_from": old_ids,
-        },
-    )
+    payload = {"batch": new_id, "compacted_from": old_ids}
+    for field in sum_fields:
+        payload[field] = sum(e.get(field, 0) for e in log)
+    markers.write_marker(marker, payload)
     for bid in old_ids:
         os.remove(os.path.join(ing._path("_batches"), f"batch-{bid}.json"))
-        for name in ("arrays", "bands"):
+        for name in stages:
             shutil.rmtree(ing._path(f"{name}/batch-{bid}"), ignore_errors=True)
     return {"compacted": len(old_ids), "into": new_id}
 
@@ -529,9 +545,7 @@ class ImageDedupIngest:
         return os.path.join(self.state_dir, name)
 
     def admission_log(self) -> list[dict]:
-        out = markers.read_log(self._path("_batches"))
-        out.sort(key=lambda e: e["batch"])
-        return out
+        return _committed_log(self._path("_batches"))
 
     def _read_state(self, name: str, schema: str) -> DataFrame:
         base = self._path(name)

@@ -393,3 +393,35 @@ class TestImageDedupIngest:
         log = ing.admission_log()
         assert sum(e["received"] for e in log) == 2
         assert sum(e["admitted"] for e in log) == 1
+
+    def test_image_compaction_preserves_state_and_totals(
+        self, spark, tmp_path
+    ):
+        from borsa_spark.streaming.ingest import (
+            ImageDedupIngest,
+            compact_image_state,
+        )
+
+        ing = ImageDedupIngest(spark, str(tmp_path / "img6"))
+        ing.process_batch(
+            self._assets(spark, [(1, self._png(1)), (2, self._png(2))]), 0
+        )
+        ing.process_batch(
+            self._assets(spark, [(3, self._png(3)),
+                                 (4, self._png(1))]), 1  # exact dup
+        )
+        before_h = sorted(map(tuple, ing.corpus_hashes().collect()))
+        before_b = sorted(map(tuple, ing.corpus_bands().collect()))
+        out = compact_image_state(ing)
+        assert out["compacted"] == 2
+        assert sorted(map(tuple, ing.corpus_hashes().collect())) == before_h
+        assert sorted(map(tuple, ing.corpus_bands().collect())) == before_b
+        log = ing.admission_log()
+        assert len(log) == 1
+        assert log[0]["received"] == 4 and log[0]["admitted"] == 3
+        # screening still works against compacted state
+        ing.process_batch(
+            self._assets(spark, [(10, self._png(2)),   # exact dup of 2
+                                 (11, self._png(20))]), 2
+        )
+        assert ing.admission_log()[-1]["admitted"] == 1
