@@ -100,3 +100,54 @@ class TestC11StageLoadBearing:
         # distinct post exact-dedup; only boilerplate L3 is cut)
         assert n["para_deduped"] == n["exact_deduped"]
         assert n["boilerplate_cut"] == n["para_deduped"] - 1
+
+
+class TestDropRepeatedParagraphsProperties:
+    """Property-based model equivalence: drop_repeated_paragraphs vs a
+    pure-Python keep-first model over machine-chosen corpora (tiny
+    paragraph alphabet to force cross-doc and intra-doc collisions,
+    single-paragraph docs, all-duplicate docs)."""
+
+    def _model(self, docs):
+        seen = set()
+        out = {}
+        for doc_id, text in sorted(docs):
+            kept = []
+            for p in text.split("\n"):
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            if kept:
+                out[doc_id] = "\n".join(kept)
+        return out
+
+    def test_matches_keep_first_model(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        PARA = st.sampled_from(["pa", "pb", "pc", "pd shared", "pe"])
+        DOC = st.lists(PARA, min_size=1, max_size=5)
+        CORPUS = st.lists(DOC, min_size=1, max_size=6)
+
+        @settings(
+            max_examples=10, deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        @given(CORPUS)
+        def run(corpus):
+            docs = [(i, "\n".join(paras))
+                    for i, paras in enumerate(corpus)]
+            got = {
+                r.doc_id: r.text
+                for r in drop_repeated_paragraphs(
+                    spark.createDataFrame(
+                        docs, "doc_id long, text string"
+                    )
+                ).collect()
+            }
+            assert got == self._model(docs)
+
+        run()
