@@ -94,6 +94,7 @@ TIER2 = [
     "c10_tiered_rollup",
     "f91_image_band_guard",
     "c11_crawl_corpus_prep",
+    "f92_audio_envelope_pairs",
 ]
 
 

@@ -616,13 +616,12 @@ def _gray_gif(data: bytes) -> np.ndarray:
     return decode_gif(data).astype(np.float64).mean(axis=2) / 255.0
 
 
-def decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
-    """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
-    n_frames, duration_ms, rms). Stdlib-only: RIFF chunk walk, fmt
-    parse, 8-bit unsigned / 16-bit signed PCM sample math in numpy.
-    rms is over all channels, normalized to [0, 1] full scale.
-    Compressed/float formats and other bit depths raise ValueError
-    (-> deterministic-fallback path downstream), never silent noise."""
+def _wav_pcm_ints(data: bytes) -> tuple[int, int, np.ndarray, float]:
+    """Shared RIFF/WAVE walk: (sample_rate, n_channels, interleaved
+    INTEGER samples int32 — int16 values for 16-bit, (u8 - 128) for
+    8-bit — truncated to whole frames, full_scale divisor). The integer
+    domain is what `audio_dhash`'s exact-arithmetic envelope needs;
+    `decode_wav` normalizes by full_scale for its float rms."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -654,16 +653,27 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
         raise ValueError("inconsistent WAV block alignment")
     if bits == 16:
         n = len(pcm) // 2
-        x = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
-        x /= 32768.0
+        x = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.int32)
+        full_scale = 32768.0
     else:
-        x = (
-            np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
-        ) / 128.0
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+        full_scale = 128.0
     n_frames = len(x) // n_channels
     if n_frames == 0:
         raise ValueError("empty WAV data")
-    x = x[: n_frames * n_channels]
+    return sample_rate, n_channels, x[: n_frames * n_channels], full_scale
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
+    """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
+    n_frames, duration_ms, rms). Stdlib-only: RIFF chunk walk, fmt
+    parse, 8-bit unsigned / 16-bit signed PCM sample math in numpy.
+    rms is over all channels, normalized to [0, 1] full scale.
+    Compressed/float formats and other bit depths raise ValueError
+    (-> deterministic-fallback path downstream), never silent noise."""
+    sample_rate, n_channels, ints, full_scale = _wav_pcm_ints(data)
+    x = ints.astype(np.float64) / full_scale
+    n_frames = len(x) // n_channels
     rms = float(np.sqrt(np.mean(x * x)))
     duration_ms = n_frames * 1000 // sample_rate
     return sample_rate, n_channels, n_frames, int(duration_ms), rms
@@ -1581,6 +1591,71 @@ def dhash_band_keys(dh: DataFrame, rows_per_band: int = 1) -> DataFrame:
     ).select(
         "id", "bands",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"),
+    )
+
+
+def audio_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
+    """(asset_id, bands array<int>, decoder): EXACT-ARITHMETIC envelope
+    difference hash for audio — `image_dhash`'s contract over a
+    waveform. The first channel's |integer PCM| is summed over 72
+    equal-length blocks (q = n_frames // 72 frames each, tail
+    ignored; integer sums — no float in the hash path, so every bit is
+    SQL-stateable through the REAL RIFF/WAVE decode); bit x of band y =
+    1 iff block_sum[y*9 + x + 1] > block_sum[y*9 + x] — the 8x9
+    block-mean grid of the image form flattened onto the time axis.
+    The output schema IS `image_dhash`'s, so the whole guarded band
+    machinery (`dhash_near_pairs`, wide bands, `max_bucket_size`,
+    `band_oversized_buckets`) applies to audio near-dup verbatim:
+    re-encoded or lightly edited audio lands within a small hamming,
+    constant tones hash to all-zero bands (route through the cap to
+    exact dedup, exactly like flat images).
+
+    Payloads that do not decode (non-WAV magic handled by the usual
+    tag contract) or carry fewer than 72 frames degrade to the sha256
+    fallback: 'corrupt-fallback' when RIFF-magic'd, else
+    'fake-deterministic'."""
+    import pandas as pd
+
+    if auto_batch:
+        autotune_arrow_batch(assets)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                is_wav = (
+                    len(data) >= 12
+                    and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+                )
+                try:
+                    if not is_wav:
+                        raise ValueError("no RIFF/WAVE magic")
+                    _, n_ch, ints, _ = _wav_pcm_ints(data)
+                    ch0 = np.abs(ints[::n_ch]).astype(np.int64)
+                    q = len(ch0) // 72
+                    if q == 0:
+                        raise ValueError("under 72 frames")
+                    sums = ch0[: 72 * q].reshape(72, q).sum(axis=1)
+                    bands = []
+                    for y in range(8):
+                        b = 0
+                        for x in range(8):
+                            if sums[y * 9 + x + 1] > sums[y * 9 + x]:
+                                b |= 1 << x
+                        bands.append(b)
+                    dec = "wav"
+                except (ValueError, struct.error):
+                    digest = hashlib.sha256(data).digest()
+                    bands = list(digest[:8])
+                    dec = _fallback_tag("wav" if is_wav else None)
+                out.append((asset_id, bands, dec))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "bands", "decoder"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema="asset_id long, bands array<int>, decoder string"
     )
 
 

@@ -8422,6 +8422,127 @@ def f91_image_band_guard(spark, sf):
     )
 
 
+@query(
+    "f92_audio_envelope_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 5 = 0 AS textured,
+             CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
+                  ELSE doc_id END AS base,
+             (doc_id % 10 = 5) AS pert
+      FROM documents),
+    amps AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), b ->
+               CASE WHEN NOT textured THEN 77
+                    WHEN pert AND b = 0
+                    THEN (((((base*37 + 97) * (base*37 + 97)) % 65536)
+                           * (((base*37 + 97) * (base*37 + 97)) % 65536)
+                           >> 7) + 7) % 256
+                    ELSE ((((base*37 + (b+1)*97)
+                            * (base*37 + (b+1)*97)) % 65536)
+                          * (((base*37 + (b+1)*97)
+                              * (base*37 + (b+1)*97)) % 65536)
+                          >> 7) % 256
+               END) AS a
+      FROM g),
+    bands AS (
+      SELECT doc_id, t.y AS band,
+             list_sum(list_transform(range(0, 8), x ->
+               CASE WHEN a[t.y*9 + x + 2] > a[t.y*9 + x + 1]
+                    THEN 1 << x ELSE 0 END))::BIGINT AS key
+      FROM amps, unnest(range(0, 8)) AS t(y)),
+    wide AS (
+      SELECT a1.doc_id, a1.band // 2 AS wband,
+             a1.key + 256 * a2.key AS wkey
+      FROM bands a1 JOIN bands a2
+        ON a2.doc_id = a1.doc_id AND a2.band = a1.band + 1
+      WHERE a1.band % 2 = 0),
+    cnt AS (
+      SELECT wband, wkey, count(*) AS n FROM wide GROUP BY 1, 2),
+    keep AS (
+      SELECT w.doc_id, w.wband, w.wkey
+      FROM wide w JOIN cnt ON cnt.wband = w.wband AND cnt.wkey = w.wkey
+      WHERE cnt.n <= 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keep a JOIN keep b
+        ON a.wband = b.wband AND a.wkey = b.wkey
+        AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(ba.key, bb.key)))::BIGINT AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.band = ba.band
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def f92_audio_envelope_pairs(spark, sf):
+    """Audio near-dup detection with REAL decode in the loop
+    (multimodal.py `audio_dhash` + the SHARED guarded band machinery):
+    the image family's round-9 scale shape — wide 16-bit bands
+    (rows_per_band=2, the SCALE.md drill's scale path), hot-bucket cap
+    10, pigeonhole max_hamming=3 — applied to waveforms. One 16-bit
+    PCM WAV per document: 80% constant tones (every |sample| equal →
+    envelope blocks equal → all-zero bands, the crawl-degenerate flat
+    cohort the cap must exclude), 20% 'textured' — 72 blocks of 25
+    frames whose per-block amplitude a_b = the f90/f91 double-squared
+    analytic (a_b/256 full scale quantizes to EXACTLY a_b*128 int16,
+    so the integer block sums are 25*128*a_b and every dHash bit is
+    SQL-stateable through the REAL RIFF walk + int16 parse); docs with
+    doc_id % 10 = 5 carry a COPY of base doc_id-5's waveform with one
+    block's amplitude bumped — hamming <= 1, band 0 bit 0 — the
+    re-encode/light-edit shape. A decoder that misreads block
+    alignment, channel interleave, or sample signedness, a banding
+    that breaks the wide-key composition, or a cap applied on one side
+    only hash-mismatches.
+
+    Scale shape: identical to f91 — Arrow-batched decode emits 8 ints
+    per asset, the band relation localCheckpoints once, the only
+    shuffle is the wide-band equi-join, and the cap's count agg
+    broadcasts (<= 4x65536 buckets)."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        sign = np.where(np.arange(1800) % 2 == 0, 1.0, -1.0)
+        flat = mm.encode_wav(sign * (77.0 / 256.0), 8000)
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 != 0:
+                    out.append((did, flat))
+                    continue
+                base = did - 5 if did % 10 == 5 else did
+                b = np.arange(72, dtype=np.int64)
+                h = base * 37 + (b + 1) * 97
+                g = (h * h) % 65536
+                a = ((g * g) >> 7) % 256
+                if did % 10 == 5:
+                    a[0] = (int(a[0]) + 7) % 256
+                wave = sign * (np.repeat(a, 25) / 256.0)
+                out.append((did, mm.encode_wav(wave, 8000)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    dh = mm.audio_dhash(assets)
+    return mm.dhash_near_pairs(
+        dh, max_hamming=3, max_bucket_size=10, rows_per_band=2
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 # --- c11: end-to-end crawl corpus-prep DAG -------------------------------
 
 #: c11 fixture lines (each its own <p> block, every one >= 30 visible

@@ -1530,3 +1530,78 @@ class TestBandHotBucketGuard:
         assert len(wide) == 4
         for i in range(4):
             assert wide[i] == narrow[2 * i] + 256 * narrow[2 * i + 1]
+
+
+class TestAudioDhash:
+    """Envelope dHash (multimodal.audio_dhash): image_dhash's contract
+    over waveforms — exact integer block sums, shared band machinery."""
+
+    def _assets(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows],
+            "asset_id long, payload binary",
+        )
+
+    def _wave(self, amps, q=25):
+        import numpy as np
+
+        sign = np.where(np.arange(len(amps) * q) % 2 == 0, 1.0, -1.0)
+        return sign * (np.repeat(np.asarray(amps, dtype=np.int64), q)
+                       / 256.0)
+
+    def test_constant_tone_hashes_to_zero(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        wav = mm.encode_wav(self._wave([77] * 72), 8000)
+        out = mm.audio_dhash(self._assets(spark, [(1, wav)])).collect()[0]
+        assert list(out.bands) == [0] * 8 and out.decoder == "wav"
+
+    def test_perturbed_copy_is_near(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        amps = (np.random.default_rng(3).integers(0, 256, 72)
+                .astype(np.int64))
+        amps2 = amps.copy()
+        amps2[0] = (int(amps2[0]) + 7) % 256
+        dh = mm.audio_dhash(self._assets(spark, [
+            (1, mm.encode_wav(self._wave(amps), 8000)),
+            (2, mm.encode_wav(self._wave(amps2), 8000)),
+        ]))
+        pairs = mm.dhash_near_pairs(dh, max_hamming=3,
+                                    rows_per_band=2).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+        assert pairs[0].hamming <= 1
+
+    def test_stereo_hashes_first_channel(self, spark):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        amps = (np.random.default_rng(5).integers(0, 256, 72)
+                .astype(np.int64))
+        mono = self._wave(amps)
+        # identical channel 0; channel 1 is a constant tone — the hash
+        # must read the interleave correctly and ignore channel 1
+        stereo = np.stack([mono, self._wave([50] * 72)], axis=1)
+        dh = {r.asset_id: list(r.bands)
+              for r in mm.audio_dhash(self._assets(spark, [
+                  (1, mm.encode_wav(mono, 8000)),
+                  (2, mm.encode_wav(stereo, 8000)),
+              ])).collect()}
+        assert dh[1] == dh[2]
+
+    def test_short_and_corrupt_payloads_degrade(self, spark):
+        from borsa_spark.functions import multimodal as mm
+
+        short = mm.encode_wav(self._wave([10] * 71, q=1), 8000)  # 71 < 72
+        rows = {r.asset_id: r.decoder
+                for r in mm.audio_dhash(self._assets(spark, [
+                    (1, short),
+                    (2, b"RIFF1234WAVEtruncated"),
+                    (3, b"not audio at all"),
+                ])).collect()}
+        assert rows[1] == "corrupt-fallback"   # valid WAV, too short
+        assert rows[2] == "corrupt-fallback"
+        assert rows[3] == "fake-deterministic"

@@ -603,3 +603,12 @@ class TestRound8PlanShapes:
         assert len(scan_ids) == 1
         assert "EvalPython" not in plan  # all JVM until the argmax
         assert "InMemoryTableScan" in plan
+
+    def test_audio_band_pairing_inherits_image_guards(self, spark):
+        # f92 rides the shared _band_near_pairs: decode once
+        # (checkpointed band relation, no MapInPandas in the join) and
+        # the bucket-count guard broadcasts
+        plan = plan_of(spark, "f92_audio_envelope_pairs")
+        assert "MapInPandas" not in plan
+        assert "ExistingRDD" in plan
+        assert "BroadcastHashJoin" in plan
