@@ -1453,16 +1453,27 @@ def band_oversized_buckets(
     )
 
 
-def phash_band_keys(ph: DataFrame) -> DataFrame:
-    """(id, phash, band, band_key): the 8 byte-bands of each 64-bit
-    pHash, the input relation for `_band_near_pairs` /
-    `band_oversized_buckets`."""
+def phash_band_keys(
+    ph: DataFrame, bytes_per_band: int = 1
+) -> DataFrame:
+    """(id, phash, band, band_key): the 64-bit pHash split into
+    8/bytes_per_band bands, the input relation for `_band_near_pairs`
+    / `band_oversized_buckets`. ``bytes_per_band`` is the dHash
+    `rows_per_band` density lever (see dhash_band_keys): 1 → 8 byte
+    bands (256-value keys — saturate at crawl density), 2 → 4 16-bit
+    bands (recall bound hamming <= 3), 4 → 2 32-bit bands (<= 1).
+    Must divide 8."""
+    if 8 % bytes_per_band:
+        raise ValueError("bytes_per_band must divide the 8 hash bytes")
+    n = 8 // bytes_per_band
+    mask = (1 << (8 * bytes_per_band)) - 1
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("phash"), 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+            F.shiftright(F.col("phash"), 8 * bytes_per_band * b)
+            .bitwiseAND(F.lit(mask)).alias("key"),
         )
-        for b in range(8)
+        for b in range(n)
     ])
     return ph.select(
         F.col("asset_id").alias("id"), "phash", F.explode(bands).alias("bk")
@@ -1476,6 +1487,7 @@ def phash_near_pairs(
     ph: DataFrame,
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    bytes_per_band: int = 1,
 ) -> DataFrame:
     """Image near-dup pairs by pHash: 8 byte-bands over the full 64-bit
     hash, candidates on any shared band, exact hamming filter.
@@ -1490,15 +1502,19 @@ def phash_near_pairs(
     `band_oversized_buckets(phash_band_keys(ph), cap)`, never silently
     dropped. Note the cap weakens the pigeonhole guarantee for pairs
     whose every shared band is oversized — by construction those live in
-    giant near-identical cohorts better served by exact dedup."""
+    giant near-identical cohorts better served by exact dedup.
+    ``bytes_per_band``: the wide-band density lever (phash_band_keys) —
+    at crawl density prefer 2 (the video path's frame hashes are full
+    of near-constant frames, the dHash SCALE.md drill's saturation
+    case)."""
     return _band_near_pairs(
-        phash_band_keys(ph),
+        phash_band_keys(ph, bytes_per_band),
         lambda a, b: F.bit_count(
             F.col("a.phash").bitwiseXOR(F.col("b.phash"))
         ),
         max_hamming,
         max_bucket_size,
-        n_bands=8,
+        n_bands=8 // bytes_per_band,
     )
 
 

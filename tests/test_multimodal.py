@@ -1605,3 +1605,39 @@ class TestAudioDhash:
         assert rows[1] == "corrupt-fallback"   # valid WAV, too short
         assert rows[2] == "corrupt-fallback"
         assert rows[3] == "fake-deterministic"
+
+
+class TestPhashWideBands:
+    """pHash side of the wide-band density lever (borrows the flat+
+    planted image fixture builder — not a subclass, which would
+    re-collect the guard tests)."""
+
+    N_FLAT = TestBandHotBucketGuard.N_FLAT
+    _fixture = TestBandHotBucketGuard._fixture
+
+    def test_phash_wide_bands_compose_and_bound(self, spark):
+        import numpy as np
+        import pytest
+
+        from borsa_spark.functions import multimodal as mm
+
+        ph = mm.image_phash(self._fixture(spark))
+        pairs = mm.phash_near_pairs(
+            ph, max_hamming=3, max_bucket_size=10, bytes_per_band=2
+        ).collect()
+        assert (1000, 1001) in [(p.id_a, p.id_b) for p in pairs]
+        # key composition: wide key i == byte key 2i + 256 * byte key 2i+1
+        narrow = {(r.id, r.band): r.band_key
+                  for r in mm.phash_band_keys(ph, 1).collect()}
+        wide = {(r.id, r.band): r.band_key
+                for r in mm.phash_band_keys(ph, 2).collect()}
+        ids = {i for i, _ in narrow}
+        for i in ids:
+            for w in range(4):
+                assert wide[(i, w)] == (
+                    narrow[(i, 2 * w)] + 256 * narrow[(i, 2 * w + 1)]
+                )
+        with pytest.raises(ValueError, match="max_hamming <= 3"):
+            mm.phash_near_pairs(ph, max_hamming=4, bytes_per_band=2)
+        with pytest.raises(ValueError, match="divide"):
+            mm.phash_band_keys(ph, 3)
