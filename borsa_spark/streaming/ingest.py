@@ -500,7 +500,15 @@ class ImageDedupIngest:
 
     Exactly-once: the `streaming/markers.py` protocol — per-batch
     overwrite state dirs, marker written LAST, parseable-marker replay
-    short-circuit — identical to the text ingest."""
+    short-circuit — identical to the text ingest.
+
+    ``hasher`` swaps the perceptual hash while keeping every screen,
+    guard, and marker identical: any (asset_id, payload) -> (asset_id,
+    bands array<int>, decoder) DataFrame transform with `image_dhash`'s
+    contract works — pass `multimodal.audio_dhash` (and its `kind`) to
+    run the SAME admission gate over an audio crawl. The hash kind is
+    part of the state identity: image bands joined against audio state
+    match nothing, so the mode guard refuses the mix loudly."""
 
     def __init__(
         self,
@@ -509,6 +517,8 @@ class ImageDedupIngest:
         max_hamming: int = 3,
         rows_per_band: int = 2,
         max_bucket_size: int | None = 64,
+        hasher=None,
+        kind: str = "image_dhash",
     ):
         if 8 % rows_per_band:
             raise ValueError("rows_per_band must divide the 8 dHash rows")
@@ -523,17 +533,27 @@ class ImageDedupIngest:
         self.max_hamming = max_hamming
         self.rows_per_band = rows_per_band
         self.max_bucket_size = max_bucket_size
+        self.hasher = hasher
+        self.kind = kind
         os.makedirs(os.path.join(state_dir, "_batches"), exist_ok=True)
         self._guard_mode()
 
+    def _hash(self, assets: DataFrame) -> DataFrame:
+        if self.hasher is not None:
+            return self.hasher(assets)
+        from borsa_spark.functions import multimodal as mm
+
+        return mm.image_dhash(assets)
+
     def _guard_mode(self) -> None:
         """Band keys are only joinable against state built with the
-        same banding — the shared `guard_state_mode`, without the
-        shingle-hash env field (image state does not depend on it)."""
+        same banding AND hash kind — the shared `guard_state_mode`,
+        without the shingle-hash env field (media state does not
+        depend on it)."""
         guard_state_mode(
             self.state_dir,
             {
-                "kind": "image_dhash",
+                "kind": self.kind,
                 "rows_per_band": self.rows_per_band,
                 "max_hamming": self.max_hamming,
             },
@@ -600,7 +620,7 @@ class ImageDedupIngest:
         # 3. decode ONCE (only exact-survivors pay it), then band-join
         # the stored corpus keys; exact hamming verifies candidates.
         dh = (
-            mm.image_dhash(uniq.select("asset_id", "payload"))
+            self._hash(uniq.select("asset_id", "payload"))
             .join(
                 uniq.select("asset_id", "payload_md5"), "asset_id"
             )

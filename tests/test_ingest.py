@@ -425,3 +425,42 @@ class TestImageDedupIngest:
                                  (11, self._png(20))]), 2
         )
         assert ing.admission_log()[-1]["admitted"] == 1
+
+    def test_audio_stream_through_the_same_gate(self, spark, tmp_path):
+        # the hasher parameter: audio_dhash slots into the identical
+        # admission gate; the hash kind is part of the state identity
+        import numpy as np
+        import pytest
+
+        from borsa_spark.functions import multimodal as mm
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        def wav(seed, bump=False):
+            amps = (np.random.default_rng(seed)
+                    .integers(0, 256, 72).astype(np.int64))
+            if bump:
+                amps[0] = (int(amps[0]) + 7) % 256
+            sign = np.where(np.arange(1800) % 2 == 0, 1.0, -1.0)
+            return mm.encode_wav(sign * (np.repeat(amps, 25) / 256.0),
+                                 8000)
+
+        ing = ImageDedupIngest(
+            spark, str(tmp_path / "aud1"),
+            hasher=mm.audio_dhash, kind="audio_dhash",
+        )
+        ing.process_batch(
+            self._assets(spark, [(1, wav(1)), (2, wav(2))]), 0
+        )
+        ing.process_batch(
+            self._assets(spark, [
+                (10, wav(1)),             # exact dup (same bytes)
+                (11, wav(2, bump=True)),  # near dup (hamming <= 1)
+                (12, wav(9)),             # fresh
+            ]), 1,
+        )
+        assert ing.admission_log()[1] == {
+            "batch": 1, "received": 3, "admitted": 1, "rejected": 2
+        }
+        # image-kind state refuses an audio-kind instance and vice versa
+        with pytest.raises(RuntimeError, match="band join"):
+            ImageDedupIngest(spark, str(tmp_path / "aud1"))
