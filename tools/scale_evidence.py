@@ -723,6 +723,29 @@ def run_f90_drill(spark, results: list) -> None:
                 )
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 
+    def gen_audio(batches):
+        sign = np.where(np.arange(1800) % 2 == 0, 1.0, -1.0)
+        flat = mm.encode_wav(sign * (77.0 / 256.0), 8000)
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 != 0:
+                    out.append((did, flat))
+                    continue
+                base = did - 5 if did % 10 == 5 else did
+                b = np.arange(72, dtype=np.int64)
+                h = base * 37 + (b + 1) * 97
+                g = (h * h) % 65536
+                a = ((g * g) >> 7) % 256
+                if did % 10 == 5:
+                    a[0] = (int(a[0]) + 7) % 256
+                out.append(
+                    (did, mm.encode_wav(sign * (np.repeat(a, 25) / 256.0),
+                                        8000))
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
     tiers = [
         ("sf0.1", "/root/testdata/sf0.1"),
         ("sf1x10", os.path.abspath(SCALE_DIR)),
@@ -733,6 +756,16 @@ def run_f90_drill(spark, results: list) -> None:
         assets = docs.repartition(32).mapInPandas(
             gen, "asset_id long, payload binary"
         )
+        # f92's decode leg: same fixture scheme on the time axis (3.6KB
+        # 16-bit WAVs); the pairing legs below are the SHARED machinery,
+        # so audio only needs its decode wall measured per decade
+        audio = docs.repartition(32).mapInPandas(
+            gen_audio, "asset_id long, payload binary"
+        )
+        t0 = time.time()
+        n_aud = mm.audio_dhash(audio).count()
+        emit({"stage": "audio_decode_hash", "sf": tier, "rows": n_aud,
+              "sec": round(time.time() - t0, 3)})
         t0 = time.time()
         dh = mm.image_dhash(assets).persist()
         n_imgs = dh.count()
