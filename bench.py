@@ -95,6 +95,7 @@ TIER2 = [
     "f91_image_band_guard",
     "c11_crawl_corpus_prep",
     "f92_audio_envelope_pairs",
+    "c12_training_mix",
 ]
 
 

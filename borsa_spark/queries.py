@@ -8819,6 +8819,149 @@ def _c11_oracle_sql() -> str:
     )
 
 
+def _c12_stages(spark, sf) -> dict:
+    """Stage relations for c12 (the query and the load-bearing funnel
+    tests share them, the `_c11_stages` pattern)."""
+    from borsa_spark.functions.classifier import hashed_logreg_scores
+    from borsa_spark.functions.packing import pack_sequences
+    from borsa_spark.functions.text import dsir_gumbel_topk
+
+    docs = load_table(spark, sf, "documents")
+    target = F.col("source").isin("src0", "src1")
+    quality = hashed_logreg_scores(docs, target)
+    # Exact percentile is fine on the quality relation (3 narrow cols
+    # per doc, tiny vs the corpus); at 100 TB swap percentile_approx
+    # with a tightened accuracy — the gate stays a broadcast scalar.
+    med = quality.select(
+        F.round(F.expr("percentile(prob, 0.5)"), 5).alias("__m")
+    )
+    survivors = docs.join(
+        quality.crossJoin(F.broadcast(med))
+        .filter(F.col("prob") >= F.col("__m"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    sel = dsir_gumbel_topk(survivors, target, k=100)
+    # sel ⊆ survivors, so re-join docs directly with the k-row pick
+    # (broadcast) instead of re-deriving the corpus-sized survivors
+    # subtree a second time — one fewer corpus scan, and symmetric
+    # with the oracle's `documents JOIN __sel`.
+    selected = docs.join(F.broadcast(sel.select("doc_id")), "doc_id")
+    packed = pack_sequences(selected)
+    return {
+        "fixture": docs,
+        "survivors": survivors,
+        "selected": selected,
+        "packed": packed,
+    }
+
+
+def c12_stage_counts(spark, sf) -> dict:
+    """Per-stage sizes for the c12 funnel (tests assert every stage is
+    load-bearing: the median gate drops docs, DSIR picks exactly k,
+    packing keeps every pick and actually groups docs into bins)."""
+    s = _c12_stages(spark, sf)
+    # packed feeds 4 counts below — persist it (the c11_stage_counts
+    # convention) so the DSIR llr scan + Arrow packing run once
+    s["packed"].persist()
+    out = {
+        k: s[k].count()
+        for k in ("fixture", "survivors", "selected", "packed")
+    }
+    out["bins"] = (
+        s["packed"].select("stream_id", "bin_id").distinct().count()
+    )
+    out["streams"] = s["packed"].select("stream_id").distinct().count()
+    s["packed"].unpersist()
+    return out
+
+
+@query("c12_training_mix", None)
+def c12_training_mix(spark, sf):
+    """End-to-end training-mix materialization, oracle-faced — the
+    corpus→training-batches half of the lifecycle next to c11's
+    crawl→corpus half, composed from the stage operators' own
+    machinery: f77's in-engine logistic quality classifier gates the
+    corpus (keep prob >= the corpus MEDIAN prob — scale-invariant, and
+    cross-engine exact because 4-decimal probs put the even-n median
+    on a 5-decimal grid, so round(median, 5) absorbs ulp drift in
+    either engine's interpolation),
+    DSIR Gumbel-top-k (f75) draws a k=100 weighted-without-replacement
+    sample from the survivors, f38's greedy first-overflow packing
+    bins the sample into 256-token sequences across 8 hash-sharded
+    pack streams, and f54's seeded-shuffle rule assigns each packed
+    doc a deterministic training position + output shard. Every stage
+    is load-bearing at sf0.01 (tests/test_crawl_e2e.py
+    `TestC12StageLoadBearing` pins the strict funnel) and the
+    oracle recomposes ALL of it in SQL — the unrolled 3-step GD loop,
+    the Gumbel keys, the recursive-CTE packing scan, and the shuffle
+    rank — over the composed relations, so a threshold applied on one
+    side, a survivor set drift, or a packing tie-break divergence
+    hash-mismatches.
+
+    Scale shape: the classifier is the f77 plan (checkpointed feature
+    relation, <= 257 rows/iteration to the driver); selection is one
+    top-k; packing and ordering run on the k-bounded sample, so the
+    tail windows are O(k) by construction (the global row_number is
+    fine HERE because k is fixed — corpus-sized ordering uses f54's
+    hierarchical rank instead)."""
+    packed = _c12_stages(spark, sf)["packed"]
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED),
+                       F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        packed.withColumn(
+            "position", F.row_number().over(w).cast("long")
+        )
+        .withColumn("shard", ((F.col("position") - 1) % 8).cast("long"))
+        .select("doc_id", "stream_id", "bin_id", "n_tokens",
+                "position", "shard")
+    )
+
+
+def _c12_oracle_sql() -> str:
+    """The c12 oracle: quality-gate → Gumbel sample → packing → order,
+    each stage's own sql_* builder composed over derived tables."""
+    from borsa_spark.functions.classifier import sql_hashed_logreg_scores
+    from borsa_spark.functions.packing import sql_pack_sequences
+    from borsa_spark.functions.text import sql_dsir_gumbel_topk
+
+    pred = "source IN ('src0', 'src1')"
+    quality = sql_hashed_logreg_scores(pred)
+    sel = sql_dsir_gumbel_topk(pred, k=100, table="__surv")
+    packed = sql_pack_sequences(table="__seldocs")
+    # Multi-referenced stages are top-level AS MATERIALIZED CTEs: the
+    # unrolled-GD quality relation is referenced twice (gate + median)
+    # and would otherwise inline/re-execute per reference (the
+    # f77-family exponential-inlining lesson). __packed is referenced
+    # once, so it stays a plain CTE — add MATERIALIZED if a second
+    # reference ever appears.
+    return f"""
+    WITH __quality AS MATERIALIZED ({quality}),
+    __surv AS MATERIALIZED (
+      SELECT d.* FROM documents d
+      JOIN __quality q USING (doc_id)
+      CROSS JOIN (SELECT round(quantile_cont(prob, 0.5), 5) AS m
+                  FROM __quality) __med
+      WHERE q.prob >= __med.m),
+    __sel AS MATERIALIZED ({sel}),
+    __seldocs AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN __sel USING (doc_id)),
+    __packed AS ({packed})
+    SELECT doc_id, stream_id, bin_id, n_tokens,
+           row_number() OVER (
+             ORDER BY md5('{_SHUFFLE_SEED}' || doc_id::VARCHAR), doc_id
+           )::BIGINT AS position,
+           ((row_number() OVER (
+             ORDER BY md5('{_SHUFFLE_SEED}' || doc_id::VARCHAR), doc_id
+           )) - 1)::BIGINT % 8 AS shard
+    FROM __packed
+    """
+
+
 def _register_late_oracles() -> None:
     """f72/f73/f74 oracles are produced by the same sql_* helpers their
     tests use (single source of truth for the replayed math); attach
@@ -8869,6 +9012,7 @@ def _register_late_oracles() -> None:
         out_where=f"({_f85_bkt}) >= 8",
     )
     ORACLES["c11_crawl_corpus_prep"] = _c11_oracle_sql()
+    ORACLES["c12_training_mix"] = _c12_oracle_sql()
 
 
 _register_late_oracles()

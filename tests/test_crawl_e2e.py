@@ -151,3 +151,32 @@ class TestDropRepeatedParagraphsProperties:
             assert got == self._model(docs)
 
         run()
+
+
+class TestC12StageLoadBearing:
+    """The training-mix funnel (c12) counterpart to c11's pin: the
+    median quality gate must DROP documents, DSIR must pick exactly k,
+    packing must keep every pick while genuinely grouping docs into
+    shared bins across all streams."""
+
+    @pytest.fixture(scope="class")
+    def stages(self, spark):
+        from borsa_spark.queries import c12_stage_counts
+
+        return c12_stage_counts(spark, SF01)
+
+    def test_funnel_is_strict(self, stages):
+        n = stages
+        assert n["fixture"] == 500
+        # the median gate keeps >= half-ish but strictly drops some,
+        # and leaves enough survivors for the k=100 draw
+        assert 100 <= n["survivors"] < n["fixture"]
+        assert n["selected"] == 100          # Gumbel-top-k exact draw
+        assert n["packed"] == 100            # packing loses nothing
+
+    def test_packing_actually_bins(self, stages):
+        n = stages
+        # fewer bins than docs -> bins hold multiple docs (greedy
+        # packing did work); every one of the 8 hash streams is live
+        assert n["bins"] < n["packed"]
+        assert n["streams"] == 8

@@ -612,3 +612,24 @@ class TestRound8PlanShapes:
         assert "MapInPandas" not in plan
         assert "ExistingRDD" in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_c12_training_mix_topk_and_bounded_scans(self, spark):
+        # the training-mix DAG: the DSIR draw must compile to
+        # TakeOrderedAndProject (per-partition k-heaps, never a global
+        # sort of the corpus), packing is exactly ONE Arrow-batched
+        # FlatMapGroupsInPandas over the k-bounded sample, the k-row
+        # pick broadcasts back against docs, and the corpus parquet is
+        # read a bounded <= 3 times (features checkpoint + gate + llr;
+        # the logreg feature relation itself is an ExistingRDD)
+        import re
+
+        plan = plan_of(spark, "c12_training_mix")
+        assert "TakeOrderedAndProject" in plan
+        pack_ids = set(
+            re.findall(r"FlatMapGroupsInPandas\s+\((\d+)\)", plan)
+        )
+        assert len(pack_ids) == 1
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) <= 3
+        assert "ExistingRDD" in plan
+        assert "SortMergeJoin" not in plan
