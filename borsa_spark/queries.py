@@ -5585,11 +5585,15 @@ def o13_bar_enrich_join(spark, sf):
 def rel_q15_top_supplier(spark, sf):
     """TPC-H Q15 shape (top supplier): a revenue view consumed TWICE —
     once as the join input, once reduced to a scalar max the filter
-    compares against. The optimizer question is view reuse: the revenue
-    aggregate is computed once, its 1-row max broadcasts back as a cross
-    join, and the supplier dim broadcasts onto the winner(s). Revenue is
-    snapped to 2dp BEFORE the max comparison in both engines so the
-    equality predicate is exact."""
+    compares against. The optimizer question is view reuse — and Spark
+    does NOT reuse it by itself: the round-9 plan audit showed the
+    unpersisted form scanning lineitem twice (zero ReusedExchange), so
+    the per-supplier view persists explicitly before its two consumers
+    (the f8/c11 multi-consumer rule; it is supplier-count-bounded and
+    2 columns wide). The 1-row max broadcasts back as a cross join and
+    the supplier dim broadcasts onto the winner(s). Revenue is snapped
+    to 2dp BEFORE the max comparison in both engines so the equality
+    predicate is exact."""
     li = load_table(spark, sf, "lineitem")
     sup = load_table(spark, sf, "supplier")
     revenue = (
@@ -5603,6 +5607,7 @@ def rel_q15_top_supplier(spark, sf):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        .persist()
     )
     top = revenue.agg(F.max("total_revenue").alias("__top"))
     return (
@@ -6687,10 +6692,13 @@ def rel_q11_important_stock(spark, sf):
     uses the scale-invariant 2x-mean form — same rows at any SF ratio,
     non-empty witness at every tier (77 rows sf0.01, 1299 sf1). The
     defining feature is unchanged: a scalar subquery over the SAME
-    aggregated relation — computed once, broadcast into the filter as a
-    1-row crossJoin (rel_q22's pattern), never a second scan of
-    lineitem. Group sums snap at 4dp before the threshold compare (the
-    discounted-revenue convention).
+    aggregated relation — computed once (the per-part relation persists
+    before its two consumers: the round-9 plan audit showed the
+    unpersisted form re-executing the whole 3-table agg subtree, 6
+    parquet scans and zero ReusedExchange, despite the crossJoin
+    pattern), its mean broadcast into the filter as a 1-row crossJoin
+    (rel_q22's pattern). Group sums snap at 4dp before the threshold
+    compare (the discounted-revenue convention).
 
     Scale shape: one shuffle to build val (nation filter broadcast into
     the lineitem scan), then a broadcast scalar — the HAVING-fraction
@@ -6711,6 +6719,7 @@ def rel_q11_important_stock(spark, sf):
                 4,
             ).alias("stock_value")
         )
+        .persist()
     )
     tot = val.agg(F.avg("stock_value").alias("__t"))
     return (

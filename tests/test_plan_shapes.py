@@ -633,3 +633,26 @@ class TestRound8PlanShapes:
         assert len(scan_ids) <= 3
         assert "ExistingRDD" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_q11_q15_dual_consumer_aggregates_run_once(self, spark):
+        # both queries feed one aggregated relation to TWO consumers
+        # (the relation itself + a broadcast scalar over it); Spark
+        # does not reuse the subtree by itself (round-9 audit: 6 and 3
+        # parquet scans, zero ReusedExchange), so the relation persists
+        # — pin one scan per table and the cache on both read paths
+        import re
+
+        for name, n_tables in (
+            ("rel_q11_important_stock", 3),
+            ("rel_q15_top_supplier", 2),
+        ):
+            plan = plan_of(spark, name)
+            scan_ids = set(
+                re.findall(r"\((\d+)\)\s+Scan parquet", plan)
+            )
+            assert len(scan_ids) == n_tables, name
+            imts = set(
+                re.findall(r"\((\d+)\)\s+InMemoryTableScan", plan)
+            )
+            assert len(imts) == 2, name
+            spark.catalog.clearCache()
