@@ -59,18 +59,29 @@ def charngram_nb_langid(
         F.col(text_col).alias("__t"),
         train.alias("__tr"),
     ).filter(F.length("__t") >= 2)
-    tf = (
-        base.select(
-            "doc_id", label_col, "__tr",
-            F.explode(_char_bigrams("__t")).alias("__bg"),
-        )
-        .groupBy("doc_id", label_col, "__tr", "__bg")
-        .agg(F.count("*").alias("__tf"))
+    # Train-then-score in THREE corpus scans (round-9 executed-plan
+    # audit: the naive form ran SEVEN — the counts subtree, explode
+    # included, re-derived once per consumer, zero ReusedExchange):
+    # one explode scan builds the charset^2 x n_langs model, eagerly
+    # checkpointed so labels/tot/vocab/scores read stored rows; one
+    # pruned (no-explode) scan counts train docs per label, with the
+    # grand total derived from that tiny relation rather than a third
+    # base pass; one explode scan scores. Deliberately NOT the
+    # f77 persist-the-features shape: per-(doc, bigram) rows are ~10x
+    # the raw text bytes, so materializing tf costs more than the one
+    # extra scan it saves (measured: persist form 2.7x slower at
+    # sf0.1 and strictly more I/O at 100 TB).
+    tf = base.select(
+        "doc_id", label_col, "__tr",
+        F.explode(_char_bigrams("__t")).alias("__bg"),
+    ).groupBy("doc_id", label_col, "__tr", "__bg").agg(
+        F.count("*").alias("__tf")
     )
     counts = (
         tf.filter("__tr")
         .groupBy(F.col(label_col).alias("__ml"), "__bg")
         .agg(F.sum("__tf").alias("__c"))
+        .localCheckpoint(eager=True)
     )
     labels = counts.select("__ml").distinct()
     tot = counts.groupBy("__ml").agg(F.sum("__c").alias("__tot"))
@@ -79,8 +90,9 @@ def charngram_nb_langid(
         base.filter("__tr")
         .groupBy(F.col(label_col).alias("__ml"))
         .agg(F.count("*").alias("__nd"))
+        .localCheckpoint(eager=True)
     )
-    ntr = base.filter("__tr").agg(F.count("*").alias("__n"))
+    ntr = nd.agg(F.sum("__nd").alias("__n"))
     scores = (
         tf.crossJoin(F.broadcast(labels))
         .join(F.broadcast(counts), ["__ml", "__bg"], "left")

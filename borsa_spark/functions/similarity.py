@@ -392,10 +392,18 @@ def kmeans_centroids(
     The trained centroids drop into `ivf_topk` in place of the seed
     centroids — same (cid, cemb) contract.
     """
+    # MLlib's Lloyd's-iteration discipline, previously missing here
+    # (round-9 executed-plan audit: f52 ran TEN embedding scans, zero
+    # ReusedExchange — every iteration's cents plan nested ALL prior
+    # iterations AND re-derived e from parquet): the feature relation
+    # persists once and every round reads the cache; the k-row
+    # centroid relation eagerly localCheckpoints per round, cutting
+    # the iterative lineage exactly like f77's per-iteration error
+    # relation and pagerank's per-round snap.
     e = emb.select(
         F.col(id_col).alias("__vid"),
         F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).persist()
     # Seed = the k lowest-id vectors for ANY id space (offset/sparse ids
     # included) — orderBy+limit compiles to TakeOrderedAndProject, never a
     # full sort. (A bare filter(id < k) only matches the docstring when ids
@@ -427,7 +435,9 @@ def kmeans_centroids(
                     lambda s: s.getField("cval"),
                 ).alias("cemb")
             )
+            .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return cents
 
 
@@ -496,7 +506,14 @@ def semdedup(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("__v"),
     )
-    m = asg.join(e, "vec_id").withColumn("__n", norm2(F.col("__v")))
+    # m feeds BOTH sides of the intra-cluster pair join — persist it
+    # or the assignment subtree (a corpus crossJoin-argmin) executes
+    # twice (round-9 audit, same finding class as kmeans above)
+    m = (
+        asg.join(e, "vec_id")
+        .withColumn("__n", norm2(F.col("__v")))
+        .persist()
+    )
     a = m.select("vec_id", "cluster", F.col("__v").alias("a_v"),
                  F.col("__n").alias("a_n"))
     b = m.select(F.col("vec_id").alias("b_id"), "cluster",

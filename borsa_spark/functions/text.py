@@ -771,13 +771,14 @@ def bigram_backoff_scores(
     sums are a few hundred terms). Documents with < 2 tokens emit no
     row, the `dsir_importance_weights` convention.
 
-    Scale shape: ONE corpus scan — the per-(doc, train-flag, w1, w2)
-    tf pre-aggregation is the shared subtree (train counts are
+    Scale shape: TWO corpus scans — one fits the LM (the per-(doc,
+    train-flag, w1, w2) tf pre-aggregation rolls up into the
+    vocab-sized bigram relation, which is eagerly checkpointed so
+    context/unigram/total all read stored rows; train counts are
     conditional sums inside it, never a pushed-down filter — the f74
-    de-canonicalization lesson), bigram/context/unigram relations all
-    roll it up (vocab-sized, partial-agg), the score join is keyed on
-    the bigram, and the final agg is keyed by doc_id. Totals is a
-    1-row broadcast.
+    de-canonicalization lesson), one scores (the tf probe joined to
+    the broadcast-sized score table, final agg keyed by doc_id).
+    Totals is a 1-row broadcast.
     """
     base = docs.select(
         "doc_id",
@@ -812,7 +813,14 @@ def bigram_backoff_scores(
         F.sum(
             F.when(F.col("__t"), F.col("__tf")).otherwise(F.lit(0))
         ).alias("__c2")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the LM itself is vocab-sized (distinct train bigrams), and its
+    # four consumers (ctx, uni, tot-via-uni, the score join) would
+    # each re-run the corpus tf subtree without the cut — the round-9
+    # executed-plan audit measured 5 document scans, zero
+    # ReusedExchange, against this function's one-corpus-scan claim.
+    # With the checkpoint the corpus is scanned twice: once to fit
+    # the LM, once to score — the train-then-score shape (f85's fix).
     ctx = big.groupBy("w1").agg(F.sum("__c2").alias("__c1ctx"))
     uni = big.groupBy("w2").agg(F.sum("__c2").alias("__c1w"))
     tot = uni.agg(

@@ -656,3 +656,28 @@ class TestRound8PlanShapes:
             )
             assert len(imts) == 2, name
             spark.catalog.clearCache()
+
+    def test_iterative_trainers_cut_lineage(self, spark):
+        # round-9 executed-plan audit fixes: kmeans persists its
+        # feature relation and checkpoints the k-row centroids per
+        # round (f52 ran TEN embedding scans before; now the pair
+        # stage reads 2 scans + the persisted m on both sides), and
+        # the f85/f78 trained scorers checkpoint their bounded models
+        # so the final plan carries exactly ONE corpus scan (model
+        # fitting runs at construction, 1-2 more scans, never per
+        # consumer)
+        import re
+
+        for name, max_scans in (
+            ("f52_semdedup", 2),
+            ("f20_kmeans_clusters", 1),
+            ("f85_langid_nb", 1),
+            ("f78_bigram_backoff_score", 1),
+        ):
+            plan = plan_of(spark, name)
+            scan_ids = set(
+                re.findall(r"\((\d+)\)\s+Scan parquet", plan)
+            )
+            assert len(scan_ids) <= max_scans, (name, len(scan_ids))
+            assert "ExistingRDD" in plan, name
+            spark.catalog.clearCache()
