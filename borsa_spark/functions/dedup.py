@@ -174,6 +174,10 @@ def jaccard_pairs(
                 "(LSH-bounded) at corpus scale, or pass "
                 "allow_full_self_join=True if you really mean it."
             )
+    # sh feeds sizes + both self-join sides: persist it so the shingle
+    # explode runs once even in this deliberately-quadratic baseline
+    # (round-9 audit: 4 document scans before)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1109,9 +1113,16 @@ def repeated_substring_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    # anchors feeds the df-cap aggregation AND the capped relation;
+    # rare feeds BOTH sides of the cross-document join. Unpersisted,
+    # the corpus explode+hash subtree executed 4x (round-9 audit, the
+    # minhash persist_shingles finding one family over) — persist
+    # both, mirroring minhash_dedup_pairs' two persisted
+    # intermediates. Cache lifetime is harness-owned.
     anchors = (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .persist()
     )
     rare = anchors.join(
         anchors.groupBy("gh")
@@ -1120,7 +1131,7 @@ def repeated_substring_spans(
         .select("gh"),
         "gh",
         "left_semi",
-    )
+    ).persist()
     a = rare.select(
         F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gh"
     )
@@ -1416,8 +1427,15 @@ def bloom_decontaminate(
     Returns (doc_id, n_shared) over non-benchmark documents.
     """
     sh = shingles(docs, n)
-    bench = sh.filter(bench_pred).select("shingle").distinct()
-    bloom = bloom_bits_fit(bench, "shingle", m_bits, k)
+    # bench feeds the bloom fit AND the exact confirm join, and the
+    # fitted filter broadcasts into k chained probe joins — without
+    # the persist/checkpoint the bench scan re-ran once per consumer
+    # (round-9 audit: 5 document scans; now 2 — bench + corpus). The
+    # checkpointed filter is m/64 = 16k longs, negligible to pin.
+    bench = sh.filter(bench_pred).select("shingle").distinct().persist()
+    bloom = bloom_bits_fit(bench, "shingle", m_bits, k).localCheckpoint(
+        eager=True
+    )
     corpus = sh.filter(~bench_pred)
     survivors = bloom_prefilter(corpus, "shingle", bloom, m_bits, k)
     return (

@@ -469,10 +469,14 @@ def winnow_pairs(
     whose per-key fanout the cap bounds; the final groupBy is keyed by
     the pair. No window beyond the per-doc selection, no global sort.
     """
+    # sel feeds the df cap AND the capped relation; capped feeds both
+    # join sides — unpersisted, the winnow scan ran 4x (round-9 audit,
+    # the repeated_substring_spans finding one operator over)
     sel = (
         _winnow_fp_rows(docs, k, w, text_col)
         .select("doc_id", "fp")
         .distinct()
+        .persist()
     )
     rare = (
         sel.groupBy("fp")
@@ -480,7 +484,7 @@ def winnow_pairs(
         .filter(F.col("__df") <= max_fp_df)
         .select("fp")
     )
-    capped = sel.join(rare, "fp", "left_semi")
+    capped = sel.join(rare, "fp", "left_semi").persist()
     a = capped.select(F.col("doc_id").alias("id_a"), "fp")
     b = capped.select(F.col("doc_id").alias("id_b"), "fp")
     return (

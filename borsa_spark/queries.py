@@ -4601,7 +4601,14 @@ def f42_source_kl_divergence(spark, sf):
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("__w")
     ).select("source", _dd.token_hash64(F.col("__w")).alias("tok"))
-    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    # st is the vocab-x-sources aggregate with FOUR consumers (probe,
+    # stot, ct, ctot-via-ct) — persist it so the corpus explode runs
+    # once (round-9 audit: 4 document scans before); the docstring's
+    # "derive from the already-aggregated table" now holds physically
+    st = (
+        toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+        .persist()
+    )
     stot = st.groupBy("source").agg(F.sum("c").alias("n"))
     ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
     ctot = ct.agg(F.sum("cc").alias("nn"))
@@ -6111,7 +6118,9 @@ def f56_similarity_pagerank(spark, sf):
     from borsa_spark.functions.graph import pagerank
 
     docs = load_table(spark, sf, "documents")
-    pairs = _lsh_verified_pairs(docs).select("id_a", "id_b")
+    # the pair list feeds both union branches — persist it so the LSH
+    # band join + verify run once, not per direction (round-9 audit)
+    pairs = _lsh_verified_pairs(docs).select("id_a", "id_b").persist()
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -6188,7 +6197,12 @@ def f57_weighted_pagerank(spark, sf):
     from borsa_spark.functions.graph import pagerank
 
     docs = load_table(spark, sf, "documents")
-    pairs = _lsh_verified_pairs(docs).select("id_a", "id_b", "jaccard")
+    # persist: both union branches consume the pair list (f56's fix)
+    pairs = (
+        _lsh_verified_pairs(docs)
+        .select("id_a", "id_b", "jaccard")
+        .persist()
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
         F.col("jaccard").alias("w"),

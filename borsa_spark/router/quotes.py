@@ -140,10 +140,15 @@ def quotes(
         F.col("symbol").isin(symbols)
     )
     w = Window.partitionBy("symbol").orderBy(F.col("priority").asc())
+    # best is <= len(symbols) rows and feeds BOTH outputs (the success
+    # set and the failure anti-join) — persist it or the whole
+    # per-provider union re-executes per consumer (round-9 audit: a8
+    # ran 6 identical provider scans, 3 providers x 2 consumers)
     best = (
         union.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .persist()
     )
     requested = spark.createDataFrame(
         [(s,) for s in symbols], "symbol string"

@@ -681,3 +681,27 @@ class TestRound8PlanShapes:
             assert len(scan_ids) <= max_scans, (name, len(scan_ids))
             assert "ExistingRDD" in plan, name
             spark.catalog.clearCache()
+
+    def test_self_join_intermediates_persist(self, spark):
+        # round-9 audit, second batch: relations feeding a df-cap agg
+        # plus both sides of a self-join (f61 anchors, f68
+        # fingerprints, f5's deliberate-quadratic shingles), a
+        # vocab-sized aggregate with four consumers (f42), and the
+        # bloom bench set probed by k chained broadcast joins (f76)
+        # all persist — the corpus text scan appears once (f76: once
+        # per side of the bench/corpus split)
+        import re
+
+        for name, max_scans in (
+            ("f61_substring_spans", 1),
+            ("f5_ngram_jaccard_pairs", 1),
+            ("f68_winnow_pairs", 1),
+            ("f42_source_kl_divergence", 1),
+            ("f76_bloom_decontaminate", 2),
+        ):
+            plan = plan_of(spark, name)
+            scan_ids = set(
+                re.findall(r"\((\d+)\)\s+Scan parquet", plan)
+            )
+            assert len(scan_ids) <= max_scans, (name, len(scan_ids))
+            spark.catalog.clearCache()
