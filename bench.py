@@ -96,6 +96,7 @@ TIER2 = [
     "c11_crawl_corpus_prep",
     "f92_audio_envelope_pairs",
     "c12_training_mix",
+    "f93_candidate_substring_spans",
 ]
 
 

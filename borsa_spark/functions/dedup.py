@@ -1064,6 +1064,50 @@ def containment_stop_shingles(
     )
 
 
+def _span_anchors(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, gh) k-gram anchors: one sliding window per document,
+    gram hashed to 64 bits for the join key. Shared by the corpus-wide
+    extractor and the candidate-restricted one."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
+                .alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+
+
+def _island_spans(matched: DataFrame, k: int, min_len: int) -> DataFrame:
+    """Gaps-and-islands over (id_a, id_b, diag)-matched anchors: pos_a
+    minus its row_number is constant within a run (the a9 idiom), runs
+    of length run + k - 1 >= min_len become spans."""
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = matched.withColumn(
+        "__grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "__grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + (k - 1)).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+        .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     k: int = 5,
@@ -1101,29 +1145,13 @@ def repeated_substring_spans(
     relation is the big intermediate (|tokens| rows) — it is a
     projection of the scan (no shuffle until the join), and the join
     moves only capped-df grams."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
-                .alias("gh"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
     # anchors feeds the df-cap aggregation AND the capped relation;
     # rare feeds BOTH sides of the cross-document join. Unpersisted,
     # the corpus explode+hash subtree executed 4x (round-9 audit, the
     # minhash persist_shingles finding one family over) — persist
     # both, mirroring minhash_dedup_pairs' two persisted
     # intermediates. Cache lifetime is harness-owned.
-    anchors = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-        .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-        .persist()
-    )
+    anchors = _span_anchors(df, k, text_col, id_col).persist()
     rare = anchors.join(
         anchors.groupBy("gh")
         .agg(F.countDistinct("id").alias("__df"))
@@ -1142,20 +1170,72 @@ def repeated_substring_spans(
         "id_a", "id_b", "pos_a", "pos_b",
         (F.col("pos_a") - F.col("pos_b")).alias("diag"),
     )
-    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    runs = matched.withColumn(
-        "__grp", F.col("pos_a") - F.row_number().over(w)
+    return _island_spans(matched, k, min_len)
+
+
+def repeated_substring_spans_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CANDIDATE-RESTRICTED exact substring-span extractor — the
+    100 TB form of `repeated_substring_spans`, and the two-stage
+    pipeline Lee et al.'s dedup actually runs at scale: a cheap pair
+    screen (MOSS winnowing, `text.winnow_pairs`; or MinHash) proposes
+    candidate pairs, and the exact span extraction verifies ONLY those
+    pairs. ``pairs`` is (id_a, id_b) with id_a < id_b.
+
+    Two structural differences from the corpus-wide form, both because
+    the pair gate replaces the df cap:
+
+    - anchors are built only for documents that appear in some
+      candidate pair (left-semi on the id set) — at crawl scale this
+      is the big reduction, |candidate docs| tokens instead of
+      |corpus| tokens;
+    - NO max_gram_df cap, so spans over candidate pairs are EXACT even
+      through corpus boilerplate (the cap exists to bound the
+      corpus-wide gh self-join fanout; here the pair semi-join bounds
+      the output, and per-(pair, gh) fanout is per-document gram
+      multiplicity, not corpus df).
+
+    Scale shape: anchor build is a projection of the scan; the a-side
+    joins anchors to pairs on id_a (pair-count-sized output per
+    anchor), the b-side equi-joins on (id_b, gh); the island window is
+    keyed (id_a, id_b, diag) — matched-pair-sized partitions. The
+    anchor relation persists (it feeds both join sides)."""
+    # the candidate list has three consumers (both id-set branches +
+    # the matched gate) — persist the pair-count-sized relation so the
+    # screen that produced it runs once
+    pairs = pairs.select("id_a", "id_b").persist()
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    return (
-        runs.groupBy("id_a", "id_b", "diag", "__grp")
-        .agg(
-            F.min("pos_a").alias("start_a"),
-            F.min("pos_b").alias("start_b"),
-            (F.count("*") + (k - 1)).alias("len_tokens"),
+    anch = (
+        _span_anchors(df, k, text_col, id_col)
+        .join(ids, "id", "left_semi")
+        .persist()
+    )
+    a = anch.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gh"
+    )
+    b = anch.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gh"
+    )
+    matched = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "gh"])
+        .select(
+            "id_a", "id_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
         )
-        .filter(F.col("len_tokens") >= min_len)
-        .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
     )
+    return _island_spans(matched, k, min_len)
 
 
 def drop_repeated_paragraphs(

@@ -8566,6 +8566,88 @@ def f92_audio_envelope_pairs(spark, sf):
     )
 
 
+@query(
+    "f93_candidate_substring_spans",
+    """
+    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE len(string_split(text, ' ')) >= 6),
+    wgrams AS (
+      SELECT doc_id, len(l) - 2 AS n_grams,
+             unnest(range(1, len(l) - 1)) AS pos,
+             unnest(list_transform(
+                 range(1, len(l) - 1),
+                 i -> md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS h
+      FROM lists),
+    win AS (
+      SELECT doc_id, n_grams, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM wgrams),
+    fsel AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos + 3 <= n_grams),
+    frare AS (SELECT fp FROM fsel GROUP BY fp HAVING count(*) <= 50),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fsel a JOIN fsel b USING (fp)
+      WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM frare)
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos5 AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS pos
+      FROM words),
+    g AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+4], ' ') AS gram
+      FROM pos5),
+    m AS (
+      SELECT p.id_a, p.id_b, ga.pos AS pos_a, gb.pos AS pos_b,
+             ga.pos - gb.pos AS diag
+      FROM cand p
+      JOIN g ga ON ga.doc_id = p.id_a
+      JOIN g gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram),
+    runs AS (
+      SELECT *, pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m)
+    SELECT id_a, id_b,
+           min(pos_a)::BIGINT AS start_a,
+           min(pos_b)::BIGINT AS start_b,
+           (count(*) + 4)::BIGINT AS len_tokens
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    HAVING count(*) + 4 >= 8
+    """,
+)
+def f93_candidate_substring_spans(spark, sf):
+    """The TWO-STAGE exact-substring dedup — what Lee et al.'s pipeline
+    runs at 100 TB, composed from this repo's own stages exactly as
+    f68's docstring promises: the MOSS winnow screen (f68 parameters)
+    proposes candidate pairs, then `repeated_substring_spans_for_pairs`
+    extracts exact maximal shared runs for THOSE pairs only — anchors
+    built solely for candidate documents, no df cap (the pair gate
+    replaces it, so spans survive even through corpus boilerplate
+    grams the corpus-wide f61 cap would drop), same 5-gram /
+    min_len=8 span semantics. The oracle recomposes screen + spans in
+    one SQL over raw gram strings while Spark joins xxhash64 grams —
+    the f61 collision-audit property carries over.
+
+    On this corpus the two-stage output EQUALS f61's corpus-wide
+    output (pinned in tests/test_text.py): the screen proposes every
+    true span pair, which is the recall claim that justifies the
+    restriction. Scale shape: the screen is fp-keyed partial-agg
+    groupBys with capped fanout; span extraction then touches
+    |candidate docs| tokens instead of |corpus| tokens, and per-(pair,
+    gh) fanout is per-doc gram multiplicity, never corpus df."""
+    from borsa_spark.functions.text import winnow_pairs
+
+    docs = load_table(spark, sf, "documents")
+    cand = winnow_pairs(docs, k=3, w=4, min_shared=2, max_fp_df=50)
+    return _dd.repeated_substring_spans_for_pairs(
+        docs, cand, k=5, min_len=8
+    ).select(
+        "id_a", "id_b", "start_a", "start_b",
+        F.col("len_tokens").cast("long").alias("len_tokens"),
+    )
+
+
 # --- c11: end-to-end crawl corpus-prep DAG -------------------------------
 
 #: c11 fixture lines (each its own <p> block, every one >= 30 visible

@@ -705,3 +705,16 @@ class TestRound8PlanShapes:
             )
             assert len(scan_ids) <= max_scans, (name, len(scan_ids))
             spark.catalog.clearCache()
+
+    def test_f93_candidate_spans_anchor_restriction(self, spark):
+        # the two-stage extractor must build anchors only for
+        # candidate docs (left-semi before the persist) and read the
+        # persisted anchor relation on both join sides; the pair list
+        # itself persists (three consumers)
+        import re
+
+        plan = plan_of(spark, "f93_candidate_substring_spans")
+        imts = set(re.findall(r"\((\d+)\)\s+InMemoryTableScan", plan))
+        assert len(imts) >= 3  # anchors x2 sides + pairs
+        assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+        spark.catalog.clearCache()

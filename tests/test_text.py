@@ -1064,3 +1064,70 @@ class TestWinnowPairs:
             ).count()
             == 0
         )
+
+
+class TestCandidateSubstringSpans:
+    """f93 two-stage exact-substring dedup: the winnow screen's recall
+    claim — on this corpus the candidate-restricted extractor must
+    produce EXACTLY the corpus-wide f61 span set (the screen proposes
+    every true span pair), despite dropping the df cap and building
+    anchors only for candidate docs."""
+
+    def test_equals_corpus_wide_spans(self, spark):
+        from borsa_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        two_stage = sorted(
+            tuple(r)
+            for r in QUERIES["f93_candidate_substring_spans"](
+                spark, sf
+            ).collect()
+        )
+        corpus_wide = sorted(
+            tuple(r)
+            for r in QUERIES["f61_substring_spans"](spark, sf).collect()
+        )
+        spark.catalog.clearCache()
+        assert two_stage == corpus_wide
+        assert len(two_stage) == 25  # non-vacuous
+
+    def test_pair_gate_is_load_bearing(self, spark):
+        # restricting to a pair subset must restrict the spans — prove
+        # the gate actually gates (not a corpus-wide join in disguise)
+        from borsa_spark.functions.dedup import (
+            repeated_substring_spans_for_pairs,
+        )
+        from borsa_spark.functions.text import winnow_pairs
+        from borsa_spark.sources import load_table
+
+        from borsa_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        docs = load_table(spark, sf, "documents")
+        # gate on a pair KNOWN to carry a span (winnow candidates are
+        # a superset of span pairs — not every candidate has an
+        # 8-token run, so pick from f61's output, not the screen's)
+        span_pair = (
+            QUERIES["f61_substring_spans"](spark, sf)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b")
+            .limit(1)
+        )
+        got = repeated_substring_spans_for_pairs(
+            docs, span_pair, k=5, min_len=8
+        ).select("id_a", "id_b").distinct().collect()
+        want = {(r.id_a, r.id_b) for r in span_pair.collect()}
+        spark.catalog.clearCache()
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert pairs == want and len(pairs) == 1
+        # and the screen really is a superset of the span pairs
+        cand = winnow_pairs(docs, k=3, w=4, min_shared=2, max_fp_df=50)
+        cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+        span_set = {
+            (r.id_a, r.id_b)
+            for r in QUERIES["f61_substring_spans"](spark, sf)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        spark.catalog.clearCache()
+        assert span_set <= cand_set

@@ -662,6 +662,47 @@ def run_r8_family(spark, results: list) -> None:
             emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
 
 
+def run_r9_family(spark, results: list) -> None:
+    """Round-9 lifecycle DAGs (c11 crawl corpus prep, c12 training
+    mix) across three document decades. Both are compositions of
+    individually-drilled stages, so the drill checks the COMPOSITION:
+    c11 should track corpus size like its dominant stage family
+    (f71-f78, 2-6x wall per decade) and c12 like f77 + one DSIR scan —
+    everything after its k=100 selection is O(k) by construction, so
+    the gap between c12 and bare f77 should stay roughly constant,
+    not grow, across decades.
+
+    Timing starts BEFORE the query fn() call: c12's classifier trains
+    at construction time (checkpoints + per-iteration collects), and
+    the bench run_once convention keeps that inside the timed window.
+    """
+    from borsa_spark.queries import QUERIES
+
+    generate_100x(spark)
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    tiers = [
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1x10", os.path.abspath(SCALE_DIR)),
+        ("sf100x", os.path.abspath(SCALE_DIR_100)),
+    ]
+    for qname in ("f77_logreg_quality_score", "c11_crawl_corpus_prep",
+                  "c12_training_mix"):
+        fn = QUERIES[qname]
+        for tier, path in tiers:
+            t0 = time.time()
+            df = fn(spark, path).persist()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            n = df.count()
+            df.unpersist()
+            spark.catalog.clearCache()
+            emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
+
+
 def run_f90_drill(spark, results: list) -> None:
     """Image near-dup family (f90/f91) across three document decades,
     on the f91 crawl-degenerate fixture (80% flat images, planted
@@ -1107,6 +1148,13 @@ def main() -> None:
         return
     if "--tiered" in sys.argv:
         run_tiered_drill(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--r9-family" in sys.argv:
+        run_r9_family(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
