@@ -216,11 +216,18 @@ def main() -> None:
 
     # min of two runs per query: the machine hosts concurrent builders, and
     # a single sample can be 2-4x off under load; min-of-2 reports the plan,
-    # not the neighbors.
+    # not the neighbors. clearCache runs INSIDE every sample: many library
+    # paths persist() multi-consumer intermediates, and Spark's
+    # CacheManager matches cached plans structurally across separately
+    # constructed DataFrames — without the per-sample clear, sample 2
+    # would read sample 1's live caches and min-of-2 would report a
+    # warm-cache wall, not the plan (round-9 review finding).
     def run_once(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt
 
     def time_set(names: list[str], slow_retry: float) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -236,9 +243,6 @@ def main() -> None:
             if best > slow_retry:
                 best = min(best, run_once(fn))
             out[name] = round(best, 3)
-            # Drop any intermediates a library path persisted for this
-            # query so the harness, not the query fn, owns cache lifetime.
-            spark.catalog.clearCache()
         return out
 
     timings = time_set(HEADLINE, slow_retry=15.0)

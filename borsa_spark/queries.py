@@ -8643,7 +8643,9 @@ def f93_candidate_substring_spans(spark, sf):
     return _dd.repeated_substring_spans_for_pairs(
         docs, cand, k=5, min_len=8
     ).select(
-        "id_a", "id_b", "start_a", "start_b",
+        "id_a", "id_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
         F.col("len_tokens").cast("long").alias("len_tokens"),
     )
 
@@ -8933,6 +8935,13 @@ def _c12_stages(spark, sf) -> dict:
 
     docs = load_table(spark, sf, "documents")
     target = F.col("source").isin("src0", "src1")
+    # quality feeds two consumers (median + gate) — the dual-consumer
+    # audit class — but persisting it was MEASURED AND REJECTED: its
+    # re-derivation runs over the checkpointed feature ExistingRDD
+    # (two bounded aggregations, no corpus I/O), while the cache
+    # boundary blocks Catalyst's pruning and the physical plan GAINS
+    # two corpus parquet scans (3 -> 5, A/B-measured round 9). The
+    # plan guard pins <= 3 scans, which the unpersisted form holds.
     quality = hashed_logreg_scores(docs, target)
     # Exact percentile is fine on the quality relation (3 narrow cols
     # per doc, tiny vs the corpus); at 100 TB swap percentile_approx

