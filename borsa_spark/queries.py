@@ -5689,9 +5689,11 @@ def x5_freq_items_superset(spark, sf):
     Scale shape: the sketch is per-partition counters merged once
     (1/support entries each), never a full groupBy."""
     docs = load_table(spark, sf, "documents")
+    # three consumers (sketch, total, exact counts) — persist the
+    # single-column token relation so the explode runs once
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
+    ).persist()
     sketch = toks.stat.freqItems(["tok"], support=0.02)
     tot = toks.agg(F.count("*").cast("double").alias("__n"))
     exact = (

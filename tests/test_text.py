@@ -1131,3 +1131,57 @@ class TestCandidateSubstringSpans:
         }
         spark.catalog.clearCache()
         assert span_set <= cand_set
+
+    def test_all_pairs_equals_uncapped_corpus_wide(self, spark):
+        # with pairs = every (i < j) pair, the restricted extractor
+        # must equal the corpus-wide one with the df cap disabled —
+        # the exactness claim behind dropping the cap
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from borsa_spark.functions.dedup import (
+            repeated_substring_spans,
+            repeated_substring_spans_for_pairs,
+        )
+
+        TOK = st.sampled_from(["a", "b", "c"])
+        DOC = st.lists(TOK, min_size=0, max_size=10)
+        CORPUS = st.lists(DOC, min_size=2, max_size=4)
+
+        @settings(
+            max_examples=6, deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        @given(CORPUS)
+        def run(corpus):
+            docs = spark.createDataFrame(
+                [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+                "doc_id long, text string",
+            )
+            n = len(corpus)
+            allpairs = spark.createDataFrame(
+                [(i, j) for i in range(n) for j in range(i + 1, n)],
+                "id_a long, id_b long",
+            )
+            # duplicate + reversed rows must be harmless (the round-9
+            # review hole: dup pairs fragmented runs via row_number)
+            noisy = allpairs.unionByName(allpairs)
+            got = sorted(
+                tuple(r)
+                for r in repeated_substring_spans_for_pairs(
+                    docs, noisy, k=2, min_len=3
+                ).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in repeated_substring_spans(
+                    docs, k=2, min_len=3, max_gram_df=10**9
+                ).collect()
+            )
+            spark.catalog.clearCache()
+            assert got == want
+
+        run()
