@@ -363,7 +363,10 @@ def admission_frame(docs: DataFrame, pred, threshold: float = 0.5) -> DataFrame:
     verified cross-set near-dup at ``threshold``. The oracle-checkable
     face of the streaming pipeline (query f48)."""
     hashed = docs.select("doc_id", "text", F.md5("text").alias("text_md5"))
-    batch = hashed.filter(~pred(F.col("doc_id")))
+    # batch feeds the first-of-md5 agg AND the decision join — persist
+    # the micro-batch-sized relation so its scan+md5 runs once
+    # (round-9 audit; the corpus side scans once per distinct use)
+    batch = hashed.filter(~pred(F.col("doc_id"))).persist()
     corpus = hashed.filter(pred(F.col("doc_id")))
     firsts = batch.groupBy("text_md5").agg(F.min("doc_id").alias("keep_id"))
     near = (
