@@ -1208,13 +1208,18 @@ def repeated_substring_spans_for_pairs(
     anchor relation persists (it feeds both join sides)."""
     # the candidate list has three consumers (both id-set branches +
     # the matched gate) — persist the pair-count-sized relation so the
-    # screen that produced it runs once. distinct + the id_a < id_b
-    # guard are CORRECTNESS, not hygiene: a duplicate pair duplicates
-    # every matched anchor row, and row_number over equal pos_a then
+    # screen that produced it runs once. Normalize + distinct are
+    # CORRECTNESS, not hygiene: a duplicate pair duplicates every
+    # matched anchor row, and row_number over equal pos_a then
     # fragments true runs into sub-min_len groups (spans silently
-    # vanish); a self-pair would match every anchor against itself.
+    # vanish). Orientation is NORMALIZED (least/greatest), not
+    # filtered, so a screen that emits (j, i) still gets its spans;
+    # self-pairs drop.
     pairs = (
-        pairs.select("id_a", "id_b")
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
         .persist()

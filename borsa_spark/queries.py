@@ -8631,10 +8631,15 @@ def f93_candidate_substring_spans(spark, sf):
     one SQL over raw gram strings while Spark joins xxhash64 grams —
     the f61 collision-audit property carries over.
 
-    On this corpus the two-stage output EQUALS f61's corpus-wide
-    output (pinned in tests/test_text.py): the screen proposes every
-    true span pair, which is the recall claim that justifies the
-    restriction. Scale shape: the screen is fp-keyed partial-agg
+    At sf0.01 the two-stage output EQUALS f61's corpus-wide output
+    (pinned in tests/test_text.py) — on THAT corpus the screen
+    proposes every true span pair. One decade up the sets diverge in
+    both directions (SCALE.md sf1 record: the screen's fp-df cap
+    drops boilerplate-heavy pairs f61 reaches, ~84% screen recall,
+    while f93 finds spans through boilerplate grams f61's own gram-df
+    cap drops) — the standard screen-recall vs cap-exactness trade,
+    measured, each form hash-matching its own exact oracle.
+    Scale shape: the screen is fp-keyed partial-agg
     groupBys with capped fanout; span extraction then touches
     |candidate docs| tokens instead of |corpus| tokens, and per-(pair,
     gh) fanout is per-doc gram multiplicity, never corpus df."""

@@ -1117,6 +1117,16 @@ class TestCandidateSubstringSpans:
             docs, span_pair, k=5, min_len=8
         ).select("id_a", "id_b").distinct().collect()
         want = {(r.id_a, r.id_b) for r in span_pair.collect()}
+        # a screen may emit the pair in EITHER orientation: the
+        # extractor normalizes (least/greatest), never drops — an
+        # only-reversed input must yield the identical spans
+        flipped_only = span_pair.select(
+            span_pair.id_b.alias("id_a"), span_pair.id_a.alias("id_b")
+        )
+        got_flipped = repeated_substring_spans_for_pairs(
+            docs, flipped_only, k=5, min_len=8
+        ).select("id_a", "id_b").distinct().collect()
+        assert {(r.id_a, r.id_b) for r in got_flipped} == want
         spark.catalog.clearCache()
         pairs = {(r.id_a, r.id_b) for r in got}
         assert pairs == want and len(pairs) == 1
@@ -1166,9 +1176,15 @@ class TestCandidateSubstringSpans:
                 [(i, j) for i in range(n) for j in range(i + 1, n)],
                 "id_a long, id_b long",
             )
-            # duplicate + reversed rows must be harmless (the round-9
-            # review hole: dup pairs fragmented runs via row_number)
-            noisy = allpairs.unionByName(allpairs)
+            # duplicate AND reversed rows must be harmless: dup pairs
+            # fragmented runs via row_number (round-9 review hole #1),
+            # and reversed orientation must normalize, not drop
+            # (hole #2 — a screen emitting (j, i) would lose its spans
+            # under a bare id_a < id_b filter)
+            flipped = allpairs.select(
+                allpairs.id_b.alias("id_a"), allpairs.id_a.alias("id_b")
+            )
+            noisy = allpairs.unionByName(allpairs).unionByName(flipped)
             got = sorted(
                 tuple(r)
                 for r in repeated_substring_spans_for_pairs(

@@ -59,6 +59,13 @@ def main() -> None:
                       "plans are rollup_state/rollup_merge, audited in "
                       "tests/test_plan_shapes.py)", ""]
             continue
+        # clear BEFORE each explain: an earlier query's persisted
+        # relation would otherwise be substituted into this query's
+        # recorded plan (CacheManager matches plans structurally), and
+        # PLANS.md would document a cache-contaminated, order-dependent
+        # plan the bench/oracle harnesses (which clear per query) never
+        # run (round-9 review finding).
+        spark.catalog.clearCache()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             fn(spark, SF).explain("formatted")
