@@ -59,38 +59,46 @@ def charngram_nb_langid(
         F.col(text_col).alias("__t"),
         train.alias("__tr"),
     ).filter(F.length("__t") >= 2)
-    # Train-then-score in THREE corpus scans (round-9 executed-plan
-    # audit: the naive form ran SEVEN — the counts subtree, explode
-    # included, re-derived once per consumer, zero ReusedExchange):
-    # one explode scan builds the charset^2 x n_langs model, eagerly
-    # checkpointed so labels/tot/vocab/scores read stored rows; one
-    # pruned (no-explode) scan counts train docs per label, with the
-    # grand total derived from that tiny relation rather than a third
-    # base pass; one explode scan scores. Deliberately NOT the
-    # f77 persist-the-features shape: per-(doc, bigram) rows are ~10x
-    # the raw text bytes, so materializing tf costs more than the one
-    # extra scan it saves (measured: persist form 2.7x slower at
-    # sf0.1 and strictly more I/O at 100 TB).
+    # ONE corpus scan AT RUNTIME — the f74/f78 de-canonicalization
+    # lesson applied here (round 9): train-side quantities are
+    # CONDITIONAL SUMS over the shared per-(doc, label, flag, bigram)
+    # tf exchange, never a `filter("__tr")` — a pushed-down train
+    # filter specializes each consumer's scan (the naive form ran
+    # SEVEN real corpus scans, zero ReusedExchange, final-plan
+    # verified), while the conditional form keeps every consumer on
+    # the IDENTICAL exchange so AQE's ReusedExchange executes the
+    # scan+explode once. Two alternatives were measured and rejected
+    # this round: persisting tf (per-(doc, bigram) rows are ~10x the
+    # raw text bytes — 2.7x slower) and eagerly checkpointing the
+    # model (train-then-score, 3 scans — strictly worse than reuse's
+    # 1). Zero-count (__c = 0) model rows are numerically inert: the
+    # scoring join coalesces missing and 0 to the same +1 smoothing,
+    # and tot gains 0; labels/vocab read the __c > 0 subset (a
+    # post-aggregation filter, which cannot push below the exchange).
     tf = base.select(
         "doc_id", label_col, "__tr",
         F.explode(_char_bigrams("__t")).alias("__bg"),
     ).groupBy("doc_id", label_col, "__tr", "__bg").agg(
         F.count("*").alias("__tf")
     )
-    counts = (
-        tf.filter("__tr")
-        .groupBy(F.col(label_col).alias("__ml"), "__bg")
-        .agg(F.sum("__tf").alias("__c"))
-        .localCheckpoint(eager=True)
+    counts = tf.groupBy(F.col(label_col).alias("__ml"), "__bg").agg(
+        F.sum(
+            F.when(F.col("__tr"), F.col("__tf")).otherwise(F.lit(0))
+        ).alias("__c")
     )
-    labels = counts.select("__ml").distinct()
+    trained = counts.filter(F.col("__c") > 0)
+    labels = trained.select("__ml").distinct()
     tot = counts.groupBy("__ml").agg(F.sum("__c").alias("__tot"))
-    vocab = counts.agg(F.countDistinct("__bg").alias("__v"))
+    vocab = trained.agg(F.countDistinct("__bg").alias("__v"))
+    # doc counts from the PRE-explode base (a light no-bigram scan):
+    # deriving them from tf would add a third column-pruning variant
+    # of the explode subtree (Catalyst prunes per consumer, and
+    # differently-pruned exchanges cannot reuse). nd's own exchange
+    # is shared by the scoring join and the ntr total.
     nd = (
         base.filter("__tr")
         .groupBy(F.col(label_col).alias("__ml"))
         .agg(F.count("*").alias("__nd"))
-        .localCheckpoint(eager=True)
     )
     ntr = nd.agg(F.sum("__nd").alias("__n"))
     scores = (

@@ -775,14 +775,15 @@ def bigram_backoff_scores(
     sums are a few hundred terms). Documents with < 2 tokens emit no
     row, the `dsir_importance_weights` convention.
 
-    Scale shape: TWO corpus scans — one fits the LM (the per-(doc,
-    train-flag, w1, w2) tf pre-aggregation rolls up into the
-    vocab-sized bigram relation, which is eagerly checkpointed so
-    context/unigram/total all read stored rows; train counts are
-    conditional sums inside it, never a pushed-down filter — the f74
-    de-canonicalization lesson), one scores (the tf probe joined to
-    the broadcast-sized score table, final agg keyed by doc_id).
-    Totals is a 1-row broadcast.
+    Scale shape: ONE corpus scan AT RUNTIME — the per-(doc,
+    train-flag, w1, w2) tf pre-aggregation is the shared exchange
+    (train counts are conditional sums inside it, never a pushed-down
+    filter — the f74 de-canonicalization lesson: a pushed filter
+    would specialize each consumer's scan and kill reuse), and AQE's
+    ReusedExchange feeds bigram/context/unigram relations and the
+    score probe from that one exchange (final-plan guard:
+    `test_bigram_backoff_single_corpus_scan`). Totals is a 1-row
+    broadcast.
     """
     base = docs.select(
         "doc_id",
@@ -817,14 +818,17 @@ def bigram_backoff_scores(
         F.sum(
             F.when(F.col("__t"), F.col("__tf")).otherwise(F.lit(0))
         ).alias("__c2")
-    ).localCheckpoint(eager=True)
-    # ^ the LM itself is vocab-sized (distinct train bigrams), and its
-    # four consumers (ctx, uni, tot-via-uni, the score join) would
-    # each re-run the corpus tf subtree without the cut — the round-9
-    # executed-plan audit measured 5 document scans, zero
-    # ReusedExchange, against this function's one-corpus-scan claim.
-    # With the checkpoint the corpus is scanned twice: once to fit
-    # the LM, once to score — the train-then-score shape (f85's fix).
+    )
+    # NO checkpoint here, deliberately (round-9 lesson): because the
+    # train counts are conditional sums (never a pushed-down filter),
+    # every consumer of the tf exchange sees the IDENTICAL exchange
+    # and AQE's ReusedExchange runs the corpus scan ONCE at runtime —
+    # the final-plan guard (test_bigram_backoff_single_corpus_scan:
+    # 1 Scan parquet + ReusedExchange) proves it. An eager checkpoint
+    # of `big` was tried this round and REVERTED: it moved the LM fit
+    # to construction as a SECOND corpus scan, regressing the
+    # runtime-reused 1-scan plan to 2 scans. Initial formatted plans
+    # show 5 scan nodes — that is pre-AQE text, not execution.
     ctx = big.groupBy("w1").agg(F.sum("__c2").alias("__c1ctx"))
     uni = big.groupBy("w2").agg(F.sum("__c2").alias("__c1w"))
     tot = uni.agg(

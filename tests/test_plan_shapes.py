@@ -661,18 +661,12 @@ class TestRound8PlanShapes:
         # round-9 executed-plan audit fixes: kmeans persists its
         # feature relation and checkpoints the k-row centroids per
         # round (f52 ran TEN embedding scans before; now the pair
-        # stage reads 2 scans + the persisted m on both sides), and
-        # the f85/f78 trained scorers checkpoint their bounded models
-        # so the final plan carries exactly ONE corpus scan (model
-        # fitting runs at construction, 1-2 more scans, never per
-        # consumer)
+        # stage reads 2 scans + the persisted m on both sides)
         import re
 
         for name, max_scans in (
             ("f52_semdedup", 2),
             ("f20_kmeans_clusters", 1),
-            ("f85_langid_nb", 1),
-            ("f78_bigram_backoff_score", 1),
         ):
             plan = plan_of(spark, name)
             scan_ids = set(
@@ -681,6 +675,32 @@ class TestRound8PlanShapes:
             assert len(scan_ids) <= max_scans, (name, len(scan_ids))
             assert "ExistingRDD" in plan, name
             spark.catalog.clearCache()
+
+    def test_langid_runtime_reuse(self, spark):
+        # f85's round-9 final form: train-side quantities are
+        # CONDITIONAL sums over the shared tf exchange (the f74/f78
+        # de-canonicalization rule — a pushed-down train filter
+        # specialized every consumer's scan: 7 real corpus scans,
+        # zero reuse, final-plan verified). The FINAL AQE plan must
+        # hold at <= 3 scans (scores' full-width explode + counts'
+        # pruned explode variant Catalyst collapses to, + the light
+        # pre-explode doc-count scan) with ReusedExchange live.
+        # Checkpoint (3 eager scans) and tf-persist (10x text bytes)
+        # forms were measured and rejected this round.
+        import contextlib
+        import io
+
+        from borsa_spark.queries import QUERIES
+
+        df = QUERIES["f85_langid_nb"](spark, SF)
+        df.collect()  # let AQE finalize so ReusedExchange is visible
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        final = buf.getvalue().split("== Initial Plan ==")[0]
+        assert final.count("Scan parquet") <= 3
+        assert "ReusedExchange" in final
+        spark.catalog.clearCache()
 
     def test_self_join_intermediates_persist(self, spark):
         # round-9 audit, second batch: relations feeding a df-cap agg
