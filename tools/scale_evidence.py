@@ -692,7 +692,7 @@ def run_r9_family(spark, results: list) -> None:
     _run_decade_drill(
         spark, results,
         ("f77_logreg_quality_score", "c11_crawl_corpus_prep",
-         "c12_training_mix"),
+         "c12_training_mix", "f93_candidate_substring_spans"),
         time_from_construction=True,
     )
 
