@@ -52,7 +52,12 @@ def charngram_nb_langid(
 ) -> DataFrame:
     """Fit char-bigram multinomial NB on rows where ``train`` holds,
     score EVERY document (>= 2 chars of text): (doc_id, <label_col>,
-    pred). Callers filter to the holdout for accuracy measurement."""
+    pred). Callers filter to the holdout for accuracy measurement.
+
+    The whole train+score DAG is LAZY (runtime exchange reuse keeps it
+    at one corpus scan PER ACTION — see the body comment): a caller
+    firing several actions on the result re-trains per action and
+    should persist the returned frame first."""
     base = docs.select(
         "doc_id",
         F.col(label_col),

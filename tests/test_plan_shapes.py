@@ -21,6 +21,17 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+def final_plan_of(spark, name: str) -> str:
+    """The post-execution AQE plan (collect first so ReusedExchange is
+    visible); everything after '== Initial Plan ==' is pre-AQE text."""
+    df = QUERIES[name](spark, SF)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().split("== Initial Plan ==")[0]
+
+
 class TestPlanShapes:
     def test_q6_filters_pushed_to_scan(self, spark):
         plan = plan_of(spark, "rel_q6_revenue_filter")
@@ -435,19 +446,7 @@ class TestRound7PlanShapes:
         assert "EvalPython" not in plan
 
     def _final_plan(self, spark, name):
-        import contextlib
-        import io
-
-        from borsa_spark.queries import QUERIES
-
-        df = QUERIES[name](spark, SF)
-        df.collect()  # let AQE finalize so ReusedExchange is visible
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        out = buf.getvalue()
-        final = out.split("== Initial Plan ==")[0]
-        return final
+        return final_plan_of(spark, name)
 
     def test_unigram_lm_single_corpus_scan(self, spark):
         # vocab and totals roll up the per-(doc, token) tf exchange, so
@@ -687,17 +686,7 @@ class TestRound8PlanShapes:
         # pre-explode doc-count scan) with ReusedExchange live.
         # Checkpoint (3 eager scans) and tf-persist (10x text bytes)
         # forms were measured and rejected this round.
-        import contextlib
-        import io
-
-        from borsa_spark.queries import QUERIES
-
-        df = QUERIES["f85_langid_nb"](spark, SF)
-        df.collect()  # let AQE finalize so ReusedExchange is visible
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        final = buf.getvalue().split("== Initial Plan ==")[0]
+        final = final_plan_of(spark, "f85_langid_nb")
         assert final.count("Scan parquet") <= 3
         assert "ReusedExchange" in final
         spark.catalog.clearCache()

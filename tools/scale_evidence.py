@@ -680,15 +680,17 @@ def run_r8_family(spark, results: list) -> None:
 
 
 def run_r9_family(spark, results: list) -> None:
-    """Round-9 lifecycle DAGs (c11 crawl corpus prep, c12 training
-    mix) across three document decades. Both are compositions of
-    individually-drilled stages, so the drill checks the COMPOSITION:
-    c11 should track corpus size like its dominant stage family
-    (f71-f78, 2-6x wall per decade) and c12 like f77 + one DSIR scan —
-    everything after its k=100 selection is O(k) by construction, so
-    the gap between c12 and bare f77 should stay roughly constant,
-    not grow, across decades. Timing starts at fn() construction
-    (c12 trains at construction time)."""
+    """Round-9 lifecycle family across three document decades: the
+    composed DAGs (c11 crawl corpus prep, c12 training mix) against
+    their dominant stage (f77), plus f93's two-stage substring dedup.
+    The drill checks the COMPOSITIONS — c11 should track the f71-f78
+    stage family's 2-6x wall per decade, c12 should track bare f77
+    (everything after its k=100 selection is O(k)) — and that f93's
+    span OUTPUT follows true duplicate structure, not corpus size,
+    while its walls stay sub-linear. Timing starts at fn()
+    construction because c12 trains at construction time (the bench
+    run_once convention, applied uniformly; for the lazy queries the
+    construction cost inside the window is near-zero)."""
     _run_decade_drill(
         spark, results,
         ("f77_logreg_quality_score", "c11_crawl_corpus_prep",
