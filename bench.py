@@ -216,17 +216,22 @@ def main() -> None:
 
     # min of two runs per query: the machine hosts concurrent builders, and
     # a single sample can be 2-4x off under load; min-of-2 reports the plan,
-    # not the neighbors. clearCache runs INSIDE every sample: many library
-    # paths persist() multi-consumer intermediates, and Spark's
+    # not the neighbors. release_all_cached runs INSIDE every sample: many
+    # library paths persist() multi-consumer intermediates, and Spark's
     # CacheManager matches cached plans structurally across separately
     # constructed DataFrames — without the per-sample clear, sample 2
     # would read sample 1's live caches and min-of-2 would report a
-    # warm-cache wall, not the plan (round-9 review finding).
+    # warm-cache wall, not the plan (round-9 review finding). The
+    # release also unpersists RDD-layer blocks (localCheckpoints from
+    # kmeans/_band_near_pairs/bloom) that clearCache alone leaves to
+    # accumulate over a full bench run (round-9 ADVICE).
+    from borsa_spark.session import release_all_cached
+
     def run_once(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
-        spark.catalog.clearCache()
+        release_all_cached(spark)
         return dt
 
     def time_set(names: list[str], slow_retry: float) -> dict[str, float]:
@@ -266,22 +271,48 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     all_walls = {**timings, **tier2}
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "tier2_queries": tier2,
+        "tier2_total": round(sum(tier2.values()), 3),
+        "probe_s": probe_s,
+        "ratios": {
+            k: round(v / probe_s, 2) for k, v in all_walls.items()
+        },
+        "total_ratio": round(sum(timings.values()) / probe_s, 2),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "shingle_hash": os.environ["BORSA_SPARK_SHINGLE_HASH"],
+    }
+    # Two channels (round-10 fix): the driver captures only the TAIL of
+    # stdout (~2000 chars), and by round 8 the single full-JSON line had
+    # outgrown it — BENCH_r08/r09 recorded "parsed": null and r9's
+    # artifact lost the tier-1 walls dict off the FRONT of the line. So
+    # the full payload goes to bench_out.json (committed per round; the
+    # durable record BASELINE.md's ratio rule reads), and stdout gets a
+    # compact line that always fits the tail capture: headline totals +
+    # the probe, with a pointer to the file.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "tier2_queries": tier2,
-                "tier2_total": round(sum(tier2.values()), 3),
+                "tier2_total": full["tier2_total"],
                 "probe_s": probe_s,
-                "ratios": {
-                    k: round(v / probe_s, 2) for k, v in all_walls.items()
-                },
-                "total_ratio": round(sum(timings.values()) / probe_s, 2),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "shingle_hash": os.environ["BORSA_SPARK_SHINGLE_HASH"],
+                "total_ratio": full["total_ratio"],
+                "sf": full["sf"],
+                "n_queries": len(timings),
+                "n_tier2": len(tier2),
+                "detail": "bench_out.json",
             }
         )
     )

@@ -17,6 +17,24 @@ Layout
 - ``functions``   dedup / similarity / text-analysis / multimodal pipelines
 - ``streaming``   stream fan-in, monotonic gate, windowed candles, supervisor
 - ``middleware``  TTL cache / quota / blacklist wrappers
+
+Cache-lifetime contract
+-----------------------
+Library functions that feed one intermediate to several consumers
+(`minhash_dedup_pairs`' shingle arrays, `repeated_substring_spans`'
+anchors, `semdedup`'s cluster assignments, ...) ``persist()`` that
+intermediate and do NOT unpersist it before returning: the returned
+DataFrame is lazy, so the cache must outlive the call for the
+consumer's action to benefit. The CALLER (harness, service loop, or
+notebook) owns the release — run
+``borsa_spark.session.release_all_cached(spark)`` after consuming each
+result (it also frees ``localCheckpoint`` blocks, which
+``spark.catalog.clearCache()`` alone does not). bench.py and the
+oracle harness do this between queries;
+tests/test_cache_discipline.py asserts the sweep returns the session
+to zero cached blocks after representative queries() entries. The few
+functions that themselves run the terminal action (e.g.
+``kmeans_centroids``' training loop) clean up their own persists.
 """
 
 from borsa_spark.errors import (

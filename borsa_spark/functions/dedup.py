@@ -289,12 +289,23 @@ def lsh_band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
+#: Default hot-bucket cap for the MinHash LSH candidate join (round-10
+#: flip: guarded by DEFAULT). 256 bounds any one bucket's contribution
+#: at C(256,2) ≈ 33k pairs — generous for genuine near-dup cohorts at
+#: any corpus size, while a boilerplate bucket of 10^6 docs would have
+#: emitted 5·10^11. Exhaustive all-pairs banding requires an explicit
+#: ``max_bucket_size=None``.
+CRAWL_MAX_BUCKET = 256
+
+
 def minhash_candidates(
-    sig: DataFrame, max_bucket_size: int | None = None
+    sig: DataFrame, max_bucket_size: int | None = CRAWL_MAX_BUCKET
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH band (id_a < id_b).
 
-    ``max_bucket_size`` guards the quadratic hot-bucket blowup at corpus
+    ``max_bucket_size`` (default ``CRAWL_MAX_BUCKET`` — pass ``None``
+    explicitly for the unguarded exhaustive form) guards the quadratic
+    hot-bucket blowup at corpus
     scale: a band key shared by B documents yields B(B-1)/2 candidate pairs,
     and one pathological bucket (boilerplate, empty-ish docs) can dominate
     the whole join. Buckets above the cap are EXCLUDED FROM CANDIDATES, not
@@ -416,10 +427,14 @@ def verify_jaccard_inrow(cands: DataFrame, arr: DataFrame,
 
 def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        persist_shingles: bool = True) -> DataFrame:
+                        persist_shingles: bool = True,
+                        max_bucket_size: int | None = CRAWL_MAX_BUCKET,
+                        ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signature -> banded
     candidates -> exact-Jaccard verification (>= threshold), with the
-    verifier bounded to the candidate set.
+    verifier bounded to the candidate set. ``max_bucket_size`` defaults
+    to the crawl-safe ``CRAWL_MAX_BUCKET`` (see `minhash_candidates`);
+    pass ``None`` explicitly for the exhaustive unguarded form.
 
     One persisted (id, shingles array) relation feeds BOTH the in-row
     signature fold and the array-intersect verifier — the exploded shingle
@@ -452,7 +467,7 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     sig = signature_from_array(arr)
     if persist_shingles:
         sig = sig.persist()
-    cands = minhash_candidates(sig)
+    cands = minhash_candidates(sig, max_bucket_size=max_bucket_size)
     return verify_jaccard_inrow(cands, arr, threshold)
 
 
@@ -724,7 +739,7 @@ def minhash_pairs_against(
     sh: DataFrame,
     is_existing: "Column",
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = CRAWL_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two partitions of a corpus — new-batch
     documents against an existing corpus, never new-new or
@@ -781,7 +796,7 @@ def minhash_pairs_against_inrow(
     is_existing: "Column",
     n: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = CRAWL_MAX_BUCKET,
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_shingles: bool = True,
@@ -1250,6 +1265,84 @@ def repeated_substring_spans_for_pairs(
         )
     )
     return _island_spans(matched, k, min_len)
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite documents with repeated substring spans CUT — the
+    removal step of Lee et al. 2022 ("we remove the duplicate span
+    from all but one document"), composing with `repeated_substring_
+    spans` / `repeated_substring_spans_for_pairs`, whose output is the
+    ``spans`` input: (id_a, id_b, start_a, start_b, len_tokens),
+    id_a < id_b, 1-based token starts over single-space tokenization.
+
+    Keep-first discipline (the `drop_repeated_paragraphs` convention
+    one level down): every span's id_b-side occurrence is removed, the
+    id_a side is kept — along a dup chain A < B < C with pairs (A,B),
+    (B,C), the text survives ONLY in A, because each later doc is the
+    id_b of some earlier one. Overlapping removal intervals within a
+    doc merge before cutting (a token is removed once even when named
+    by many pairs), so re-running on the rewrite is a no-op for the
+    same span set.
+
+    Output: (id_col, <other columns>, text_col rebuilt from kept
+    tokens, n_tokens_removed). Docs with no spans ride through with
+    n_tokens_removed = 0; a doc whose every token is removed keeps its
+    row with text '' (unlike paragraph dedup, span removal is a
+    rewrite, not an admission decision).
+
+    Scale shape: interval merge is a window keyed by doc id over
+    span-count-sized partitions (never tokens); the cut is a row-local
+    higher-order filter over the token array — one scan of the corpus,
+    no token-level shuffle anywhere.
+    """
+    iv = spans.select(
+        F.col("id_b").alias("__rid"),
+        F.col("start_b").cast("long").alias("__s"),
+        (F.col("start_b") + F.col("len_tokens") - 1)
+        .cast("long").alias("__e"),
+    )
+    w = Window.partitionBy("__rid").orderBy("__s", "__e")
+    pmax = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "__new",
+        F.when(pmax.isNull() | (F.col("__s") > pmax), 1).otherwise(0),
+    ).withColumn("__grp", F.sum("__new").over(w))
+    per_doc = (
+        isl.groupBy("__rid", "__grp")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+        .groupBy("__rid")
+        .agg(F.collect_list(F.struct("__s", "__e")).alias("__ivs"))
+    )
+    other = [c for c in docs.columns if c not in (id_col, text_col)]
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc["__rid"], "left"
+    ).drop("__rid")
+    toks = F.split(F.col(text_col), " ")
+    ivs = F.coalesce(
+        F.col("__ivs"),
+        F.array().cast("array<struct<__s:bigint,__e:bigint>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ivs,
+            lambda v: (i + 1 >= v["__s"]) & (i + 1 <= v["__e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        *other,
+        F.array_join(kept, " ").alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long")
+        .alias("n_tokens_removed"),
+    )
 
 
 def drop_repeated_paragraphs(

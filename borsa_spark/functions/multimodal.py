@@ -1453,6 +1453,48 @@ def band_oversized_buckets(
     )
 
 
+_UNSET = object()
+
+#: Coherent presets for the band candidate joins (round-10: safe by
+#: DEFAULT). The three knobs are not independent: SCALE.md's 500k-image
+#: drill shows byte bands + a cap collapsing recall (1,951/2,048 buckets
+#: oversized -> 231/50,030 planted pairs found) while byte bands WITHOUT
+#: a cap go O(n²) on flat cohorts — only the (wide bands, finite cap)
+#: pair is crawl-viable, so the preset switches them together.
+#:
+#: - "crawl" (default): 16-bit bands (4 bands -> pigeonhole recall
+#:   bound hamming <= 3, hence the matching max_hamming default) + a
+#:   finite hot-bucket cap. What a 100-TB user gets without reading
+#:   SCALE.md. Excluded buckets are never silent: account with
+#:   `band_oversized_buckets` and route those near-identical cohorts
+#:   through exact (full-hash) dedup.
+#: - "exhaustive": byte bands, no cap, hamming <= 6 — the all-pairs
+#:   research/baseline form (f90's documented shape). Opt-in only;
+#:   quadratic on flat cohorts at crawl density.
+#:
+#: Any explicitly passed argument overrides its preset component.
+BAND_PROFILES: dict[str, dict] = {
+    "crawl": {"max_hamming": 3, "max_bucket_size": 64, "band_width": 2},
+    "exhaustive": {"max_hamming": 6, "max_bucket_size": None,
+                   "band_width": 1},
+}
+
+
+def _resolve_band_profile(profile, max_hamming, max_bucket_size,
+                          band_width):
+    if profile not in BAND_PROFILES:
+        raise ValueError(
+            f"unknown profile {profile!r}; one of {sorted(BAND_PROFILES)}"
+        )
+    p = BAND_PROFILES[profile]
+    return (
+        p["max_hamming"] if max_hamming is None else max_hamming,
+        p["max_bucket_size"] if max_bucket_size is _UNSET
+        else max_bucket_size,
+        p["band_width"] if band_width is None else band_width,
+    )
+
+
 def phash_band_keys(
     ph: DataFrame, bytes_per_band: int = 1
 ) -> DataFrame:
@@ -1485,15 +1527,23 @@ def phash_band_keys(
 
 def phash_near_pairs(
     ph: DataFrame,
-    max_hamming: int = 6,
-    max_bucket_size: int | None = None,
-    bytes_per_band: int = 1,
+    max_hamming: int | None = None,
+    max_bucket_size=_UNSET,
+    bytes_per_band: int | None = None,
+    profile: str = "crawl",
 ) -> DataFrame:
-    """Image near-dup pairs by pHash: 8 byte-bands over the full 64-bit
-    hash, candidates on any shared band, exact hamming filter.
-    Pigeonhole guarantee: hamming <= 7 differing bits cannot touch all 8
-    bands, so every pair within ``max_hamming`` (default 6) has at least
-    one intact band and is ALWAYS generated — no recall hole. (The text
+    """Image near-dup pairs by pHash: the 64-bit hash split into bands,
+    candidates on any shared band, exact hamming filter.
+
+    Defaults come from ``BAND_PROFILES[profile]`` — "crawl" (16-bit
+    bands + finite hot-bucket cap + hamming <= 3) unless a knob is
+    passed explicitly; the unguarded byte-band all-pairs form requires
+    an explicit ``profile="exhaustive"`` (round-10 flip: the old
+    defaults handed a crawl-scale caller the O(n²)-prone shape).
+
+    Pigeonhole guarantee: hamming <= n_bands - 1 differing bits cannot
+    touch every band, so every pair within ``max_hamming`` shares at
+    least one intact band and is ALWAYS generated — no recall hole. (The text
     SimHash path uses 4 bands because its hash is 32-bit; reusing it here
     would silently band only the low half.)
 
@@ -1507,6 +1557,9 @@ def phash_near_pairs(
     at crawl density prefer 2 (the video path's frame hashes are full
     of near-constant frames, the dHash SCALE.md drill's saturation
     case)."""
+    max_hamming, max_bucket_size, bytes_per_band = _resolve_band_profile(
+        profile, max_hamming, max_bucket_size, bytes_per_band
+    )
     return _band_near_pairs(
         phash_band_keys(ph, bytes_per_band),
         lambda a, b: F.bit_count(
@@ -1677,20 +1730,29 @@ def audio_dhash(assets: DataFrame, auto_batch: bool = True) -> DataFrame:
 
 def dhash_near_pairs(
     dh: DataFrame,
-    max_hamming: int = 6,
-    max_bucket_size: int | None = None,
-    rows_per_band: int = 1,
+    max_hamming: int | None = None,
+    max_bucket_size=_UNSET,
+    rows_per_band: int | None = None,
+    profile: str = "crawl",
 ) -> DataFrame:
     """Image near-dup pairs by dHash: the 8 row bytes grouped into band
-    keys (``rows_per_band``, default 1 → 8 byte bands), candidates on
-    any shared band, exact hamming filter — the `phash_near_pairs`
-    pigeonhole (8/rows_per_band bands recall-guarantee hamming <=
-    n_bands - 1) with the bands already materialized as the hash
-    encoding. ``max_bucket_size`` / `band_oversized_buckets`: see
-    `phash_near_pairs` — flat images make one band key quadratic at
-    crawl scale without the guard. At crawl density prefer
-    rows_per_band=2: 16-bit keys cut benign bucket collisions 256× so
-    the cap excludes only genuine hot cohorts (see dhash_band_keys)."""
+    keys, candidates on any shared band, exact hamming filter — the
+    `phash_near_pairs` pigeonhole (8/rows_per_band bands
+    recall-guarantee hamming <= n_bands - 1) with the bands already
+    materialized as the hash encoding.
+
+    Defaults come from ``BAND_PROFILES[profile]`` — "crawl"
+    (rows_per_band=2 → 16-bit bands, finite hot-bucket cap,
+    hamming <= 3) unless a knob is passed explicitly; the unguarded
+    byte-band all-pairs form requires an explicit
+    ``profile="exhaustive"`` (round-10 flip). ``max_bucket_size`` /
+    `band_oversized_buckets`: see `phash_near_pairs` — flat images make
+    one band key quadratic at crawl scale without the guard; 16-bit
+    keys cut benign bucket collisions 256× so the cap excludes only
+    genuine hot cohorts (see dhash_band_keys)."""
+    max_hamming, max_bucket_size, rows_per_band = _resolve_band_profile(
+        profile, max_hamming, max_bucket_size, rows_per_band
+    )
     return _band_near_pairs(
         dhash_band_keys(dh, rows_per_band),
         lambda a, b: F.aggregate(

@@ -73,11 +73,17 @@ _ADDITIVE = ("shingle_arrays", "signatures", "pairs")
 
 @dataclass(frozen=True)
 class PrepParams:
-    """Build parameters stamped into every part marker."""
+    """Build parameters stamped into every part marker.
+
+    ``max_bucket_size`` defaults to the crawl-safe cap (round-10 flip,
+    matching `dedup.minhash_candidates`); pass ``None`` explicitly for
+    the unguarded exhaustive band join. The cap is part of the artifact
+    fingerprint, so a corpus built under one cap refuses extension
+    under another."""
 
     n: int = 3
     threshold: float = 0.5
-    max_bucket_size: int | None = None
+    max_bucket_size: int | None = _dd.CRAWL_MAX_BUCKET
 
     def fingerprint(self) -> dict:
         d = asdict(self)

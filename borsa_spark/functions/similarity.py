@@ -319,13 +319,22 @@ def lsh_oversized_buckets(
     )
 
 
+#: Default bucket cap for `lsh_topk` (round-10 flip: guarded by
+#: default). Unlike the dedup band caps this one never drops
+#: candidates — oversized buckets SPLIT into deterministic sub-buckets —
+#: so the default costs only in-bucket recall, never correctness. 1024
+#: bounds any bucket at ~1M cosine evaluations; exhaustive in-bucket
+#: ranking requires an explicit ``max_bucket_size=None``.
+CRAWL_MAX_BUCKET = 1024
+
+
 def lsh_topk(
     vectors: DataFrame,
     planes: list[list[float]],
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = CRAWL_MAX_BUCKET,
 ) -> DataFrame:
     """ANN top-k within LSH buckets: bucket assignment -> same-bucket
     equi-join -> in-bucket brute-force rank. Approximate (misses cross-bucket

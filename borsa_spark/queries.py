@@ -1444,7 +1444,11 @@ def a8_quotes_batch_failures(spark, sf):
         cat.register(fixture_source(f"prov{p}", quote=tbl))
     requested = ["click", "view", "purchase", "signup", "error",
                  "GHOST1", "GHOST2"]
-    best, failures = quotes_router(spark, cat, requested)
+    # persist=True is the harness-owned-cache opt-in (round-10 flipped
+    # the router default to False): both outputs are consumed here and
+    # the bench/oracle harness releases caches after each query, so the
+    # single-scan plan (a8 plan guard) is safe to keep
+    best, failures = quotes_router(spark, cat, requested, persist=True)
     ok = best.select(
         "symbol",
         F.round(F.col("price").cast("double"), 2).alias("price"),
@@ -1615,8 +1619,13 @@ def _lsh_verified_pairs(docs):
     f33, f36); the oracles still compute the exact full-join pairs, which
     this matches because at these thresholds and this corpus every true
     pair is an LSH candidate (f7's own oracle pins that equivalence each
-    round). Cache lifetime is harness-owned (clearCache per query)."""
-    return _dd.minhash_dedup_pairs(docs, n=3, threshold=0.5)
+    round). Cache lifetime is harness-owned (clearCache per query).
+    max_bucket_size=None is EXPLICIT (round-10 default flip): these are
+    the exhaustive-baseline queries whose oracles replay uncapped
+    full-join pairs — the crawl-safe capped default lives in the
+    library, not here."""
+    return _dd.minhash_dedup_pairs(docs, n=3, threshold=0.5,
+                                   max_bucket_size=None)
 
 
 _JACCARD_SQL = f"""
@@ -2690,8 +2699,11 @@ def f6_minhash_signature(spark, sf):
 )
 def f7_minhash_dedup_pairs(spark, sf):
     """MinHash+LSH near-dup pipeline: banded candidates verified by exact
-    Jaccard — candidate generation is equi-joins only (scale path)."""
-    return _dd.minhash_dedup_pairs(load_table(spark, sf, "documents"), 3, 0.5)
+    Jaccard — candidate generation is equi-joins only (scale path).
+    Explicit max_bucket_size=None: the oracle replays uncapped full-join
+    pairs (round-10 flipped the library default to the capped form)."""
+    return _dd.minhash_dedup_pairs(load_table(spark, sf, "documents"), 3, 0.5,
+                                   max_bucket_size=None)
 
 
 @query(
@@ -3758,7 +3770,7 @@ def f35_incremental_dedup(spark, sf):
     # exploded shingle relation in the plan. The harness owns cache
     # lifetime via clearCache() after each query.
     out = _dd.minhash_pairs_against_inrow(
-        docs, F.col("id") % 5 == 0, threshold=0.5
+        docs, F.col("id") % 5 == 0, threshold=0.5, max_bucket_size=None
     )
     return out.select(
         F.col("id_a").alias("new_doc_id"),
@@ -8275,7 +8287,10 @@ def f90_image_dhash_pairs(spark, sf):
 
     assets = docs.mapInPandas(gen, "asset_id long, payload binary")
     dh = mm.image_dhash(assets)
-    return mm.dhash_near_pairs(dh, max_hamming=6).select(
+    # the documented exhaustive BASELINE form (byte bands, no cap) — the
+    # library default is the crawl profile since round 10; f91 carries
+    # the guarded shape
+    return mm.dhash_near_pairs(dh, max_hamming=6, profile="exhaustive").select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
@@ -8438,8 +8453,10 @@ def f91_image_band_guard(spark, sf):
 
     assets = docs.mapInPandas(gen, "asset_id long, payload binary")
     dh = mm.image_dhash(assets)
+    # byte bands + explicit cap: the oracle mirrors the BYTE-band bucket
+    # counts, so the band width is pinned via the exhaustive profile
     return mm.dhash_near_pairs(
-        dh, max_hamming=6, max_bucket_size=10
+        dh, max_hamming=6, max_bucket_size=10, profile="exhaustive"
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

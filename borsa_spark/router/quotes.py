@@ -128,7 +128,7 @@ def quotes(
     catalog: Catalog,
     symbols: list[str],
     kind: str | None = None,
-    persist: bool = True,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """A8: batch quotes -> (successes, failures). Failures are requested
     symbols with no surviving row from any provider (quotes.rs:38-71) — an
@@ -136,10 +136,13 @@ def quotes(
 
     ``persist=True`` caches the <= len(symbols)-row winner relation so
     the per-provider union executes once, not once per output (the
-    round-9 audit found 6 identical provider scans). A LONG-LIVED
-    router process should pass persist=False or unpersist the success
-    frame after consuming both outputs — each call's symbol list makes
-    a distinct plan, so leaked caches accumulate per request."""
+    round-9 audit found 6 identical provider scans). The DEFAULT is
+    False (round-10 flip): each call's symbol list makes a distinct
+    plan, so a long-lived router process that never unpersists leaks
+    one cached relation per request — safety is the default, and a
+    caller that consumes both outputs under a harness-owned cache
+    lifetime (bench/oracle: `release_all_cached` per query) opts in to
+    the single-scan plan with persist=True."""
     if len(set(symbols)) != len(symbols):
         # duplicate-symbol validation (download.rs:10-26 applies the same rule)
         raise ValueError("duplicate symbols in batch quote request")

@@ -60,3 +60,33 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_all_cached(spark: SparkSession) -> int:
+    """Free EVERY cached relation in the session: catalog-cached plans
+    (``clearCache``) AND RDD-level persists, which ``clearCache`` does
+    not touch — ``localCheckpoint`` blocks (kmeans per-round centroids,
+    the band-join checkpoint in ``_band_near_pairs``, bloom probe sets)
+    live in the RDD layer, not the CacheManager, and accumulate across a
+    long session otherwise (round-9 ADVICE). Returns the number of RDDs
+    unpersisted.
+
+    This is the teeth behind the package-wide cache-lifetime contract
+    (see ``borsa_spark.__doc__``): library functions persist
+    multi-consumer intermediates and the HARNESS frees them between
+    queries. bench.py calls this inside every sample; the sweep test in
+    tests/test_cache_discipline.py asserts it returns the session to
+    zero cached blocks after each queries() entry.
+
+    Note: unpersisting a localCheckpointed RDD truncates its lineage —
+    any still-live DataFrame built on it cannot be recomputed. Callers
+    run this BETWEEN units of work, never while a result is pending.
+    """
+    # Count BEFORE clearCache: catalog-cached plans register their
+    # storage in getPersistentRDDs too, and clearCache deregisters them
+    # — counting after would report only the RDD-layer leftovers.
+    n = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    spark.catalog.clearCache()
+    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        r.unpersist(False)
+    return n

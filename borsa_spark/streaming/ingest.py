@@ -418,7 +418,7 @@ def compact_image_state(ing: "ImageDedupIngest") -> dict:
     two-phase crash discipline."""
     return _compact(
         ing, stages=("hashes", "bands"),
-        sum_fields=("received", "admitted", "rejected"),
+        sum_fields=("received", "admitted", "rejected", "hot_buckets"),
     )
 
 
@@ -497,9 +497,15 @@ class ImageDedupIngest:
     Defaults follow the SCALE.md round-9 drill: ``rows_per_band=2``
     (16-bit band keys — byte keys saturate at ~10^4 images) with the
     pigeonhole bound max_hamming <= 8/rows_per_band - 1 enforced, and
-    the intra-batch hot-bucket cap from `minhash`-style screening
-    (flat images all hash alike; a capped bucket's members are handled
-    by the EXACT screen, which flat duplicates always hit).
+    the hot-bucket cap applied to the COMBINED batch+corpus bucket
+    occupancy (round-10: capping only the batch side let every admitted
+    flat variant grow the stored all-zero bucket that each future
+    batch's candidate join fans out against). BYTE-IDENTICAL members of
+    a capped cohort are still rejected by the exact md5 screen; members
+    that differ in bytes but collide in every band (distinct-color flat
+    images) are admitted and counted in the marker's ``hot_buckets``
+    accounting — route those cohorts through exact (full-hash) dedup
+    downstream, the `minhash_candidates` oversized-bucket playbook.
 
     Exactly-once: the `streaming/markers.py` protocol — per-batch
     overwrite state dirs, marker written LAST, parseable-marker replay
@@ -632,15 +638,43 @@ class ImageDedupIngest:
         bk = mm.dhash_band_keys(
             dh.select("asset_id", "bands"), self.rows_per_band
         )
+        n_hot_buckets, hot = 0, None
         if self.max_bucket_size is not None:
-            counts = bk.groupBy("band", "band_key").agg(
-                F.count("*").alias("__n")
+            # Cap the COMBINED bucket (batch + stored corpus occupancy),
+            # not just the batch side (round-9 ADVICE): distinct-color
+            # flat images differ in md5 — the exact screen only catches
+            # byte-identical payloads — but all dHash to the same
+            # all-zero bands, so an uncapped CORPUS bucket grows with
+            # every admitted flat variant and each future batch's
+            # candidate join fans out against it. Corpus counts are
+            # computed only for keys this batch touches (left_semi
+            # prune), so the agg is bounded by the batch's key set.
+            batch_counts = bk.groupBy("band", "band_key").agg(
+                F.count("*").alias("__nb")
             )
-            bk = (
-                bk.join(counts, ["band", "band_key"])
-                .filter(F.col("__n") <= self.max_bucket_size)
-                .drop("__n")
+            corpus_counts = (
+                self.corpus_bands()
+                .join(
+                    batch_counts.select("band", "band_key"),
+                    ["band", "band_key"], "left_semi",
+                )
+                .groupBy("band", "band_key")
+                .agg(F.count("*").alias("__nc"))
             )
+            hot = (
+                batch_counts.join(corpus_counts, ["band", "band_key"],
+                                  "left_outer")
+                .filter(
+                    F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
+                    > self.max_bucket_size
+                )
+                .select("band", "band_key")
+                .persist()
+            )
+            n_hot_buckets = hot.count()
+            # dropping the keys from the batch side removes them from
+            # the equi-join entirely; the corpus side needs no filter
+            bk = bk.join(hot, ["band", "band_key"], "left_anti")
         cands = (
             bk.select(F.col("id").alias("id_a"), "band", "band_key")
             .join(
@@ -706,10 +740,15 @@ class ImageDedupIngest:
                 "received": int(n_in),
                 "admitted": int(n_admit),
                 "rejected": int(n_in - n_admit),
+                # never a silent cap: buckets the combined batch+corpus
+                # guard excluded from near-dup candidates this batch
+                "hot_buckets": int(n_hot_buckets),
             },
         )
         dh.unpersist()
         admitted.unpersist()
+        if hot is not None:
+            hot.unpersist()
 
     # -- attach to a stream ------------------------------------------
     def attach(self, stream_df: DataFrame, checkpoint: str, **opts):

@@ -303,7 +303,8 @@ class TestImageDedupIngest:
         b1 = [(1, self._png(1)), (2, self._png(2)), (3, self._png(3))]
         ing.process_batch(self._assets(spark, b1), 0)
         assert ing.admission_log() == [
-            {"batch": 0, "received": 3, "admitted": 3, "rejected": 0}
+            {"batch": 0, "received": 3, "admitted": 3, "rejected": 0,
+             "hot_buckets": 0}
         ]
         b2 = [
             (10, self._png(1)),             # exact dup of 1 (same bytes)
@@ -313,9 +314,57 @@ class TestImageDedupIngest:
         ]
         ing.process_batch(self._assets(spark, b2), 1)
         assert ing.admission_log()[1] == {
-            "batch": 1, "received": 4, "admitted": 1, "rejected": 3
+            "batch": 1, "received": 4, "admitted": 1, "rejected": 3,
+            "hot_buckets": 0,
         }
         assert {r.id for r in ing.corpus_hashes().collect()} == {1, 2, 3, 12}
+
+    def _flat_png(self, color):
+        import numpy as np
+
+        from borsa_spark.functions import multimodal as mm
+
+        px = np.full((8, 9, 1), color % 256, dtype=np.uint8)
+        return mm.encode_png_pixels(px, filter_type=4)
+
+    def test_combined_batch_plus_corpus_bucket_cap(self, spark, tmp_path):
+        """Round-10 ADVICE fix: the hot-bucket cap must count STORED
+        corpus occupancy, not just the batch side. Distinct-color flat
+        images differ in md5 (exact screen misses them) but all dHash
+        to all-zero bands; once a flat cohort is admitted, the corpus
+        all-zero bucket must keep future batches' candidate joins
+        bounded — combined occupancy over the cap excludes the bucket
+        and the marker accounts for it (never a silent cap)."""
+        from borsa_spark.streaming.ingest import ImageDedupIngest
+
+        ing = ImageDedupIngest(
+            spark, str(tmp_path / "imgcap"), max_bucket_size=10
+        )
+        # batch 0: 12 distinct-color flats (cohort > cap even alone)
+        # plus one normal image — everything admits (corpus empty, the
+        # flat bucket is already hot), 4 wide bands accounted
+        b0 = [(i, self._flat_png(i * 10)) for i in range(12)]
+        b0.append((100, self._png(5)))
+        ing.process_batch(self._assets(spark, b0), 0)
+        assert ing.admission_log()[0] == {
+            "batch": 0, "received": 13, "admitted": 13, "rejected": 0,
+            "hot_buckets": 4,
+        }
+        # batch 1: 5 MORE flat colors — batch-side cohort (5) is under
+        # the cap, but combined with the 12 stored it is 17 > 10, so
+        # the bucket stays excluded (bounded join work) and the flats
+        # admit with accounting; a genuine near-dup of the normal image
+        # still screens through its un-hot buckets and is rejected
+        b1 = [(20 + i, self._flat_png(150 + i * 7)) for i in range(5)]
+        b1.append((101, self._png(5, bump=True)))
+        ing.process_batch(self._assets(spark, b1), 1)
+        assert ing.admission_log()[1] == {
+            "batch": 1, "received": 6, "admitted": 5, "rejected": 1,
+            "hot_buckets": 4,
+        }
+        assert {r.id for r in ing.corpus_hashes().collect()} == (
+            set(range(12)) | {100} | set(range(20, 25))
+        )
 
     def test_crash_replay_is_exactly_once(self, spark, tmp_path):
         import os
@@ -459,7 +508,8 @@ class TestImageDedupIngest:
             ]), 1,
         )
         assert ing.admission_log()[1] == {
-            "batch": 1, "received": 3, "admitted": 1, "rejected": 2
+            "batch": 1, "received": 3, "admitted": 1, "rejected": 2,
+            "hot_buckets": 0,
         }
         # image-kind state refuses an audio-kind instance and vice versa
         with pytest.raises(RuntimeError, match="band join"):

@@ -367,7 +367,8 @@ class TestPerceptualHash:
 
         pairs = {
             (r["id_a"], r["id_b"])
-            for r in phash_near_pairs(ph, max_hamming=6).collect()
+            for r in phash_near_pairs(ph, max_hamming=6,
+                                      profile="exhaustive").collect()
         }
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
@@ -398,7 +399,8 @@ class TestPerceptualHash:
         )
         pairs = {
             (r["id_a"], r["id_b"], r["hamming"])
-            for r in phash_near_pairs(ph, max_hamming=6).collect()
+            for r in phash_near_pairs(ph, max_hamming=6,
+                                      profile="exhaustive").collect()
         }
         assert (1, 2, 4) in pairs
         assert (3, 4, 4) in pairs
@@ -874,7 +876,8 @@ class TestAviCodec:
             ),
             "phash",
         )
-        pairs = phash_near_pairs(ph, max_hamming=6).collect()
+        pairs = phash_near_pairs(ph, max_hamming=6,
+                                 profile="exhaustive").collect()
         cross = {
             (min(r.id_a // 10, r.id_b // 10), max(r.id_a // 10, r.id_b // 10))
             for r in pairs
@@ -1360,7 +1363,7 @@ class TestImageDhash:
             (1, mm.encode_png_pixels(px)),
             (2, mm.encode_png_pixels(px2)),
         ]))
-        pairs = mm.dhash_near_pairs(dh, max_hamming=6).collect()
+        pairs = mm.dhash_near_pairs(dh).collect()  # crawl-profile default
         assert len(pairs) == 1
         assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
         assert pairs[0].hamming <= 1
@@ -1451,7 +1454,8 @@ class TestBandHotBucketGuard:
         from borsa_spark.functions import multimodal as mm
 
         dh = mm.image_dhash(self._fixture(spark))
-        n = mm.dhash_near_pairs(dh, max_hamming=6).count()
+        n = mm.dhash_near_pairs(dh, max_hamming=6,
+                                profile="exhaustive").count()
         # C(40,2) flat pairs + 1 planted — the blowup the guard exists for
         assert n == self.N_FLAT * (self.N_FLAT - 1) // 2 + 1
 
@@ -1460,7 +1464,7 @@ class TestBandHotBucketGuard:
 
         dh = mm.image_dhash(self._fixture(spark))
         pairs = mm.dhash_near_pairs(
-            dh, max_hamming=6, max_bucket_size=10
+            dh, max_hamming=6, max_bucket_size=10, profile="exhaustive"
         ).collect()
         assert [(p.id_a, p.id_b) for p in pairs] == [(1000, 1001)]
 
@@ -1482,7 +1486,7 @@ class TestBandHotBucketGuard:
 
         ph = mm.image_phash(self._fixture(spark))
         pairs = mm.phash_near_pairs(
-            ph, max_hamming=6, max_bucket_size=10
+            ph, max_hamming=6, max_bucket_size=10, profile="exhaustive"
         ).collect()
         # identical flat images share every phash band -> all excluded;
         # the planted near-identical pair survives the cap
