@@ -8585,10 +8585,12 @@ def f92_audio_envelope_pairs(spark, sf):
     )
 
 
-@query(
-    "f93_candidate_substring_spans",
-    """
-    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l
+#: Shared oracle chain for the two-stage exact-substring family (f93
+#: spans, f94 removal): winnow screen (k=3, w=4, min_shared=2,
+#: max_fp_df=50) -> candidate pairs -> 5-gram anchor match -> island
+#: runs. The f93 SELECT aggregates `runs` into spans; f94 continues
+#: with interval merge + token cut.
+_F93_CHAIN_SQL = """lists AS (SELECT doc_id, string_split(text, ' ') AS l
                    FROM documents WHERE len(string_split(text, ' ')) >= 6),
     wgrams AS (
       SELECT doc_id, len(l) - 2 AS n_grams,
@@ -8626,7 +8628,13 @@ def f92_audio_envelope_pairs(spark, sf):
     runs AS (
       SELECT *, pos_a - row_number() OVER (
                PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
-      FROM m)
+      FROM m)"""
+
+
+@query(
+    "f93_candidate_substring_spans",
+    f"""
+    WITH {_F93_CHAIN_SQL}
     SELECT id_a, id_b,
            min(pos_a)::BIGINT AS start_a,
            min(pos_b)::BIGINT AS start_b,
@@ -8671,6 +8679,87 @@ def f93_candidate_substring_spans(spark, sf):
         F.col("start_a").cast("long").alias("start_a"),
         F.col("start_b").cast("long").alias("start_b"),
         F.col("len_tokens").cast("long").alias("len_tokens"),
+    )
+
+
+@query(
+    "f94_span_removal_rewrite",
+    f"""
+    WITH {_F93_CHAIN_SQL},
+    spans AS (
+      SELECT id_a, id_b,
+             min(pos_a) AS start_a, min(pos_b) AS start_b,
+             count(*) + 4 AS len_tokens
+      FROM runs GROUP BY id_a, id_b, diag, grp
+      HAVING count(*) + 4 >= 8),
+    rem AS (SELECT id_b AS doc_id, start_b AS s,
+                   start_b + len_tokens - 1 AS e
+            FROM spans),
+    ordd AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM rem),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp
+      FROM ordd),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM isl GROUP BY doc_id, mgrp),
+    tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+            FROM words),
+    tokp AS (SELECT doc_id, pos, w[pos] AS tok FROM tok),
+    rempos AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos
+               FROM merged),
+    kept AS (
+      -- merged intervals are disjoint per doc, so the expanded
+      -- positions are unique and a plain equality anti-join works —
+      -- a BETWEEN NOT EXISTS would nested-loop at the sf1 drill tier
+      SELECT t.doc_id, t.pos, t.tok FROM tokp t
+      LEFT JOIN rempos rp ON rp.doc_id = t.doc_id AND rp.pos = t.pos
+      WHERE rp.pos IS NULL),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.text, '') AS text,
+           (len(string_split(d.text, ' '))
+            - coalesce(r.n_kept, 0))::BIGINT AS n_tokens_removed
+    FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id
+    """,
+)
+def f94_span_removal_rewrite(spark, sf):
+    """The CLUSTER-LEVEL completion of the two-stage exact-substring
+    dedup (Lee et al. 2022: "remove the duplicate span from all but
+    one document"): the f93 pipeline's spans — winnow screen ->
+    `repeated_substring_spans_for_pairs` — drive
+    `dedup.remove_repeated_spans`, which cuts every span's id_b-side
+    occurrence corpus-wide. Keep-first discipline one level below
+    `drop_repeated_paragraphs`: along a dup chain A < B < C the span
+    text survives only in A; overlapping removal intervals merge
+    before cutting, so a token is removed once no matter how many
+    pairs name it. Output is the full corpus rewrite (doc_id, text,
+    n_tokens_removed) — docs with no spans ride through, hash-matched
+    against the oracle's recomposition of screen + spans + interval
+    merge + token cut in one SQL.
+
+    Scale shape: everything new beyond f93 is span-count-sized (the
+    interval merge windows over per-doc spans) plus ONE row-local
+    higher-order filter over each doc's token array — no token-level
+    shuffle; the corpus rewrite reads the corpus once."""
+    from borsa_spark.functions.text import winnow_pairs
+
+    docs = load_table(spark, sf, "documents")
+    cand = winnow_pairs(docs, k=3, w=4, min_shared=2, max_fp_df=50)
+    spans = _dd.repeated_substring_spans_for_pairs(
+        docs, cand, k=5, min_len=8
+    )
+    return _dd.remove_repeated_spans(
+        docs.select("doc_id", "text"), spans
+    ).select(
+        "doc_id", "text",
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
     )
 
 

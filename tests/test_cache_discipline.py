@@ -52,6 +52,7 @@ class TestQueriesLeaveNoResidue:
         "f52_semdedup",
         "f61_substring_spans",
         "f93_candidate_substring_spans",
+        "f94_span_removal_rewrite",
         "f90_image_dhash_pairs",
         "f76_bloom_decontaminate",
         "a8_quotes_batch_failures",

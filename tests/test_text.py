@@ -1201,3 +1201,171 @@ class TestCandidateSubstringSpans:
             assert got == want
 
         run()
+
+
+class TestScreenVsCapAsymmetry:
+    """Round-10 pin of the f93-vs-f61 trade SCALE.md measured at sf1
+    (screen proposes ~84% of f61's pairs; f93 finds spans through
+    boilerplate f61's own gram-df cap drops). Both directions on a
+    replica-style fixture so a screen or cap regression cannot hide:
+
+    - SCREEN-RECALL direction: a span shared by enough docs pushes its
+      winnow fingerprints past max_fp_df — the screen proposes none of
+      those pairs, while f61's (looser) gram-df cap still extracts the
+      spans corpus-wide.
+    - CAP-EXACTNESS direction: a pair proposed via a RARE region also
+      shares a boilerplate span present in more docs than max_gram_df —
+      f61 drops those grams, the pair-gated extractor (no gram cap)
+      recovers the exact span.
+    """
+
+    MAX_FP_DF = 3     # screen cap (fingerprint doc frequency)
+    MAX_GRAM_DF = 10  # f61 cap (5-gram doc frequency), deliberately looser
+
+    def _docs(self, spark):
+        x = " ".join(f"x{i}" for i in range(8))      # mid-df span: 6 docs
+        boiler = " ".join(f"y{i}" for i in range(8))  # hot span: 13 docs
+        rare = " ".join(f"r{i}" for i in range(12))   # rare region: 2 docs
+        rows = [
+            (1, f"{rare} {boiler}"),
+            (2, f"{rare} one2 {boiler}"),
+        ]
+        rows += [
+            (30 + i, f"u{30 + i}a u{30 + i}b {x} u{30 + i}c")
+            for i in range(6)
+        ]
+        rows += [
+            (40 + i, f"v{40 + i}a v{40 + i}b {boiler} v{40 + i}c")
+            for i in range(11)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _spans(self, spark):
+        from borsa_spark.functions.dedup import (
+            repeated_substring_spans,
+            repeated_substring_spans_for_pairs,
+        )
+        from borsa_spark.functions.text import winnow_pairs
+
+        docs = self._docs(spark)
+        cand = winnow_pairs(
+            docs, k=3, w=4, min_shared=2, max_fp_df=self.MAX_FP_DF
+        )
+        two_stage = {
+            (r.id_a, r.id_b, r.len_tokens)
+            for r in repeated_substring_spans_for_pairs(
+                docs, cand, k=5, min_len=8
+            ).collect()
+        }
+        corpus_wide = {
+            (r.id_a, r.id_b, r.len_tokens)
+            for r in repeated_substring_spans(
+                docs, k=5, min_len=8, max_gram_df=self.MAX_GRAM_DF
+            ).collect()
+        }
+        cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+        spark.catalog.clearCache()
+        return two_stage, corpus_wide, cand_set
+
+    def test_screen_recall_direction(self, spark):
+        # the 6-doc x-span: fingerprint df 6 > 3 kills every screen
+        # pair, so the two-stage set misses ALL 15 x pairs — while the
+        # corpus-wide extractor (gram df 6 <= 10) reports every one
+        two_stage, corpus_wide, cand_set = self._spans(spark)
+        x_pairs = {
+            (a, b, 8)
+            for a in range(30, 36) for b in range(30, 36) if a < b
+        }
+        assert x_pairs <= corpus_wide
+        assert not (x_pairs & two_stage)
+        assert not any(30 <= a < 36 for a, _ in cand_set)
+
+    def test_cap_exactness_direction(self, spark):
+        # pair (1,2) is proposed via the rare 12-token region; its
+        # boilerplate y-span lives in 13 docs > max_gram_df, so f61
+        # drops it — the pair-gated extractor must recover it exactly
+        two_stage, corpus_wide, cand_set = self._spans(spark)
+        assert (1, 2) in cand_set
+        assert (1, 2, 8) in two_stage       # the boilerplate span
+        assert (1, 2, 12) in two_stage      # the rare region span
+        assert (1, 2, 8) not in corpus_wide
+        assert (1, 2, 12) in corpus_wide    # rare grams under the cap
+
+
+class TestRemoveRepeatedSpans:
+    """f94's cutting step: keep-first corpus-wide span removal."""
+
+    def _run(self, spark, docs_rows, span_rows):
+        from borsa_spark.functions.dedup import remove_repeated_spans
+
+        docs = spark.createDataFrame(
+            docs_rows, "doc_id long, text string"
+        )
+        spans = spark.createDataFrame(
+            span_rows,
+            "id_a long, id_b long, start_a long, start_b long,"
+            " len_tokens long",
+        )
+        return {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in remove_repeated_spans(docs, spans).collect()
+        }
+
+    def test_chain_keeps_exactly_first(self, spark):
+        span = "s1 s2 s3 s4 s5 s6 s7 s8"
+        out = self._run(
+            spark,
+            [(1, f"{span} a1"), (2, f"b1 {span}"), (3, f"{span} c1")],
+            # transitive chain: B is id_b of A, C is id_b of B
+            [(1, 2, 1, 2, 8), (2, 3, 2, 1, 8)],
+        )
+        assert out[1] == (f"{span} a1", 0)   # first occurrence kept
+        assert out[2] == ("b1", 8)
+        assert out[3] == ("c1", 8)
+
+    def test_overlapping_intervals_merge(self, spark):
+        out = self._run(
+            spark,
+            [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+             (9, "anchor doc")],
+            # doc 1 named twice with overlap: remove 2..9 and 4..10
+            [(0, 1, 1, 2, 8), (0, 1, 1, 4, 7)],
+        )
+        assert out[1] == ("w1", 9)  # merged 2..10, counted once
+
+    def test_no_spans_rides_through(self, spark):
+        out = self._run(spark, [(5, "hello world")], [])
+        assert out[5] == ("hello world", 0)
+
+    def test_full_removal_keeps_row_with_empty_text(self, spark):
+        out = self._run(
+            spark,
+            [(1, "z1 z2 z3 z4 z5 z6 z7 z8"),
+             (2, "z1 z2 z3 z4 z5 z6 z7 z8 keep")],
+            [(2, 1, 1, 1, 8)],
+        )
+        assert out[1] == ("", 8)
+
+    def test_rerun_is_noop_for_same_span_set(self, spark):
+        from borsa_spark.functions.dedup import (
+            remove_repeated_spans,
+            repeated_substring_spans,
+        )
+
+        span = " ".join(f"q{i}" for i in range(9))
+        docs = spark.createDataFrame(
+            [(1, f"{span} tail1"), (2, f"head2 {span}"),
+             (3, f"{span} tail3")],
+            "doc_id long, text string",
+        )
+        spans = repeated_substring_spans(
+            docs, k=5, min_len=8, max_gram_df=100
+        )
+        once = remove_repeated_spans(docs, spans)
+        spans2 = repeated_substring_spans(
+            once.select("doc_id", "text"), k=5, min_len=8,
+            max_gram_df=100,
+        )
+        # the span survives in exactly one doc -> nothing left to pair
+        assert spans2.count() == 0
+        spark.catalog.clearCache()

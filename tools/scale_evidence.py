@@ -699,6 +699,20 @@ def run_r9_family(spark, results: list) -> None:
     )
 
 
+def run_r10_family(spark, results: list) -> None:
+    """Round-10 lifecycle addition: f94 corpus-wide span removal across
+    three document decades, next to the f93 span extraction it
+    composes with. f94's extra work beyond f93 is span-count-sized
+    (interval merge) plus ONE row-local token-array filter over the
+    corpus, so its wall should track f93's plus a near-linear rewrite
+    scan; output is |documents| rows at every tier by construction
+    (the rewrite keeps every doc)."""
+    _run_decade_drill(
+        spark, results,
+        ("f93_candidate_substring_spans", "f94_span_removal_rewrite"),
+    )
+
+
 def run_f90_drill(spark, results: list) -> None:
     """Image near-dup family (f90/f91) across three document decades,
     on the f91 crawl-degenerate fixture (80% flat images, planted
@@ -1151,6 +1165,13 @@ def main() -> None:
         return
     if "--r9-family" in sys.argv:
         run_r9_family(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--r10-family" in sys.argv:
+        run_r10_family(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
