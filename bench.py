@@ -97,6 +97,10 @@ TIER2 = [
     "f92_audio_envelope_pairs",
     "c12_training_mix",
     "f93_candidate_substring_spans",
+    # round 10 additions (first-baselined in BENCH_r10): span-removal
+    # rewrite and the crawl-profile minhash default, oracle-faced
+    "f94_span_removal_rewrite",
+    "f95_minhash_crawl_guard",
 ]
 
 

@@ -8763,6 +8763,99 @@ def f94_span_removal_rewrite(spark, sf):
     )
 
 
+# --- f95: the crawl-profile minhash default, oracle-faced ----------------
+
+#: f95 fixture: 80% of docs are ONE boilerplate sentence (the text
+#: analog of f91's flat-image cohort — identical signatures, so every
+#: band bucket holds the whole cohort and blows past CRAWL_MAX_BUCKET),
+#: 20% unique 12-word docs with a planted near-copy per pair of tens
+#: (last word swapped: 7 of 13 distinct shingles shared -> jaccard
+#: 0.5385 >= 0.5).
+_F95_BOILER = " ".join(f"common{j}" for j in range(12))
+_F95_BASE_SQL = "CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END"
+_F95_WORDS_SQL = " || ' ' || ".join(
+    f"'t' || ({_F95_BASE_SQL}) || 'x{j}'" for j in range(11)
+)
+_F95_TEXT_SQL = f"""CASE WHEN doc_id % 5 <> 0 THEN '{_F95_BOILER}'
+      ELSE {_F95_WORDS_SQL} || ' ' ||
+           (CASE WHEN doc_id % 10 = 5 THEN 'z' || doc_id
+                 ELSE 't' || doc_id || 'x11' END) END"""
+
+
+@query(
+    "f95_minhash_crawl_guard",
+    f"""
+    WITH fdocs AS (SELECT doc_id, {_F95_TEXT_SQL} AS text FROM documents),
+    sh AS ({_dd.sql_shingles(3, table="fdocs")}),
+    sig AS ({_SIG_SQL}),
+    bands AS ({_sql_band_selects()}),
+    ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+           HAVING count(*) <= {_dd.CRAWL_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.id < b.id
+      JOIN ok k ON k.band = a.band AND k.band_key = a.band_key),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      -- verification restricted to candidates (the boilerplate cohort
+      -- is excluded by the cap, so the full shingle self-join would be
+      -- the exact quadratic blowup this query demonstrates avoiding)
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter * 1.0
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def f95_minhash_crawl_guard(spark, sf):
+    """The round-10 DEFAULT (minhash_dedup_pairs with
+    max_bucket_size=CRAWL_MAX_BUCKET) oracle-faced — f91's guarded-form
+    story for the TEXT path: an 80% boilerplate cohort (identical
+    signatures, every band bucket = the whole cohort, quadratically
+    hot) is EXCLUDED by the cap while the planted near-copies among
+    the unique 20% still pair and verify. The oracle replays the full
+    signature/banding/cap/verify pipeline in SQL (f7's sig/band CTEs +
+    a HAVING count <= cap bucket filter), so an off-by-one in the cap
+    comparison or a bucket counted per-doc instead of per-row
+    hash-mismatches. Uncapped, this fixture emits C(0.8n, 2) extra
+    boilerplate pairs (pinned in tests).
+
+    Scale shape: identical to f7 (banded equi-joins + candidate-bounded
+    verification); the cap bounds any one bucket's emission at
+    C(256, 2) regardless of cohort size."""
+    # the library DEFAULT cap — the whole point of the query
+    return _dd.minhash_dedup_pairs(_f95_fixture(spark, sf), 3, 0.5)
+
+
+def _f95_fixture(spark, sf):
+    """The f95 analytic corpus (see _F95_TEXT_SQL); exposed for the
+    uncapped-blowup pin in tests/test_crawl_defaults.py."""
+    doc = F.col("doc_id")
+    base = F.when(doc % 10 == 5, doc - 5).otherwise(doc)
+    words = [
+        F.concat(F.lit("t"), base.cast("string"), F.lit(f"x{j}"))
+        for j in range(11)
+    ]
+    last = F.when(
+        doc % 10 == 5, F.concat(F.lit("z"), doc.cast("string"))
+    ).otherwise(F.concat(F.lit("t"), base.cast("string"), F.lit("x11")))
+    text = F.when(doc % 5 != 0, F.lit(_F95_BOILER)).otherwise(
+        F.concat_ws(" ", *words, last)
+    )
+    return load_table(spark, sf, "documents").select(
+        "doc_id", text.alias("text")
+    )
+
+
 # --- c11: end-to-end crawl corpus-prep DAG -------------------------------
 
 #: c11 fixture lines (each its own <p> block, every one >= 30 visible

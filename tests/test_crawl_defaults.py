@@ -184,3 +184,36 @@ class TestMinhashCapDefaults:
         rows = over.collect()
         assert len(rows) == 12
         assert all(r.n_docs == n for r in rows)
+
+
+class TestF95GuardNonVacuous:
+    """f95's cap must be load-bearing on its own fixture: uncapped, the
+    80% boilerplate cohort all-pairs explodes; capped (the library
+    default the query runs), only planted near-copies survive."""
+
+    def test_uncapped_blowup_vs_guarded(self, spark):
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.queries import QUERIES, _f95_fixture
+
+        sf = "/root/testdata/sf0.01"
+        fixture = _f95_fixture(spark, sf)
+        n_boiler = fixture.filter("doc_id % 5 != 0").count()
+        assert n_boiler > dd.CRAWL_MAX_BUCKET  # the cap binds
+        guarded = {
+            (r.id_a, r.id_b)
+            for r in QUERIES["f95_minhash_crawl_guard"](spark, sf)
+            .collect()
+        }
+        unguarded = dd.minhash_dedup_pairs(
+            fixture, 3, 0.5, max_bucket_size=None
+        )
+        n_unguarded = unguarded.count()
+        spark.catalog.clearCache()
+        # every guarded pair is a planted near-copy (tens pair with
+        # their +5 neighbor); no boilerplate ids (doc_id % 5 != 0)
+        assert guarded
+        assert all(
+            a % 10 == 0 and b == a + 5 for a, b in guarded
+        )
+        # uncapped adds the full boilerplate clique on top
+        assert n_unguarded == len(guarded) + n_boiler * (n_boiler - 1) // 2

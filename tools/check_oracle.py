@@ -77,9 +77,14 @@ def main():
         # glob for the former, Spark handles both transparently.
         path = f"{sf}/{t}.parquet"
         pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
-        )
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
+            )
+        except duckdb.Error:
+            # partial table sets (scale_data tiers carry only documents/
+            # embeddings) — queries touching a missing view fail loudly
+            pass
 
     qs, oracles = m.queries(), m.oracle_sql()
     names = only or list(qs)
