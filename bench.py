@@ -101,6 +101,7 @@ TIER2 = [
     # rewrite and the crawl-profile minhash default, oracle-faced
     "f94_span_removal_rewrite",
     "f95_minhash_crawl_guard",
+    "c13_image_crawl_clusters",
 ]
 
 

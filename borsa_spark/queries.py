@@ -8333,10 +8333,58 @@ def f85_langid_nb(spark, sf):
     )
 
 
-@query(
-    "f91_image_band_guard",
-    """
-    WITH g AS (
+def _crawl_image_assets(spark, sf):
+    """The crawl-degenerate image fixture shared by f91 and c13: 80% of
+    documents carry one constant-color PNG (dHash all-zero bands); the
+    textured 20% (doc_id % 5 = 0) use the f90 double-squared analytic
+    luma, with one-pixel-perturbed planted copies at doc_id % 10 = 5
+    (hamming <= 1 from their base)."""
+    import numpy as np
+    import pandas as pd
+
+    from borsa_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        flat = mm.encode_png_pixels(
+            np.full((8, 9, 1), 77, dtype=np.uint8), filter_type=4
+        )
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 != 0:
+                    out.append((did, flat))
+                    continue
+                base = did - 5 if did % 10 == 5 else did
+
+                def luma(y, x):
+                    h = base * 37 + (x * 8 + y + 1) * 97
+                    g = (h * h) % 65536
+                    return ((g * g) >> 7) % 256
+
+                px = np.fromfunction(
+                    luma, (8, 9), dtype=np.int64
+                ).astype(np.uint8)
+                if did % 10 == 5:
+                    px[0, 0] = (int(px[0, 0]) + 7) % 256
+                out.append(
+                    (did, mm.encode_png_pixels(px[:, :, None],
+                                               filter_type=4))
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return docs.mapInPandas(gen, "asset_id long, payload binary")
+
+
+#: Analytic dHash byte-band relation for the crawl-degenerate image
+#: fixture (`_crawl_image_assets`), shared by f91 (byte-band guard) and
+#: c13 (wide-band crawl-profile clustering): `bands` is (doc_id, band
+#: 0..7, key = the dHash row byte), flat docs all-zero by the
+#: requantization pin, textured rows restated from the double-squared
+#: luma.
+_IMG_BANDS_SQL = """g AS (
       SELECT doc_id,
              doc_id % 5 = 0 AS textured,
              CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
@@ -8370,7 +8418,13 @@ def f85_langid_nb(spark, sf):
       SELECT doc_id, t.b AS band, 0::BIGINT AS key
       FROM g, unnest(range(0, 8)) AS t(b)
       WHERE NOT textured),
-    bands AS (SELECT * FROM tb UNION ALL SELECT * FROM fb),
+    bands AS (SELECT * FROM tb UNION ALL SELECT * FROM fb)"""
+
+
+@query(
+    "f91_image_band_guard",
+    f"""
+    WITH {_IMG_BANDS_SQL},
     cnt AS (
       SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
     keep AS (
@@ -8415,44 +8469,9 @@ def f91_image_band_guard(spark, sf):
     localCheckpointed 8-ints-per-image relation + a broadcast semi-join
     (<= 2048 distinct byte-keyed buckets); candidate emission drops
     from O(n²) to O(planted)."""
-    import numpy as np
-    import pandas as pd
-
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
-
-    def gen(batches):
-        flat = mm.encode_png_pixels(
-            np.full((8, 9, 1), 77, dtype=np.uint8), filter_type=4
-        )
-        for pdf in batches:
-            out = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                if did % 5 != 0:
-                    out.append((did, flat))
-                    continue
-                base = did - 5 if did % 10 == 5 else did
-
-                def luma(y, x):
-                    h = base * 37 + (x * 8 + y + 1) * 97
-                    g = (h * h) % 65536
-                    return ((g * g) >> 7) % 256
-
-                px = np.fromfunction(
-                    luma, (8, 9), dtype=np.int64
-                ).astype(np.uint8)
-                if did % 10 == 5:
-                    px[0, 0] = (int(px[0, 0]) + 7) % 256
-                out.append(
-                    (did, mm.encode_png_pixels(px[:, :, None],
-                                               filter_type=4))
-                )
-            yield pd.DataFrame(out, columns=["asset_id", "payload"])
-
-    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
-    dh = mm.image_dhash(assets)
+    dh = mm.image_dhash(_crawl_image_assets(spark, sf))
     # byte bands + explicit cap: the oracle mirrors the BYTE-band bucket
     # counts, so the band width is pinned via the exhaustive profile
     return mm.dhash_near_pairs(
@@ -8853,6 +8872,86 @@ def _f95_fixture(spark, sf):
     )
     return load_table(spark, sf, "documents").select(
         "doc_id", text.alias("text")
+    )
+
+
+@query(
+    "c13_image_crawl_clusters",
+    f"""
+    WITH RECURSIVE {_IMG_BANDS_SQL},
+    tw AS (
+      SELECT a.doc_id, a.band // 2 AS band,
+             a.key + 256 * b.key AS key
+      FROM tb a
+      JOIN tb b ON b.doc_id = a.doc_id AND b.band = a.band + 1
+      WHERE a.band % 2 = 0),
+    fw AS (
+      SELECT doc_id, t.b AS band, 0::BIGINT AS key
+      FROM g, unnest(range(0, 4)) AS t(b)
+      WHERE NOT textured),
+    wbands AS (SELECT * FROM tw UNION ALL SELECT * FROM fw),
+    wcnt AS (SELECT band, key, count(*) AS n
+             FROM wbands GROUP BY 1, 2),
+    keep AS (
+      SELECT w.doc_id, w.band, w.key
+      FROM wbands w JOIN wcnt ON wcnt.band = w.band AND wcnt.key = w.key
+      WHERE wcnt.n <= 64),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keep a JOIN keep b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(ba.key, bb.key)))::BIGINT AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.band = ba.band
+      GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+    SELECT id AS asset_id, min(comp)::BIGINT AS component,
+           (id = min(comp)) AS kept
+    FROM cc GROUP BY id
+    """,
+)
+def c13_image_crawl_clusters(spark, sf):
+    """The image-dedup lifecycle under the round-10 CRAWL DEFAULTS,
+    end-to-end and oracle-faced: decode (`image_dhash` over the f91
+    crawl-degenerate fixture) -> `dhash_near_pairs()` with NO arguments
+    — the shipped profile (16-bit bands, cap 64, hamming <= 3) is
+    itself what's under test — -> star-contraction connected components
+    (`dup_clusters`) -> keep-first representatives (kept = id ==
+    component, the `drop_repeated_paragraphs` keep-first rule at the
+    asset level). The 80% flat cohort's combined wide bucket blows past
+    the cap, so every flat image is its own singleton component (the
+    guard's documented semantics: hot cohorts route to exact dedup, not
+    the band join), while each planted one-pixel pair forms a 2-cluster
+    whose lower id is kept. The oracle restates the dHash bits
+    analytically, composes the WIDE keys (byte 2i + 256*byte 2i+1),
+    mirrors the cap, hamming gate, and a recursive min-reachable-id
+    component fold — a profile default drifting to byte bands, a cap
+    miscount, or a component mislabel all hash-mismatch.
+
+    Scale shape: decode once (localCheckpointed band relation), guarded
+    wide-band equi-join, O(log² n) star contraction over planted-pair-
+    sized edges; nothing touches O(n²)."""
+    from borsa_spark.functions import multimodal as mm
+
+    assets = _crawl_image_assets(spark, sf)
+    dh = mm.image_dhash(assets)
+    pairs = mm.dhash_near_pairs(dh)  # the crawl DEFAULT, deliberately bare
+    nodes = dh.select(F.col("asset_id").alias("id"))
+    comp = _dd.dup_clusters(pairs.select("id_a", "id_b"), nodes)
+    return comp.select(
+        F.col("id").cast("long").alias("asset_id"),
+        F.col("comp").cast("long").alias("component"),
+        (F.col("id") == F.col("comp")).alias("kept"),
     )
 
 
