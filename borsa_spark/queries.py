@@ -8946,7 +8946,13 @@ def c13_image_crawl_clusters(spark, sf):
     assets = _crawl_image_assets(spark, sf)
     dh = mm.image_dhash(assets)
     pairs = mm.dhash_near_pairs(dh)  # the crawl DEFAULT, deliberately bare
-    nodes = dh.select(F.col("asset_id").alias("id"))
+    # node set from the docs scan, NOT from dh: the band join reads the
+    # localCheckpointed band relation, but a dh-derived node list would
+    # be a second consumer of the decode subtree and re-run the
+    # MapInPandas decode (round-10 plan audit caught exactly this)
+    nodes = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id")
+    )
     comp = _dd.dup_clusters(pairs.select("id_a", "id_b"), nodes)
     return comp.select(
         F.col("id").cast("long").alias("asset_id"),

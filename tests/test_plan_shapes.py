@@ -754,3 +754,50 @@ class TestRound8PlanShapes:
         with contextlib.redirect_stdout(buf):
             anch.explain("formatted")
         assert "LeftSemi" in buf.getvalue()
+
+
+class TestRound10PlanShapes:
+    """Final-AQE-plan guards for the round-10 queries (the audit that
+    wrote them caught c13's node list re-running the decode outside
+    the checkpoint — these pin the fixed shapes)."""
+
+    def test_f94_rewrite_bounded_scans_and_jvm_only(self, spark):
+        # span removal reads the corpus parquet at most twice (screen
+        # lineage + the rewrite scan; anchors ride the persisted
+        # relations, visible as TableCacheQueryStage), and the cut is
+        # a JVM higher-order filter — no Python anywhere
+        import re
+
+        plan = final_plan_of(spark, "f94_span_removal_rewrite")
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) <= 2
+        assert "TableCacheQueryStage" in plan
+        assert "EvalPython" not in plan
+        assert "MapInPandas" not in plan
+        spark.catalog.clearCache()
+
+    def test_f95_single_corpus_scan(self, spark):
+        # the capped minhash default keeps f7's shape: one corpus scan
+        # (persisted shingle-array relation feeds signature fold and
+        # both verify sides), candidates equi-join only
+        import re
+
+        plan = final_plan_of(spark, "f95_minhash_crawl_guard")
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) == 1
+        assert "MapInPandas" not in plan
+        assert "EvalPython" not in plan
+        spark.catalog.clearCache()
+
+    def test_c13_decodes_once_into_checkpoint(self, spark):
+        # the decode subtree must be cut by the band-relation
+        # localCheckpoint (ExistingRDD) and NOT re-run for the node
+        # list — nodes come from the docs scan (1 parquet scan total)
+        import re
+
+        plan = final_plan_of(spark, "c13_image_crawl_clusters")
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) == 1
+        assert "ExistingRDD" in plan
+        assert "MapInPandas" not in plan
+        spark.catalog.clearCache()
