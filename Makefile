@@ -54,6 +54,8 @@ example-tour:
 	python examples/30_incremental_rollup.py
 	python examples/31_crawl_stage_zero.py
 	python examples/32_corpus_prep_e2e.py
+	python examples/33_training_mix_e2e.py
+	python examples/34_crawl_safe_dedup.py
 
 test:
 	python -m pytest tests/ -q
