@@ -4777,7 +4777,11 @@ def _register_ingest():
         in streaming/ingest.py `DedupIngest` (tests/test_ingest.py drives
         it over a live foreachBatch stream + crash-replay scenarios)."""
         docs = load_table(spark, sf, "documents")
-        return admission_frame(docs, lambda c: c % 2 == 0, threshold=0.5)
+        # max_bucket_size=None is EXPLICIT: this oracle replays the
+        # uncapped cross-set pairs (the round-10 flip made the capped
+        # form the library default)
+        return admission_frame(docs, lambda c: c % 2 == 0, threshold=0.5,
+                               max_bucket_size=None)
 
 
 _register_ingest()

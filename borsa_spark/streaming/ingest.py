@@ -168,15 +168,37 @@ class DedupIngest:
         arr = arr_all.filter(F.size("shingles") > 0)
         sig = dd.signature_from_array(arr)
         bk = dd.lsh_band_keys(sig)
+        n_hot_buckets, hot = 0, None
         if self.max_bucket_size is not None:
-            counts = bk.groupBy("band", "band_key").agg(
-                F.count("*").alias("__n")
+            # COMBINED batch+corpus occupancy (round 10, the image
+            # ingest's fix applied here too): near-identical boilerplate
+            # texts differ in md5, so the exact screen admits them and
+            # an uncapped STORED band bucket grows with every admission
+            # — each future batch's candidate join then fans out against
+            # it. Corpus counts are left-semi-pruned to this batch's
+            # keys, so the agg is bounded by the batch's key set.
+            batch_counts = bk.groupBy("band", "band_key").agg(
+                F.count("*").alias("__nb")
             )
-            bk = (
-                bk.join(counts, ["band", "band_key"])
-                .filter(F.col("__n") <= self.max_bucket_size)
-                .drop("__n")
+            corpus_counts = (
+                self.corpus_bands()
+                .join(batch_counts.select("band", "band_key"),
+                      ["band", "band_key"], "left_semi")
+                .groupBy("band", "band_key")
+                .agg(F.count("*").alias("__nc"))
             )
+            hot = (
+                batch_counts.join(corpus_counts, ["band", "band_key"],
+                                  "left_outer")
+                .filter(
+                    F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
+                    > self.max_bucket_size
+                )
+                .select("band", "band_key")
+                .persist()
+            )
+            n_hot_buckets = hot.count()
+            bk = bk.join(hot, ["band", "band_key"], "left_anti")
         cands = (
             bk.select(F.col("id").alias("id_a"), "band", "band_key")
             .join(
@@ -228,8 +250,18 @@ class DedupIngest:
                 "admitted": int(n_admit),
                 "rejected": int(n_in - n_admit),
                 "rejected_quality": int(n_quality_rejected),
+                # never a silent cap: buckets the combined batch+corpus
+                # guard excluded from near-dup candidates this batch
+                "hot_buckets": int(n_hot_buckets),
             },
         )
+        # per-batch persists die with the batch (a foreachBatch stream
+        # runs thousands of these — leaking one relation per batch is
+        # the round-10 cache-discipline finding)
+        arr_all.unpersist()
+        admitted.unpersist()
+        if hot is not None:
+            hot.unpersist()
         arr_all.unpersist()
         admitted.unpersist()
 
@@ -354,14 +386,22 @@ def sql_ingest_admission(corpus_pred_sql: str, threshold: float = 0.5) -> str:
     """
 
 
-def admission_frame(docs: DataFrame, pred, threshold: float = 0.5) -> DataFrame:
+def admission_frame(
+    docs: DataFrame,
+    pred,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = dd.CRAWL_MAX_BUCKET,
+) -> DataFrame:
     """One ingest batch as a pure DataFrame program (no state writes):
     ``pred`` is a callable Column->Column marking the pre-seeded corpus
     side (applied to the id column); everything else is the batch. Returns
     (doc_id, admitted) with the exact decision ``process_batch`` makes —
     first-of-md5 within the batch, text absent from the corpus, and no
     verified cross-set near-dup at ``threshold``. The oracle-checkable
-    face of the streaming pipeline (query f48)."""
+    face of the streaming pipeline (query f48 — which passes
+    ``max_bucket_size=None`` explicitly because its oracle replays the
+    uncapped cross-set pairs; the stateful crawl path keeps the capped
+    default, applied at union occupancy)."""
     hashed = docs.select("doc_id", "text", F.md5("text").alias("text_md5"))
     # batch feeds the first-of-md5 agg AND the decision join — persist
     # the micro-batch-sized relation so its scan+md5 runs once
@@ -370,7 +410,10 @@ def admission_frame(docs: DataFrame, pred, threshold: float = 0.5) -> DataFrame:
     corpus = hashed.filter(pred(F.col("doc_id")))
     firsts = batch.groupBy("text_md5").agg(F.min("doc_id").alias("keep_id"))
     near = (
-        dd.minhash_pairs_against_inrow(docs, pred(F.col("id")), threshold=threshold)
+        dd.minhash_pairs_against_inrow(
+            docs, pred(F.col("id")), threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
         .withColumn("__near", F.lit(True))
@@ -408,7 +451,7 @@ def compact_state(ing: DedupIngest) -> dict:
     return _compact(
         ing, stages=("arrays", "bands"),
         sum_fields=("received", "admitted", "rejected",
-                    "rejected_quality"),
+                    "rejected_quality", "hot_buckets"),
     )
 
 

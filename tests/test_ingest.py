@@ -38,7 +38,7 @@ class TestDedupIngestBatches:
         log = ing.admission_log()
         assert log == [
             {"batch": 0, "received": 3, "admitted": 3, "rejected": 0,
-             "rejected_quality": 0}
+             "rejected_quality": 0, "hot_buckets": 0}
         ]
         assert ing.corpus_arrays().count() == 3
 
@@ -49,9 +49,45 @@ class TestDedupIngestBatches:
         log = ing.admission_log()[1]
         # 10 exact-dup, 11 near-dup, 13 intra-batch dup -> only 12 admitted
         assert log == {"batch": 1, "received": 4, "admitted": 1,
-                       "rejected": 3, "rejected_quality": 0}
+                       "rejected": 3, "rejected_quality": 0,
+                       "hot_buckets": 0}
         ids = {r.id for r in ing.corpus_arrays().collect()}
         assert ids == {1, 2, 3, 12}
+
+    def test_combined_batch_plus_corpus_bucket_cap(self, spark, tmp_path):
+        """Round-10: the text gate's hot-bucket cap counts STORED corpus
+        occupancy too (the image ingest's fix applied here). Repeating
+        a 4-word phrase k times yields IDENTICAL shingle sets (hence
+        identical signatures and band buckets) with DISTINCT md5 for
+        every k — the text analog of distinct-color flat images: the
+        exact screen admits them, and only the combined cap keeps the
+        stored bucket from driving future joins."""
+
+        def boiler(k):
+            return ("x y z w " * k).strip()
+
+        ing = DedupIngest(spark, str(tmp_path / "scap"),
+                          max_bucket_size=5)
+        b0 = [(i, boiler(2 + i)) for i in range(8)]  # cohort > cap alone
+        b0.append((100, BATCH1[0][1]))               # one normal doc
+        ing.process_batch(_docs(spark, b0), 0)
+        assert ing.admission_log()[0] == {
+            "batch": 0, "received": 9, "admitted": 9, "rejected": 0,
+            "rejected_quality": 0, "hot_buckets": 12,
+        }
+        # batch 1: 3 MORE boiler variants (batch-side 3 <= cap, but
+        # combined with the 8 stored it is 11 > 5 -> excluded with
+        # accounting); a genuine near-dup of the normal doc still
+        # screens through its un-hot buckets and is rejected
+        b1 = [(20 + i, boiler(10 + i)) for i in range(3)]
+        b1.append((101, BATCH2[1][1]))  # near dup of doc 100's text
+        ing.process_batch(_docs(spark, b1), 1)
+        assert ing.admission_log()[1] == {
+            "batch": 1, "received": 4, "admitted": 3, "rejected": 1,
+            "rejected_quality": 0, "hot_buckets": 12,
+        }
+        ids = {r.id for r in ing.corpus_arrays().collect()}
+        assert ids == set(range(8)) | {100} | {20, 21, 22}
 
     def test_replayed_batch_is_noop(self, spark, tmp_path):
         ing = DedupIngest(spark, str(tmp_path / "s3"))
