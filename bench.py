@@ -1,7 +1,15 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and print ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-   "probe_s": ..., "ratios": {...}, "tier2_queries": {...}, "sf": ...}
+(default /root/testdata/sf0.1). Two output channels (round 10 — the
+single full-JSON line outgrew the driver's ~2000-char stdout tail and
+r8/r9 artifacts recorded parsed:null):
+
+- stdout: ONE compact JSON line that always fits the tail capture —
+  {"metric": ..., "value": total_sec, "unit": "sec", "tier2_total":
+   ..., "probe_s": ..., "total_ratio": ..., "sf": ..., "n_queries":
+   ..., "n_tier2": ..., "detail": "bench_out.json"}
+- bench_out.json (repo root, committed per round): the full payload —
+  per-query walls ("queries", "tier2_queries") and "ratios", the data
+  BASELINE.md's regression rule reads.
 
 Each query is executed to completion through the noop sink
 (`df.write.format("noop")`), which materializes EVERY output column.

@@ -263,29 +263,58 @@ def minhash_signature_inrow(df: DataFrame, n: int = 3,
     return signature_from_array(shingle_array(df, n, text_col, id_col))
 
 
-def lsh_band_keys(sig: DataFrame) -> DataFrame:
+def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
     """Explode signatures into (id, band, band_key) for the banded LSH join.
 
     The band key is xxhash64 over the band's row values — an 8-byte join
     key instead of a ~50-char concat string, so the candidate join
     shuffles fingerprints, not signature text. The key never reaches any
     output (it exists to bucket the join; `verify_jaccard` recomputes
-    exact Jaccard on every candidate), so a hash collision can only ADD a
-    candidate pair that verification then scores exactly — correctness is
-    collision-immune and the oracle SQL can keep its own (string) keys.
-    In `oversized_buckets` accounting the key is therefore an opaque
-    bucket id.
+    exact Jaccard on every candidate), so a JOIN-side hash collision can
+    only ADD a candidate pair that verification then scores exactly.
+
+    ``with_values=True`` adds a ``band_vals`` array column carrying the
+    band's exact h-values. The hot-bucket CAP must count buckets by this
+    exact tuple, never by the hashed key: two sub-cap buckets whose keys
+    collide would merge their counts, and if the merged count crossed
+    the cap BOTH legitimate buckets would be excluded — a collision
+    REMOVING true pairs, the one direction the invariant above forbids
+    (round-10 review). With exact-tuple counting the oracle SQL's string
+    keys and the engine's cap agree at any corpus size.
     """
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.lit(b), *cols).alias("key"))
-        )
+        fields = [
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), *cols).alias("key"),
+        ]
+        if with_values:
+            fields.append(F.array(*cols).alias("vals"))
+        bands.append(F.struct(*fields))
+    out_cols = [
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
+    ]
+    if with_values:
+        out_cols.append(F.col("bk.vals").alias("band_vals"))
+    return sig.select(
+        "id", F.explode(F.array(*bands)).alias("bk")
+    ).select(*out_cols)
+
+
+def _cap_band_buckets(bk: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop rows of (exact-tuple) band buckets larger than the cap.
+    ``bk`` must carry ``band_vals`` (lsh_band_keys with_values=True);
+    the column is consumed here and removed from the output."""
+    counts = bk.groupBy("band", "band_vals").agg(
+        F.count("*").alias("__n")
+    )
     return (
-        sig.select("id", F.explode(F.array(*bands)).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+        bk.join(counts, ["band", "band_vals"])
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n", "band_vals")
     )
 
 
@@ -314,16 +343,9 @@ def minhash_candidates(
     members are near-identical by construction, so grouping them wholesale
     is usually the right call anyway).
     """
-    bk = lsh_band_keys(sig)
+    bk = lsh_band_keys(sig, with_values=max_bucket_size is not None)
     if max_bucket_size is not None:
-        w_count = bk.groupBy("band", "band_key").agg(
-            F.count("*").alias("__n")
-        )
-        bk = (
-            bk.join(w_count, ["band", "band_key"])
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
+        bk = _cap_band_buckets(bk, max_bucket_size)
     a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -336,12 +358,19 @@ def minhash_candidates(
 
 def oversized_buckets(sig: DataFrame, max_bucket_size: int) -> DataFrame:
     """The accounting side of `minhash_candidates(max_bucket_size=...)`:
-    (band, band_key, n_docs) for every bucket the cap excluded."""
+    (band, band_key, n_docs) for every bucket the cap excluded. Counts
+    by the exact band tuple (the cap's own grouping — see
+    `lsh_band_keys`); band_key is reported as the bucket's opaque id
+    (constant per tuple)."""
     return (
-        lsh_band_keys(sig)
-        .groupBy("band", "band_key")
-        .agg(F.count("*").alias("n_docs"))
+        lsh_band_keys(sig, with_values=True)
+        .groupBy("band", "band_vals")
+        .agg(
+            F.max("band_key").alias("band_key"),
+            F.count("*").alias("n_docs"),
+        )
         .filter(F.col("n_docs") > max_bucket_size)
+        .select("band", "band_key", "n_docs")
     )
 
 
@@ -761,14 +790,9 @@ def minhash_pairs_against(
     restricted to candidates (verify_jaccard), same as f7.
     """
     sig = minhash_signature(sh)
-    bk = lsh_band_keys(sig)
+    bk = lsh_band_keys(sig, with_values=max_bucket_size is not None)
     if max_bucket_size is not None:
-        counts = bk.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
-        bk = (
-            bk.join(counts, ["band", "band_key"])
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
+        bk = _cap_band_buckets(bk, max_bucket_size)
     flags = sh.select("id").distinct().select(
         "id", is_existing.alias("__existing")
     )
@@ -815,14 +839,9 @@ def minhash_pairs_against_inrow(
     if persist_shingles:
         arr = arr.persist()
     sig = signature_from_array(arr)
-    bk = lsh_band_keys(sig)
+    bk = lsh_band_keys(sig, with_values=max_bucket_size is not None)
     if max_bucket_size is not None:
-        counts = bk.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
-        bk = (
-            bk.join(counts, ["band", "band_key"])
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
+        bk = _cap_band_buckets(bk, max_bucket_size)
     flags = arr.select("id", is_existing.alias("__existing"))
     # Persist the flagged band keys: the new-side and existing-side filters
     # below are two consumers of this frame (exchange-reuse lesson).

@@ -320,21 +320,29 @@ class CorpusArtifacts:
         new_sig = _dd.signature_from_array(new_arr)
 
         # cross-set candidates: NEW band keys vs STORED band keys; the
-        # bucket cap applies to union-bucket occupancy like a full build
+        # bucket cap applies to union-bucket occupancy like a full build,
+        # counted by the EXACT band tuple (both sides re-derive from
+        # signatures, so the collision-can-only-ADD invariant holds here
+        # exactly as in minhash_candidates — round-10 review)
         old_sig = self._read("signatures")
-        new_bk = _dd.lsh_band_keys(new_sig)
-        old_bk = _dd.lsh_band_keys(old_sig)
-        if p.max_bucket_size is not None:
+        capped = p.max_bucket_size is not None
+        new_bk = _dd.lsh_band_keys(new_sig, with_values=capped)
+        old_bk = _dd.lsh_band_keys(old_sig, with_values=capped)
+        if capped:
             union_counts = (
-                new_bk.select("band", "band_key")
-                .unionByName(old_bk.select("band", "band_key"))
-                .groupBy("band", "band_key")
+                new_bk.select("band", "band_vals")
+                .unionByName(old_bk.select("band", "band_vals"))
+                .groupBy("band", "band_vals")
                 .agg(F.count("*").alias("__n"))
                 .filter(F.col("__n") <= p.max_bucket_size)
-                .select("band", "band_key")
+                .select("band", "band_vals")
             )
-            new_bk = new_bk.join(union_counts, ["band", "band_key"], "left_semi")
-            old_bk = old_bk.join(union_counts, ["band", "band_key"], "left_semi")
+            new_bk = new_bk.join(
+                union_counts, ["band", "band_vals"], "left_semi"
+            ).drop("band_vals")
+            old_bk = old_bk.join(
+                union_counts, ["band", "band_vals"], "left_semi"
+            ).drop("band_vals")
         cross = (
             new_bk.select(F.col("id").alias("new_id"), "band", "band_key")
             .join(

@@ -8792,8 +8792,9 @@ def f94_span_removal_rewrite(spark, sf):
 #: analog of f91's flat-image cohort — identical signatures, so every
 #: band bucket holds the whole cohort and blows past CRAWL_MAX_BUCKET),
 #: 20% unique 12-word docs with a planted near-copy per pair of tens
-#: (last word swapped: 7 of 13 distinct shingles shared -> jaccard
-#: 0.5385 >= 0.5).
+#: (last word swapped: the 12-word doc has 10 trigram shingles and the
+#: last word sits in exactly one of them, so 9 of 11 distinct shingles
+#: are shared -> jaccard 0.8182 >= 0.5, a wide verification margin).
 _F95_BOILER = " ".join(f"common{j}" for j in range(12))
 _F95_BASE_SQL = "CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END"
 _F95_WORDS_SQL = " || ' ' || ".join(

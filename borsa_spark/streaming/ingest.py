@@ -48,6 +48,14 @@ from borsa_spark.streaming import markers
 _ARRAYS_SCHEMA = "id long, text_md5 string, shingles array<long>"
 _BANDS_SCHEMA = "id long, band int, band_key long"
 
+#: Default hot-bucket cap for the ingest gates — tighter than the batch
+#: library's CRAWL_MAX_BUCKET because the candidate join here runs
+#: per MICRO-BATCH against ever-growing stored state, so per-bucket
+#: cost recurs every trigger. Shared by DedupIngest, ImageDedupIngest,
+#: and `admission_frame` (which must predict process_batch's decision
+#: exactly — a round-10 review caught the two defaults diverging).
+INGEST_MAX_BUCKET = 64
+
 
 def _committed_log(batches_dir: str) -> list[dict]:
     """Committed admission log, shared by every ingest class:
@@ -80,7 +88,7 @@ class DedupIngest:
         state_dir: str,
         n: int = 3,
         threshold: float = 0.5,
-        max_bucket_size: int | None = 64,
+        max_bucket_size: int | None = INGEST_MAX_BUCKET,
         quality_gate=None,
     ):
         """``quality_gate``: optional ``Callable[[DataFrame], Column]``
@@ -177,6 +185,12 @@ class DedupIngest:
             # — each future batch's candidate join then fans out against
             # it. Corpus counts are left-semi-pruned to this batch's
             # keys, so the agg is bounded by the batch's key set.
+            # Caveat: stored state carries only the HASHED band key, so
+            # unlike minhash_candidates' exact-tuple counting a key
+            # collision here could merge two buckets past the cap —
+            # recall-side only (candidates are never added wrongly),
+            # surfaced by hot_buckets accounting, accepted to keep
+            # state at 8 bytes per (id, band).
             batch_counts = bk.groupBy("band", "band_key").agg(
                 F.count("*").alias("__nb")
             )
@@ -256,14 +270,11 @@ class DedupIngest:
             },
         )
         # per-batch persists die with the batch (a foreachBatch stream
-        # runs thousands of these — leaking one relation per batch is
-        # the round-10 cache-discipline finding)
+        # runs thousands of these)
         arr_all.unpersist()
         admitted.unpersist()
         if hot is not None:
             hot.unpersist()
-        arr_all.unpersist()
-        admitted.unpersist()
 
     # -- attach to a stream --------------------------------------------
     def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
@@ -390,7 +401,7 @@ def admission_frame(
     docs: DataFrame,
     pred,
     threshold: float = 0.5,
-    max_bucket_size: int | None = dd.CRAWL_MAX_BUCKET,
+    max_bucket_size: int | None = INGEST_MAX_BUCKET,
 ) -> DataFrame:
     """One ingest batch as a pure DataFrame program (no state writes):
     ``pred`` is a callable Column->Column marking the pre-seeded corpus
@@ -568,7 +579,7 @@ class ImageDedupIngest:
         state_dir: str,
         max_hamming: int = 3,
         rows_per_band: int = 2,
-        max_bucket_size: int | None = 64,
+        max_bucket_size: int | None = INGEST_MAX_BUCKET,
         hasher=None,
         kind: str = "image_dhash",
     ):

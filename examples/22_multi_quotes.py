@@ -27,7 +27,10 @@ def main() -> None:
 
     requested = ["click", "purchase", "view", "NOPE", "ALSO_MISSING"]
     print(f"Fetching quotes for {requested}...")
-    ok, failed = quotes(spark, cat, requested)
+    # persist=True opts into the one-union plan the header describes;
+    # the default is persist=False (leak-safe for long-lived routers)
+    # and re-executes the union once per consumed output
+    ok, failed = quotes(spark, cat, requested, persist=True)
 
     print("\n## Successes")
     ok.select("symbol", "price", "currency", "provider").orderBy(

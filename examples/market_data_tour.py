@@ -243,7 +243,8 @@ def main() -> None:
 
     # 22_multi_quotes: batch with partial failure
     print("== 22 multi quotes (with one unknown symbol) ==")
-    ok, failed = quotes(spark, cat, ["click", "view", "GHOST"])
+    ok, failed = quotes(spark, cat, ["click", "view", "GHOST"],
+                        persist=True)
     ok.select("symbol", "price").show()
     print("failures:", [r.symbol for r in failed.collect()])
 

@@ -217,3 +217,53 @@ class TestF95GuardNonVacuous:
         )
         # uncapped adds the full boilerplate clique on top
         assert n_unguarded == len(guarded) + n_boiler * (n_boiler - 1) // 2
+
+
+class TestCapCountsExactTuple:
+    """The hot-bucket cap must group counts by the exact band tuple
+    (band_vals), never by the hashed join key: two sub-cap buckets
+    whose xxhash64 keys collide would merge counts and — if the merged
+    count crossed the cap — EXCLUDE both legitimate buckets, a
+    collision REMOVING true pairs (the one direction lsh_band_keys'
+    invariant forbids). Structural pin: the capped plan aggregates on
+    band_vals; the uncapped plan never materializes it."""
+
+    def _plan(self, spark, capped):
+        import contextlib
+        import io
+
+        from borsa_spark.functions import dedup as dd
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f")],
+            "doc_id long, text string",
+        )
+        sig = dd.minhash_signature_inrow(docs)
+        df = dd.minhash_candidates(
+            sig, max_bucket_size=8 if capped else None
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def test_capped_plan_aggregates_on_band_vals(self, spark):
+        assert "band_vals" in self._plan(spark, capped=True)
+
+    def test_uncapped_plan_never_builds_band_vals(self, spark):
+        assert "band_vals" not in self._plan(spark, capped=False)
+
+    def test_with_values_exposes_exact_tuple(self, spark):
+        from borsa_spark.functions import dedup as dd
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        sig = dd.minhash_signature_inrow(docs)
+        row = sig.collect()[0]
+        bk = dd.lsh_band_keys(sig, with_values=True).collect()
+        assert len(bk) == dd.LSH_BANDS
+        for r in bk:
+            want = [row[f"h{r.band * dd.LSH_ROWS + i}"]
+                    for i in range(dd.LSH_ROWS)]
+            assert list(r.band_vals) == want

@@ -87,7 +87,9 @@ class TestLshBucketGuard:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         sig = dd.minhash_signature(dd.shingles(docs, 3))
 
-        uncapped = dd.minhash_candidates(sig)
+        # explicit None (round-10 flipped the default to capped):
+        # this baseline must stay the exhaustive form it names
+        uncapped = dd.minhash_candidates(sig, max_bucket_size=None)
         assert uncapped.count() == 15 + 1  # C(6,2) hot + 1 normal pair
 
         capped = dd.minhash_candidates(sig, max_bucket_size=3)
@@ -134,7 +136,9 @@ class TestIncrementalDedup:
         rows = [(i, base) for i in range(6)]  # ids 0,5 corpus; rest new
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         sh = dd.shingles(docs, 3)
-        uncapped = dd.minhash_pairs_against(sh, (F.col("id") % 5) == 0, 0.5)
+        uncapped = dd.minhash_pairs_against(
+            sh, (F.col("id") % 5) == 0, 0.5, max_bucket_size=None
+        )
         assert uncapped.count() == 8  # 4 new docs x 2 corpus docs
         capped = dd.minhash_pairs_against(
             sh, (F.col("id") % 5) == 0, 0.5, max_bucket_size=3

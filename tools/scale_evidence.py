@@ -513,9 +513,14 @@ def run_100x(spark, results: list) -> None:
         sig = dd.signature_from_array(arr).persist()
 
         t0 = time.time()
-        lsh_cands = dd.minhash_candidates(sig).count()
+        # max_bucket_size=None mirrors f7's explicit opt-out (round-10
+        # review: the library default flipped to capped, and this drill
+        # claims the SAME stages the query runs — the 300-doc
+        # boilerplate cohort would bind the 256 cap and silently
+        # diverge from f7's own pair set)
+        lsh_cands = dd.minhash_candidates(sig, max_bucket_size=None).count()
         lsh_true = dd.verify_jaccard_inrow(
-            dd.minhash_candidates(sig), arr, 0.5
+            dd.minhash_candidates(sig, max_bucket_size=None), arr, 0.5
         ).count()
         emit({
             "query": "f7_candidate_ratio", "sf": tier,
@@ -567,7 +572,10 @@ def run_f17_stages(spark, results: list) -> None:
     for tier, path in tiers:
         docs = load_table(spark, path, "documents")
         t0 = time.time()
-        pairs = dd.minhash_dedup_pairs(docs, n=3, threshold=0.5) \
+        # explicit None: this stage breakdown is attributed to f17,
+        # whose _lsh_verified_pairs opts out of the capped default
+        pairs = dd.minhash_dedup_pairs(docs, n=3, threshold=0.5,
+                                       max_bucket_size=None) \
             .localCheckpoint(eager=True)
         n_pairs = pairs.count()
         t_pairs = round(time.time() - t0, 3)
