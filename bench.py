@@ -264,9 +264,11 @@ def main() -> None:
         return out
 
     timings = time_set(HEADLINE, slow_retry=15.0)
-    # tier 2 runs genuinely heavier plans (f17's clustering fixpoint sits
-    # at ~9-11s quiet); the retry threshold scales accordingly
-    tier2 = time_set(TIER2, slow_retry=25.0)
+    # tier 2 runs genuinely heavier plans; the heaviest quiet walls sit
+    # at ~7-9s (f17, f90, c11), so 15s still gives >1.7x headroom while
+    # catching the mid-run bursts 25s let through (BENCH_r10 draft: c11
+    # read 17.4s against three 7.4-7.5s hand samples)
+    tier2 = time_set(TIER2, slow_retry=15.0)
 
     # Warm the Structured Streaming + Arrow/pandas-UDF path on the tiny sf
     # before timing: the first streaming drain in a process pays one-time
@@ -274,12 +276,19 @@ def main() -> None:
     # sample, vs 3s steady-state). Timed samples should measure the stream
     # processor, not interpreter warmup.
     stream_gate_bench(spark, "/root/testdata/sf0.001")
-    timings["t1_stream_gate_candles"] = stream_gate_bench(spark, sf_dir)
+    # min-of-2 like the batch queries: a single stream sample can eat a
+    # one-off cost (BENCH_r10's first RocksDB drain paid native-lib +
+    # column-family init and read 6.7s where min-of-3 hand samples read
+    # 1.9-2.3s) — the artifact should record the plan, not first-touch
+    timings["t1_stream_gate_candles"] = min(
+        stream_gate_bench(spark, sf_dir) for _ in range(2)
+    )
     # same drain on the production state backend (off-heap RocksDB) — at
     # 100 TB the HDFS-backed heap store is the first scale risk; this pins
     # both that the config works and what it costs locally.
-    timings["t1_stream_gate_candles_rocksdb"] = stream_gate_bench(
-        spark, sf_dir, state_store=ROCKSDB_PROVIDER
+    timings["t1_stream_gate_candles_rocksdb"] = min(
+        stream_gate_bench(spark, sf_dir, state_store=ROCKSDB_PROVIDER)
+        for _ in range(2)
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -307,14 +307,20 @@ def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
 def _cap_band_buckets(bk: DataFrame, max_bucket_size: int) -> DataFrame:
     """Drop rows of (exact-tuple) band buckets larger than the cap.
     ``bk`` must carry ``band_vals`` (lsh_band_keys with_values=True);
-    the column is consumed here and removed from the output."""
-    counts = bk.groupBy("band", "band_vals").agg(
-        F.count("*").alias("__n")
+    the column is consumed here and removed from the output.
+
+    Shaped as an anti-join against only the HOT keys, not a join of
+    the full count relation back to every row: the hot set is bounded
+    by n_rows/cap buckets (AQE broadcasts it when small), while the
+    full count relation is as large as the distinct-bucket count."""
+    hot = (
+        bk.groupBy("band", "band_vals")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band", "band_vals")
     )
-    return (
-        bk.join(counts, ["band", "band_vals"])
-        .filter(F.col("__n") <= max_bucket_size)
-        .drop("__n", "band_vals")
+    return bk.join(hot, ["band", "band_vals"], "left_anti").drop(
+        "band_vals"
     )
 
 
