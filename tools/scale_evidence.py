@@ -708,16 +708,35 @@ def run_r9_family(spark, results: list) -> None:
 
 
 def run_r10_family(spark, results: list) -> None:
-    """Round-10 lifecycle addition: f94 corpus-wide span removal across
-    three document decades, next to the f93 span extraction it
-    composes with. f94's extra work beyond f93 is span-count-sized
-    (interval merge) plus ONE row-local token-array filter over the
-    corpus, so its wall should track f93's plus a near-linear rewrite
-    scan; output is |documents| rows at every tier by construction
-    (the rewrite keeps every doc)."""
+    """Round-10 lifecycle additions across three document decades:
+
+    - f94 corpus-wide span removal next to the f93 extraction it
+      composes with — its extra work is span-count-sized (interval
+      merge) plus ONE row-local token-array filter, so walls should
+      track f93 plus a near-linear rewrite scan; output is |documents|
+      rows at every tier by construction.
+    - f95, the capped minhash DEFAULT on the 80%-boilerplate analytic
+      fixture — at every tier the boilerplate cohort (0.8n docs, one
+      bucket) exceeds CRAWL_MAX_BUCKET, so candidate emission stays
+      O(planted) while an uncapped run would be O((0.8n)²); walls
+      should track the signature fold (~linear in docs).
+    - c13, the bare-crawl-default image lifecycle — decode dominates
+      (the f90 drill's cost model), pairing + star contraction ride
+      planted-pair-sized relations; output is |documents| rows.
+    """
     _run_decade_drill(
         spark, results,
-        ("f93_candidate_substring_spans", "f94_span_removal_rewrite"),
+        ("f93_candidate_substring_spans", "f94_span_removal_rewrite",
+         "f95_minhash_crawl_guard"),
+    )
+    # c13 separately with the c12 convention: dup_clusters runs its
+    # star-contraction jobs (eager localCheckpoints per round) at query
+    # CONSTRUCTION, so timing must start at fn() — the first drill run
+    # recorded 0.15-2.0 s walls that were only the final projection
+    _run_decade_drill(
+        spark, results,
+        ("c13_image_crawl_clusters",),
+        time_from_construction=True,
     )
 
 
