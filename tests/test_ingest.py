@@ -88,6 +88,14 @@ class TestDedupIngestBatches:
         }
         ids = {r.id for r in ing.corpus_arrays().collect()}
         assert ids == set(range(8)) | {100} | {20, 21, 22}
+        # the accounting survives compaction: hot_buckets sums like the
+        # other admission totals (never a silent cap, even folded)
+        from borsa_spark.streaming.ingest import compact_state
+
+        compact_state(ing)
+        log = ing.admission_log()
+        assert len(log) == 1
+        assert log[0]["hot_buckets"] == 24
 
     def test_replayed_batch_is_noop(self, spark, tmp_path):
         ing = DedupIngest(spark, str(tmp_path / "s3"))
