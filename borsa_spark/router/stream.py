@@ -192,12 +192,28 @@ def stream_updates(
 
         return start_fn
 
+    def stop_fn(name, q):
+        # stop() only SIGNALS the query; in-flight micro-batch tasks may
+        # still be committing state-store deltas when it returns, and a
+        # caller that deletes the checkpoint/sink right after shutdown
+        # (examples, tests, tempdir contexts) races those writes
+        # (round-10: example 17's tempdir cleanup hit a mid-commit
+        # HDFSBackedStateStore). Await termination — bounded, and
+        # swallowing the query's own exception: a deliberate shutdown of
+        # an already-failed session must not raise out of stop().
+        if q.isActive:
+            q.stop()
+        try:
+            q.awaitTermination(30)
+        except Exception:  # noqa: BLE001 — failure surfaced elsewhere
+            pass
+
     for plan in plans:
         controllers.append(
             launch_plan(
                 plan,
                 make_start_fn(plan),
-                stop_fn=lambda name, q: q.stop() if q.isActive else None,
+                stop_fn=stop_fn,
                 min_backoff_ms=min_backoff_ms,
                 max_backoff_ms=max_backoff_ms,
             )
