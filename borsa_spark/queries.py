@@ -8361,7 +8361,9 @@ def _crawl_image_assets(spark, sf):
                 if did % 5 != 0:
                     out.append((did, flat))
                     continue
-                base = did - 5 if did % 10 == 5 else did
+                # mod 262139: identity at driver SFs, int64-safe at
+                # replica-scale ids (see the oracle chain's note)
+                base = (did - 5 if did % 10 == 5 else did) % 262139
 
                 def luma(y, x):
                     h = base * 37 + (x * 8 + y + 1) * 97
@@ -8389,10 +8391,15 @@ def _crawl_image_assets(spark, sf):
 #: requantization pin, textured rows restated from the double-squared
 #: luma.
 _IMG_BANDS_SQL = """g AS (
+      -- base reduced mod 262139 (prime): identity at every driver SF
+      -- (doc_id < 262139 there) while keeping the luma's squared term
+      -- inside int64 at replica-scale ids — scale_data doc_ids reach
+      -- 9e7, where (base*37)^2 overflows and DuckDB (checked 64-bit
+      -- arithmetic) refuses what Spark would silently wrap
       SELECT doc_id,
              doc_id % 5 = 0 AS textured,
-             CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
-                  ELSE doc_id END AS base,
+             (CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
+                   ELSE doc_id END) % 262139 AS base,
              (doc_id % 10 = 5) AS pert
       FROM documents),
     px AS (
@@ -8815,12 +8822,20 @@ _F95_TEXT_SQL = f"""CASE WHEN doc_id % 5 <> 0 THEN '{_F95_BOILER}'
     bands AS ({_sql_band_selects()}),
     ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key
            HAVING count(*) <= {_dd.CRAWL_MAX_BUCKET}),
+    -- filter BEFORE self-joining, MATERIALIZED: inlined, the optimizer
+    -- reorders bands x bands x ok into the quadratic boilerplate
+    -- self-join first and spills ~0.5 TB at the sf1 replica tier;
+    -- materializing keep makes the cap structural, matching the
+    -- engine's anti-join-then-join shape
+    keep AS MATERIALIZED (
+      SELECT b.id, b.band, b.band_key
+      FROM bands b
+      JOIN ok k ON k.band = b.band AND k.band_key = b.band_key),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                   AND a.id < b.id
-      JOIN ok k ON k.band = a.band AND k.band_key = a.band_key),
+      FROM keep a
+      JOIN keep b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.id < b.id),
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
     inter AS (
       -- verification restricted to candidates (the boilerplate cohort
