@@ -81,12 +81,29 @@ def release_all_cached(spark: SparkSession) -> int:
     Note: unpersisting a localCheckpointed RDD truncates its lineage —
     any still-live DataFrame built on it cannot be recomputed. Callers
     run this BETWEEN units of work, never while a result is pending.
+
+    The RDD-layer sweep rides on the py4j handle
+    ``sparkContext._jsc.getPersistentRDDs()`` — PySpark exposes no
+    public equivalent (SPARK-2141's Scala API was never surfaced to
+    Python). That is a private attribute and can move across Spark
+    versions, so the access is guarded: if it ever disappears, the
+    function degrades to ``catalog.clearCache()`` (losing only the
+    localCheckpoint sweep) instead of breaking every caller. The
+    returned count is APPROXIMATE bookkeeping — it is read before
+    clearCache (catalog-cached plans register storage there too) and
+    may include blocks already being dropped asynchronously; tests
+    assert it reaches zero, never exact magnitudes.
     """
-    # Count BEFORE clearCache: catalog-cached plans register their
-    # storage in getPersistentRDDs too, and clearCache deregisters them
-    # — counting after would report only the RDD-layer leftovers.
-    n = int(spark.sparkContext._jsc.getPersistentRDDs().size())
-    spark.catalog.clearCache()
-    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        r.unpersist(False)
-    return n
+    try:
+        jsc = spark.sparkContext._jsc
+        # Count BEFORE clearCache: catalog-cached plans register their
+        # storage in getPersistentRDDs too, and clearCache deregisters
+        # them — counting after would report only RDD-layer leftovers.
+        n = int(jsc.getPersistentRDDs().size())
+        spark.catalog.clearCache()
+        for r in list(jsc.getPersistentRDDs().values()):
+            r.unpersist(False)
+        return n
+    except AttributeError:
+        spark.catalog.clearCache()
+        return 0

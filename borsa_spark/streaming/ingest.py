@@ -52,8 +52,10 @@ _BANDS_SCHEMA = "id long, band int, band_key long"
 #: library's CRAWL_MAX_BUCKET because the candidate join here runs
 #: per MICRO-BATCH against ever-growing stored state, so per-bucket
 #: cost recurs every trigger. Shared by DedupIngest, ImageDedupIngest,
-#: and `admission_frame` (which must predict process_batch's decision
-#: exactly — a round-10 review caught the two defaults diverging).
+#: and `admission_frame` (which predicts process_batch's decision —
+#: a round-10 review caught the two defaults diverging; see
+#: admission_frame's docstring for the one remaining, hash-collision-
+#: sized divergence when the cap is active).
 INGEST_MAX_BUCKET = 64
 
 
@@ -173,108 +175,118 @@ class DedupIngest:
         # the state write — re-shingling admitted docs would double the
         # dominant scan cost of every batch.
         arr_all = dd.shingle_array(batch_u, self.n, "text", "doc_id").persist()
-        arr = arr_all.filter(F.size("shingles") > 0)
-        sig = dd.signature_from_array(arr)
-        bk = dd.lsh_band_keys(sig)
-        n_hot_buckets, hot = 0, None
-        if self.max_bucket_size is not None:
-            # COMBINED batch+corpus occupancy (round 10, the image
-            # ingest's fix applied here too): near-identical boilerplate
-            # texts differ in md5, so the exact screen admits them and
-            # an uncapped STORED band bucket grows with every admission
-            # — each future batch's candidate join then fans out against
-            # it. Corpus counts are left-semi-pruned to this batch's
-            # keys, so the agg is bounded by the batch's key set.
-            # Caveat: stored state carries only the HASHED band key, so
-            # unlike minhash_candidates' exact-tuple counting a key
-            # collision here could merge two buckets past the cap —
-            # recall-side only (candidates are never added wrongly),
-            # surfaced by hot_buckets accounting, accepted to keep
-            # state at 8 bytes per (id, band).
-            batch_counts = bk.groupBy("band", "band_key").agg(
-                F.count("*").alias("__nb")
-            )
-            corpus_counts = (
-                self.corpus_bands()
-                .join(batch_counts.select("band", "band_key"),
-                      ["band", "band_key"], "left_semi")
-                .groupBy("band", "band_key")
-                .agg(F.count("*").alias("__nc"))
-            )
-            hot = (
-                batch_counts.join(corpus_counts, ["band", "band_key"],
-                                  "left_outer")
-                .filter(
-                    F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
-                    > self.max_bucket_size
+        n_hot_buckets, hot, admitted = 0, None, None
+        # try/finally around everything after the first persist: an
+        # exception mid-batch (e.g. a state-dir write failure) must not
+        # leak the cached blocks — launch_plan's restart loop would
+        # accumulate one leak per failed batch (round-10 ADVICE).
+        try:
+            arr = arr_all.filter(F.size("shingles") > 0)
+            sig = dd.signature_from_array(arr)
+            bk = dd.lsh_band_keys(sig)
+            if self.max_bucket_size is not None:
+                # COMBINED batch+corpus occupancy (round 10, the image
+                # ingest's fix applied here too): near-identical boilerplate
+                # texts differ in md5, so the exact screen admits them and
+                # an uncapped STORED band bucket grows with every admission
+                # — each future batch's candidate join then fans out against
+                # it. Corpus counts are left-semi-pruned to this batch's
+                # keys, so the agg is bounded by the batch's key set.
+                # Caveat: stored state carries only the HASHED band key, so
+                # unlike minhash_candidates' exact-tuple counting a key
+                # collision here could merge two buckets past the cap —
+                # recall-side only (candidates are never added wrongly),
+                # surfaced by hot_buckets accounting, accepted to keep
+                # state at 8 bytes per (id, band).
+                batch_counts = bk.groupBy("band", "band_key").agg(
+                    F.count("*").alias("__nb")
                 )
-                .select("band", "band_key")
-                .persist()
+                corpus_counts = (
+                    self.corpus_bands()
+                    .join(batch_counts.select("band", "band_key"),
+                          ["band", "band_key"], "left_semi")
+                    .groupBy("band", "band_key")
+                    .agg(F.count("*").alias("__nc"))
+                )
+                hot = (
+                    batch_counts.join(corpus_counts, ["band", "band_key"],
+                                      "left_outer")
+                    .filter(
+                        F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
+                        > self.max_bucket_size
+                    )
+                    .select("band", "band_key")
+                    .persist()
+                )
+                n_hot_buckets = hot.count()
+                bk = bk.join(hot, ["band", "band_key"], "left_anti")
+            cands = (
+                bk.select(F.col("id").alias("id_a"), "band", "band_key")
+                .join(
+                    self.corpus_bands().select(
+                        F.col("id").alias("id_b"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
             )
-            n_hot_buckets = hot.count()
-            bk = bk.join(hot, ["band", "band_key"], "left_anti")
-        cands = (
-            bk.select(F.col("id").alias("id_a"), "band", "band_key")
-            .join(
-                self.corpus_bands().select(
-                    F.col("id").alias("id_b"), "band", "band_key"
-                ),
-                ["band", "band_key"],
+            both = arr.unionByName(
+                corpus_arr.select("id", "shingles")
             )
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        both = arr.unionByName(
-            corpus_arr.select("id", "shingles")
-        )
-        dup_ids = (
-            dd.verify_jaccard_inrow(cands, both, self.threshold)
-            .select(F.col("id_a").alias("doc_id"))
-            .distinct()
-        )
-        admitted = batch_u.join(dup_ids, "doc_id", "left_anti").persist()
-        n_admit = admitted.count()
+            dup_ids = (
+                dd.verify_jaccard_inrow(cands, both, self.threshold)
+                .select(F.col("id_a").alias("doc_id"))
+                .distinct()
+            )
+            admitted = batch_u.join(dup_ids, "doc_id", "left_anti").persist()
+            n_admit = admitted.count()
 
-        # 4. write survivors' arrays + bands to this batch's OWN state dir
-        # (overwrite: an uncommitted replay redoes its partial output),
-        # marker LAST. Arrays come from the PERSISTED batch relation
-        # (left-semi to admitted ids), not a fresh shingle pass.
-        adm_hash = admitted.select(
-            F.col("doc_id").alias("id"), "text_md5"
-        )
-        adm_arr = arr_all.join(adm_hash.select("id"), "id", "left_semi")
-        (
-            adm_arr.join(adm_hash, "id")
-            .select("id", "text_md5", "shingles")
-            .write.mode("overwrite")
-            .parquet(self._path(f"arrays/batch-{batch_id}"))
-        )
-        adm_bands = dd.lsh_band_keys(
-            dd.signature_from_array(adm_arr.filter(F.size("shingles") > 0))
-        )
-        adm_bands.write.mode("overwrite").parquet(
-            self._path(f"bands/batch-{batch_id}")
-        )
+            # 4. write survivors' arrays + bands to this batch's OWN state
+            # dir (overwrite: an uncommitted replay redoes its partial
+            # output), marker LAST. Arrays come from the PERSISTED batch
+            # relation (left-semi to admitted ids), not a fresh shingle
+            # pass.
+            adm_hash = admitted.select(
+                F.col("doc_id").alias("id"), "text_md5"
+            )
+            adm_arr = arr_all.join(adm_hash.select("id"), "id", "left_semi")
+            (
+                adm_arr.join(adm_hash, "id")
+                .select("id", "text_md5", "shingles")
+                .write.mode("overwrite")
+                .parquet(self._path(f"arrays/batch-{batch_id}"))
+            )
+            adm_bands = dd.lsh_band_keys(
+                dd.signature_from_array(
+                    adm_arr.filter(F.size("shingles") > 0)
+                )
+            )
+            adm_bands.write.mode("overwrite").parquet(
+                self._path(f"bands/batch-{batch_id}")
+            )
 
-        markers.write_marker(
-            marker,
-            {
-                "batch": int(batch_id),
-                "received": int(n_in),
-                "admitted": int(n_admit),
-                "rejected": int(n_in - n_admit),
-                "rejected_quality": int(n_quality_rejected),
-                # never a silent cap: buckets the combined batch+corpus
-                # guard excluded from near-dup candidates this batch
-                "hot_buckets": int(n_hot_buckets),
-            },
-        )
-        # per-batch persists die with the batch (a foreachBatch stream
-        # runs thousands of these)
-        arr_all.unpersist()
-        admitted.unpersist()
-        if hot is not None:
-            hot.unpersist()
+            markers.write_marker(
+                marker,
+                {
+                    "batch": int(batch_id),
+                    "received": int(n_in),
+                    "admitted": int(n_admit),
+                    "rejected": int(n_in - n_admit),
+                    "rejected_quality": int(n_quality_rejected),
+                    # never a silent cap: buckets the combined batch+corpus
+                    # guard excluded from near-dup candidates this batch
+                    "hot_buckets": int(n_hot_buckets),
+                },
+            )
+        finally:
+            # per-batch persists die with the batch (a foreachBatch stream
+            # runs thousands of these) — success or failure alike
+            arr_all.unpersist()
+            if admitted is not None:
+                admitted.unpersist()
+            if hot is not None:
+                hot.unpersist()
 
     # -- attach to a stream --------------------------------------------
     def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
@@ -406,13 +418,22 @@ def admission_frame(
     """One ingest batch as a pure DataFrame program (no state writes):
     ``pred`` is a callable Column->Column marking the pre-seeded corpus
     side (applied to the id column); everything else is the batch. Returns
-    (doc_id, admitted) with the exact decision ``process_batch`` makes —
+    (doc_id, admitted) with the decision ``process_batch`` makes —
     first-of-md5 within the batch, text absent from the corpus, and no
     verified cross-set near-dup at ``threshold``. The oracle-checkable
     face of the streaming pipeline (query f48 — which passes
     ``max_bucket_size=None`` explicitly because its oracle replays the
     uncapped cross-set pairs; the stateful crawl path keeps the capped
-    default, applied at union occupancy)."""
+    default, applied at union occupancy).
+
+    Parity caveat (round-10 ADVICE): with the cap ACTIVE the two paths
+    count bucket occupancy differently — this frame caps by the exact
+    band tuple (`minhash_pairs_against_inrow`), while the stateful path
+    stores only the HASHED 64-bit band key and therefore counts by it;
+    a key collision merging two sub-cap buckets past the cap would make
+    process_batch drop candidates this frame keeps. Collision-sized
+    (~2^-64 per bucket pair) and recall-side only, but "exact" parity
+    holds only for the uncapped form or collision-free key spaces."""
     hashed = docs.select("doc_id", "text", F.md5("text").alias("text_md5"))
     # batch feeds the first-of-md5 agg AND the decision join — persist
     # the micro-batch-sized relation so its scan+md5 runs once
@@ -689,120 +710,125 @@ class ImageDedupIngest:
             )
             .persist()
         )
-        bk = mm.dhash_band_keys(
-            dh.select("asset_id", "bands"), self.rows_per_band
-        )
-        n_hot_buckets, hot = 0, None
-        if self.max_bucket_size is not None:
-            # Cap the COMBINED bucket (batch + stored corpus occupancy),
-            # not just the batch side (round-9 ADVICE): distinct-color
-            # flat images differ in md5 — the exact screen only catches
-            # byte-identical payloads — but all dHash to the same
-            # all-zero bands, so an uncapped CORPUS bucket grows with
-            # every admitted flat variant and each future batch's
-            # candidate join fans out against it. Corpus counts are
-            # computed only for keys this batch touches (left_semi
-            # prune), so the agg is bounded by the batch's key set.
-            batch_counts = bk.groupBy("band", "band_key").agg(
-                F.count("*").alias("__nb")
+        n_hot_buckets, hot, admitted = 0, None, None
+        # try/finally mirrors the text ingest: a failed batch must not
+        # leak its cached blocks across launch_plan restarts (r10 ADVICE)
+        try:
+            bk = mm.dhash_band_keys(
+                dh.select("asset_id", "bands"), self.rows_per_band
             )
-            corpus_counts = (
-                self.corpus_bands()
+            if self.max_bucket_size is not None:
+                # Cap the COMBINED bucket (batch + stored corpus occupancy),
+                # not just the batch side (round-9 ADVICE): distinct-color
+                # flat images differ in md5 — the exact screen only catches
+                # byte-identical payloads — but all dHash to the same
+                # all-zero bands, so an uncapped CORPUS bucket grows with
+                # every admitted flat variant and each future batch's
+                # candidate join fans out against it. Corpus counts are
+                # computed only for keys this batch touches (left_semi
+                # prune), so the agg is bounded by the batch's key set.
+                batch_counts = bk.groupBy("band", "band_key").agg(
+                    F.count("*").alias("__nb")
+                )
+                corpus_counts = (
+                    self.corpus_bands()
+                    .join(
+                        batch_counts.select("band", "band_key"),
+                        ["band", "band_key"], "left_semi",
+                    )
+                    .groupBy("band", "band_key")
+                    .agg(F.count("*").alias("__nc"))
+                )
+                hot = (
+                    batch_counts.join(corpus_counts, ["band", "band_key"],
+                                      "left_outer")
+                    .filter(
+                        F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
+                        > self.max_bucket_size
+                    )
+                    .select("band", "band_key")
+                    .persist()
+                )
+                n_hot_buckets = hot.count()
+                # dropping the keys from the batch side removes them from
+                # the equi-join entirely; the corpus side needs no filter
+                bk = bk.join(hot, ["band", "band_key"], "left_anti")
+            cands = (
+                bk.select(F.col("id").alias("id_a"), "band", "band_key")
                 .join(
-                    batch_counts.select("band", "band_key"),
-                    ["band", "band_key"], "left_semi",
-                )
-                .groupBy("band", "band_key")
-                .agg(F.count("*").alias("__nc"))
-            )
-            hot = (
-                batch_counts.join(corpus_counts, ["band", "band_key"],
-                                  "left_outer")
-                .filter(
-                    F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
-                    > self.max_bucket_size
-                )
-                .select("band", "band_key")
-                .persist()
-            )
-            n_hot_buckets = hot.count()
-            # dropping the keys from the batch side removes them from
-            # the equi-join entirely; the corpus side needs no filter
-            bk = bk.join(hot, ["band", "band_key"], "left_anti")
-        cands = (
-            bk.select(F.col("id").alias("id_a"), "band", "band_key")
-            .join(
-                self.corpus_bands().select(
-                    F.col("id").alias("id_b"), "band", "band_key"
-                ),
-                ["band", "band_key"],
-            )
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        ham = (
-            cands.join(
-                dh.select(F.col("asset_id").alias("id_a"),
-                          F.col("bands").alias("__ba")),
-                "id_a",
-            )
-            .join(
-                corpus_h.select(
-                    F.col("id").alias("id_b"),
-                    F.col("bands").alias("__bb"),
-                ),
-                "id_b",
-            )
-            .withColumn(
-                "__h",
-                F.aggregate(
-                    F.zip_with(
-                        "__ba", "__bb",
-                        lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                    self.corpus_bands().select(
+                        F.col("id").alias("id_b"), "band", "band_key"
                     ),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ),
+                    ["band", "band_key"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
             )
-        )
-        dup_ids = (
-            ham.filter(F.col("__h") <= self.max_hamming)
-            .select(F.col("id_a").alias("asset_id"))
-            .distinct()
-        )
-        admitted = dh.join(dup_ids, dh.asset_id == dup_ids.asset_id,
-                           "left_anti").persist()
-        n_admit = admitted.count()
+            ham = (
+                cands.join(
+                    dh.select(F.col("asset_id").alias("id_a"),
+                              F.col("bands").alias("__ba")),
+                    "id_a",
+                )
+                .join(
+                    corpus_h.select(
+                        F.col("id").alias("id_b"),
+                        F.col("bands").alias("__bb"),
+                    ),
+                    "id_b",
+                )
+                .withColumn(
+                    "__h",
+                    F.aggregate(
+                        F.zip_with(
+                            "__ba", "__bb",
+                            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            )
+            dup_ids = (
+                ham.filter(F.col("__h") <= self.max_hamming)
+                .select(F.col("id_a").alias("asset_id"))
+                .distinct()
+            )
+            admitted = dh.join(dup_ids, dh.asset_id == dup_ids.asset_id,
+                               "left_anti").persist()
+            n_admit = admitted.count()
 
-        # 4. per-batch overwrite state dirs, marker LAST
-        adm = admitted.select(
-            F.col("asset_id").alias("id"), "payload_md5", "bands"
-        )
-        adm.write.mode("overwrite").parquet(
-            self._path(f"hashes/batch-{batch_id}")
-        )
-        mm.dhash_band_keys(
-            admitted.select("asset_id", "bands"), self.rows_per_band
-        ).select("id", "band", "band_key").write.mode("overwrite").parquet(
-            self._path(f"bands/batch-{batch_id}")
-        )
+            # 4. per-batch overwrite state dirs, marker LAST
+            adm = admitted.select(
+                F.col("asset_id").alias("id"), "payload_md5", "bands"
+            )
+            adm.write.mode("overwrite").parquet(
+                self._path(f"hashes/batch-{batch_id}")
+            )
+            mm.dhash_band_keys(
+                admitted.select("asset_id", "bands"), self.rows_per_band
+            ).select("id", "band", "band_key").write.mode("overwrite").parquet(
+                self._path(f"bands/batch-{batch_id}")
+            )
 
-        markers.write_marker(
-            marker,
-            {
-                "batch": int(batch_id),
-                "received": int(n_in),
-                "admitted": int(n_admit),
-                "rejected": int(n_in - n_admit),
-                # never a silent cap: buckets the combined batch+corpus
-                # guard excluded from near-dup candidates this batch
-                "hot_buckets": int(n_hot_buckets),
-            },
-        )
-        dh.unpersist()
-        admitted.unpersist()
-        if hot is not None:
-            hot.unpersist()
+            markers.write_marker(
+                marker,
+                {
+                    "batch": int(batch_id),
+                    "received": int(n_in),
+                    "admitted": int(n_admit),
+                    "rejected": int(n_in - n_admit),
+                    # never a silent cap: buckets the combined batch+corpus
+                    # guard excluded from near-dup candidates this batch
+                    "hot_buckets": int(n_hot_buckets),
+                },
+            )
+        finally:
+            dh.unpersist()
+            if admitted is not None:
+                admitted.unpersist()
+            if hot is not None:
+                hot.unpersist()
 
     # -- attach to a stream ------------------------------------------
     def attach(self, stream_df: DataFrame, checkpoint: str, **opts):
