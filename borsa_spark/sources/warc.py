@@ -1,0 +1,425 @@
+"""WARC ingestion — crawl stage zero, before `functions/html.py`.
+
+A production 100-TB text pipeline does not start from HTML sitting in
+a parquet column; it starts from WARC files (ISO 28500 / WARC 1.1 —
+the Web ARChive format; Common Crawl publishes ~90k of them per crawl,
+~1 GB each). This module is a stdlib-only WARC codec plus the Spark
+stage that turns a directory of ``*.warc[.gz]`` files into the
+(url, warc_type, http_status, payload) relation every downstream
+operator in this repo consumes (f84 extraction → c11 corpus prep).
+
+Format facts the reader relies on (all from the public spec):
+
+- A WARC file is a sequence of records. Each record is::
+
+      WARC/1.0<CRLF>
+      Header-Name: value<CRLF>      (names case-insensitive; a line
+      ...                            starting with SP/HT continues the
+      <CRLF>                         previous header's value — LWS fold)
+      <Content-Length bytes of payload>
+      <CRLF><CRLF>                  (two-CRLF record trailer)
+
+- ``Content-Length`` is MANDATORY and is the ONLY record delimiter:
+  payloads routinely contain ``CRLF CRLF`` and even ``WARC/1.0``
+  (an HTML page quoting a WARC example must not desync the walk), so
+  scanning for separators instead of honoring Content-Length is wrong
+  and the fixture in queries.py plants exactly that trap.
+- Compressed WARC files hold ONE GZIP MEMBER PER RECORD, concatenated
+  (the Common Crawl layout). That is what makes a .warc.gz seekable:
+  a reader positioned at any member boundary can start cleanly, which
+  is the property a splittable cluster input format would exploit.
+- ``WARC-Type: response`` records carry a full HTTP response message
+  (status line + headers + body) as payload
+  (``Content-Type: application/http; msgtype=response``); request /
+  warcinfo / metadata records carry other payloads and must be
+  filtered by WARC-Type, not guessed from the payload.
+
+Spark shape (and the honest 100-TB note): `read_warc` mounts files via
+the built-in ``binaryFile`` source and walks records in an
+Arrow-batched ``mapInPandas`` — ONE task per WARC file, parallelism =
+file count. For Common Crawl that is the standard unit (90k 1-GB files
+>> any cluster's core count), so per-file tasks saturate 1000
+executors without a custom splittable format; per-task memory is
+bounded by one file (binaryFile caps at 2 GB). What this module
+deliberately does NOT do is split a single file across tasks — that
+needs a datasource that scans for gzip member boundaries mid-stream;
+the member-per-record layout makes it possible, and the docstring of
+`read_warc` marks it as the known upgrade path if file sizes ever
+dwarf file counts.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CRLF = b"\r\n"
+
+#: the relation `read_warc` emits — one row per WARC record
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("record_index", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("record_id", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("http_status", LongType()),
+        StructField("http_content_type", StringType()),
+        StructField("body", BinaryType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture builder / general writer)
+# ---------------------------------------------------------------------------
+
+
+def warc_record(
+    warc_type: str,
+    headers: dict[str, str],
+    payload: bytes,
+    version: str = "WARC/1.0",
+) -> bytes:
+    """Serialize one uncompressed WARC record. ``headers`` should carry
+    the named fields (WARC-Target-URI etc.); WARC-Type and
+    Content-Length are set here (Content-Length always from the actual
+    payload — the spec's one hard delimiter must never be hand-set)."""
+    out = [version.encode("ascii"), CRLF]
+    out += [b"WARC-Type: ", warc_type.encode("ascii"), CRLF]
+    for k, v in headers.items():
+        if k.lower() in ("warc-type", "content-length"):
+            raise ValueError(f"{k} is managed by warc_record")
+        out += [k.encode("ascii"), b": ",
+                v.encode("ascii", "strict"), CRLF]
+    out += [b"Content-Length: ", str(len(payload)).encode("ascii"), CRLF]
+    out += [CRLF, payload, CRLF, CRLF]
+    return b"".join(out)
+
+
+def http_response(
+    status: int,
+    reason: str = "OK",
+    headers: dict[str, str] | None = None,
+    body: bytes = b"",
+) -> bytes:
+    """An HTTP/1.1 response message — the payload of a WARC ``response``
+    record."""
+    out = [f"HTTP/1.1 {status} {reason}".encode("ascii"), CRLF]
+    for k, v in (headers or {}).items():
+        out += [k.encode("ascii"), b": ", v.encode("ascii"), CRLF]
+    out += [b"Content-Length: ", str(len(body)).encode("ascii"), CRLF,
+            CRLF, body]
+    return b"".join(out)
+
+
+def http_request(method: str, path: str, host: str) -> bytes:
+    """An HTTP/1.1 request message — the payload of a ``request``
+    record (crawlers archive these next to responses; readers must
+    filter them out by WARC-Type)."""
+    return (
+        f"{method} {path} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode("ascii")
+    )
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record compressed as its own gzip member (mtime pinned to 0
+    so fixture bytes are deterministic)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def write_warc(path: str, records: Iterable[bytes],
+               compress: bool = True) -> int:
+    """Write records to ``path`` — one gzip member per record when
+    ``compress`` (the Common Crawl layout), plain concatenation
+    otherwise. Returns the record count."""
+    n = 0
+    with open(path, "wb") as f:
+        for rec in records:
+            f.write(gzip_member(rec) if compress else rec)
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Decoder (stdlib record walk)
+# ---------------------------------------------------------------------------
+
+
+def _iter_gzip_members(raw: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream member by member.
+    zlib.decompressobj(47) stops at each member's end and exposes the
+    remainder as unused_data — the stdlib seam that matches the
+    member-per-record layout (gzip.decompress would fuse all members
+    into one blob, losing the boundary structure this walk verifies)."""
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(47)  # 47 = auto-detect gzip wrapper
+        member = d.decompress(raw[pos:])
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member at byte {pos} — a torn tail "
+                "must fail loudly, not yield a silent partial record"
+            )
+        yield member
+        consumed = len(raw) - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: no progress means a corrupt stream
+            raise ValueError(f"gzip stream made no progress at {pos}")
+        pos += consumed
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Named fields of one header block: names lowercased (the spec
+    says field names are case-insensitive), LWS continuation lines
+    folded into the previous value with a single space."""
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for line in block.split(CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t"):
+            if last is None:
+                raise ValueError("continuation line before any header")
+            headers[last] += " " + line.strip().decode(
+                "utf-8", "replace"
+            )
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError(f"malformed header line: {line[:80]!r}")
+        last = name.strip().decode("ascii").lower()
+        headers[last] = value.strip().decode("utf-8", "replace")
+    return headers
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Walk a WARC byte stream (gzipped multi-member or plain), yielding
+    (headers, payload) per record. The walk is Content-Length-driven:
+    version line, header block to the first empty line, exactly
+    Content-Length payload bytes, then the two-CRLF trailer — payload
+    bytes are never inspected for delimiters."""
+    if raw[:2] == b"\x1f\x8b":
+        stream = b"".join(_iter_gzip_members(raw))
+    else:
+        stream = raw
+    pos = 0
+    while pos < len(stream):
+        # tolerate inter-record padding CRLFs (some writers emit extra)
+        while stream[pos:pos + 2] == CRLF:
+            pos += 2
+        if pos >= len(stream):
+            break
+        eol = stream.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError("missing record version line")
+        version = stream[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"expected WARC version line at byte {pos}, "
+                f"got {version[:40]!r}"
+            )
+        head_end = stream.find(CRLF + CRLF, eol)
+        if head_end < 0:
+            raise ValueError("unterminated header block")
+        headers = _parse_headers(stream[eol + 2:head_end])
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError(
+                "record without Content-Length — the mandatory "
+                "delimiter (ISO 28500 §5.3); refusing to guess"
+            ) from None
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > len(stream):
+            raise ValueError(
+                f"record at byte {pos} declares {length} payload bytes "
+                f"but only {len(stream) - body_start} remain"
+            )
+        yield headers, stream[body_start:body_end]
+        pos = body_end
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, headers, body) of an HTTP response message. Header
+    names lowercased; body is everything after the blank line (HTTP
+    Content-Length, when present, is trusted only as far as the bytes
+    actually archived — crawlers truncate)."""
+    sep = payload.find(CRLF + CRLF)
+    if sep < 0:
+        head, body = payload, b""
+    else:
+        head, body = payload[:sep], payload[sep + 4:]
+    lines = head.split(CRLF)
+    status_line = lines[0].decode("ascii", "replace")
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"not an HTTP response: {status_line[:60]!r}")
+    status = int(parts[1])
+    headers = _parse_headers(CRLF.join(lines[1:]))
+    return status, headers, body
+
+
+# ---------------------------------------------------------------------------
+# The Spark stage
+# ---------------------------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, path: str,
+              pattern: str = "*.warc*") -> DataFrame:
+    """Mount a directory of WARC files as the WARC_SCHEMA relation —
+    one row per record; ``response`` records get http_status /
+    http_content_type / body from the parsed HTTP message, other types
+    carry their raw payload in ``body`` with null HTTP fields.
+
+    Plan shape: binaryFile scan (one task per file — see the module
+    docstring for why that is the right unit at Common Crawl scale,
+    and what a mid-file splitter would take) → Arrow-batched
+    mapInPandas record walk → downstream everything is columnar. The
+    walk is the only Python in the pipeline, it touches each byte
+    once, and its output batches stream (one yield per input file) —
+    no per-file list materialization beyond the file bytes binaryFile
+    already holds.
+    """
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for i, (hdr, payload) in enumerate(
+                    iter_warc_records(bytes(content))
+                ):
+                    wtype = hdr.get("warc-type", "")
+                    status, http_ct, body = None, None, payload
+                    if wtype == "response":
+                        try:
+                            s, hh, body = parse_http_response(payload)
+                            status = s
+                            http_ct = hh.get("content-type")
+                        except ValueError:
+                            # archived junk: keep the record visible
+                            # with null HTTP fields, never drop data
+                            # silently at the ingest layer
+                            body = payload
+                    rows.append(
+                        {
+                            "warc_file": path_,
+                            "record_index": i,
+                            "warc_type": wtype,
+                            "target_uri": hdr.get("warc-target-uri"),
+                            "warc_date": hdr.get("warc-date"),
+                            "record_id": hdr.get("warc-record-id"),
+                            "content_type": hdr.get("content-type"),
+                            "content_length": int(
+                                hdr["content-length"]
+                            ),
+                            "http_status": status,
+                            "http_content_type": http_ct,
+                            "body": body,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in WARC_SCHEMA.fields],
+                )
+
+    return files.mapInPandas(walk, WARC_SCHEMA)
+
+
+def write_warc_files(
+    df: DataFrame,
+    out_dir: str,
+    record_fn,
+    file_col: str = "__file",
+    order_col: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WARC sink (and the fixture builder the f96/c14
+    oracle queries drive): one ``part-<key>.warc.gz`` per distinct
+    ``file_col`` value, records in ``order_col`` order within the file
+    (deterministic bytes — fixtures must hash-stably regenerate),
+    ``record_fn(row_dict) -> Iterable[bytes]`` producing each row's
+    already-serialized records (`warc_record`). Returns the committed
+    (warc_file, n_records) summary — an ACTION has already run when
+    this returns, the files are on disk.
+
+    Scale shape: groupBy(file_col) → applyInPandas writer, one task per
+    output file; ``out_dir`` must be storage every executor can reach
+    (local FS in local mode, a shared mount/object store on a cluster
+    — same contract as every Spark file sink)."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    order = order_col or df.columns[0]
+
+    def emit(key, pdf):
+        pdf = pdf.sort_values(order)
+        path = os.path.join(out_dir, f"part-{key[0]}.warc.gz")
+        n = write_warc(
+            path,
+            (rec for _, row in pdf.iterrows()
+             for rec in record_fn(row.to_dict())),
+            compress=compress,
+        )
+        return pd.DataFrame(
+            [{"warc_file": path, "n_records": n}]
+        )
+
+    out = df.groupBy(file_col).applyInPandas(
+        emit, "warc_file string, n_records long"
+    )
+    # materialize: the sink must have RUN before callers read out_dir
+    out = out.sparkSession.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+def warc_html_docs(records: DataFrame,
+                   min_status: int = 200,
+                   max_status: int = 299) -> DataFrame:
+    """The crawl→text funnel head: keep ``response`` records with a 2xx
+    status and an HTML content type, decode bodies as UTF-8 (WARC
+    archives whatever the server sent; replacement-decoding malformed
+    bytes is the standard crawl-pipeline stance — C4/CCNet do the
+    same), and emit (url, html). Pure column expressions over the
+    record relation — the type/status/content-type gates are the
+    load-bearing header rules f96's fixture plants traps for."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(min_status, max_status)
+            & F.lower(F.coalesce("http_content_type", F.lit("")))
+            .startswith("text/html")
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("body"), "UTF-8").alias("html"),
+        )
+    )

@@ -1,0 +1,240 @@
+"""WARC codec + Spark stage (sources/warc.py).
+
+The pure-codec tests pin every spec rule the reader relies on
+(Content-Length delimitation, header case/LWS folding, gzip member
+boundaries, loud truncation); the Spark tests drive the real
+binaryFile → mapInPandas relation and the html funnel over written
+fixture files.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from borsa_spark.sources import warc as W
+
+
+def _resp_record(url: str, body: bytes, status: int = 200,
+                 ctype: str = "text/html", **hdrs) -> bytes:
+    return W.warc_record(
+        "response",
+        {"WARC-Target-URI": url, "WARC-Date": "2026-01-01T00:00:00Z",
+         "WARC-Record-ID": f"<urn:test:{url}>",
+         "Content-Type": "application/http; msgtype=response", **hdrs},
+        W.http_response(status, "X", {"Content-Type": ctype}, body),
+    )
+
+
+class TestCodecRoundTrip:
+    def test_single_record(self):
+        rec = _resp_record("http://a/1", b"<html>hi</html>")
+        [(h, p)] = list(W.iter_warc_records(rec))
+        assert h["warc-type"] == "response"
+        assert h["warc-target-uri"] == "http://a/1"
+        status, hh, body = W.parse_http_response(p)
+        assert status == 200
+        assert hh["content-type"] == "text/html"
+        assert body == b"<html>hi</html>"
+
+    def test_gzip_members_round_trip(self, tmp_path):
+        recs = [_resp_record(f"http://a/{i}", f"b{i}".encode())
+                for i in range(5)]
+        path = str(tmp_path / "f.warc.gz")
+        assert W.write_warc(path, recs) == 5
+        raw = open(path, "rb").read()
+        got = list(W.iter_warc_records(raw))
+        assert [h["warc-target-uri"] for h, _ in got] == [
+            f"http://a/{i}" for i in range(5)
+        ]
+        # the file is a concatenation of five INDEPENDENT gzip members —
+        # the property that makes .warc.gz splittable at member bounds
+        members = list(W._iter_gzip_members(raw))
+        assert len(members) == 5
+        assert b"".join(members) == b"".join(recs)
+
+    def test_plain_uncompressed_stream(self, tmp_path):
+        recs = [_resp_record("http://a/x", b"one"),
+                _resp_record("http://a/y", b"two")]
+        path = str(tmp_path / "f.warc")
+        W.write_warc(path, recs, compress=False)
+        got = list(W.iter_warc_records(open(path, "rb").read()))
+        assert len(got) == 2
+
+    # payloads containing every delimiter a naive scanner would trip on
+    @given(st.binary(max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_arbitrary_payload_bytes(self, body):
+        rec = W.warc_record("resource", {"WARC-Target-URI": "http://p"},
+                            body)
+        [(h, p)] = list(W.iter_warc_records(rec))
+        assert p == body
+
+    def test_content_length_is_the_only_delimiter(self):
+        # payload embeds a fake record boundary AND a fake version line;
+        # a separator-scanning parser desyncs, a Content-Length walk
+        # does not (this is the f96 fixture's trap, pinned standalone)
+        trap = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\ny"
+        recs = [
+            W.warc_record("resource", {"WARC-Target-URI": "http://t"},
+                          trap),
+            _resp_record("http://after", b"still-parsed"),
+        ]
+        got = list(W.iter_warc_records(b"".join(recs)))
+        assert len(got) == 2
+        assert got[0][1] == trap
+        assert got[1][0]["warc-target-uri"] == "http://after"
+
+
+class TestHeaderRules:
+    def test_names_case_insensitive(self):
+        raw = (b"WARC/1.0\r\n"
+               b"warc-type: metadata\r\n"
+               b"CONTENT-LENGTH: 2\r\n"
+               b"Warc-Target-Uri: http://c\r\n"
+               b"\r\nok\r\n\r\n")
+        [(h, p)] = list(W.iter_warc_records(raw))
+        assert h["warc-type"] == "metadata"
+        assert h["warc-target-uri"] == "http://c"
+        assert p == b"ok"
+
+    def test_lws_continuation_folds(self):
+        raw = (b"WARC/1.0\r\n"
+               b"WARC-Type: metadata\r\n"
+               b"WARC-Target-URI: http://host/very\r\n"
+               b"\t/long/path\r\n"
+               b"Content-Length: 0\r\n"
+               b"\r\n\r\n\r\n")
+        [(h, _)] = list(W.iter_warc_records(raw))
+        assert h["warc-target-uri"] == "http://host/very /long/path"
+
+    def test_missing_content_length_refuses(self):
+        raw = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n\r\n\r\n"
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(W.iter_warc_records(raw))
+
+    def test_truncated_payload_refuses(self):
+        rec = _resp_record("http://a", b"full-body")[:-12]
+        with pytest.raises(ValueError, match="remain"):
+            list(W.iter_warc_records(rec))
+
+    def test_truncated_gzip_member_refuses(self):
+        full = W.gzip_member(_resp_record("http://a", b"b"))
+        with pytest.raises(ValueError, match="truncated"):
+            list(W.iter_warc_records(full[:-5]))
+
+    def test_record_fn_cannot_forge_content_length(self):
+        with pytest.raises(ValueError, match="managed"):
+            W.warc_record("response", {"Content-Length": "99"}, b"")
+
+
+class TestHttpParse:
+    def test_request_vs_response_payloads(self):
+        req = W.http_request("GET", "/p", "h.example")
+        with pytest.raises(ValueError, match="not an HTTP response"):
+            W.parse_http_response(req)
+
+    def test_headerless_body(self):
+        status, hh, body = W.parse_http_response(
+            b"HTTP/1.1 204 No Content\r\n\r\n"
+        )
+        assert status == 204 and body == b""
+
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, tmp_path_factory):
+    """Two fixture files: responses (200 html, 404, 200 png), a request
+    and a warcinfo record — every `warc_html_docs` gate load-bearing."""
+    d = str(tmp_path_factory.mktemp("warcs"))
+    info = W.warc_record(
+        "warcinfo", {"Content-Type": "application/warc-fields"},
+        b"software: test\r\n",
+    )
+    f1 = [
+        info,
+        _resp_record("http://a/ok", b"<p>kept page one body</p>"),
+        _resp_record("http://a/gone", b"<p>dropped</p>", status=404),
+        W.warc_record(
+            "request",
+            {"WARC-Target-URI": "http://a/ok",
+             "Content-Type": "application/http; msgtype=request"},
+            W.http_request("GET", "/ok", "a"),
+        ),
+    ]
+    f2 = [
+        info,
+        _resp_record("http://b/ok", b"<p>kept page two body</p>"),
+        _resp_record("http://b/img", b"\x89PNG", ctype="image/png"),
+    ]
+    W.write_warc(os.path.join(d, "f1.warc.gz"), f1)
+    W.write_warc(os.path.join(d, "f2.warc.gz"), f2)
+    return d
+
+
+class TestSparkStage:
+    def test_read_warc_one_row_per_record(self, spark, warc_dir):
+        rows = W.read_warc(spark, warc_dir).collect()
+        assert len(rows) == 7
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.warc_type, []).append(r)
+        assert len(by_type["response"]) == 4
+        assert len(by_type["request"]) == 1
+        assert len(by_type["warcinfo"]) == 2
+        req = by_type["request"][0]
+        assert req.http_status is None  # HTTP fields only for responses
+        assert req.body.startswith(b"GET /ok")
+        ok = [r for r in by_type["response"]
+              if r.target_uri == "http://a/ok"][0]
+        assert ok.http_status == 200
+        assert ok.http_content_type == "text/html"
+        assert ok.body == b"<p>kept page one body</p>"
+
+    def test_html_funnel_gates(self, spark, warc_dir):
+        docs = W.warc_html_docs(W.read_warc(spark, warc_dir)).collect()
+        got = {r.url: r.html for r in docs}
+        # request/warcinfo (type), 404 (status), png (content-type) all out
+        assert got == {
+            "http://a/ok": "<p>kept page one body</p>",
+            "http://b/ok": "<p>kept page two body</p>",
+        }
+
+    def test_write_warc_files_distributed(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "sink")
+        df = spark.range(20).select(
+            F.col("id"), (F.col("id") % 4).alias("__file")
+        )
+
+        def rec(row):
+            yield W.warc_record(
+                "resource",
+                {"WARC-Target-URI": f"http://x/{row['id']}"},
+                str(row["id"]).encode(),
+            )
+
+        summary = W.write_warc_files(df, out, rec)
+        assert summary.count() == 4
+        assert sum(r.n_records for r in summary.collect()) == 20
+        back = W.read_warc(spark, out)
+        assert back.count() == 20
+        # deterministic bytes: same input -> byte-identical files
+        import hashlib
+        h1 = {
+            f: hashlib.md5(open(os.path.join(out, f), "rb").read())
+            .hexdigest()
+            for f in sorted(os.listdir(out))
+        }
+        out2 = str(tmp_path / "sink2")
+        W.write_warc_files(df, out2, rec)
+        h2 = {
+            f: hashlib.md5(open(os.path.join(out2, f), "rb").read())
+            .hexdigest()
+            for f in sorted(os.listdir(out2))
+        }
+        assert h1 == h2
