@@ -114,6 +114,11 @@ TIER2 = [
     "f94_span_removal_rewrite",
     "f95_minhash_crawl_guard",
     "c13_image_crawl_clusters",
+    # round 11 additions (first-baselined in BENCH_FULL_r11): WARC
+    # ingestion — the header-trap extraction fixture and c11's full
+    # DAG driven from WARC bytes
+    "f96_warc_extract",
+    "c14_warc_corpus_prep",
 ]
 
 

@@ -8981,6 +8981,163 @@ def c13_image_crawl_clusters(spark, sf):
     )
 
 
+# --- f96: WARC ingestion, oracle-faced ------------------------------------
+
+#: f96 fixture boilerplate <p> (>= 30 visible chars so extraction
+#: keeps it; the nav div is >= 30 chars too, so only the link-density
+#: rule drops it — both extraction rules stay load-bearing)
+_F96_BOILER = "shared warc boilerplate sentence kept by extraction rules."
+#: planted inside 404 bodies: a fake record trailer + version line +
+#: header block. A parser that scans for separators instead of
+#: honoring Content-Length desyncs HERE and corrupts every subsequent
+#: record in the file (kept docs included) — the oracle then
+#: hash-mismatches. The Content-Length walk never looks at it.
+_F96_TRAP = (
+    b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+    b"Content-Length: 0\r\n\r\n\r\n\r\ny"
+)
+
+
+def _f96_html(did: int) -> str:
+    """Deterministic per-doc HTML (the f84 chrome shape): script/style/
+    comment stripped, nav dropped by LINK DENSITY (not length), footer
+    dropped by length, exactly two content <p> blocks kept."""
+    return (
+        '<html><head><script>track("x")</script>'
+        "<style>.n{color:red}</style></head><body>"
+        "<!-- chrome comment -->"
+        '<div><a href="/">home</a> '
+        '<a href="/m">more navigation links here</a></div>'
+        f"<p>warc doc {did} body text for the extraction fixture "
+        f"x{did}.</p>"
+        f"<p>{_F96_BOILER}</p>"
+        "<div>(c) warc</div></body></html>"
+    )
+
+
+def _f96_records(row: dict):
+    """WARC records for one doc_id — every header rule load-bearing:
+
+    - WARC-Type filter: doc_id%5==0 docs add a ``request`` record
+      (same Target-URI) that must be excluded by TYPE, not content;
+    - HTTP status gate: %7==2 → 404 (body carries _F96_TRAP),
+      %11==3 → 301 redirect;
+    - content-type gate: %13==4 → 200 but image/png (binary body);
+    - header-name case-insensitivity: %3==0 docs write every named
+      field lowercase;
+    - LWS continuation folding: %17==5 docs fold WARC-Date across a
+      tab-continued line (parsed value gains the spec's single-space
+      join — the oracle expects exactly that).
+    """
+    from borsa_spark.sources import warc as W
+
+    did = int(row["doc_id"])
+    url = f"https://warc.example.com/doc/{did}"
+    date = "2026-01-01T00:00:00Z" + (
+        "\r\n\t+folded" if did % 17 == 5 else ""
+    )
+
+    def h(name: str) -> str:
+        return name.lower() if did % 3 == 0 else name
+
+    headers = {
+        h("WARC-Target-URI"): url,
+        h("WARC-Date"): date,
+        h("WARC-Record-ID"): f"<urn:borsa:doc:{did}>",
+        h("Content-Type"): "application/http; msgtype=response",
+    }
+    if did % 7 == 2:
+        payload = W.http_response(
+            404, "Not Found", {"Content-Type": "text/html"}, _F96_TRAP
+        )
+    elif did % 11 == 3:
+        payload = W.http_response(
+            301, "Moved", {"Content-Type": "text/html",
+                           "Location": url + "/new"}, b""
+        )
+    elif did % 13 == 4:
+        payload = W.http_response(
+            200, "OK", {"Content-Type": "image/png"},
+            b"\x89PNG\r\n\x1a\n" + bytes([did % 251]),
+        )
+    else:
+        payload = W.http_response(
+            200, "OK", {"Content-Type": "text/html; charset=utf-8"},
+            _f96_html(did).encode("ascii"),
+        )
+    yield W.warc_record("response", headers, payload)
+    if did % 5 == 0:
+        yield W.warc_record(
+            "request",
+            {"WARC-Target-URI": url,
+             "Content-Type": "application/http; msgtype=request"},
+            W.http_request("GET", f"/doc/{did}", "warc.example.com"),
+        )
+
+
+@query(
+    "f96_warc_extract",
+    f"""
+    SELECT doc_id,
+           'https://warc.example.com/doc/' || doc_id AS url,
+           CASE WHEN doc_id % 17 = 5
+                THEN '2026-01-01T00:00:00Z +folded'
+                ELSE '2026-01-01T00:00:00Z' END AS warc_date,
+           'warc doc ' || doc_id
+             || ' body text for the extraction fixture x' || doc_id
+             || '.' || chr(10) || '{_F96_BOILER}' AS extracted,
+           2::BIGINT AS kept_blocks
+    FROM documents
+    WHERE doc_id % 7 <> 2 AND doc_id % 11 <> 3 AND doc_id % 13 <> 4
+    """,
+)
+def f96_warc_extract(spark, sf):
+    """Crawl stage ZERO, oracle-faced (sources/warc.py): the documents
+    table drives a deterministic WARC fixture — 8 ``.warc.gz`` files,
+    one gzip member per record (the Common Crawl layout), response +
+    request records with planted traps (see `_f96_records`: status/
+    content-type/type gates, lowercase headers, folded WARC-Date, and
+    a fake record boundary INSIDE 404 payloads) — which `read_warc` +
+    `warc_html_docs` + f84's `extract_html` then turn back into
+    extracted text. The oracle states the surviving set and the
+    extracted text analytically from doc_id: a record walk that scans
+    payloads for separators, drops the wrong status class, misses a
+    folded header, or double-counts request records hash-mismatches.
+
+    Scale shape: binaryFile → one mapInPandas walk per WARC file
+    (parallelism = file count, the Common Crawl unit), then the
+    type/status gates and regex extraction are scan-fused column
+    expressions; the tempdir materialization is the c3/c4 harness
+    pattern (bounded: one row per kept doc)."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.functions.html import extract_html
+    from borsa_spark.sources import warc as W
+
+    ids = load_table(spark, sf, "documents").select("doc_id").withColumn(
+        "__file", F.col("doc_id") % 8
+    )
+    work = tempfile.mkdtemp(prefix="f96_warc_")
+    try:
+        W.write_warc_files(ids, work, _f96_records, "__file", "doc_id")
+        docs = W.warc_html_docs(
+            W.read_warc(spark, work), extra_cols=("warc_date",)
+        )
+        ext = extract_html(F.col("html"))
+        out = docs.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            "url",
+            "warc_date",
+            ext["extracted"].alias("extracted"),
+            ext["kept_blocks"].cast("long").alias("kept_blocks"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- c11: end-to-end crawl corpus-prep DAG -------------------------------
 
 #: c11 fixture lines (each its own <p> block, every one >= 30 visible
@@ -9017,12 +9174,19 @@ def _c11_stages(spark, sf) -> dict:
     persisted ONCE before the first multi-consumer stage (URL dedup's
     count+join) so dedup group-bys, the paragraph rewrite, and the NB
     model's several passes all read the cache, never the parquet
-    again (plan-guarded in tests/test_plan_shapes.py)."""
-    from borsa_spark.functions.dedup import drop_repeated_paragraphs
-    from borsa_spark.functions.html import extract_html
+    again (plan-guarded in tests/test_plan_shapes.py). Round 11 split
+    the fixture (`_c11_crawl_fixture`) from the pipeline
+    (`_c11_stages_from_crawl`) so c14 can drive the IDENTICAL stages
+    from WARC bytes instead of a fixture column."""
+    crawl = _c11_crawl_fixture(spark, sf)
+    return _c11_stages_from_crawl(crawl)
+
+
+def _c11_crawl_fixture(spark, sf) -> DataFrame:
+    """(doc_id, lang, html, url): the c11 synthetic crawl — messy
+    chrome-wrapped HTML + tracking-params URLs, every later stage's
+    drop attributable to exactly one planted rule (see _c11_stages)."""
     from borsa_spark.functions.langid import langid_fixture_spark_sql
-    from borsa_spark.functions.text import c4_line_filter, hash_bucket
-    from borsa_spark.functions.urls import canonicalize_url
 
     d = F.col("doc_id")
     base = load_table(spark, sf, "documents").select(
@@ -9063,11 +9227,21 @@ def _c11_stages(spark, sf) -> dict:
         F.col("__uid").cast("string"),
         F.lit("?utm_source=feed&gclid=g"), r.cast("string"),
     )
-    crawl = fxd.select("doc_id", "lang", "__uid",
-                       html.alias("html"), url.alias("url"))
+    return fxd.select("doc_id", "lang",
+                      html.alias("html"), url.alias("url"))
+
+
+def _c11_stages_from_crawl(crawl: DataFrame) -> dict:
+    """The c11 pipeline from any (doc_id, lang, html, url) crawl
+    relation — the c11 fixture column or c14's WARC-decoded bytes."""
+    from borsa_spark.functions.dedup import drop_repeated_paragraphs
+    from borsa_spark.functions.html import extract_html
+    from borsa_spark.functions.text import c4_line_filter, hash_bucket
+    from borsa_spark.functions.urls import canonicalize_url
+
     ext = extract_html(F.col("html"))
     extracted = crawl.select(
-        "doc_id", "lang", "__uid", "url",
+        "doc_id", "lang", "url",
         ext["extracted"].alias("extracted"),
         ext["kept_blocks"].cast("long").alias("kept_blocks"),
     ).filter(F.col("kept_blocks") > 0)
@@ -9255,6 +9429,108 @@ def _c11_oracle_sql() -> str:
     return sql_charngram_nb_langid(
         pipeline, f"({bkt}) < 8", out_where=f"({bkt}) >= 8"
     )
+
+
+# --- c14: c11 driven from WARC bytes --------------------------------------
+
+
+def _c14_records(row: dict):
+    """One clean 200/text-html response record per crawl doc — the c11
+    fixture's html and tracking-params url pushed down into real WARC
+    bytes (c14's point is the byte layer, not new traps: f96 owns the
+    adversarial header fixtures)."""
+    from borsa_spark.sources import warc as W
+
+    payload = W.http_response(
+        200, "OK", {"Content-Type": "text/html; charset=utf-8"},
+        row["html"].encode("utf-8"),
+    )
+    yield W.warc_record(
+        "response",
+        {
+            "WARC-Target-URI": row["url"],
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "WARC-Record-ID": f"<urn:borsa:crawl:{int(row['doc_id'])}>",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        payload,
+    )
+
+
+@query("c14_warc_corpus_prep", None)
+def c14_warc_corpus_prep(spark, sf):
+    """c11's entire corpus-prep DAG driven from WARC BYTES — the proof
+    that the crawl pipeline starts at stage zero and loses nothing to
+    the container layer: the c11 fixture's (html, url) rows are
+    serialized into 8 gzip-member-per-record WARC files
+    (`write_warc_files`), read back through `read_warc` +
+    `warc_html_docs` (binaryFile → mapInPandas walk → status/type/
+    content-type gates → UTF-8 decode), and ONLY then enter the
+    identical stage pipeline (`_c11_stages_from_crawl`: f84 extract →
+    URL dedup → C4 lines → blocklist → exact + paragraph dedup →
+    trained langid on the md5 holdout). The oracle is c11's own full
+    recomposition SQL, verbatim — a hash match means the
+    encode→gzip→parse→decode round trip is invisible to every
+    downstream operator.
+
+    doc_id is recovered from the url's gclid tracking param (the one
+    id-bearing field the fixture carries into WARC headers verbatim,
+    read BEFORE canonicalization strips it); the training label (lang)
+    is re-derived analytically from doc_id exactly as the fixture
+    defines it — at scale that is the id→label side table a real
+    pipeline joins, not crawl content.
+
+    Scale shape: c11's (one persisted multi-consumer corpus relation,
+    min_by dedups, broadcast NB model) with the corpus scan replaced
+    by file-parallel WARC walks; the id→label derivation is a column
+    expression, not a second corpus source."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.functions.langid import (
+        charngram_nb_langid,
+        langid_fixture_spark_sql,
+    )
+    from borsa_spark.sources import warc as W
+
+    src = _c11_crawl_fixture(spark, sf).select(
+        "doc_id", "html", "url"
+    ).withColumn("__file", F.col("doc_id") % 8)
+    work = tempfile.mkdtemp(prefix="c14_warc_")
+    try:
+        W.write_warc_files(src, work, _c14_records, "__file", "doc_id")
+        docs = W.warc_html_docs(W.read_warc(spark, work))
+        parsed = docs.withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"gclid=g(\d+)", 1).cast("long"),
+        )
+        # lang at the EFF id (content copies carry their base's lang),
+        # the same alias dance as the c11 fixture
+        eff = F.when(
+            F.col("doc_id") % 10 == 9, F.col("doc_id") - 9
+        ).otherwise(F.col("doc_id"))
+        crawl = (
+            parsed.select(
+                F.col("doc_id").alias("__real"), "html", "url",
+                eff.alias("doc_id"),
+            )
+            .selectExpr("__real", "html", "url",
+                        langid_fixture_spark_sql()[0])
+            .select(F.col("__real").alias("doc_id"), "lang",
+                    "html", "url")
+        )
+        s = _c11_stages_from_crawl(crawl)
+        bkt = s["hash_bucket"](F.col("doc_id"), "c11", 10)
+        scored = charngram_nb_langid(s["para_deduped"], train=bkt < 8)
+        out = scored.filter(
+            s["hash_bucket"](F.col("doc_id"), "c11", 10) >= 8
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        s["extracted"].unpersist()
+        s["para_deduped"].unpersist()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _c12_stages(spark, sf) -> dict:
@@ -9457,6 +9733,9 @@ def _register_late_oracles() -> None:
         out_where=f"({_f85_bkt}) >= 8",
     )
     ORACLES["c11_crawl_corpus_prep"] = _c11_oracle_sql()
+    # c14 = c11 from WARC bytes: the SAME recomposition SQL, verbatim —
+    # the whole point is that the byte layer is invisible to the result
+    ORACLES["c14_warc_corpus_prep"] = ORACLES["c11_crawl_corpus_prep"]
     ORACLES["c12_training_mix"] = _c12_oracle_sql()
 
 

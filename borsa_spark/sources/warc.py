@@ -403,14 +403,16 @@ def write_warc_files(
 
 def warc_html_docs(records: DataFrame,
                    min_status: int = 200,
-                   max_status: int = 299) -> DataFrame:
+                   max_status: int = 299,
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """The crawl→text funnel head: keep ``response`` records with a 2xx
     status and an HTML content type, decode bodies as UTF-8 (WARC
     archives whatever the server sent; replacement-decoding malformed
     bytes is the standard crawl-pipeline stance — C4/CCNet do the
-    same), and emit (url, html). Pure column expressions over the
-    record relation — the type/status/content-type gates are the
-    load-bearing header rules f96's fixture plants traps for."""
+    same), and emit (url, html [, *extra_cols passed through]). Pure
+    column expressions over the record relation — the
+    type/status/content-type gates are the load-bearing header rules
+    f96's fixture plants traps for."""
     return (
         records.filter(
             (F.col("warc_type") == "response")
@@ -421,5 +423,6 @@ def warc_html_docs(records: DataFrame,
         .select(
             F.col("target_uri").alias("url"),
             F.decode(F.col("body"), "UTF-8").alias("html"),
+            *extra_cols,
         )
     )
