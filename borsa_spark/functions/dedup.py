@@ -304,24 +304,38 @@ def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
     ).select(*out_cols)
 
 
-def _cap_band_buckets(bk: DataFrame, max_bucket_size: int) -> DataFrame:
+def _cap_band_buckets(bk: DataFrame, max_bucket_size: int,
+                      weights: DataFrame | None = None) -> DataFrame:
     """Drop rows of (exact-tuple) band buckets larger than the cap.
     ``bk`` must carry ``band_vals`` (lsh_band_keys with_values=True);
     the column is consumed here and removed from the output.
+
+    ``weights`` — an (id, __w) relation — makes bucket occupancy count
+    each id ``__w`` times. The exact-dedup pre-pass uses it so a
+    REPRESENTATIVE's bucket weighs what its whole identical-text group
+    weighs: identical docs share every band tuple, so the weighted
+    rep-level count equals the doc-level count exactly and the cap
+    excludes precisely the buckets the uncollapsed pipeline would.
 
     Shaped as an anti-join against only the HOT keys, not a join of
     the full count relation back to every row: the hot set is bounded
     by n_rows/cap buckets (AQE broadcasts it when small), while the
     full count relation is as large as the distinct-bucket count."""
+    if weights is not None:
+        bk = bk.join(weights, "id")
+        occupancy = F.sum("__w").alias("__n")
+    else:
+        occupancy = F.count("*").alias("__n")
     hot = (
         bk.groupBy("band", "band_vals")
-        .agg(F.count("*").alias("__n"))
+        .agg(occupancy)
         .filter(F.col("__n") > max_bucket_size)
         .select("band", "band_vals")
     )
-    return bk.join(hot, ["band", "band_vals"], "left_anti").drop(
+    out = bk.join(hot, ["band", "band_vals"], "left_anti").drop(
         "band_vals"
     )
+    return out.drop("__w") if weights is not None else out
 
 
 #: Default hot-bucket cap for the MinHash LSH candidate join (round-10
@@ -464,12 +478,40 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         persist_shingles: bool = True,
                         max_bucket_size: int | None = CRAWL_MAX_BUCKET,
+                        collapse_exact: bool = False,
                         ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signature -> banded
     candidates -> exact-Jaccard verification (>= threshold), with the
     verifier bounded to the candidate set. ``max_bucket_size`` defaults
     to the crawl-safe ``CRAWL_MAX_BUCKET`` (see `minhash_candidates`);
     pass ``None`` explicitly for the exhaustive unguarded form.
+
+    ``collapse_exact`` inlines the production STAGE ORDER (Dolma /
+    RefinedWeb, and c11 itself, run exact dedup BEFORE minhash) into a
+    standalone minhash run: md5-identical texts collapse to one
+    representative before shingling, so an identical-text cohort pays
+    the 60-permutation signature fold once instead of once per copy.
+    Measured trade (round 11, SCALE.md): the fold saving scales with
+    words-per-doc × dup-rate, the collapse machinery (md5 groupBy +
+    membership joins + re-expansion, ~6 extra shuffle stages of
+    id-sized relations) is near-fixed — on an 80%-duplicated 200-word
+    corpus the collapse wins ~25-40% (50k docs: 64.6→49.9 s); on the
+    12-word f95 fixture the fold is too cheap and the machinery costs
+    more than it saves (5k docs: 7.7→14 s). Hence OPT-IN: turn it on
+    for realistic long-document crawls or pipelines that haven't
+    already run an exact-dedup stage. The result is IDENTICAL to the
+    uncollapsed pipeline either way, not approximately so:
+
+    - identical docs share every band tuple, so weighted bucket
+      occupancy (`_cap_band_buckets(weights=...)`, each rep counted
+      group-size times) reproduces the doc-level cap decision exactly;
+    - a rep with any surviving band row re-expands to its group's
+      within-group pairs at jaccard 1.0 (what the band self-join +
+      verifier would emit for identical texts), a capped-out rep to
+      none;
+    - verified rep-level cross pairs re-expand over both groups'
+      members (identical text => identical shingle set => identical
+      jaccard), ordered (least, greatest) like the candidate join.
 
     One persisted (id, shingles array) relation feeds BOTH the in-row
     signature fold and the array-intersect verifier — the exploded shingle
@@ -489,21 +531,119 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     n_files = len(df.inputFiles())
     if 0 < n_files < max(2, parallelism // 2):
         df = df.repartition(parallelism)
-    arr = shingle_array(df, n, text_col, id_col).filter(
+
+    if not collapse_exact:
+        arr = shingle_array(df, n, text_col, id_col).filter(
+            F.size("shingles") > 0
+        )
+        # Both intermediates persist under the same flag: the band
+        # self-join's broadcast build and stream sides are separate plan
+        # instances (no ReusedExchange — verified by plan probing), so an
+        # unpersisted sig would pay the 60 array-folds twice, and arr
+        # feeds three differently-pruned consumers (signature + both
+        # verify sides).
+        if persist_shingles:
+            arr = arr.persist()
+        sig = signature_from_array(arr)
+        if persist_shingles:
+            sig = sig.persist()
+        cands = minhash_candidates(sig, max_bucket_size=max_bucket_size)
+        return verify_jaccard_inrow(cands, arr, threshold)
+
+    # -- exact-dedup pre-pass -------------------------------------------
+    # One md5 groupBy (map-side combined; min_by keeps the lowest-id
+    # copy's text) yields the representative relation; everything
+    # signature-shaped runs on reps only. g feeds BOTH the group agg
+    # and the membership join — persisted, so the corpus scans ONCE
+    # (the f95 plan guard pins it; this replaces the uncollapsed
+    # path's corpus-sized arr cache with a text-sized one plus the
+    # much smaller rep-sized arr).
+    g = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
+    ).withColumn("__eh", F.md5("__txt"))
+    if persist_shingles:
+        g = g.persist()
+    groups = g.groupBy("__eh").agg(
+        F.min("id").alias("rep"),
+        F.min_by("__txt", "id").alias("__txt"),
+        F.count("*").alias("__mult"),
+    )
+    # groups feeds reps/weights/membership; members feeds the survivor
+    # filter, the within-group self-join, and both cross-expansion legs
+    # — persist both under the pipeline's one flag.
+    if persist_shingles:
+        groups = groups.persist()
+    members = (
+        g.select("id", "__eh")
+        .join(groups.select("__eh", "rep"), "__eh")
+        .select("id", "rep")
+    )
+    if persist_shingles:
+        members = members.persist()
+    reps = groups.select(
+        F.col("rep").alias("id"), F.col("__txt").alias("__t")
+    )
+    arr = shingle_array(reps, n, "__t", "id").filter(
         F.size("shingles") > 0
     )
-    # Both intermediates persist under the same flag: the band self-join's
-    # broadcast build and stream sides are separate plan instances (no
-    # ReusedExchange — verified by plan probing), so an unpersisted sig
-    # would pay the 60 array-folds twice, and arr feeds three
-    # differently-pruned consumers (signature + both verify sides).
     if persist_shingles:
         arr = arr.persist()
     sig = signature_from_array(arr)
     if persist_shingles:
         sig = sig.persist()
-    cands = minhash_candidates(sig, max_bucket_size=max_bucket_size)
-    return verify_jaccard_inrow(cands, arr, threshold)
+
+    bk = lsh_band_keys(sig, with_values=max_bucket_size is not None)
+    if max_bucket_size is not None:
+        weights = groups.select(
+            F.col("rep").alias("id"), F.col("__mult").alias("__w")
+        )
+        bk = _cap_band_buckets(bk, max_bucket_size, weights=weights)
+    a, b = bk.alias("a"), bk.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    rep_pairs = verify_jaccard_inrow(cands, arr, threshold)
+
+    # -- re-expansion -----------------------------------------------------
+    # Within-group: a group whose rep kept >= 1 band row would have had
+    # every member pair co-bucketed there (identical signatures), and
+    # identical texts verify at exactly 1.0. Bounded: a surviving rep's
+    # buckets weigh <= cap, so group size <= cap and the self-join emits
+    # <= C(cap, 2) pairs per group — the uncapped quadratic cohort was
+    # excluded by the weighted cap above, exactly as it is doc-level.
+    surv = bk.select(F.col("id").alias("rep")).distinct()
+    m_surv = members.join(surv, "rep")
+    x, y = m_surv.alias("x"), m_surv.alias("y")
+    within = (
+        x.join(y, (F.col("x.rep") == F.col("y.rep"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # Cross-group: every member pair across the two groups shares the
+    # rep pair's buckets and jaccard.
+    ma = members.select(
+        F.col("rep").alias("id_a"), F.col("id").alias("__xa")
+    )
+    mb = members.select(
+        F.col("rep").alias("id_b"), F.col("id").alias("__xb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def dup_clusters(

@@ -235,6 +235,154 @@ def pq_adc_rerank_topk(
     )
 
 
+def ivf_residuals(
+    emb: DataFrame, coarse: DataFrame, d: int = 64,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, __res): each vector's coarse assignment and its
+    residual ``x − centroid`` (double array) — the quantity residual
+    IVFPQ codes instead of the raw vector (Jegou et al. 2011 §IV-A:
+    residual energy is much smaller than vector energy once the coarse
+    quantizer has absorbed the cell offset, so the same code bytes buy
+    finer resolution). Broadcast centroid join; the subtraction is an
+    in-row zip_with at scan speed."""
+    lists = ivf_assign(
+        emb.select(id_col, emb_col), coarse, emb_col
+    ).select(id_col, "centroid_id")
+    cc = coarse.select(
+        F.col("cid").alias("centroid_id"), F.col("cemb").alias("__cv")
+    )
+    res = F.zip_with(
+        F.col(emb_col), F.col("__cv"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    return (
+        emb.join(lists, id_col)
+        .join(F.broadcast(cc), "centroid_id")
+        .select(id_col, "centroid_id", res.alias("__res"))
+    )
+
+
+def pq_codebooks_seed_residual(
+    emb: DataFrame, coarse: DataFrame, m: int = 4, k: int = 8,
+    d: int = 64, id_col: str = "vec_id", emb_col: str = "embedding",
+    min_id: int = 8,
+) -> DataFrame:
+    """(j, cid, cemb): seed codebooks over RESIDUALS — the sliced
+    residuals of the k lowest-id vectors with ``id >= min_id``. The
+    floor exists because the f15-convention coarse seeds ARE the
+    lowest-id vectors: their own residuals are exactly zero, and an
+    all-zero codebook is degenerate (every code ties to the lowest
+    cid). Skipping the coarse-seed ids keeps the seed deterministic,
+    exactly SQL-replayable, and non-trivial."""
+    seeds = (
+        emb.filter(F.col(id_col) >= min_id).orderBy(id_col).limit(k)
+    )
+    res = ivf_residuals(seeds, coarse, d, id_col, emb_col)
+    return _subvectors(res, m, id_col, "__res", d).select(
+        "j", F.col(id_col).alias("cid"), F.col("sv").alias("cemb")
+    )
+
+
+def pq_train_codebooks_residual(
+    emb: DataFrame, coarse: DataFrame, m: int = 4, k: int = 8,
+    iters: int = 2, d: int = 64,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """Trained residual codebooks: `pq_train_codebooks`' per-subspace
+    Lloyd's program over the residual relation. ONE codebook shared
+    across all inverted lists (the FAISS IVFPQ default — per-list
+    codebooks cost k_coarse× the training and storage for marginal
+    gain at moderate list counts)."""
+    res = ivf_residuals(emb, coarse, d, id_col, emb_col)
+    return pq_train_codebooks(
+        res, m=m, k=k, iters=iters, d=d, id_col=id_col, emb_col="__res"
+    )
+
+
+def _query_residual_dist_table(
+    queries: DataFrame, coarse: DataFrame, probed: DataFrame,
+    books: DataFrame, m: int, d: int, q_id: str, q_emb: str,
+) -> DataFrame:
+    """(q_id, centroid_id, j, cid, __d): the residual ADC lookup table
+    — one table PER PROBED LIST (the query residual depends on the
+    list's centroid, §IV-A's asymmetric form), so queries × n_probe ×
+    m × k rows, still broadcast-sized."""
+    if d % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dimension d={d}")
+    sub = d // m
+    cc = coarse.select(
+        F.col("cid").alias("centroid_id"), F.col("cemb").alias("__cv")
+    )
+    qres = F.zip_with(
+        F.col(q_emb), F.col("__cv"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    qr = (
+        queries.join(probed, q_id)
+        .join(F.broadcast(cc), "centroid_id")
+        .select(q_id, "centroid_id", qres.alias("__qr"))
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    qsub = qr.select(q_id, "centroid_id", js, "__qr").select(
+        q_id, "centroid_id", "j",
+        F.slice(F.col("__qr"), F.col("j") * sub + 1, F.lit(sub))
+        .alias("sv"),
+    )
+    return qsub.join(F.broadcast(books), "j").select(
+        q_id, "centroid_id", "j", "cid",
+        F.round(sq_l2(F.col("sv"), F.col("cemb")), 4).alias("__d"),
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame, queries: DataFrame, coarse: DataFrame,
+    books: DataFrame, m: int = 4, k_top: int = 5, n_probe: int = 2,
+    d: int = 64, id_col: str = "vec_id", emb_col: str = "embedding",
+    q_id: str = "q_id", q_emb: str = "q_emb",
+) -> DataFrame:
+    """(q_id, c_id, adc_dist, rank): IVFPQ with RESIDUAL coding — the
+    paper-faithful form `ivfpq_topk`'s docstring marks itself as
+    simplifying away (round-10 verdict item). Codes quantize
+    ``x − centroid(x)`` against ``books`` (train with
+    `pq_train_codebooks_residual`, or `pq_codebooks_seed_residual`
+    for the SQL-replayable seed form); at query time the ADC table is
+    built per probed list from the QUERY's residual against that
+    list's centroid, so ``adc ≈ ||q − c_list − dec(code)||²`` — the
+    coarse offset cancels instead of being re-approximated by the
+    codebook, which is where the recall gain over raw coding comes
+    from (measured in tests/test_pq.py, both fixtures).
+
+    Scale shape identical to `ivfpq_topk`: coarse assignment and the
+    residual subtraction are broadcast-join scans; the per-query work
+    is the probed equi-join against the code table plus the
+    (q, vec)-keyed ADC partial agg. The table is n_probe× larger than
+    raw ADC's (one per probed list) — still queries × n_probe × m × k
+    rows, broadcast. Shares pq_adc_topk's one-id-space self-match
+    precondition."""
+    res = ivf_residuals(emb, coarse, d, id_col, emb_col)
+    codes = pq_encode(res, books, m, d, id_col, "__res").join(
+        res.select(id_col, "centroid_id"), id_col
+    )
+    probed = _probe_lists(queries, coarse, n_probe, q_id, q_emb)
+    qdist = _query_residual_dist_table(
+        queries, coarse, probed, books, m, d, q_id, q_emb
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["centroid_id", "j", "cid"])
+        .groupBy(q_id, F.col(id_col).alias("c_id"))
+        .agg(F.round(F.sum("__d"), 4).alias("adc_dist"))
+        .filter(F.col(q_id) != F.col("c_id"))
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("adc_dist").asc(), F.col("c_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame, queries: DataFrame, coarse: DataFrame,
     books: DataFrame, m: int = 4, k_top: int = 5, n_probe: int = 2,
@@ -249,11 +397,12 @@ def ivfpq_topk(
     vectors) — the two reductions compose.
 
     Simplification vs the paper, documented: codes quantize the raw
-    vectors, not the residuals from the coarse centroid (residual
-    encoding needs per-list codebooks; the raw-vector form keeps ONE
-    broadcast codebook and replays exactly in SQL — the recall
-    difference on unit-norm corpora is small and is measured, not
-    hidden, in tests/test_pq.py). Shares pq_adc_topk's one-id-space
+    vectors, not the residuals from the coarse centroid — the
+    raw-vector form keeps ONE query table and the simplest SQL replay;
+    the recall difference is measured, not hidden, in tests/test_pq.py.
+    The paper-faithful residual form is `ivfpq_residual_topk`
+    (round 11), which shares one codebook across lists and builds the
+    ADC table per probed list. Shares pq_adc_topk's one-id-space
     self-match precondition."""
     lists = ivf_assign(
         emb.select(id_col, emb_col), coarse, emb_col

@@ -8194,6 +8194,123 @@ def f89_ivfpq_topk(spark, sf):
 
 
 @query(
+    "f97_ivfpq_residual_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    js AS (SELECT unnest(range(0, 4))::BIGINT AS j),
+    coarse AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < 8),
+    lists AS (
+      SELECT vec_id, ccid AS centroid_id FROM (
+        SELECT e.vec_id, c.ccid, row_number() OVER (
+          PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) ASC,
+            c.ccid ASC) AS rn
+        FROM e CROSS JOIN coarse c) t WHERE rn = 1),
+    res AS (
+      SELECT e.vec_id, l.centroid_id,
+             list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r
+      FROM e JOIN lists l ON l.vec_id = e.vec_id
+      JOIN coarse c ON c.ccid = l.centroid_id),
+    seedr AS (
+      SELECT * FROM res WHERE vec_id >= 8
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+    books AS (
+      SELECT js.j, s.vec_id AS cid,
+             s.r[(js.j*16+1):(js.j*16+16)] AS cemb
+      FROM seedr s CROSS JOIN js),
+    sub AS (
+      SELECT r.vec_id, r.centroid_id, js.j,
+             r.r[(js.j*16+1):(js.j*16+16)] AS sv
+      FROM res r CROSS JOIN js),
+    enc AS (
+      SELECT vec_id, centroid_id, j, cid FROM (
+        SELECT s.vec_id, s.centroid_id, s.j, b.cid, row_number() OVER (
+          PARTITION BY s.vec_id, s.j ORDER BY
+            round(list_sum(list_transform(range(1, 17),
+              i -> (s.sv[i] - b.cemb[i]) * (s.sv[i] - b.cemb[i]))), 4)
+            ASC, b.cid ASC) AS rn
+        FROM sub s JOIN books b USING (j)) t
+      WHERE rn = 1),
+    probed AS (
+      SELECT q_id, ccid AS centroid_id FROM (
+        SELECT q.vec_id AS q_id, c.ccid, row_number() OVER (
+          PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) ASC,
+            c.ccid ASC) AS rn
+        FROM e q CROSS JOIN coarse c WHERE q.vec_id < 10) t
+      WHERE rn <= 2),
+    qres AS (
+      SELECT p.q_id, p.centroid_id,
+             list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS qr
+      FROM probed p JOIN e q ON q.vec_id = p.q_id
+      JOIN coarse c ON c.ccid = p.centroid_id),
+    qd AS (
+      SELECT qres.q_id, qres.centroid_id, js.j, b.cid,
+             round(list_sum(list_transform(range(1, 17),
+               i -> (qres.qr[js.j*16 + i] - b.cemb[i])
+                  * (qres.qr[js.j*16 + i] - b.cemb[i]))), 4) AS d
+      FROM qres CROSS JOIN js JOIN books b ON b.j = js.j),
+    adc AS (
+      SELECT qd.q_id, enc.vec_id AS c_id, round(sum(qd.d), 4) AS adc_dist
+      FROM enc
+      JOIN qd ON qd.centroid_id = enc.centroid_id AND qd.j = enc.j
+             AND qd.cid = enc.cid
+      WHERE qd.q_id <> enc.vec_id
+      GROUP BY 1, 2)
+    SELECT q_id, c_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist ASC, c_id ASC) AS rank
+      FROM adc) t
+    WHERE rank <= 5
+    """,
+)
+def f97_ivfpq_residual_topk(spark, sf):
+    """RESIDUAL-coded IVFPQ (functions/pq.py `ivfpq_residual_topk` —
+    Jegou et al. 2011 §IV-A, the form f89's docstring marks raw coding
+    as simplifying away; round-10 verdict task #3): codes quantize
+    ``x − coarse_centroid(x)``, and at query time the ADC table is
+    built per probed list from the query's residual against that
+    list's centroid, so the coarse offset CANCELS instead of being
+    re-approximated by the codebook. Seed residual codebooks come from
+    the 8 lowest-id vectors AT OR ABOVE id 8 — the coarse seeds' own
+    residuals are exactly zero (they are the f15-convention lowest-id
+    vectors), and an all-zero codebook is degenerate — keeping every
+    stage deterministic and exactly SQL-replayable: assignment,
+    residual subtraction, encode argmin, per-list query tables, ADC
+    sums, and the rank tie-break all recompose in the oracle. Trained
+    residual codebooks (`pq_train_codebooks_residual`) are the
+    production path, recall-pinned >= raw coding at equal code bytes
+    in tests/test_pq.py on both the concentrated and separable
+    fixtures.
+
+    Scale shape: f89's (broadcast coarse + codebooks, probed equi-join
+    against the code table, (q, vec)-keyed partial agg); the residual
+    subtraction is an in-row zip_with at scan speed and the query
+    table grows only n_probe× (still broadcast-sized)."""
+    from borsa_spark.functions.pq import (
+        ivfpq_residual_topk,
+        pq_codebooks_seed_residual,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    books = pq_codebooks_seed_residual(emb, coarse, m=4, k=8, min_id=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivfpq_residual_topk(
+        emb, q, coarse, books, m=4, k_top=5, n_probe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "f90_image_dhash_pairs",
     """
     WITH g AS (

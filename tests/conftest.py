@@ -19,11 +19,39 @@ def spark() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Round-11 flake fix (r10 verdict #1): the full suite runs
+        # ~10k Spark jobs through ONE shared session, and the late
+        # tests (test_pipeline_artifacts, stages 8-10k) flaked with
+        # shuffle-fetch/heap errors under the JVM DEFAULT 1g driver
+        # heap — block-manager metadata, shuffle state, and broadcast
+        # remnants accumulate faster than the ContextCleaner's
+        # GC-triggered weak refs fire (default periodicGC is 30min —
+        # longer than the suite). 8g of headroom plus a 5min forced
+        # cleaner GC keeps the shared-session tail stable; the
+        # per-module cache sweep below returns persisted blocks that a
+        # test forgot to free.
+        .config("spark.driver.memory", "8g")
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _module_cache_sweep():
+    """Free every cached relation when a test module finishes — leaked
+    persists from one module otherwise ride the shared session into
+    the late-suite heap (part of the round-11 flake fix).
+    getActiveSession (never getOrCreate): modules that never touched
+    Spark must not start a JVM for their teardown."""
+    yield
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from borsa_spark.session import release_all_cached
+
+        release_all_cached(active)
 
 
 def ts(sec: int) -> dt.datetime:

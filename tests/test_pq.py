@@ -167,6 +167,41 @@ class TestIvfPq:
             if (r.q_id, r.c_id) in full_d:
                 assert full_d[(r.q_id, r.c_id)] == r.adc_dist
 
+    def test_residual_ge_raw_at_equal_bytes_concentrated(self, spark):
+        """Round-11 (Jegou §IV-A): residual coding must hold at least
+        raw coding's recall at EQUAL code bytes (same m, k, probes,
+        coarse) — here on the hard distance-concentrated corpus."""
+        from borsa_spark.functions.pq import (
+            ivfpq_residual_topk,
+            ivfpq_topk,
+            pq_train_codebooks_residual,
+        )
+
+        emb = _emb(spark)
+        q = _queries(emb)
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        want = _exact_topk(spark)
+        raw_books = pq_train_codebooks(emb, m=4, k=16, iters=2)
+        res_books = pq_train_codebooks_residual(
+            emb, coarse, m=4, k=16, iters=2
+        )
+        r_raw = _recall(
+            ivfpq_topk(
+                emb, q, coarse, raw_books, m=4, k_top=5, n_probe=2
+            ).collect(),
+            want,
+        )
+        r_res = _recall(
+            ivfpq_residual_topk(
+                emb, q, coarse, res_books, m=4, k_top=5, n_probe=2
+            ).collect(),
+            want,
+        )
+        assert r_res >= r_raw, (r_raw, r_res)
+
     def test_probe_widening_recovers_full_adc(self, spark):
         from borsa_spark.functions.pq import ivfpq_topk
 
@@ -265,3 +300,43 @@ class TestClusteredCorpusRecall:
         assert r_ivf >= 0.4, r_ivf        # probing keeps ADC's recall
         assert r_rerank >= 0.9, r_rerank  # the verdict's >= 0.8 target
         assert r_rerank > r_adc
+
+    def test_residual_ge_raw_on_separable_structure(self, spark,
+                                                    clustered):
+        """The separable half of the residual-vs-raw pin: with a
+        perfect coarse quantizer the cluster offset carries most of
+        the vector energy, so residual coding (which cancels it) must
+        hold at least raw coding's recall at equal code bytes — this
+        is exactly the regime Jegou §IV-A's argument describes."""
+        from borsa_spark.functions.pq import (
+            ivfpq_residual_topk,
+            ivfpq_topk,
+            pq_train_codebooks_residual,
+        )
+
+        emb, want = clustered
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        raw_books = pq_train_codebooks(emb, m=4, k=16, iters=2)
+        res_books = pq_train_codebooks_residual(
+            emb, coarse, m=4, k=16, iters=2
+        )
+        r_raw = _recall(
+            ivfpq_topk(
+                emb, q, coarse, raw_books, m=4, k_top=5, n_probe=2
+            ).collect(),
+            want,
+        )
+        r_res = _recall(
+            ivfpq_residual_topk(
+                emb, q, coarse, res_books, m=4, k_top=5, n_probe=2
+            ).collect(),
+            want,
+        )
+        assert r_res >= r_raw, (r_raw, r_res)

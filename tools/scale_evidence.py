@@ -740,6 +740,203 @@ def run_r10_family(spark, results: list) -> None:
     )
 
 
+def run_r11_family(spark, results: list) -> None:
+    """Round-11 additions across three document decades:
+
+    - f96 WARC extraction: the fixture WRITE (8 gzip-member files),
+      the binaryFile→mapInPandas record walk, the header gates, and
+      the f84 extraction all scale with record count; one task per
+      file means the 500k tier exercises 62.5k-record files — the
+      shape of a real Common Crawl segment, scaled down 16x.
+    - c14, c11's DAG from WARC bytes: should track c11's own decade
+      walls plus the near-linear WARC encode/decode layer.
+    - f97 residual IVFPQ over the embedding decades: broadcast
+      model relations, probed equi-join — walls should track the
+      f89 raw-coding form with the n_probe× larger query table
+      invisible at these sizes.
+
+    All three queries materialize inside fn() (tempdir harness /
+    collected models), so timing starts at construction (the c12
+    convention)."""
+    _run_decade_drill(
+        spark, results,
+        ("f96_warc_extract", "c14_warc_corpus_prep",
+         "f97_ivfpq_residual_topk"),
+        time_from_construction=True,
+    )
+
+
+def run_ingest_drill(spark, results: list) -> None:
+    """The streaming admission gates one decade up (round-10 verdict
+    task #7): `DedupIngest.process_batch` against STORED corpora of
+    5k / 50k / 500k docs. Per tier, one 5k-doc probe batch with a
+    controlled mix — 20% exact copies of stored docs, 20% near-dups
+    (last word swapped), 10% a hot near-identical cohort (distinct
+    md5, ~shared bands — the bucket class the combined batch+corpus
+    cap exists for), 50% fresh — measuring:
+
+    - admission wall vs stored-state size (the per-trigger recurring
+      cost a 100-TB/day stream pays),
+    - the admission split + hot_buckets accounting (never a silent
+      cap),
+    - a REPLAY of the hot cohort after its first admission (the
+      round-10 fix: stored occupancy must now count toward the cap),
+    - at the 500k tier: compaction wall, fold correctness
+      (admission_log sums preserved), state size on disk, and the
+      post-compaction probe wall (scan-planning cost drops with file
+      count).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from borsa_spark.streaming.ingest import DedupIngest, compact_state
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def fresh_text(idc):
+        # 12 hash-derived words, unique per id
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda j: F.concat(
+                    F.lit("w"), F.xxhash64(idc, j).cast("string")
+                ),
+            ),
+            " ",
+        )
+
+    def stored_docs(n):
+        d = F.col("id")
+        return spark.range(n).select(
+            d.alias("doc_id"), fresh_text(d).alias("text")
+        )
+
+    def probe_batch(stored_n, base):
+        """5k probe ids starting at ``base`` (disjoint from stored)."""
+        d = F.col("id")
+        k = d - base  # 0..4999
+        src = k % stored_n  # a stored doc to copy / perturb
+        exact = fresh_text(src)
+        near = F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(11)),
+                    lambda j: F.concat(
+                        F.lit("w"), F.xxhash64(src, j).cast("string")
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(" z"), d.cast("string"),
+        )
+        boiler = F.concat(
+            F.lit(" ".join(f"hot{j}" for j in range(11))),
+            F.lit(" u"), d.cast("string"),
+        )
+        text = (
+            F.when(k % 10 < 2, exact)
+            .when(k % 10 < 4, near)
+            .when(k % 10 == 4, boiler)
+            .otherwise(fresh_text(d))
+        )
+        return spark.range(base, base + 5000).select(
+            d.alias("doc_id"), text.alias("text")
+        )
+
+    for tier_n in (5_000, 50_000, 500_000):
+        work = tempfile.mkdtemp(prefix=f"ingest_drill_{tier_n}_")
+        try:
+            ing = DedupIngest(spark, work)
+            # build the stored corpus in <=50k admission batches (the
+            # realistic path: state accrues through the gate itself)
+            t0 = time.time()
+            chunk = min(tier_n, 50_000)
+            bid = 0
+            for start in range(0, tier_n, chunk):
+                ing.process_batch(
+                    stored_docs(tier_n).filter(
+                        (F.col("doc_id") >= start)
+                        & (F.col("doc_id") < start + chunk)
+                    ),
+                    bid,
+                )
+                bid += 1
+            build_s = round(time.time() - t0, 3)
+
+            base = 10_000_000
+            t0 = time.time()
+            ing.process_batch(probe_batch(tier_n, base), bid)
+            probe_s = round(time.time() - t0, 3)
+            log = ing.admission_log()
+            probe_row = [e for e in log if e["batch"] == bid][-1]
+            emit({
+                "drill": "ingest", "stored": tier_n,
+                "build_s": build_s, "probe_s": probe_s,
+                "probe_admitted": probe_row["admitted"],
+                "probe_rejected": probe_row["rejected"],
+                "hot_buckets": probe_row["hot_buckets"],
+            })
+
+            # hot-cohort replay: same content mix, fresh ids — the
+            # admitted hot docs now sit in STORED state, so the
+            # combined cap must count them (round-10 fix) and the
+            # rejected side must not explode the candidate join
+            t0 = time.time()
+            ing.process_batch(probe_batch(tier_n, base + 5000), bid + 1)
+            replay_s = round(time.time() - t0, 3)
+            row2 = [e for e in ing.admission_log()
+                    if e["batch"] == bid + 1][-1]
+            emit({
+                "drill": "ingest_replay", "stored": tier_n,
+                "probe_s": replay_s,
+                "probe_admitted": row2["admitted"],
+                "probe_rejected": row2["rejected"],
+                "hot_buckets": row2["hot_buckets"],
+            })
+
+            if tier_n == 500_000:
+                pre = ing.admission_log()
+                pre_totals = {
+                    k: sum(e[k] for e in pre)
+                    for k in ("received", "admitted", "rejected",
+                              "hot_buckets")
+                }
+                t0 = time.time()
+                rep = compact_state(ing)
+                compact_s = round(time.time() - t0, 3)
+                post = ing.admission_log()
+                post_totals = {
+                    k: sum(e[k] for e in post)
+                    for k in ("received", "admitted", "rejected",
+                              "hot_buckets")
+                }
+                assert post_totals == pre_totals, (pre_totals,
+                                                   post_totals)
+                state_mb = round(sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(work) for f in fs
+                ) / 1e6, 1)
+                t0 = time.time()
+                ing.process_batch(
+                    probe_batch(tier_n, base + 10_000), bid + 2
+                )
+                post_probe_s = round(time.time() - t0, 3)
+                emit({
+                    "drill": "ingest_compaction", "stored": tier_n,
+                    "compact_s": compact_s,
+                    "compacted": rep.get("compacted"),
+                    "accounting_preserved": True,
+                    "state_mb": state_mb,
+                    "post_compact_probe_s": post_probe_s,
+                })
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def run_f90_drill(spark, results: list) -> None:
     """Image near-dup family (f90/f91) across three document decades,
     on the f91 crawl-degenerate fixture (80% flat images, planted
@@ -1199,6 +1396,20 @@ def main() -> None:
         return
     if "--r10-family" in sys.argv:
         run_r10_family(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--r11-family" in sys.argv:
+        run_r11_family(spark, results)
+        out = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if out:
+            with open(out[0], "w") as f:
+                json.dump(results, f, indent=1)
+        return
+    if "--ingest" in sys.argv:
+        run_ingest_drill(spark, results)
         out = [a for a in sys.argv[1:] if not a.startswith("--")]
         if out:
             with open(out[0], "w") as f:
