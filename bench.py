@@ -119,6 +119,7 @@ TIER2 = [
     # DAG driven from WARC bytes
     "f96_warc_extract",
     "c14_warc_corpus_prep",
+    "f97_ivfpq_residual_topk",
 ]
 
 

@@ -289,15 +289,46 @@ def pq_train_codebooks_residual(
     iters: int = 2, d: int = 64,
     id_col: str = "vec_id", emb_col: str = "embedding",
 ) -> DataFrame:
-    """Trained residual codebooks: `pq_train_codebooks`' per-subspace
-    Lloyd's program over the residual relation. ONE codebook shared
-    across all inverted lists (the FAISS IVFPQ default — per-list
-    codebooks cost k_coarse× the training and storage for marginal
-    gain at moderate list counts)."""
+    """Trained residual codebooks: the per-subspace Lloyd's program
+    over the residual relation. ONE codebook shared across all
+    inverted lists (the FAISS IVFPQ default — per-list codebooks cost
+    k_coarse× the training and storage for marginal gain at moderate
+    list counts).
+
+    Seeding nuance that raw training never hits: `kmeans_centroids`
+    seeds with the k LOWEST-ID vectors, and residuals collide
+    systematically there — every coarse-seed member's residual is
+    exactly zero, and cell-mates sharing latent structure have equal
+    residual subvectors — so naive seeding can start Lloyd with only
+    1-2 effective centroids and the trained book never recovers the
+    codebook capacity residual coding exists to unlock (measured: the
+    pattern fixture in tests/test_pq.py trains to ~2 effective
+    entries and LOSES to raw coding). Seeds here are therefore the
+    k lowest-id DISTINCT subvectors per subspace (distinctness at the
+    6dp snap, the kmeans grid): deterministic, and the deterministic
+    analog of FAISS's 'don't seed duplicate training points'."""
     res = ivf_residuals(emb, coarse, d, id_col, emb_col)
-    return pq_train_codebooks(
-        res, m=m, k=k, iters=iters, d=d, id_col=id_col, emb_col="__res"
-    )
+    sub = _subvectors(res, m, id_col, "__res", d)
+    dedup_rank = Window.partitionBy(
+        F.transform("sv", lambda x: F.round(x, 6))
+    ).orderBy(id_col)
+    books = None
+    for j in range(m):
+        sj = (
+            sub.filter(F.col("j") == j)
+            .withColumn("__rk", F.row_number().over(dedup_rank))
+            .select(
+                F.when(F.col("__rk") == 1, F.col(id_col))
+                .otherwise(F.col(id_col) + F.lit(2 ** 62))
+                .alias("__tid"),
+                "sv",
+            )
+        )
+        bj = kmeans_centroids(
+            sj, k=k, iters=iters, id_col="__tid", emb_col="sv"
+        ).select(F.lit(j).alias("j"), "cid", "cemb")
+        books = bj if books is None else books.unionByName(bj)
+    return books
 
 
 def _query_residual_dist_table(
@@ -350,8 +381,15 @@ def ivfpq_residual_topk(
     built per probed list from the QUERY's residual against that
     list's centroid, so ``adc ≈ ||q − c_list − dec(code)||²`` — the
     coarse offset cancels instead of being re-approximated by the
-    codebook, which is where the recall gain over raw coding comes
-    from (measured in tests/test_pq.py, both fixtures).
+    codebook. Measured envelope (tests/test_pq.py + SCALE.md, round
+    11): where residuals carry compressible structure the codes
+    resolve true-neighbor sets exactly (set recall 1.0 on the pattern
+    fixture; the pipeline itself is pinned bit-equal to an independent
+    numpy model); on corpora whose residuals are incompressible
+    (concentrated or iid-noise fixtures) it holds PARITY with raw
+    coding — §IV-A's strict win needs many cells absorbing real
+    offsets, which toy corpora cannot stage, so it is documented, not
+    overclaimed.
 
     Scale shape identical to `ivfpq_topk`: coarse assignment and the
     residual subtraction are broadcast-join scans; the per-query work

