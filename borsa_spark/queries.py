@@ -9235,9 +9235,14 @@ def f96_warc_extract(spark, sf):
     from borsa_spark.functions.html import extract_html
     from borsa_spark.sources import warc as W
 
-    ids = load_table(spark, sf, "documents").select("doc_id").withColumn(
-        "__file", F.col("doc_id") % 8
-    )
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    # file count scales with the corpus (~10k records/file), floor 8:
+    # one task per WARC file is the parallelism model, and a FIXED
+    # file count would serialize the encode+walk at drill tiers (the
+    # round-11 drill measured exactly that at 500k records / 8 files);
+    # file assignment never affects the output relation
+    n_files = max(8, ids.count() // 10_000)
+    ids = ids.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="f96_warc_")
     try:
         W.write_warc_files(ids, work, _f96_records, "__file", "doc_id")
@@ -9615,7 +9620,11 @@ def c14_warc_corpus_prep(spark, sf):
 
     src = _c11_crawl_fixture(spark, sf).select(
         "doc_id", "html", "url"
-    ).withColumn("__file", F.col("doc_id") % 8)
+    )
+    # corpus-proportional file count (~10k records/file, floor 8) —
+    # the f96 convention; assignment never affects the output
+    n_files = max(8, src.count() // 10_000)
+    src = src.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="c14_warc_")
     try:
         W.write_warc_files(src, work, _c14_records, "__file", "doc_id")

@@ -801,3 +801,60 @@ class TestRound10PlanShapes:
         assert "ExistingRDD" in plan
         assert "MapInPandas" not in plan
         spark.catalog.clearCache()
+
+
+class TestRound11PlanShapes:
+    def test_warc_read_is_one_arrow_walk_over_binaryfile(self, spark,
+                                                         tmp_path):
+        # the WARC relation: binaryFile scan -> ONE MapInPandas (the
+        # Arrow record walk) and nothing else Python-side; the html
+        # funnel's type/status/content-type gates sit ABOVE the walk
+        # as plain filters (no second Python stage, no shuffle)
+        from pyspark.sql import functions as F
+
+        from borsa_spark.sources import warc as W
+
+        W.write_warc_files(
+            spark.range(8).select(
+                F.col("id"), (F.col("id") % 2).alias("__file")
+            ),
+            str(tmp_path),
+            _warc_rec,
+        )
+        docs = W.warc_html_docs(W.read_warc(spark, str(tmp_path)))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            docs.explain("formatted")
+        plan = buf.getvalue()
+        # one walk NODE: formatted explain names each operator twice
+        # (tree + numbered detail), so count detail headers
+        import re
+
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+        assert "Scan binaryFile" in plan
+        assert "Exchange" not in plan  # record walk + gates: map-only
+        assert "BatchEvalPython" not in plan  # Arrow path, never pickled
+
+    def test_f97_model_relations_broadcast_corpus_never_self_joins(
+        self, spark
+    ):
+        # residual IVFPQ: the code table joins BROADCAST model
+        # relations (probed lists + per-list query tables); the only
+        # corpus-keyed aggregation families are the encode argmin and
+        # the (q, vec) ADC partial agg — no corpus self-join exists
+        plan = final_plan_of(spark, "f97_ivfpq_residual_topk")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+        assert "SortMergeJoin" not in plan
+        spark.catalog.clearCache()
+
+
+def _warc_rec(row):
+    from borsa_spark.sources import warc as W
+
+    yield W.warc_record(
+        "response",
+        {"WARC-Target-URI": f"http://x/{row['id']}",
+         "Content-Type": "application/http; msgtype=response"},
+        W.http_response(200, "OK", {"Content-Type": "text/html"},
+                        b"<p>plan fixture body long enough here.</p>"),
+    )

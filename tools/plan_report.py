@@ -26,6 +26,12 @@ MATERIALIZED_GATES = {
     "c6_incremental_rollup",
     "c7_streaming_rollup_exactly_once",
     "c10_tiered_rollup",
+    # round 11: tempdir-harness WARC queries execute the fixture write
+    # + read + collect at construction (the c3/c4 pattern); their plan
+    # evidence is the mapInPandas walk asserted in tests/test_plan_
+    # shapes.py, not an explain of the returned LocalRelation
+    "f96_warc_extract",
+    "c14_warc_corpus_prep",
 }
 
 
