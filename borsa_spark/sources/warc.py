@@ -299,57 +299,95 @@ def read_warc(spark: SparkSession, path: str,
     no per-file list materialization beyond the file bytes binaryFile
     already holds.
     """
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
         .load(path)
         .select("path", "content")
     )
+    return files.mapInPandas(_walk_batches, WARC_SCHEMA)
 
-    def walk(batches):
-        for pdf in batches:
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                rows = []
-                for i, (hdr, payload) in enumerate(
-                    iter_warc_records(bytes(content))
-                ):
-                    wtype = hdr.get("warc-type", "")
-                    status, http_ct, body = None, None, payload
-                    if wtype == "response":
-                        try:
-                            s, hh, body = parse_http_response(payload)
-                            status = s
-                            http_ct = hh.get("content-type")
-                        except ValueError:
-                            # archived junk: keep the record visible
-                            # with null HTTP fields, never drop data
-                            # silently at the ingest layer
-                            body = payload
-                    rows.append(
-                        {
-                            "warc_file": path_,
-                            "record_index": i,
-                            "warc_type": wtype,
-                            "target_uri": hdr.get("warc-target-uri"),
-                            "warc_date": hdr.get("warc-date"),
-                            "record_id": hdr.get("warc-record-id"),
-                            "content_type": hdr.get("content-type"),
-                            "content_length": int(
-                                hdr["content-length"]
-                            ),
-                            "http_status": status,
-                            "http_content_type": http_ct,
-                            "body": body,
-                        }
-                    )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[f.name for f in WARC_SCHEMA.fields],
+
+def _walk_batches(batches):
+    """The mapInPandas body shared by `read_warc` and
+    `read_warc_stream`: one output batch per input file."""
+    import pandas as pd
+
+    for pdf in batches:
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            rows = []
+            for i, (hdr, payload) in enumerate(
+                iter_warc_records(bytes(content))
+            ):
+                wtype = hdr.get("warc-type", "")
+                status, http_ct, body = None, None, payload
+                if wtype == "response":
+                    try:
+                        s, hh, body = parse_http_response(payload)
+                        status = s
+                        http_ct = hh.get("content-type")
+                    except ValueError:
+                        # archived junk: keep the record visible
+                        # with null HTTP fields, never drop data
+                        # silently at the ingest layer
+                        body = payload
+                rows.append(
+                    {
+                        "warc_file": path_,
+                        "record_index": i,
+                        "warc_type": wtype,
+                        "target_uri": hdr.get("warc-target-uri"),
+                        "warc_date": hdr.get("warc-date"),
+                        "record_id": hdr.get("warc-record-id"),
+                        "content_type": hdr.get("content-type"),
+                        "content_length": int(hdr["content-length"]),
+                        "http_status": status,
+                        "http_content_type": http_ct,
+                        "body": body,
+                    }
                 )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in WARC_SCHEMA.fields],
+            )
 
-    return files.mapInPandas(walk, WARC_SCHEMA)
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     pattern: str = "*.warc*", **options) -> DataFrame:
+    """`read_warc` as a Structured Streaming source: new WARC files
+    landing in ``path`` stream through the same Arrow record walk —
+    the continuous-crawl form of stage zero. The file stream source
+    tracks processed files in the checkpoint, so each WARC file is
+    ingested exactly once; compose with `warc_html_docs` and a
+    `DedupIngest.attach`/foreachBatch admission gate for the full
+    crawl→dedup-admission pipeline (driven end-to-end in
+    tests/test_warc.py).
+
+    Streaming facts the shape relies on: binaryFile is a FileFormat,
+    so the file stream source accepts it with an explicit schema;
+    ``maxFilesPerTrigger`` (a SOURCE option — pass it here via
+    ``**options``, a sink-side option is silently ignored) bounds
+    per-batch memory to N whole files, the same one-file-per-task
+    unit as the batch reader."""
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", pattern)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    files = reader.load(path).select("path", "content")
+    # identical walk to read_warc: rebuild the mapInPandas over the
+    # streaming relation (the UDF body is shared via _walk_batches)
+    return files.mapInPandas(_walk_batches, WARC_SCHEMA)
 
 
 def write_warc_files(

@@ -238,3 +238,76 @@ class TestSparkStage:
             for f in sorted(os.listdir(out2))
         }
         assert h1 == h2
+
+
+class TestStreamingWarcIngest:
+    """Crawl stage zero as a STREAM: WARC files land in a directory,
+    stream through the same Arrow record walk + html funnel, and feed
+    the dedup admission gate — one admission batch per WARC file
+    (maxFilesPerTrigger=1), exactly-once per the ingest markers."""
+
+    def test_warc_stream_through_dedup_admission(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from borsa_spark.streaming.ingest import DedupIngest
+
+        src = tmp_path / "warcs"
+        src.mkdir()
+
+        def resp(i, text):
+            return _resp_record(
+                f"http://crawl/{i}", f"<p>{text}</p>".encode()
+            )
+
+        # file 1: docs 0-2 unique; file 2: doc 3 unique + doc 4 an
+        # EXACT copy of doc 0's text (cross-file dup -> must be
+        # rejected by the stored-corpus md5 screen); file 3: doc 5
+        # unique + doc 6 intra-batch copy of doc 5
+        texts = {
+            0: "alpha beta gamma delta epsilon zeta eta theta",
+            1: "one two three four five six seven eight",
+            2: "red orange yellow green blue indigo violet",
+            3: "north south east west up down left right",
+            4: "alpha beta gamma delta epsilon zeta eta theta",
+            5: "spring summer autumn winter solstice equinox",
+            6: "spring summer autumn winter solstice equinox",
+        }
+        W.write_warc(str(src / "f1.warc.gz"), [resp(i, texts[i]) for i in (0, 1, 2)])
+        W.write_warc(str(src / "f2.warc.gz"), [resp(i, texts[i]) for i in (3, 4)])
+        W.write_warc(str(src / "f3.warc.gz"), [resp(i, texts[i]) for i in (5, 6)])
+
+        ing = DedupIngest(spark, str(tmp_path / "state"), n=3,
+                          threshold=0.5)
+        rec = W.read_warc_stream(spark, str(src), maxFilesPerTrigger=1)
+        docs = W.warc_html_docs(rec).select(
+            F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            F.regexp_replace("html", "<[^>]*>", "").alias("text"),
+        )
+        q = (
+            docs.writeStream.foreachBatch(ing.process_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        log = ing.admission_log()
+        assert len(log) == 3  # one admission batch per WARC file
+        assert sum(e["received"] for e in log) == 7
+        # cross-file exact dup (4) + intra-batch dup (6) rejected
+        assert sum(e["admitted"] for e in log) == 5
+        stored = {r.id for r in ing.corpus_arrays().collect()}
+        assert stored == {0, 1, 2, 3, 5}
+
+        # exactly-once: a second availableNow drain over the same dir
+        # (fresh checkpoint -> files replayed) must not re-admit
+        q2 = (
+            docs.writeStream.foreachBatch(ing.process_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert {r.id for r in ing.corpus_arrays().collect()} == {0, 1, 2, 3, 5}
