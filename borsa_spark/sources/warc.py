@@ -439,6 +439,61 @@ def write_warc_files(
     return out
 
 
+def wet_record(url: str, text: str,
+               date: str = "2026-01-01T00:00:00Z",
+               record_id: str | None = None,
+               refers_to: str | None = None) -> bytes:
+    """One WET record: extracted text as a WARC ``conversion`` record
+    (the Common Crawl WET layout — Content-Type text/plain, UTF-8
+    payload, WARC-Refers-To linking back to the response record it
+    was converted from). WET is the standard interchange format for
+    the OUTPUT of the extraction stage: a pipeline that reads WARC
+    and writes WET slots into any Common-Crawl-consuming stack."""
+    headers = {
+        "WARC-Target-URI": url,
+        "WARC-Date": date,
+        "WARC-Record-ID": record_id or f"<urn:borsa:wet:{url}>",
+        "Content-Type": "text/plain",
+    }
+    if refers_to:
+        headers["WARC-Refers-To"] = refers_to
+    return warc_record("conversion", headers,
+                       text.encode("utf-8"))
+
+
+def write_wet_files(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    file_col: str = "__file",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Distributed WET sink: (url, text) rows become gzip-member
+    ``conversion`` records, one ``part-<key>.warc.gz`` per file_col
+    value — `write_warc_files` with the WET record shape. Returns the
+    committed (warc_file, n_records) summary (an action has run)."""
+
+    def rec(row):
+        yield wet_record(str(row[url_col]), str(row[text_col]))
+
+    return write_warc_files(df, out_dir, rec, file_col,
+                            order_col or url_col)
+
+
+def read_wet(spark: SparkSession, path: str,
+             pattern: str = "*.warc*") -> DataFrame:
+    """(url, text) from WET files: the record walk filtered to
+    ``conversion`` records, payload decoded as UTF-8 — the inverse of
+    `write_wet_files` and the entry point for consuming someone
+    else's extracted-text corpus without re-running extraction."""
+    rec = read_warc(spark, path, pattern)
+    return rec.filter(F.col("warc_type") == "conversion").select(
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+    )
+
+
 def warc_html_docs(records: DataFrame,
                    min_status: int = 200,
                    max_status: int = 299,

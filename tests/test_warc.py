@@ -311,3 +311,45 @@ class TestStreamingWarcIngest:
         )
         q2.awaitTermination(120)
         assert {r.id for r in ing.corpus_arrays().collect()} == {0, 1, 2, 3, 5}
+
+
+class TestWet:
+    """WET (extracted-text conversion records): the OUTPUT side of
+    stage zero — WARC in, WET out, and WET back in losslessly."""
+
+    def test_warc_to_wet_round_trip(self, spark, warc_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from borsa_spark.functions.html import extract_html
+
+        docs = W.warc_html_docs(W.read_warc(spark, warc_dir))
+        ext = extract_html(F.col("html"), min_chars=5)
+        extracted = docs.select(
+            "url", ext["extracted"].alias("text")
+        ).withColumn("__file", F.lit(0))
+        out = str(tmp_path / "wet")
+        summary = W.write_wet_files(extracted, out)
+        assert sum(r.n_records for r in summary.collect()) == 2
+        back = {(r.url, r.text) for r in W.read_wet(spark, out).collect()}
+        want = {(r.url, r.text) for r in extracted.collect()}
+        assert back == want
+
+    def test_wet_records_carry_conversion_type(self, tmp_path):
+        rec = W.wet_record("http://a/x", "extracted text here",
+                           refers_to="<urn:test:http://a/x>")
+        [(h, p)] = list(W.iter_warc_records(rec))
+        assert h["warc-type"] == "conversion"
+        assert h["content-type"] == "text/plain"
+        assert h["warc-refers-to"] == "<urn:test:http://a/x>"
+        assert p.decode() == "extracted text here"
+
+    def test_unicode_text_survives(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        rows = [(f"http://u/{i}", "héllo wörld — τεχτ " + "μ" * i)
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "url string, text string")
+        out = str(tmp_path / "wet_u")
+        W.write_wet_files(df.withColumn("__file", F.lit(0)), out)
+        back = {(r.url, r.text) for r in W.read_wet(spark, out).collect()}
+        assert back == set(rows)
