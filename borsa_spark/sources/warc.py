@@ -490,7 +490,7 @@ def read_wet(spark: SparkSession, path: str,
     rec = read_warc(spark, path, pattern)
     return rec.filter(F.col("warc_type") == "conversion").select(
         F.col("target_uri").alias("url"),
-        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.col("body").cast("string").alias("text"),
     )
 
 
@@ -499,10 +499,10 @@ def warc_html_docs(records: DataFrame,
                    max_status: int = 299,
                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """The crawl→text funnel head: keep ``response`` records with a 2xx
-    status and an HTML content type, decode bodies as UTF-8 (WARC
-    archives whatever the server sent; replacement-decoding malformed
-    bytes is the standard crawl-pipeline stance — C4/CCNet do the
-    same), and emit (url, html [, *extra_cols passed through]). Pure
+    status and an HTML content type, decode bodies as lenient UTF-8
+    (WARC archives whatever the server sent; malformed bytes become
+    replacement characters instead of killing the job — the C4/CCNet
+    stance, see the cast comment below), and emit (url, html [, *extra_cols passed through]). Pure
     column expressions over the record relation — the
     type/status/content-type gates are the load-bearing header rules
     f96's fixture plants traps for."""
@@ -515,7 +515,13 @@ def warc_html_docs(records: DataFrame,
         )
         .select(
             F.col("target_uri").alias("url"),
-            F.decode(F.col("body"), "UTF-8").alias("html"),
+            # cast, NOT F.decode: Spark 4's decode RAISES on malformed
+            # bytes ([MALFORMED_CHARACTER_CODING]) and one garbage page
+            # must not kill a 100-TB crawl job; binary->string cast
+            # reinterprets bytes as UTF-8 leniently (malformed
+            # sequences degrade to replacement characters), the
+            # C4/CCNet stance — found by a round-11 review probe
+            F.col("body").cast("string").alias("html"),
             *extra_cols,
         )
     )

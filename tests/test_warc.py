@@ -353,3 +353,20 @@ class TestWet:
         W.write_wet_files(df.withColumn("__file", F.lit(0)), out)
         back = {(r.url, r.text) for r in W.read_wet(spark, out).collect()}
         assert back == set(rows)
+
+
+class TestMalformedBytes:
+    def test_garbage_page_does_not_kill_the_funnel(self, spark,
+                                                   tmp_path):
+        # a response whose body is NOT valid UTF-8 (crawls archive
+        # whatever the server sent) must degrade to replacement chars,
+        # never raise — Spark 4's F.decode throws
+        # MALFORMED_CHARACTER_CODING here, which is why the funnel
+        # uses the lenient binary->string cast
+        rec = _resp_record("http://g/bad", b"<p>ok \xff\xfe tail</p>")
+        d = str(tmp_path)
+        W.write_warc(d + "/g.warc.gz", [rec])
+        rows = W.warc_html_docs(W.read_warc(spark, d)).collect()
+        assert len(rows) == 1
+        assert rows[0].html.startswith("<p>ok ")
+        assert "tail" in rows[0].html
