@@ -370,3 +370,16 @@ class TestMalformedBytes:
         assert len(rows) == 1
         assert rows[0].html.startswith("<p>ok ")
         assert "tail" in rows[0].html
+
+
+    def test_zero_byte_file_yields_no_rows(self, spark, tmp_path):
+        # a torn upload / `touch` artifact next to real files must not
+        # kill the scan: the walk yields an empty (typed) batch for it
+        W.write_warc(
+            str(tmp_path / "ok.warc.gz"),
+            [W.warc_record("resource",
+                           {"WARC-Target-URI": "http://x"}, b"p")],
+        )
+        (tmp_path / "empty.warc.gz").write_bytes(b"")
+        rows = W.read_warc(spark, str(tmp_path)).collect()
+        assert [r.target_uri for r in rows] == ["http://x"]
