@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -80,6 +81,10 @@ WARC_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("http_status", LongType()),
         StructField("http_content_type", StringType()),
+        # every named field of the record, lowercased — the generic
+        # channel for header rules the typed columns don't cover
+        # (WARC-Refers-To, WARC-Payload-Digest, WARC-Profile, ...)
+        StructField("headers", MapType(StringType(), StringType())),
         StructField("body", BinaryType()),
     ]
 )
@@ -343,6 +348,7 @@ def _walk_batches(batches):
                         "content_length": int(hdr["content-length"]),
                         "http_status": status,
                         "http_content_type": http_ct,
+                        "headers": hdr,
                         "body": body,
                     }
                 )
@@ -437,6 +443,65 @@ def write_warc_files(
     # materialize: the sink must have RUN before callers read out_dir
     out = out.sparkSession.createDataFrame(out.collect(), out.schema)
     return out
+
+
+#: the WARC-Profile URI for identical-payload revisits (WARC 1.1 §6.7.2)
+REVISIT_IDENTICAL = (
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+
+
+def revisit_record(url: str, refers_to: str,
+                   payload_digest: str,
+                   date: str = "2026-01-01T00:00:00Z",
+                   record_id: str | None = None) -> bytes:
+    """A ``revisit`` record: the crawler re-fetched ``url``, found the
+    payload byte-identical to an earlier capture (``refers_to`` = that
+    record's WARC-Record-ID), and archived only this marker instead of
+    the body — crawl-time exact dedup, standard in Common Crawl. The
+    dedup signal is free data for the corpus pipeline: see
+    `warc_revisit_edges`."""
+    return warc_record(
+        "revisit",
+        {
+            "WARC-Target-URI": url,
+            "WARC-Date": date,
+            "WARC-Record-ID": record_id or f"<urn:borsa:revisit:{url}>",
+            "WARC-Refers-To": refers_to,
+            "WARC-Payload-Digest": payload_digest,
+            "WARC-Profile": REVISIT_IDENTICAL,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        b"",
+    )
+
+
+def warc_revisit_edges(records: DataFrame) -> DataFrame:
+    """(dup_url, orig_record_id, payload_digest): the duplication edges
+    the CRAWLER already proved, harvested from ``revisit`` records — a
+    corpus pipeline should consume these before spending a single
+    shingle on content dedup (the originals' record ids join back to
+    the response relation on ``record_id``). Pure column expressions
+    over the record walk; only identical-payload-digest revisits
+    qualify (other profiles assert weaker equivalence).
+
+    The record walk emits revisit headers like any other record, so
+    this needs no codec support — it is a view, and it composes with
+    `dup_clusters` exactly like a verified minhash pair relation
+    (every revisit edge is an exact-duplicate edge)."""
+    rev = records.filter(F.col("warc_type") == "revisit")
+    prof = F.lower(
+        F.coalesce(F.col("headers")["warc-profile"], F.lit(""))
+    )
+    return (
+        rev.filter(prof.contains("identical-payload-digest"))
+        .select(
+            F.col("target_uri").alias("dup_url"),
+            F.col("headers")["warc-refers-to"].alias("orig_record_id"),
+            F.col("headers")["warc-payload-digest"]
+            .alias("payload_digest"),
+        )
+    )
 
 
 def wet_record(url: str, text: str,

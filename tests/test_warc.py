@@ -383,3 +383,78 @@ class TestMalformedBytes:
         (tmp_path / "empty.warc.gz").write_bytes(b"")
         rows = W.read_warc(spark, str(tmp_path)).collect()
         assert [r.target_uri for r in rows] == ["http://x"]
+
+
+class TestRevisitRecords:
+    """Crawl-time dedup signal: identical-payload revisit records are
+    duplication edges the crawler already proved — harvested as a view
+    and composable with dup_clusters like any verified pair relation."""
+
+    def test_revisit_edges_and_cluster_composition(self, spark,
+                                                   tmp_path):
+        from pyspark.sql import functions as F
+
+        from borsa_spark.functions.dedup import dup_clusters
+
+        recs = [
+            _resp_record("http://a/orig", b"<p>the original body</p>"),
+            _resp_record("http://b/other", b"<p>unrelated body</p>"),
+            W.revisit_record(
+                "http://a/copy1", "<urn:test:http://a/orig>",
+                "sha1:DIGEST1",
+            ),
+            W.revisit_record(
+                "http://a/copy2", "<urn:test:http://a/orig>",
+                "sha1:DIGEST1",
+            ),
+            # a server-not-modified revisit (different profile) must
+            # NOT become an exact-dup edge
+            W.warc_record(
+                "revisit",
+                {"WARC-Target-URI": "http://weak",
+                 "WARC-Refers-To": "<urn:test:http://a/orig>",
+                 "WARC-Profile":
+                     "http://netpreserve.org/warc/1.1/revisit/"
+                     "server-not-modified"},
+                b"",
+            ),
+        ]
+        W.write_warc(str(tmp_path / "r.warc.gz"), recs)
+        rec = W.read_warc(spark, str(tmp_path))
+        edges = W.warc_revisit_edges(rec).collect()
+        assert {(e.dup_url, e.orig_record_id) for e in edges} == {
+            ("http://a/copy1", "<urn:test:http://a/orig>"),
+            ("http://a/copy2", "<urn:test:http://a/orig>"),
+        }
+        assert all(e.payload_digest == "sha1:DIGEST1" for e in edges)
+
+        # compose: map urls/record-ids to node ids and fold the edges
+        # with the same star-contraction clusterer verified pairs use
+        urls = rec.select(
+            F.coalesce(F.col("headers")["warc-target-uri"],
+                       F.col("target_uri")).alias("u")
+        ).distinct()
+        nid = urls.select(
+            "u", F.xxhash64("u").alias("id")
+        )
+        originals = rec.filter(F.col("warc_type") == "response").select(
+            F.col("record_id").alias("orig_record_id"),
+            F.col("target_uri").alias("orig_url"),
+        )
+        e = (
+            W.warc_revisit_edges(rec)
+            .join(originals, "orig_record_id")
+            .join(nid.withColumnRenamed("u", "dup_url")
+                  .withColumnRenamed("id", "id_a"), "dup_url")
+            .join(nid.withColumnRenamed("u", "orig_url")
+                  .withColumnRenamed("id", "id_b"), "orig_url")
+            .select("id_a", "id_b")
+        )
+        comp = dup_clusters(e, nid.select("id"))
+        sizes = sorted(
+            r["n"] for r in comp.groupBy("comp")
+            .agg(F.count("*").alias("n")).collect()
+        )
+        # orig + 2 copies cluster; the other response and the weak
+        # revisit stay singletons
+        assert sizes == [1, 1, 3]
