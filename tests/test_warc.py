@@ -90,6 +90,90 @@ class TestCodecRoundTrip:
         assert got[1][0]["warc-target-uri"] == "http://after"
 
 
+class TestWalkScaling:
+    """The member walk must be LINEAR in member count at fixed total
+    bytes. The naive per-member form (`d.decompress(raw[pos:])` +
+    `unused_data`) copies the whole remaining tail for EVERY member —
+    O(members × file_bytes) memcpy, measured 4× members → 6.3× wall on
+    the pre-round-12 code — and breaks at the ~1-GB/10k-member Common
+    Crawl unit the module targets. Pinned here with incompressible
+    payloads (compressible ones shrink the tail and hide the term)."""
+
+    @staticmethod
+    def _stream(n_members: int, payload_bytes: int) -> bytes:
+        import random
+
+        rng = random.Random(42)
+        body = rng.randbytes(payload_bytes)
+        rec = W.warc_record(
+            "resource", {"WARC-Target-URI": "http://s"}, body
+        )
+        return W.gzip_member(rec) * n_members
+
+    def test_member_walk_is_linear_in_member_count(self):
+        import time
+
+        def wall(n, payload):
+            raw = self._stream(n, payload)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                count = sum(1 for _ in W.iter_warc_records(raw))
+                best = min(best, time.perf_counter() - t0)
+            assert count == n
+            return best
+
+        # same ~24 MB total, 4x the members: the quadratic form pays
+        # ~4x wall here; the chunked walk must stay ~flat
+        few = wall(2_000, 12_000)
+        many = wall(8_000, 3_000)
+        assert many < max(2.5 * few, few + 0.25), (
+            f"member walk superlinear: 2k members {few:.3f}s vs "
+            f"8k members {many:.3f}s at equal total bytes"
+        )
+
+    def test_records_spanning_member_boundaries(self):
+        # robustness beyond the Common Crawl one-record-per-member
+        # layout: the incremental parser must reassemble a record whose
+        # bytes straddle gzip members (and split mid-header)
+        recs = b"".join(
+            _resp_record(f"http://span/{i}", b"b" * 50) for i in range(7)
+        )
+        cut = len(recs) // 3
+        raw = (W.gzip_member(recs[:11])          # mid-version-line
+               + W.gzip_member(recs[11:cut])
+               + W.gzip_member(recs[cut:cut + 1])  # 1-byte member
+               + W.gzip_member(recs[cut + 1:]))
+        got = list(W.iter_warc_records(raw))
+        assert [h["warc-target-uri"] for h, _ in got] == [
+            f"http://span/{i}" for i in range(7)
+        ]
+
+    def test_walk_batches_bounded_yields(self, monkeypatch):
+        # a file larger than the batch bound must stream out in several
+        # typed batches (never one per-file list), total rows exact
+        import pandas as pd
+
+        monkeypatch.setattr(W, "_BATCH_ROWS", 64)
+        recs = [
+            W.warc_record("resource",
+                          {"WARC-Target-URI": f"http://m/{i}"},
+                          str(i).encode())
+            for i in range(200)
+        ]
+        pdf = pd.DataFrame(
+            {"path": ["f.warc"], "content": [b"".join(recs)]}
+        )
+        out = list(W._walk_batches(iter([pdf])))
+        assert len(out) == 4  # 64+64+64+8
+        assert [len(b) for b in out] == [64, 64, 64, 8]
+        assert list(out[0].columns) == [
+            f.name for f in W.WARC_SCHEMA.fields
+        ]
+        uris = [u for b in out for u in b["target_uri"]]
+        assert uris == [f"http://m/{i}" for i in range(200)]
+
+
 class TestHeaderRules:
     def test_names_case_insensitive(self):
         raw = (b"WARC/1.0\r\n"
