@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import zlib
 from collections.abc import Iterable, Iterator
 
@@ -70,6 +71,10 @@ from pyspark.sql.types import (
 )
 
 CRLF = b"\r\n"
+
+#: a CR/LF in a header VALUE that is not the spec's LWS fold
+#: (CRLF followed by SP/HT) — the writer rejects these (injection)
+_CRLF_INJECT = re.compile(r"\r\n(?![ \t])|\r(?!\n)|(?<!\r)\n")
 
 #: the relation `read_warc` emits — one row per WARC record
 WARC_SCHEMA = StructType(
@@ -113,6 +118,16 @@ def warc_record(
     for k, v in headers.items():
         if k.lower() in ("warc-type", "content-length"):
             raise ValueError(f"{k} is managed by warc_record")
+        # header-injection guard: a CR/LF in a value (e.g. an encoded
+        # newline in a crawl URL reaching the writer) would forge
+        # headers or desync the record walk. Only the spec's LWS fold
+        # (CRLF followed by SP/HT) may cross a line.
+        if _CRLF_INJECT.search(v):
+            raise ValueError(
+                f"header value for {k} contains a bare CR/LF "
+                "(only 'CRLF SP/HT' continuation folds are legal): "
+                f"{v[:60]!r}"
+            )
         out += [k.encode("ascii"), b": ",
                 v.encode("ascii", "strict"), CRLF]
     out += [b"Content-Length: ", str(len(payload)).encode("ascii"), CRLF]
@@ -179,13 +194,27 @@ def write_warc(path: str, records: Iterable[bytes],
 _CHUNK = 1 << 20
 
 
-def _members_from_chunks(chunks: Iterable[bytes]) -> Iterator[bytes]:
-    """Decompress a multi-member gzip stream fed as bounded compressed
-    chunks, yielding one decompressed member at a time.
+#: a gzip member starts with magic 1f 8b + CM=8 (deflate) — the scan
+#: anchor for split resync and lenient error recovery
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _members_from_file(f, start: int, end: int,
+                       lenient: bool = False,
+                       errlog: list | None = None,
+                       ) -> Iterator[tuple[int, bytes]]:
+    """Decompress a multi-member gzip stream from a seekable binary
+    file object, yielding ``(member_start_offset, member_bytes)`` for
+    every member whose START lies in ``[start, end)`` — a member that
+    begins before ``end`` is decoded to completion even when its bytes
+    run past ``end`` (the input-split contract: the task owning a
+    member's first byte owns the whole member).
+
     zlib.decompressobj(47) stops at each member's end and exposes the
     not-yet-consumed tail as ``unused_data`` — the stdlib seam that
-    matches the member-per-record layout (gzip.decompress would fuse
-    all members into one blob, losing the boundary structure).
+    matches the one-member-per-record Common Crawl layout
+    (gzip.decompress would fuse all members into one blob, losing the
+    boundary structure).
 
     The chunked feed is load-bearing for scale: the naive form
     (``d.decompress(raw[pos:])`` per member) copies the entire
@@ -195,46 +224,119 @@ def _members_from_chunks(chunks: Iterable[bytes]) -> Iterator[bytes]:
     members. Feeding ≤ _CHUNK bytes at a time makes ``unused_data``
     (the only copy that crosses a member boundary) at most one chunk,
     so total work is linear in file bytes + members
-    (pinned by tests/test_warc.py::test_member_walk_is_linear)."""
-    it = iter(chunks)
+    (pinned by tests/test_warc.py::test_member_walk_is_linear).
+
+    ``lenient``: a torn/corrupt member is logged to ``errlog`` as
+    ``(offset, message)`` and the walk resyncs at the next validated
+    member boundary (`_scan_member_start`) instead of raising —
+    real crawl dumps contain occasional junk and one bad member must
+    not kill a 100-TB job when the caller opts in. Strict (default)
+    fails loudly."""
+    f.seek(start)
     pending: bytes = b""  # compressed bytes handed back by unused_data
-    while True:
-        while not pending:  # refill between members (skip empty chunks)
-            nxt = next(it, None)
-            if nxt is None:
+    off = start  # absolute offset of pending[0] / next read position
+    while off < end:
+        while not pending:  # refill between members
+            chunk = f.read(_CHUNK)
+            if not chunk:
                 return
-            pending = nxt
+            pending = chunk
+        member_start = off
         d = zlib.decompressobj(47)  # 47 = auto-detect gzip wrapper
         parts = []
-        while not d.eof:
-            if not pending:
-                nxt = next(it, None)
-                if nxt is None:
-                    raise ValueError(
-                        "truncated gzip member — a torn tail must "
-                        "fail loudly, not yield a silent partial record"
-                    )
-                pending = nxt
-                continue
-            parts.append(d.decompress(pending))
-            # past-the-member bytes (≤ one chunk) start the next member
-            pending = d.unused_data
-        yield b"".join(parts)
+        try:
+            while not d.eof:
+                if not pending:
+                    chunk = f.read(_CHUNK)
+                    if not chunk:
+                        raise ValueError(
+                            "truncated gzip member — a torn tail must "
+                            "fail loudly, not yield a silent partial "
+                            "record"
+                        )
+                    pending = chunk
+                fed = len(pending)
+                parts.append(d.decompress(pending))
+                # past-the-member bytes (≤ one chunk) open the next
+                # member; off tracks the absolute offset of pending[0]
+                pending = d.unused_data
+                off += fed - len(pending)
+        except (ValueError, zlib.error) as exc:
+            if not lenient:
+                raise ValueError(
+                    f"{exc} (gzip member at byte {member_start})"
+                ) from exc
+            if errlog is not None:
+                errlog.append((member_start, f"gzip: {exc}"))
+            nxt = _scan_member_start(f, member_start + 1, end)
+            if nxt < 0:
+                return
+            f.seek(nxt)
+            pending, off = b"", nxt
+            continue
+        yield member_start, b"".join(parts)
+
+
+def _scan_member_start(f, pos: int, end: int) -> int:
+    """Find the next VALIDATED gzip member start at offset >= ``pos``
+    (< ``end``): scan for the 1f8b08 magic, then confirm by
+    decompressing a probe and checking the plaintext opens with
+    ``WARC/`` — payload bytes can contain the magic by chance (1 in
+    2^24 per position), and a WARC member must begin with a version
+    line, so the probe disambiguates. Returns -1 when no boundary
+    exists. This is the seam both the split reader (enter a file
+    mid-stream) and lenient error recovery (skip a torn member) use."""
+    window_base = pos
+    carry = b""
+    while window_base < end:
+        f.seek(window_base)
+        window = f.read(_CHUNK)
+        if not window:
+            return -1
+        buf = carry + window
+        base = window_base - len(carry)
+        at = 0
+        while True:
+            hit = buf.find(_GZ_MAGIC, at)
+            if hit < 0 or base + hit >= end:
+                break
+            cand = base + hit
+            if _probe_member(f, cand):
+                return cand
+            at = hit + 1
+        carry = buf[-(len(_GZ_MAGIC) - 1):]
+        window_base = base + len(buf)
+    return -1
+
+
+def _probe_member(f, pos: int, probe_bytes: int = 1 << 16) -> bool:
+    """True when a gzip member starting at ``pos`` decompresses cleanly
+    to a WARC version line."""
+    f.seek(pos)
+    d = zlib.decompressobj(47)
+    try:
+        out = d.decompress(f.read(probe_bytes), 8)
+    except zlib.error:
+        return False
+    return out[:5] == b"WARC/"[: len(out)] and len(out) > 0
 
 
 def _iter_gzip_members(raw: bytes) -> Iterator[bytes]:
     """Member-by-member decompression of an in-memory gzip stream —
-    `_members_from_chunks` over memoryview slices (zero-copy feed)."""
-    view = memoryview(raw)
-    return _members_from_chunks(
-        view[i:i + _CHUNK] for i in range(0, len(view), _CHUNK)
+    the file walk over a BytesIO view (one bounded-chunk copy per
+    byte, same contract)."""
+    return (
+        m for _, m in _members_from_file(io.BytesIO(raw), 0, len(raw))
     )
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
     """Named fields of one header block: names lowercased (the spec
     says field names are case-insensitive), LWS continuation lines
-    folded into the previous value with a single space."""
+    folded into the previous value with a single space, and REPEATED
+    fields comma-joined in order of appearance — WARC
+    (WARC-Concurrent-To) and HTTP (Set-Cookie) both allow repeats, so
+    last-value-wins would silently under-report the record."""
     headers: dict[str, str] = {}
     last: str | None = None
     for line in block.split(CRLF):
@@ -251,7 +353,10 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         if not sep:
             raise ValueError(f"malformed header line: {line[:80]!r}")
         last = name.strip().decode("ascii").lower()
-        headers[last] = value.strip().decode("utf-8", "replace")
+        val = value.strip().decode("utf-8", "replace")
+        headers[last] = (
+            headers[last] + ", " + val if last in headers else val
+        )
     return headers
 
 
@@ -339,15 +444,73 @@ def _records_from_chunks(
         base += end
 
 
-def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+def _records_lenient(raw: bytes, errlog: list,
+                     ) -> Iterator[tuple[dict[str, str], bytes]]:
+    """The lenient record walk: unparseable records/members are logged
+    to ``errlog`` as ``(compressed_offset, message)`` and the walk
+    RESYNCS at the next validated gzip member boundary (for plain
+    streams there is no boundary to resync at, so the file's remainder
+    is quarantined as one entry). A record already yielded is never
+    retracted; an error inside a member drops only the unparsed tail
+    of the working buffer."""
+    f = io.BytesIO(raw)
+    if bytes(raw[:2]) == b"\x1f\x8b":
+        members = _members_from_file(f, 0, len(raw),
+                                     lenient=True, errlog=errlog)
+    else:
+        members = iter([(0, raw)])
+    buf = bytearray()
+    cur_off = 0
+    at_eof = False
+    while True:
+        try:
+            while True:
+                got = _try_parse_record(buf, 0, 0, at_eof)
+                if got is _NEED_MORE:
+                    break
+                if got is None:
+                    return
+                headers, body, endp = got
+                yield headers, body
+                del buf[:endp]
+        except ValueError as exc:
+            errlog.append(
+                (cur_off, f"record: {exc} (member at byte {cur_off})")
+            )
+            buf.clear()
+            if at_eof:
+                return
+        if at_eof:
+            return
+        nxt = next(members, None)
+        if nxt is None:
+            at_eof = True
+            continue
+        cur_off, member = nxt
+        buf += member
+
+
+def iter_warc_records(raw: bytes, lenient: bool = False,
+                      errlog: list | None = None,
+                      ) -> Iterator[tuple[dict[str, str], bytes]]:
     """Walk a WARC byte stream (gzipped multi-member or plain), yielding
     (headers, payload) per record. The walk is Content-Length-driven:
     version line, header block to the first empty line, exactly
     Content-Length payload bytes, then the two-CRLF trailer — payload
     bytes are never inspected for delimiters. Gzipped input streams
-    member by member through the chunked walk (`_members_from_chunks`)
+    member by member through the chunked walk (`_members_from_file`)
     and records parse incrementally — the decompressed stream is never
-    materialized whole."""
+    materialized whole.
+
+    ``lenient=True`` quarantines unparseable records/members into
+    ``errlog`` (``(offset, message)`` tuples, appended BEFORE the next
+    yielded record) and resyncs at the next gzip member boundary
+    instead of raising — opt-in, for real crawl dumps containing junk.
+    Strict (the default) fails loudly on the first malformation."""
+    if lenient:
+        return _records_lenient(
+            raw, errlog if errlog is not None else []
+        )
     if bytes(raw[:2]) == b"\x1f\x8b":
         chunks: Iterable[bytes] = _iter_gzip_members(raw)
     else:
@@ -381,11 +544,20 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
 
 
 def read_warc(spark: SparkSession, path: str,
-              pattern: str = "*.warc*") -> DataFrame:
+              pattern: str = "*.warc*",
+              errors: str = "strict") -> DataFrame:
     """Mount a directory of WARC files as the WARC_SCHEMA relation —
     one row per record; ``response`` records get http_status /
     http_content_type / body from the parsed HTTP message, other types
     carry their raw payload in ``body`` with null HTTP fields.
+
+    ``errors``: ``"strict"`` (default) fails the job on the first
+    malformed record/member — the right stance for fixtures and
+    trusted archives; ``"lenient"`` quarantines malformations as
+    PARSE_ERROR_TYPE rows (error + offset in ``headers``) and resyncs
+    at the next gzip member boundary — the right stance for real
+    crawl dumps, where occasional junk must not kill a 100-TB job and
+    the drop must still be countable from the output.
 
     Plan shape: binaryFile scan (one task per file — see the module
     docstring for why that is the right unit at Common Crawl scale,
@@ -398,13 +570,22 @@ def read_warc(spark: SparkSession, path: str,
     the file bytes binaryFile already holds + one batch + one
     in-flight record — never the whole decompressed stream.
     """
+    lenient = _lenient(errors)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(_walk_batches, WARC_SCHEMA)
+    return files.mapInPandas(
+        lambda it: _walk_batches(it, lenient=lenient), WARC_SCHEMA
+    )
+
+
+def _lenient(errors: str) -> bool:
+    if errors not in ("strict", "lenient"):
+        raise ValueError(f"errors must be strict|lenient, got {errors!r}")
+    return errors == "lenient"
 
 
 #: batch-yield bounds for the record walk: a batch closes at whichever
@@ -444,13 +625,40 @@ def _record_row(path_, i, hdr, payload):
     }
 
 
-def _walk_batches(batches):
+#: warc_type of lenient-mode quarantine rows — explicit accounting in
+#: the output relation (filter/count these; type-gated funnels like
+#: `warc_html_docs` never match them)
+PARSE_ERROR_TYPE = "__parse_error"
+
+
+def _error_row(path_, i, off, msg):
+    """Quarantine row for one lenient-mode parse failure: the error
+    message and compressed byte offset ride in ``headers`` so the
+    failure is attributable without re-reading the file."""
+    return {
+        "warc_file": path_,
+        "record_index": i,
+        "warc_type": PARSE_ERROR_TYPE,
+        "target_uri": None,
+        "warc_date": None,
+        "record_id": None,
+        "content_type": None,
+        "content_length": None,
+        "http_status": None,
+        "http_content_type": None,
+        "headers": {"error": msg, "offset": str(off)},
+        "body": None,
+    }
+
+
+def _walk_batches(batches, lenient: bool = False):
     """The mapInPandas body shared by `read_warc` and
     `read_warc_stream`: records stream out in bounded batches
     (_BATCH_ROWS rows / _BATCH_BYTES payload bytes, whichever first) —
     a file larger than the bound yields several batches, an empty file
     yields one empty typed batch (so a zero-byte upload artifact
-    cannot kill the scan)."""
+    cannot kill the scan). ``lenient`` turns malformed records/members
+    into PARSE_ERROR_TYPE quarantine rows in stream order."""
     import pandas as pd
 
     cols = [f.name for f in WARC_SCHEMA.fields]
@@ -459,21 +667,37 @@ def _walk_batches(batches):
             rows: list[dict] = []
             nbytes = 0
             emitted = False
-            for i, (hdr, payload) in enumerate(
-                iter_warc_records(bytes(content))
+            i = 0
+            errlog: list = []
+            drained = 0
+
+            def drain_errors():
+                nonlocal i, drained
+                while drained < len(errlog):
+                    off, msg = errlog[drained]
+                    rows.append(_error_row(path_, i, off, msg))
+                    i += 1
+                    drained += 1
+
+            for hdr, payload in iter_warc_records(
+                bytes(content), lenient=lenient, errlog=errlog
             ):
+                drain_errors()  # errors precede the record after them
                 rows.append(_record_row(path_, i, hdr, payload))
+                i += 1
                 nbytes += len(payload)
                 if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
                     yield pd.DataFrame(rows, columns=cols)
                     emitted = True
                     rows, nbytes = [], 0
+            drain_errors()
             if rows or not emitted:
                 yield pd.DataFrame(rows, columns=cols)
 
 
 def read_warc_stream(spark: SparkSession, path: str,
-                     pattern: str = "*.warc*", **options) -> DataFrame:
+                     pattern: str = "*.warc*",
+                     errors: str = "strict", **options) -> DataFrame:
     """`read_warc` as a Structured Streaming source: new WARC files
     landing in ``path`` stream through the same Arrow record walk —
     the continuous-crawl form of stage zero. The file stream source
@@ -504,10 +728,13 @@ def read_warc_stream(spark: SparkSession, path: str,
     )
     for k, v in options.items():
         reader = reader.option(k, v)
+    lenient = _lenient(errors)
     files = reader.load(path).select("path", "content")
     # identical walk to read_warc: rebuild the mapInPandas over the
     # streaming relation (the UDF body is shared via _walk_batches)
-    return files.mapInPandas(_walk_batches, WARC_SCHEMA)
+    return files.mapInPandas(
+        lambda it: _walk_batches(it, lenient=lenient), WARC_SCHEMA
+    )
 
 
 def write_warc_files(
@@ -538,9 +765,11 @@ def write_warc_files(
     os.makedirs(out_dir, exist_ok=True)
     order = order_col or df.columns[0]
 
+    ext = ".warc.gz" if compress else ".warc"  # extension tells truth
+
     def emit(key, pdf):
         pdf = pdf.sort_values(order)
-        path = os.path.join(out_dir, f"part-{key[0]}.warc.gz")
+        path = os.path.join(out_dir, f"part-{key[0]}{ext}")
         n = write_warc(
             path,
             (rec for _, row in pdf.iterrows()

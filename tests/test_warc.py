@@ -216,6 +216,135 @@ class TestHeaderRules:
             W.warc_record("response", {"Content-Length": "99"}, b"")
 
 
+class TestHeaderInjection:
+    """The writer must reject bare CR/LF in header values — an encoded
+    newline in a crawl URL reaching `write_warc_files` would forge
+    headers or desync the record walk. Only the spec's LWS fold
+    (CRLF + SP/HT) may cross a line."""
+
+    @pytest.mark.parametrize("bad", [
+        "u\r\nWARC-Type: forged", "u\rv", "u\nv", "u\r\n\r\nv",
+    ])
+    def test_bare_crlf_rejected(self, bad):
+        with pytest.raises(ValueError, match="CR/LF"):
+            W.warc_record("resource", {"WARC-Target-URI": bad}, b"")
+
+    def test_lws_fold_path_stays_open(self):
+        rec = W.warc_record(
+            "resource",
+            {"WARC-Target-URI": "http://x",
+             "WARC-Date": "2026-01-01\r\n\tfolded"}, b"",
+        )
+        [(h, _)] = list(W.iter_warc_records(rec))
+        assert h["warc-date"] == "2026-01-01 folded"
+
+
+class TestRepeatedHeaders:
+    def test_repeated_fields_comma_joined_in_order(self):
+        # WARC-Concurrent-To (WARC) and Set-Cookie (HTTP) legitimately
+        # repeat; last-value-wins would under-report the record
+        raw = (b"WARC/1.0\r\n"
+               b"WARC-Type: metadata\r\n"
+               b"WARC-Concurrent-To: <urn:a>\r\n"
+               b"WARC-Concurrent-To: <urn:b>\r\n"
+               b"Content-Length: 0\r\n\r\n\r\n\r\n")
+        [(h, _)] = list(W.iter_warc_records(raw))
+        assert h["warc-concurrent-to"] == "<urn:a>, <urn:b>"
+
+    def test_repeated_http_headers_joined(self):
+        payload = (b"HTTP/1.1 200 OK\r\n"
+                   b"Set-Cookie: a=1\r\n"
+                   b"Set-Cookie: b=2\r\n\r\nbody")
+        _, hh, body = W.parse_http_response(payload)
+        assert hh["set-cookie"] == "a=1, b=2"
+        assert body == b"body"
+
+
+class TestLenientMode:
+    """Opt-in junk tolerance: real crawl dumps contain torn members and
+    malformed records; lenient mode quarantines them as accountable
+    PARSE_ERROR_TYPE rows and resyncs at the next validated gzip
+    member boundary. Strict (the default) still fails loudly."""
+
+    @staticmethod
+    def _junk_file(tmp_path):
+        good = [
+            _resp_record(f"http://len/{i}", f"<p>body {i} kept</p>".encode())
+            for i in range(3)
+        ]
+        no_len = (b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n\r\n\r\n")
+        blob = (
+            W.gzip_member(good[0])
+            + b"\x1f\x8b\x08" + b"\x00" * 24      # torn member
+            + W.gzip_member(good[1])
+            + W.gzip_member(no_len)               # record-level junk
+            + W.gzip_member(good[2])
+        )
+        p = tmp_path / "junk.warc.gz"
+        p.write_bytes(blob)
+        return str(tmp_path)
+
+    def test_strict_default_fails_loudly(self, spark, tmp_path):
+        d = self._junk_file(tmp_path)
+        with pytest.raises(Exception, match="gzip member"):
+            W.read_warc(spark, d).collect()
+
+    def test_lenient_quarantines_and_resyncs(self, spark, tmp_path):
+        d = self._junk_file(tmp_path)
+        rows = W.read_warc(spark, d, errors="lenient").collect()
+        rows.sort(key=lambda r: r.record_index)
+        kinds = [r.warc_type for r in rows]
+        assert kinds == ["response", W.PARSE_ERROR_TYPE, "response",
+                         W.PARSE_ERROR_TYPE, "response"]
+        # good records survive intact, in order, around the junk
+        uris = [r.target_uri for r in rows if r.warc_type == "response"]
+        assert uris == [f"http://len/{i}" for i in range(3)]
+        errs = [r for r in rows if r.warc_type == W.PARSE_ERROR_TYPE]
+        assert "gzip" in errs[0].headers["error"]
+        assert "Content-Length" in errs[1].headers["error"]
+        # explicit accounting: the drop is countable from the output
+        assert int(errs[0].headers["offset"]) > 0
+        # and the html funnel never matches quarantine rows
+        docs = W.warc_html_docs(
+            W.read_warc(spark, d, errors="lenient")
+        )
+        assert docs.count() == 3
+
+    def test_codec_level_lenient_plain_stream(self):
+        # a plain (uncompressed) stream has no member boundary to
+        # resync at: the remainder quarantines as one entry
+        good = _resp_record("http://p/0", b"<p>ok</p>")
+        errlog: list = []
+        got = list(W.iter_warc_records(
+            good + b"GARBAGE-NOT-A-RECORD" + good,
+            lenient=True, errlog=errlog,
+        ))
+        assert len(got) == 1
+        assert len(errlog) == 1 and "version" in errlog[0][1]
+
+
+class TestSinkExtension:
+    def test_uncompressed_parts_drop_gz_suffix(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(4).select(
+            F.col("id"), F.lit(0).alias("__file")
+        )
+
+        def rec(row):
+            yield W.warc_record(
+                "resource", {"WARC-Target-URI": f"http://e/{row['id']}"},
+                b"x",
+            )
+
+        out = str(tmp_path / "plain")
+        summary = W.write_warc_files(df, out, rec, compress=False)
+        [r] = summary.collect()
+        assert r.warc_file.endswith("part-0.warc")
+        assert os.path.exists(r.warc_file)
+        assert W.read_warc(spark, out).count() == 4
+
+
 class TestHttpParse:
     def test_request_vs_response_payloads(self):
         req = W.http_request("GET", "/p", "h.example")
