@@ -9195,9 +9195,10 @@ def _f96_records(row: dict):
         )
 
 
-@query(
-    "f96_warc_extract",
-    f"""
+#: the f96 result stated analytically from doc_id — shared VERBATIM by
+#: f98 (split reader): the byte-range input-split layer must be
+#: invisible to the extracted relation
+_F96_ORACLE = f"""
     SELECT doc_id,
            'https://warc.example.com/doc/' || doc_id AS url,
            CASE WHEN doc_id % 17 = 5
@@ -9209,8 +9210,10 @@ def _f96_records(row: dict):
            2::BIGINT AS kept_blocks
     FROM documents
     WHERE doc_id % 7 <> 2 AND doc_id % 11 <> 3 AND doc_id % 13 <> 4
-    """,
-)
+    """
+
+
+@query("f96_warc_extract", _F96_ORACLE)
 def f96_warc_extract(spark, sf):
     """Crawl stage ZERO, oracle-faced (sources/warc.py): the documents
     table drives a deterministic WARC fixture — 8 ``.warc.gz`` files,
@@ -9248,6 +9251,61 @@ def f96_warc_extract(spark, sf):
         W.write_warc_files(ids, work, _f96_records, "__file", "doc_id")
         docs = W.warc_html_docs(
             W.read_warc(spark, work), extra_cols=("warc_date",)
+        )
+        ext = extract_html(F.col("html"))
+        out = docs.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            "url",
+            "warc_date",
+            ext["extracted"].alias("extracted"),
+            ext["kept_blocks"].cast("long").alias("kept_blocks"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("f98_warc_split_extract", _F96_ORACLE)
+def f98_warc_split_extract(spark, sf):
+    """f96's crawl-stage-zero pipeline through the SPLITTABLE reader
+    (`sources/warc.py::read_warc_split`): the identical planted-trap
+    fixture written as ONE ``.warc.gz`` (every record its own gzip
+    member, the Common Crawl layout), then byte-range input splits fan
+    the single file across >1 tasks — each split resyncs to the first
+    validated member boundary (1f8b08 magic + a decompression probe
+    demanding a WARC version line, so payload bytes containing the
+    magic can't fake a boundary) and owns every member starting in its
+    range. Oracle = f96's analytic SQL VERBATIM: a resync that enters
+    mid-record, double-decodes a straddling member, or drops a
+    boundary record hash-mismatches immediately.
+
+    Scale shape: this is the reader for corpora re-packed into few
+    huge WARCs (and for files past binaryFile's 2 GB cap) — the
+    one-task-per-file `read_warc` stays the default at Common Crawl's
+    90k-files-per-dump layout. Parallelism = ceil(file_bytes /
+    split_bytes) regardless of file count; split bytes stream from
+    the open file, never held whole."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from borsa_spark.functions.html import extract_html
+    from borsa_spark.sources import warc as W
+
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    # ONE file — the case read_warc cannot parallelize and this can
+    ids = ids.withColumn("__file", F.lit(0))
+    work = tempfile.mkdtemp(prefix="f98_warc_")
+    try:
+        W.write_warc_files(ids, work, _f96_records, "__file", "doc_id")
+        [fname] = _os.listdir(work)
+        fpath = _os.path.join(work, fname)
+        # size splits to force a real fan-out at every SF (>= 8 tasks)
+        split_bytes = max(4096, _os.path.getsize(fpath) // 8)
+        docs = W.warc_html_docs(
+            W.read_warc_split(spark, fpath, split_bytes=split_bytes),
+            extra_cols=("warc_date",),
         )
         ext = extract_html(F.col("html"))
         out = docs.select(
