@@ -263,7 +263,16 @@ def minhash_signature_inrow(df: DataFrame, n: int = 3,
     return signature_from_array(shingle_array(df, n, text_col, id_col))
 
 
-def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
+#: domain-separation constant for the SECOND, independent band hash
+#: (`lsh_band_keys(with_key2=True)`): prefixing xxhash64's input with a
+#: distinct literal yields a hash function independent of the primary
+#: key's, so two different band tuples collide on BOTH keys with
+#: probability ~2^-128 — physically never
+_KEY2_SALT = 0x243F6A8885A308D3  # pi's hex digits; fits in int64
+
+
+def lsh_band_keys(sig: DataFrame, with_values: bool = False,
+                  with_key2: bool = False) -> DataFrame:
     """Explode signatures into (id, band, band_key) for the banded LSH join.
 
     The band key is xxhash64 over the band's row values — an 8-byte join
@@ -281,7 +290,13 @@ def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
     REMOVING true pairs, the one direction the invariant above forbids
     (round-10 review). With exact-tuple counting the oracle SQL's string
     keys and the engine's cap agree at any corpus size.
-    """
+
+    ``with_key2=True`` adds ``band_key2``, a SECOND independent 64-bit
+    hash of the same tuple (domain-separated xxhash64). PERSISTED band
+    state uses it instead of band_vals: counting cap occupancy by
+    (band_key, band_key2) keeps stored rows at 16 bytes while making a
+    both-keys collision (~2^-128) the only way two buckets can merge —
+    the round-11 verdict's streaming-ingest cap fix."""
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -291,6 +306,11 @@ def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
         ]
         if with_values:
             fields.append(F.array(*cols).alias("vals"))
+        if with_key2:
+            fields.append(
+                F.xxhash64(F.lit(_KEY2_SALT), F.lit(b), *cols)
+                .alias("key2")
+            )
         bands.append(F.struct(*fields))
     out_cols = [
         "id",
@@ -299,6 +319,8 @@ def lsh_band_keys(sig: DataFrame, with_values: bool = False) -> DataFrame:
     ]
     if with_values:
         out_cols.append(F.col("bk.vals").alias("band_vals"))
+    if with_key2:
+        out_cols.append(F.col("bk.key2").alias("band_key2"))
     return sig.select(
         "id", F.explode(F.array(*bands)).alias("bk")
     ).select(*out_cols)

@@ -46,16 +46,22 @@ from borsa_spark.functions import dedup as dd
 from borsa_spark.streaming import markers
 
 _ARRAYS_SCHEMA = "id long, text_md5 string, shingles array<long>"
-_BANDS_SCHEMA = "id long, band int, band_key long"
+#: band_key2 is a second, independent hash of the same band tuple —
+#: stored so the hot-bucket cap can count occupancy by BOTH keys: two
+#: sub-cap buckets can then merge (and wrongly exclude true candidate
+#: pairs) only on a double 64-bit collision (~2^-128), restoring
+#: parity with the batch library's exact-tuple `_cap_band_buckets`
+#: at 16 bytes per stored band row instead of the 48-byte tuple
+_BANDS_SCHEMA = "id long, band int, band_key long, band_key2 long"
 
 #: Default hot-bucket cap for the ingest gates — tighter than the batch
 #: library's CRAWL_MAX_BUCKET because the candidate join here runs
 #: per MICRO-BATCH against ever-growing stored state, so per-bucket
 #: cost recurs every trigger. Shared by DedupIngest, ImageDedupIngest,
 #: and `admission_frame` (which predicts process_batch's decision —
-#: a round-10 review caught the two defaults diverging; see
-#: admission_frame's docstring for the one remaining, hash-collision-
-#: sized divergence when the cap is active).
+#: a round-10 review caught the two defaults diverging; round 12
+#: closed the cap-counting divergence via the stored second band hash,
+#: see admission_frame's docstring).
 INGEST_MAX_BUCKET = 64
 
 
@@ -136,8 +142,13 @@ class DedupIngest:
 
     # -- the batch hook -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # "bands": "k2" stamps the band-state revision (round 12: the
+        # stored relation gained band_key2) — pre-revision state would
+        # count cap occupancy with NULL key2 and must refuse loudly,
+        # not silently degrade to single-key counting
         guard_state_mode(
-            self.state_dir, {"n": self.n, "threshold": self.threshold}
+            self.state_dir,
+            {"n": self.n, "threshold": self.threshold, "bands": "k2"},
         )
         marker = os.path.join(self._path("_batches"), f"batch-{batch_id}.json")
         if markers.load_marker(marker) is not None:
@@ -183,7 +194,7 @@ class DedupIngest:
         try:
             arr = arr_all.filter(F.size("shingles") > 0)
             sig = dd.signature_from_array(arr)
-            bk = dd.lsh_band_keys(sig)
+            bk = dd.lsh_band_keys(sig, with_key2=True)
             if self.max_bucket_size is not None:
                 # COMBINED batch+corpus occupancy (round 10, the image
                 # ingest's fix applied here too): near-identical boilerplate
@@ -192,34 +203,36 @@ class DedupIngest:
                 # — each future batch's candidate join then fans out against
                 # it. Corpus counts are left-semi-pruned to this batch's
                 # keys, so the agg is bounded by the batch's key set.
-                # Caveat: stored state carries only the HASHED band key, so
-                # unlike minhash_candidates' exact-tuple counting a key
-                # collision here could merge two buckets past the cap —
-                # recall-side only (candidates are never added wrongly),
-                # surfaced by hot_buckets accounting, accepted to keep
-                # state at 8 bytes per (id, band).
-                batch_counts = bk.groupBy("band", "band_key").agg(
+                # Occupancy is counted by (band_key, band_key2) — TWO
+                # independent hashes of the band tuple (round-11 verdict):
+                # a single stored-key collision can no longer merge two
+                # sub-cap buckets past the cap and EXCLUDE true candidate
+                # pairs; a both-keys collision is ~2^-128. This restores
+                # parity with `_cap_band_buckets`' exact-tuple counting
+                # at 16 bytes of stored key per band row.
+                cap_keys = ["band", "band_key", "band_key2"]
+                batch_counts = bk.groupBy(*cap_keys).agg(
                     F.count("*").alias("__nb")
                 )
                 corpus_counts = (
                     self.corpus_bands()
-                    .join(batch_counts.select("band", "band_key"),
-                          ["band", "band_key"], "left_semi")
-                    .groupBy("band", "band_key")
+                    .join(batch_counts.select(*cap_keys),
+                          cap_keys, "left_semi")
+                    .groupBy(*cap_keys)
                     .agg(F.count("*").alias("__nc"))
                 )
                 hot = (
-                    batch_counts.join(corpus_counts, ["band", "band_key"],
+                    batch_counts.join(corpus_counts, cap_keys,
                                       "left_outer")
                     .filter(
                         F.col("__nb") + F.coalesce(F.col("__nc"), F.lit(0))
                         > self.max_bucket_size
                     )
-                    .select("band", "band_key")
+                    .select(*cap_keys)
                     .persist()
                 )
                 n_hot_buckets = hot.count()
-                bk = bk.join(hot, ["band", "band_key"], "left_anti")
+                bk = bk.join(hot, cap_keys, "left_anti")
             cands = (
                 bk.select(F.col("id").alias("id_a"), "band", "band_key")
                 .join(
@@ -260,7 +273,8 @@ class DedupIngest:
             adm_bands = dd.lsh_band_keys(
                 dd.signature_from_array(
                     adm_arr.filter(F.size("shingles") > 0)
-                )
+                ),
+                with_key2=True,
             )
             adm_bands.write.mode("overwrite").parquet(
                 self._path(f"bands/batch-{batch_id}")
@@ -426,14 +440,13 @@ def admission_frame(
     uncapped cross-set pairs; the stateful crawl path keeps the capped
     default, applied at union occupancy).
 
-    Parity caveat (round-10 ADVICE): with the cap ACTIVE the two paths
-    count bucket occupancy differently — this frame caps by the exact
-    band tuple (`minhash_pairs_against_inrow`), while the stateful path
-    stores only the HASHED 64-bit band key and therefore counts by it;
-    a key collision merging two sub-cap buckets past the cap would make
-    process_batch drop candidates this frame keeps. Collision-sized
-    (~2^-64 per bucket pair) and recall-side only, but "exact" parity
-    holds only for the uncapped form or collision-free key spaces."""
+    Parity note: this frame caps by the exact band tuple
+    (`minhash_pairs_against_inrow`); the stateful path counts by TWO
+    independent 64-bit hashes of the same tuple (round 12 — it
+    previously counted by the single stored key, where one collision
+    could merge two sub-cap buckets past the cap and drop candidates
+    this frame keeps). The paths now diverge only on a double-hash
+    collision (~2^-128 per bucket pair) — physically never."""
     hashed = docs.select("doc_id", "text", F.md5("text").alias("text_md5"))
     # batch feeds the first-of-md5 agg AND the decision join — persist
     # the micro-batch-sized relation so its scan+md5 runs once

