@@ -32,6 +32,14 @@ dependence) and reports every query as wall AND wall/probe ratio. The
 regression rule (BASELINE.md) reads the RATIOS: a query whose ratio
 moves >1.3x against a flat field is a real plan regression; a round
 where walls move together while ratios hold is the host.
+
+Round 12 adds a SECOND probe leg (`arrow_probe`: a fixed mapInPandas
+round-trip) because the JVM probe is blind to the Python-worker +
+Arrow-serialization path where the tier-2 heavy hitters spend their
+walls — three consecutive rounds needed a probe-vs-field adjudication
+for exactly that. The artifact carries both legs plus a blended
+(geometric-mean) denominator; adjudicate per-query moves against the
+leg matching the query's execution path.
 """
 
 from __future__ import annotations
@@ -120,6 +128,9 @@ TIER2 = [
     "f96_warc_extract",
     "c14_warc_corpus_prep",
     "f97_ivfpq_residual_topk",
+    # round 12 addition (first-baselined in BENCH_FULL_r12): the
+    # splittable byte-range WARC reader over a single fixture file
+    "f98_warc_split_extract",
 ]
 
 
@@ -143,6 +154,40 @@ def calibration_probe(spark) -> float:
         return _t.time() - t0
 
     once()  # warmup: first touch pays codegen compilation
+    return round(min(once() for _ in range(3)), 3)
+
+
+def _arrow_probe_fn(batches):
+    """Fixed pandas transform for `arrow_probe` (module-level so the
+    closure pickles identically every round)."""
+    for pdf in batches:
+        yield type(pdf)({"v": pdf["id"] * 2 + 1})
+
+
+def arrow_probe(spark) -> float:
+    """SECOND probe leg (round-12, r11 verdict "What's wrong" #3): a
+    fixed mapInPandas round-trip — 20M generated longs through Arrow
+    batches to a trivial pandas transform and back to a JVM sum. The
+    JVM probe cancels JVM host noise, but the tier-2 heavy hitters
+    spend their walls in Python workers + Arrow serialization, whose
+    throughput moves INDEPENDENTLY of the JVM's under host load (the
+    r9/r10/r11 probe-vs-field divergences were exactly this blind
+    spot). Same discipline: pure generated input, no disk, no
+    testdata; min-of-3 after one discarded warmup (the first Arrow
+    exchange pays Python-worker startup + serializer imports)."""
+    import time as _t
+
+    def once() -> float:
+        t0 = _t.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .mapInPandas(_arrow_probe_fn, "v long")
+            .selectExpr("sum(v)")
+            .collect()
+        )
+        return _t.time() - t0
+
+    once()
     return round(min(once() for _ in range(3)), 3)
 
 
@@ -236,6 +281,13 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     probe_s = calibration_probe(spark)
+    probe_arrow_s = arrow_probe(spark)
+    # blended denominator: geometric mean of the two legs — a single
+    # number that moves when EITHER execution path's host throughput
+    # moves, for the totals line; per-query adjudication should read
+    # the leg matching the query's path (ratios = JVM, ratios_arrow =
+    # Python/Arrow; BASELINE.md's rule)
+    probe_blend_s = round((probe_s * probe_arrow_s) ** 0.5, 3)
 
     # min of two runs per query: the machine hosts concurrent builders, and
     # a single sample can be 2-4x off under load; min-of-2 reports the plan,
@@ -311,10 +363,21 @@ def main() -> None:
         "tier2_queries": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
         "probe_s": probe_s,
+        "probe_arrow_s": probe_arrow_s,
+        "probe_blend_s": probe_blend_s,
         "ratios": {
             k: round(v / probe_s, 2) for k, v in all_walls.items()
         },
+        "ratios_arrow": {
+            k: round(v / probe_arrow_s, 2) for k, v in all_walls.items()
+        },
+        "ratios_blend": {
+            k: round(v / probe_blend_s, 2) for k, v in all_walls.items()
+        },
         "total_ratio": round(sum(timings.values()) / probe_s, 2),
+        "total_ratio_blend": round(
+            sum(timings.values()) / probe_blend_s, 2
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "shingle_hash": os.environ["BORSA_SPARK_SHINGLE_HASH"],
     }
@@ -341,7 +404,9 @@ def main() -> None:
                 "unit": "sec",
                 "tier2_total": full["tier2_total"],
                 "probe_s": probe_s,
+                "probe_arrow_s": probe_arrow_s,
                 "total_ratio": full["total_ratio"],
+                "total_ratio_blend": full["total_ratio_blend"],
                 "sf": full["sf"],
                 "n_queries": len(timings),
                 "n_tier2": len(tier2),
