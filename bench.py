@@ -128,9 +128,11 @@ TIER2 = [
     "f96_warc_extract",
     "c14_warc_corpus_prep",
     "f97_ivfpq_residual_topk",
-    # round 12 addition (first-baselined in BENCH_FULL_r12): the
-    # splittable byte-range WARC reader over a single fixture file
+    # round 12 additions (first-baselined in BENCH_FULL_r12): the
+    # splittable byte-range WARC reader over a single fixture file,
+    # and the CDX index + point-fetch path
     "f98_warc_split_extract",
+    "f99_warc_cdx_fetch",
 ]
 
 

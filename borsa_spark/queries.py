@@ -9321,6 +9321,59 @@ def f98_warc_split_extract(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "f99_warc_cdx_fetch",
+    _F96_ORACLE + " AND doc_id % 3 = 1",
+)
+def f99_warc_cdx_fetch(spark, sf):
+    """CDX index + point fetch (`sources/warc.py::warc_cdx` /
+    `fetch_records`): build the index over f96's planted-trap fixture,
+    filter it by URL predicate (doc_id % 3 = 1, stated on the index
+    relation — the planner prunes THERE), then fetch ONLY the matching
+    members by (file, offset) seek and run the same funnel+extract.
+    Oracle = f96's analytic SQL with the same predicate: a wrong
+    extent, a desynced seek, or an index row missing/duplicated
+    hash-mismatches. This is the Common Crawl CDXJ workflow — the
+    100-TB shape where point lookups stop paying full-scan cost
+    (bytes read ≈ sum of fetched member lengths, never the corpus).
+
+    Scale shape: the index build is one walk (any read's cost, done
+    once per crawl and persisted); the fetch repartitions picked rows
+    by file and seeks forward monotonically within each task."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.functions.html import extract_html
+    from borsa_spark.sources import warc as W
+
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    n_files = max(8, ids.count() // 10_000)
+    ids = ids.withColumn("__file", F.col("doc_id") % n_files)
+    work = tempfile.mkdtemp(prefix="f99_warc_")
+    try:
+        W.write_warc_files(ids, work, _f96_records, "__file", "doc_id")
+        idx = W.warc_cdx(spark, work)
+        picked = idx.filter(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long") % 3 == 1
+        )
+        docs = W.warc_html_docs(
+            W.fetch_records(picked), extra_cols=("warc_date",)
+        )
+        ext = extract_html(F.col("html"))
+        out = docs.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            "url",
+            "warc_date",
+            ext["extracted"].alias("extracted"),
+            ext["kept_blocks"].cast("long").alias("kept_blocks"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- c11: end-to-end crawl corpus-prep DAG -------------------------------
 
 #: c11 fixture lines (each its own <p> block, every one >= 30 visible

@@ -202,9 +202,11 @@ _GZ_MAGIC = b"\x1f\x8b\x08"
 def _members_from_file(f, start: int, end: int,
                        lenient: bool = False,
                        errlog: list | None = None,
-                       ) -> Iterator[tuple[int, bytes]]:
+                       ) -> Iterator[tuple[int, int, bytes]]:
     """Decompress a multi-member gzip stream from a seekable binary
-    file object, yielding ``(member_start_offset, member_bytes)`` for
+    file object, yielding ``(member_start, member_end, member_bytes)``
+    (compressed-offset extent — the CDX index records it, and
+    ``raw[start:end]`` is a standalone decodable gzip member) for
     every member whose START lies in ``[start, end)`` — a member that
     begins before ``end`` is decoded to completion even when its bytes
     run past ``end`` (the input-split contract: the task owning a
@@ -274,7 +276,7 @@ def _members_from_file(f, start: int, end: int,
             f.seek(nxt)
             pending, off = b"", nxt
             continue
-        yield member_start, b"".join(parts)
+        yield member_start, off, b"".join(parts)
 
 
 def _scan_member_start(f, pos: int, end: int) -> int:
@@ -326,7 +328,7 @@ def _iter_gzip_members(raw: bytes) -> Iterator[bytes]:
     the file walk over a BytesIO view (one bounded-chunk copy per
     byte, same contract)."""
     return (
-        m for _, m in _members_from_file(io.BytesIO(raw), 0, len(raw))
+        m for _, _, m in _members_from_file(io.BytesIO(raw), 0, len(raw))
     )
 
 
@@ -416,13 +418,15 @@ def _try_parse_record(buf: bytearray, pos: int, base: int,
 
 
 def _parse_records(
-    members: Iterable[tuple[int, bytes]],
+    members: Iterable[tuple[int, int, bytes]],
     lenient: bool = False,
     errlog: list | None = None,
-) -> Iterator[tuple[int, int, dict[str, str], bytes]]:
+) -> Iterator[tuple[int, int, int, dict[str, str], bytes]]:
     """THE record-walk core: Content-Length-driven parse over a stream
-    of ``(compressed_offset, plaintext)`` members, yielding
-    ``(member_offset, ordinal_in_member, headers, payload)``. Buffered
+    of ``(start, end, plaintext)`` members (compressed extents),
+    yielding ``(member_start, member_end, ordinal_in_member, headers,
+    payload)`` — the extent is what a CDX index records and what
+    `fetch_records` later reads back standalone. Buffered
     incrementally — the working buffer holds at most one record plus
     one member (consumed bytes are compacted after every record), so
     memory is bounded by the largest single record, never the
@@ -436,6 +440,7 @@ def _parse_records(
     already yielded are never retracted. Strict raises."""
     buf = bytearray()
     cur_off = 0
+    cur_end = 0
     k = 0
     at_eof = False
     it = iter(members)
@@ -448,7 +453,7 @@ def _parse_records(
                 if got is None:
                     return
                 headers, body, endp = got
-                yield cur_off, k, headers, body
+                yield cur_off, cur_end, k, headers, body
                 k += 1
                 del buf[:endp]
         except ValueError as exc:
@@ -464,7 +469,7 @@ def _parse_records(
         if nxt is None:
             at_eof = True
             continue
-        cur_off, member = nxt
+        cur_off, cur_end, member = nxt
         k = 0
         buf += member
 
@@ -494,9 +499,10 @@ def iter_warc_records(raw: bytes, lenient: bool = False,
         members = _members_from_file(io.BytesIO(raw), 0, len(raw),
                                      lenient=lenient, errlog=errlog)
     else:
-        members = iter([(0, raw)])
+        members = iter([(0, len(raw), raw)])
     return (
-        (h, b) for _, _, h, b in _parse_records(members, lenient, errlog)
+        (h, b)
+        for _, _, _, h, b in _parse_records(members, lenient, errlog)
     )
 
 
@@ -710,9 +716,9 @@ def _list_files(path: str, pattern: str):
     return filesystem, sorted(out)
 
 
-def _split_records(f, start: int, end: int,
-                   lenient: bool, errlog: list,
-                   ) -> Iterator[tuple[int, int, dict[str, str], bytes]]:
+def _split_records(
+    f, start: int, end: int, lenient: bool, errlog: list,
+) -> Iterator[tuple[int, int, int, dict[str, str], bytes]]:
     """Records of one input split: members whose start offset lies in
     ``[start, end)``. A split entered mid-file resyncs to the first
     VALIDATED member boundary at >= start (`_scan_member_start`); a
@@ -756,7 +762,7 @@ def _split_batches(batches, filesystem, lenient: bool):
                     drained += 1
 
             with filesystem.open_input_file(path_) as f:
-                for off, k, hdr, payload in _split_records(
+                for off, _mend, k, hdr, payload in _split_records(
                     f, int(start), int(end), lenient, errlog
                 ):
                     drain_errors()
@@ -823,6 +829,177 @@ def read_warc_split(spark: SparkSession, path: str,
     ).repartition(len(splits))
     return sdf.mapInPandas(
         lambda it: _split_batches(it, filesystem, lenient), WARC_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDX index + point fetch: query the index, read ONLY the records you need
+# ---------------------------------------------------------------------------
+
+#: the index relation `warc_cdx` emits — one row per record, carrying
+#: the compressed member extent (offset, length) that `fetch_records`
+#: reads back standalone. The shape mirrors Common Crawl's CDXJ index
+#: (filename/offset/length per capture), which exists precisely
+#: because the member-per-record layout makes point reads possible.
+CDX_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("record_ordinal", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("record_id", StringType()),
+        StructField("http_status", LongType()),
+        StructField("content_length", LongType()),
+    ]
+)
+
+
+def _cdx_batches(batches, lenient: bool = False):
+    """mapInPandas body for `warc_cdx`: the same record walk as
+    `read_warc`, but emitting (extent, headers) index rows — bodies
+    are decoded in passing (inherent to gzip) and dropped, so the
+    index relation is tiny regardless of corpus size."""
+    import pandas as pd
+
+    cols = [f.name for f in CDX_SCHEMA.fields]
+    for pdf in batches:
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            raw = bytes(content)
+            rows: list[dict] = []
+            errlog: list = []
+            members = _members_from_file(io.BytesIO(raw), 0, len(raw),
+                                         lenient=lenient, errlog=errlog)
+            for off, mend, k, hdr, payload in _parse_records(
+                members, lenient, errlog
+            ):
+                full = _record_row(path_, k, hdr, payload)
+                rows.append(
+                    {
+                        "warc_file": path_,
+                        "offset": off,
+                        "length": mend - off,
+                        "record_ordinal": k,
+                        "warc_type": full["warc_type"],
+                        "target_uri": full["target_uri"],
+                        "warc_date": full["warc_date"],
+                        "record_id": full["record_id"],
+                        "http_status": full["http_status"],
+                        "content_length": full["content_length"],
+                    }
+                )
+                if len(rows) >= _BATCH_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+            yield pd.DataFrame(rows, columns=cols)
+
+
+def warc_cdx(spark: SparkSession, path: str,
+             pattern: str = "*.warc.gz",
+             errors: str = "strict") -> DataFrame:
+    """Build a CDX-style index over a directory of ``.warc.gz`` files:
+    one row per record with its compressed member extent. Built once
+    per crawl (one full walk — the same cost as any read), the index
+    is a small relation a query planner can filter/join ARBITRARILY
+    (by URL pattern, status, date, type...), and `fetch_records` then
+    reads only the matching members — the 100-TB shape where a
+    point-lookup workload stops paying full-scan cost. Persist it as
+    parquet next to the crawl; Common Crawl publishes exactly this
+    artifact (the CDXJ index) for the same reason.
+
+    Gzip-member files only (the default pattern): a plain ``.warc``
+    has no compressed extents to index — offsets there would not be
+    seekable units, so the index refuses rather than lie."""
+    lenient = _lenient(errors)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(
+        lambda it: _cdx_batches(it, lenient), CDX_SCHEMA
+    )
+
+
+def _open_any(path: str):
+    """Executor-side file open for index fetches: handles the plain
+    paths `_list_files` emits and the ``file:``-scheme URIs
+    binaryFile's path column carries, resolving other schemes
+    (hdfs://, s3://) through pyarrow's registry."""
+    from pyarrow import fs as pafs
+
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return pafs.LocalFileSystem().open_input_file(local)
+    try:
+        filesystem, rel = pafs.FileSystem.from_uri(path)
+    except Exception:
+        filesystem, rel = pafs.LocalFileSystem(), path
+    return filesystem.open_input_file(rel)
+
+
+def _fetch_batches(batches, lenient: bool):
+    """mapInPandas body for `fetch_records`: rows sorted by (file,
+    offset) so each file opens once per run and seeks move forward;
+    one member decode per index row — bytes read ≈ sum of fetched
+    member lengths, never the file."""
+    import pandas as pd
+
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    for pdf in batches:
+        pdf = pdf.sort_values(["warc_file", "offset"])
+        rows: list[dict] = []
+        cur_path, f = None, None
+        try:
+            for path_, off in zip(pdf["warc_file"], pdf["offset"]):
+                if path_ != cur_path:
+                    if f is not None:
+                        f.close()
+                    cur_path, f = path_, _open_any(path_)
+                errlog: list = []
+                for moff, _mend, k, hdr, payload in _parse_records(
+                    _members_from_file(f, int(off), int(off) + 1,
+                                       lenient=lenient, errlog=errlog),
+                    lenient, errlog,
+                ):
+                    rows.append(
+                        _record_row(path_, moff + k, hdr, payload)
+                    )
+                for eoff, msg in errlog:
+                    rows.append(_error_row(path_, eoff, eoff, msg))
+                if len(rows) >= _BATCH_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        finally:
+            if f is not None:
+                f.close()
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def fetch_records(cdx: DataFrame, errors: str = "strict") -> DataFrame:
+    """Point-read the records a (filtered) CDX relation names: for each
+    (warc_file, offset) row, seek to the member and decode ONLY it,
+    emitting the same WARC_SCHEMA relation `read_warc` produces
+    (record_index offset-derived, the `read_warc_split` convention).
+    This is the complement of the scan path: filter the INDEX with
+    arbitrary Spark predicates — the planner prunes there — then pay
+    I/O for exactly the matching members. Rows are repartitioned by
+    file and sorted by offset within partitions, so each task opens
+    each file once and seeks forward monotonically."""
+    lenient = _lenient(errors)
+    picked = (
+        cdx.select("warc_file", "offset")
+        .distinct()
+        .repartition("warc_file")
+        .sortWithinPartitions("warc_file", "offset")
+    )
+    return picked.mapInPandas(
+        lambda it: _fetch_batches(it, lenient), WARC_SCHEMA
     )
 
 

@@ -432,6 +432,62 @@ class TestSplitReader:
         assert all(trap in bytes(r.body) for r in got)
 
 
+class TestCdxFetch:
+    """CDX index + point fetch: the member-per-record layout's payoff —
+    filter a small index relation with arbitrary predicates, then read
+    ONLY the matching members instead of scanning the crawl."""
+
+    def test_index_extents_decode_standalone(self, spark, warc_dir):
+        idx = W.warc_cdx(spark, warc_dir).collect()
+        assert len(idx) == 7  # one row per record, all types indexed
+        by_file = {}
+        for r in idx:
+            by_file.setdefault(r.warc_file, []).append(r)
+        for path, rows in by_file.items():
+            local = path[5:] if path.startswith("file:") else path
+            raw = open(local, "rb").read()
+            # extents tile the file exactly (member-per-record layout)
+            rows.sort(key=lambda r: r.offset)
+            assert rows[0].offset == 0
+            assert rows[-1].offset + rows[-1].length == len(raw)
+            for r in rows:
+                # each extent is a standalone decodable gzip member
+                # holding exactly its indexed record
+                [(h, _)] = list(W.iter_warc_records(
+                    raw[r.offset:r.offset + r.length]
+                ))
+                assert h.get("warc-target-uri") == r.target_uri
+                assert h["warc-type"] == r.warc_type
+
+    def test_fetch_equals_scan_for_the_filtered_set(self, spark,
+                                                    warc_dir):
+        idx = W.warc_cdx(spark, warc_dir)
+        from pyspark.sql import functions as F
+
+        picked = idx.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        fetched = W.fetch_records(picked).collect()
+        want = (
+            W.read_warc(spark, warc_dir)
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200))
+            .collect()
+        )
+
+        def key(rows):
+            return sorted(
+                (r.target_uri, r.warc_type, r.http_status,
+                 bytes(r.body)) for r in rows
+            )
+
+        assert len(fetched) == len(want) == 3
+        assert key(fetched) == key(want)
+        # and the fetch spans both fixture files
+        assert len({r.warc_file for r in fetched}) == 2
+
+
 class TestSinkExtension:
     def test_uncompressed_parts_drop_gz_suffix(self, spark, tmp_path):
         from pyspark.sql import functions as F
