@@ -858,3 +858,79 @@ def _warc_rec(row):
         W.http_response(200, "OK", {"Content-Type": "text/html"},
                         b"<p>plan fixture body long enough here.</p>"),
     )
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestRound12PlanShapes:
+    @staticmethod
+    def _fixture(spark, tmp_path, n=64):
+        from pyspark.sql import functions as F
+
+        from borsa_spark.sources import warc as W
+
+        W.write_warc_files(
+            spark.range(n).select(
+                F.col("id"), (F.col("id") % 2).alias("__file")
+            ),
+            str(tmp_path), _warc_rec,
+        )
+        return str(tmp_path)
+
+    def test_split_read_is_one_arrow_walk_per_byte_range(self, spark,
+                                                         tmp_path):
+        # the split reader: a tiny (path,start,end) local relation ->
+        # ONE round-robin exchange (the fan-out — deliberate and the
+        # only shuffle) -> one Arrow walk; partitions = split count
+        import os
+
+        from borsa_spark.sources import warc as W
+
+        d = self._fixture(spark, tmp_path)
+        [fname] = [x for x in os.listdir(d) if x.endswith(".warc.gz")
+                   and "part-0" in x]
+        path = os.path.join(d, fname)
+        split = max(64, os.path.getsize(path) // 5)
+        parts = W.read_warc_split(spark, path, split_bytes=split)
+        plan = _plan_str(parts)
+        import re
+
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+        # exactly one exchange: the round-robin fan-out, nothing else
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "RoundRobinPartitioning" in plan
+        assert "BatchEvalPython" not in plan
+        n_splits = -(-os.path.getsize(path) // split)
+        assert parts.rdd.getNumPartitions() == n_splits > 1
+
+    def test_cdx_filter_prunes_before_any_fetch_io(self, spark,
+                                                   tmp_path):
+        # index -> arbitrary predicate -> point fetch: the predicate
+        # must sit between the two Arrow walks (filter the INDEX, not
+        # the fetched records), and the fetch side's only exchanges
+        # are the distinct + the by-file repartition
+        from pyspark.sql import functions as F
+
+        from borsa_spark.sources import warc as W
+
+        d = self._fixture(spark, tmp_path)
+        idx = W.warc_cdx(spark, d)
+        picked = idx.filter(F.col("target_uri").endswith("7"))
+        fetched = W.fetch_records(picked)
+        plan = _plan_str(fetched)
+        import re
+
+        walks = [m.start() for m in re.finditer(r"\(\d+\) MapInPandas",
+                                                plan)]
+        assert len(walks) == 2  # index walk + fetch walk, nothing more
+        filt = plan.find("Filter")
+        assert filt >= 0
+        assert "BatchEvalPython" not in plan
+        # the fetch input carries ONLY (warc_file, offset): column
+        # pruning reached the index walk's projection
+        assert "hashpartitioning(warc_file" in plan

@@ -32,6 +32,10 @@ MATERIALIZED_GATES = {
     # shapes.py, not an explain of the returned LocalRelation
     "f96_warc_extract",
     "c14_warc_corpus_prep",
+    # round 12: same tempdir-harness pattern (split reader / CDX fetch
+    # plans asserted in TestRound12PlanShapes)
+    "f98_warc_split_extract",
+    "f99_warc_cdx_fetch",
 }
 
 
