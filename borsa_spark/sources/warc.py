@@ -43,12 +43,15 @@ executors without a custom splittable format; per-task memory is
 bounded by one COMPRESSED file (binaryFile caps at 2 GB) plus one
 output batch — the decompressed stream is never materialized whole
 (member-chunked decompression, incremental record parse, bounded
-batch yields). What this module
-deliberately does NOT do is split a single file across tasks — that
-needs a datasource that scans for gzip member boundaries mid-stream;
-the member-per-record layout makes it possible, and the docstring of
-`read_warc` marks it as the known upgrade path if file sizes ever
-dwarf file counts.
+batch yields).
+
+When file sizes dwarf file counts (a corpus re-packed into few huge
+WARCs, or files past binaryFile's 2 GB cap), `read_warc_split` fans
+ONE file across byte-range tasks by scanning for validated gzip
+member boundaries mid-stream; and `warc_cdx` + `fetch_records` turn
+the same seekability into an index + point-read path (the Common
+Crawl CDXJ workflow) so lookup-shaped workloads stop paying full-scan
+cost. Both exist because of the member-per-record layout fact above.
 """
 
 from __future__ import annotations
