@@ -878,30 +878,59 @@ def _cdx_batches(batches, lenient: bool = False):
             for off, mend, k, hdr, payload in _parse_records(
                 members, lenient, errlog
             ):
-                full = _record_row(path_, k, hdr, payload)
-                rows.append(
-                    {
-                        "warc_file": path_,
-                        "offset": off,
-                        "length": mend - off,
-                        "record_ordinal": k,
-                        "warc_type": full["warc_type"],
-                        "target_uri": full["target_uri"],
-                        "warc_date": full["warc_date"],
-                        "record_id": full["record_id"],
-                        "http_status": full["http_status"],
-                        "content_length": full["content_length"],
-                    }
-                )
+                rows.append(_cdx_row(path_, off, mend, k, hdr, payload))
                 if len(rows) >= _BATCH_ROWS:
                     yield pd.DataFrame(rows, columns=cols)
                     rows = []
             yield pd.DataFrame(rows, columns=cols)
 
 
+def _cdx_row(path_, off, mend, k, hdr, payload) -> dict:
+    full = _record_row(path_, k, hdr, payload)
+    return {
+        "warc_file": path_,
+        "offset": off,
+        "length": mend - off,
+        "record_ordinal": k,
+        "warc_type": full["warc_type"],
+        "target_uri": full["target_uri"],
+        "warc_date": full["warc_date"],
+        "record_id": full["record_id"],
+        "http_status": full["http_status"],
+        "content_length": full["content_length"],
+    }
+
+
+def _cdx_split_batches(batches, filesystem, lenient: bool):
+    """mapInPandas body for the split-planned index build: per
+    (path, start, end) row, emit CDX rows for the range's records —
+    the same extent-tiling as `_cdx_batches`, reading via byte-range
+    seeks instead of binaryFile (so >2 GB files index too)."""
+    import pandas as pd
+
+    cols = [f.name for f in CDX_SCHEMA.fields]
+    for pdf in batches:
+        for path_, start, end in zip(pdf["path"], pdf["start"],
+                                     pdf["end"]):
+            rows: list[dict] = []
+            errlog: list = []
+            with filesystem.open_input_file(path_) as f:
+                for off, mend, k, hdr, payload in _split_records(
+                    f, int(start), int(end), lenient, errlog
+                ):
+                    rows.append(
+                        _cdx_row(path_, off, mend, k, hdr, payload)
+                    )
+                    if len(rows) >= _BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            yield pd.DataFrame(rows, columns=cols)
+
+
 def warc_cdx(spark: SparkSession, path: str,
              pattern: str = "*.warc.gz",
-             errors: str = "strict") -> DataFrame:
+             errors: str = "strict",
+             split_bytes: int | None = None) -> DataFrame:
     """Build a CDX-style index over a directory of ``.warc.gz`` files:
     one row per record with its compressed member extent. Built once
     per crawl (one full walk — the same cost as any read), the index
@@ -914,8 +943,30 @@ def warc_cdx(spark: SparkSession, path: str,
 
     Gzip-member files only (the default pattern): a plain ``.warc``
     has no compressed extents to index — offsets there would not be
-    seekable units, so the index refuses rather than lie."""
+    seekable units, so the index refuses rather than lie.
+
+    ``split_bytes``: plan the index build as byte-range splits
+    (`read_warc_split`'s machinery) instead of one binaryFile task per
+    file — the path for few-huge-file corpora and files past
+    binaryFile's 2 GB cap; identical index rows either way (extents
+    are file properties, not plan properties)."""
     lenient = _lenient(errors)
+    if split_bytes is not None:
+        filesystem, files = _list_files(path, pattern)
+        splits = [
+            (p, s, min(s + split_bytes, size))
+            for p, size in files
+            for s in range(0, max(size, 1), split_bytes)
+        ]
+        if not splits:
+            return spark.createDataFrame([], CDX_SCHEMA)
+        sdf = spark.createDataFrame(
+            splits, "path string, start long, end long"
+        ).repartition(len(splits))
+        return sdf.mapInPandas(
+            lambda it: _cdx_split_batches(it, filesystem, lenient),
+            CDX_SCHEMA,
+        )
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)

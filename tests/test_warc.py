@@ -459,6 +459,24 @@ class TestCdxFetch:
                 assert h.get("warc-target-uri") == r.target_uri
                 assert h["warc-type"] == r.warc_type
 
+    def test_split_planned_index_is_identical(self, spark, warc_dir):
+        # warc_cdx(split_bytes=...) plans the build as byte-range
+        # splits (the >2 GB / few-huge-files path); extents are file
+        # properties, so the rows must match the binaryFile plan's
+        # exactly (warc_file normalizes: binaryFile emits file: URIs,
+        # the split planner plain paths)
+        def rows(df):
+            return sorted(
+                (os.path.basename(r.warc_file), r.offset, r.length,
+                 r.record_ordinal, r.warc_type, r.target_uri,
+                 r.http_status)
+                for r in df.collect()
+            )
+
+        a = rows(W.warc_cdx(spark, warc_dir))
+        b = rows(W.warc_cdx(spark, warc_dir, split_bytes=97))
+        assert a == b and len(a) == 7
+
     def test_fetch_equals_scan_for_the_filtered_set(self, spark,
                                                     warc_dir):
         idx = W.warc_cdx(spark, warc_dir)
