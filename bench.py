@@ -130,9 +130,11 @@ TIER2 = [
     "f97_ivfpq_residual_topk",
     # round 12 additions (first-baselined in BENCH_FULL_r12): the
     # splittable byte-range WARC reader over a single fixture file,
-    # and the CDX index + point-fetch path
+    # the CDX index + point-fetch path, and crawl-link PageRank from
+    # WARC bytes
     "f98_warc_split_extract",
     "f99_warc_cdx_fetch",
+    "c15_crawl_link_rank",
 ]
 
 

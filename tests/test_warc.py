@@ -111,25 +111,31 @@ class TestWalkScaling:
         return W.gzip_member(rec) * n_members
 
     def test_member_walk_is_linear_in_member_count(self):
+        # CPU time, not wall clock: the pin asserts algorithmic
+        # complexity (memcpy volume), and process_time is immune to
+        # the shared host's scheduling noise that flaked the first
+        # wall-clock form inside a full-suite run
         import time
 
-        def wall(n, payload):
+        def cpu(n, payload):
             raw = self._stream(n, payload)
             best = float("inf")
             for _ in range(3):
-                t0 = time.perf_counter()
+                t0 = time.process_time()
                 count = sum(1 for _ in W.iter_warc_records(raw))
-                best = min(best, time.perf_counter() - t0)
+                best = min(best, time.process_time() - t0)
             assert count == n
             return best
 
         # same ~24 MB total, 4x the members: the quadratic form pays
-        # ~4x wall here; the chunked walk must stay ~flat
-        few = wall(2_000, 12_000)
-        many = wall(8_000, 3_000)
-        assert many < max(2.5 * few, few + 0.25), (
+        # ~4x CPU here (tail-copy term: members x file_bytes); the
+        # chunked walk must stay ~flat — 3x + absolute slack separates
+        # the two regimes with wide margin either side
+        few = cpu(2_000, 12_000)
+        many = cpu(8_000, 3_000)
+        assert many < max(3.0 * few, few + 0.35), (
             f"member walk superlinear: 2k members {few:.3f}s vs "
-            f"8k members {many:.3f}s at equal total bytes"
+            f"8k members {many:.3f}s CPU at equal total bytes"
         )
 
     def test_records_spanning_member_boundaries(self):

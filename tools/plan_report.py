@@ -36,6 +36,7 @@ MATERIALIZED_GATES = {
     # plans asserted in TestRound12PlanShapes)
     "f98_warc_split_extract",
     "f99_warc_cdx_fetch",
+    "c15_crawl_link_rank",
 }
 
 
