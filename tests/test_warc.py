@@ -424,6 +424,39 @@ class TestSplitReader:
         assert len(by_type["response"]) == 3
         assert len(by_type[W.PARSE_ERROR_TYPE]) == 1
 
+    @given(
+        st.lists(st.binary(min_size=0, max_size=120), min_size=1,
+                 max_size=30),
+        st.integers(min_value=1, max_value=4000),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_any_split_size_partitions_records_exactly_once(
+        self, bodies, split
+    ):
+        # the protocol pin, pure codec level (no Spark): for ANY split
+        # size — down to 1 byte — consecutive ranges recover every
+        # record exactly once, in file order. Arbitrary payloads so
+        # fake magic/fake version lines inside bodies are exercised.
+        import io as _io
+
+        recs = [
+            W.warc_record("resource",
+                          {"WARC-Target-URI": f"http://h/{i}"}, b)
+            for i, b in enumerate(bodies)
+        ]
+        raw = b"".join(W.gzip_member(r) for r in recs)
+        got = []
+        for start in range(0, len(raw), split):
+            f = _io.BytesIO(raw)
+            end = min(start + split, len(raw))
+            got += [
+                h["warc-target-uri"]
+                for _, _, _, h, _ in W._split_records(
+                    f, start, end, False, []
+                )
+            ]
+        assert got == [f"http://h/{i}" for i in range(len(bodies))]
+
     def test_payload_magic_bytes_cannot_fake_a_boundary(self, spark,
                                                         tmp_path):
         # plant gzip magic INSIDE a payload: the resync probe must
