@@ -79,6 +79,10 @@ CRLF = b"\r\n"
 #: (CRLF followed by SP/HT) — the writer rejects these (injection)
 _CRLF_INJECT = re.compile(r"\r\n(?![ \t])|\r(?!\n)|(?<!\r)\n")
 
+#: a legal header field NAME: an RFC-style token (printable ASCII,
+#: no separators) — the writer rejects anything else (injection)
+_FIELD_NAME = re.compile(r"[!#$%&'*+\-.^_`|~0-9A-Za-z]+")
+
 #: the relation `read_warc` emits — one row per WARC record
 WARC_SCHEMA = StructType(
     [
@@ -121,6 +125,15 @@ def warc_record(
     for k, v in headers.items():
         if k.lower() in ("warc-type", "content-length"):
             raise ValueError(f"{k} is managed by warc_record")
+        # names too, not just values (review catch: an attacker-
+        # influenced header NAME like "X-A: x\r\nWARC-Target-URI"
+        # bypasses a value-only guard): a field name is a token —
+        # no separators, no whitespace, no control bytes
+        if not _FIELD_NAME.fullmatch(k):
+            raise ValueError(
+                f"illegal header field name {k[:60]!r} "
+                "(names are tokens: no colon/whitespace/CTLs)"
+            )
         # header-injection guard: a CR/LF in a value (e.g. an encoded
         # newline in a crawl URL reaching the writer) would forge
         # headers or desync the record walk. Only the spec's LWS fold
@@ -316,14 +329,31 @@ def _scan_member_start(f, pos: int, end: int) -> int:
 
 def _probe_member(f, pos: int, probe_bytes: int = 1 << 16) -> bool:
     """True when a gzip member starting at ``pos`` decompresses cleanly
-    to a WARC version line."""
+    to a FULL ``WARC/`` version-line prefix (a shorter partial prefix
+    is rejected — a member whose whole plaintext is 'W' is not a
+    record).
+
+    Honesty note (review-verified limitation): the probe is local
+    evidence, and local evidence cannot distinguish a true member
+    boundary from a gzip member embedded VERBATIM inside a record's
+    payload — which arises when a crawl archives another ``.warc.gz``
+    and the OUTER member uses stored/level-0 deflate blocks, leaving
+    the inner bytes verbatim. A split task resyncing inside such a
+    payload would emit the inner records as phantom rows (the outer
+    record itself is still decoded, by the task owning its member —
+    nothing is ever LOST). Normally-compressed archives (Common Crawl
+    is level 6+) cannot carry verbatim inner members, so the exposure
+    is level-0/adversarial inputs; for corpora that may embed
+    archives, `read_warc` (whole-file, immune) or `warc_cdx` +
+    `fetch_records` (authoritative offsets, immune) are the correct
+    readers, and `read_warc_split`'s docstring states the same."""
     f.seek(pos)
     d = zlib.decompressobj(47)
     try:
         out = d.decompress(f.read(probe_bytes), 8)
     except zlib.error:
         return False
-    return out[:5] == b"WARC/"[: len(out)] and len(out) > 0
+    return out[:5] == b"WARC/"
 
 
 def _iter_gzip_members(raw: bytes) -> Iterator[bytes]:
@@ -377,8 +407,9 @@ def _try_parse_record(buf: bytearray, pos: int, base: int,
     stream bytes could complete it. Conditions that more bytes cannot
     fix (bad version line, malformed header, missing Content-Length)
     raise immediately; prefix conditions raise only ``at_eof``.
-    ``base`` is the absolute stream offset of ``buf[0]`` — error
-    messages report stream positions, not buffer positions."""
+    ``base`` offsets the byte positions in error messages; callers
+    pass 0 (buffer-relative) and attach the member's absolute
+    compressed offset when re-raising (`_parse_records`)."""
     n = len(buf)
     # tolerate inter-record padding CRLFs (some writers emit extra)
     while buf[pos:pos + 2] == CRLF:
@@ -461,7 +492,14 @@ def _parse_records(
                 del buf[:endp]
         except ValueError as exc:
             if not lenient:
-                raise
+                # byte positions inside the message are buffer-relative
+                # (the working buffer compacts); the member's absolute
+                # COMPRESSED offset is the locator a 1-GB crawl file
+                # needs, so attach it here (review catch)
+                raise ValueError(
+                    f"{exc} (record in gzip member at compressed "
+                    f"byte {cur_off})"
+                ) from exc
             errlog.append(
                 (cur_off, f"record: {exc} (member at byte {cur_off})")
             )
@@ -719,6 +757,26 @@ def _list_files(path: str, pattern: str):
     return filesystem, sorted(out)
 
 
+def _plan_splits(spark: SparkSession, path: str, pattern: str,
+                 split_bytes: int):
+    """(filesystem, split DataFrame | None): the shared byte-range
+    planner behind `read_warc_split` and `warc_cdx(split_bytes=...)` —
+    a driver-side listing fanned into (path, start, end) ranges, one
+    task per range. None when nothing matches."""
+    filesystem, files = _list_files(path, pattern)
+    splits = [
+        (p, s, min(s + split_bytes, size))
+        for p, size in files
+        for s in range(0, max(size, 1), split_bytes)
+    ]
+    if not splits:
+        return filesystem, None
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, end long"
+    ).repartition(len(splits))
+    return filesystem, sdf
+
+
 def _split_records(
     f, start: int, end: int, lenient: bool, errlog: list,
 ) -> Iterator[tuple[int, int, int, dict[str, str], bytes]]:
@@ -817,19 +875,20 @@ def read_warc_split(spark: SparkSession, path: str,
     quarantine row — a mid-file entry point cannot distinguish foreign
     junk from the tail of the previous task's member, which is skipped
     by design. Junk reached by a task's member WALK (after a decoded
-    member) quarantines exactly as in `read_warc`."""
+    member) quarantines exactly as in `read_warc`.
+
+    Known limitation (see `_probe_member`): an archive whose records
+    EMBED another ``.warc.gz`` verbatim (possible only with
+    stored/level-0 outer compression — normal deflate never leaves
+    inner bytes verbatim) can fool a mid-payload resync into emitting
+    the inner records as extra rows. Records are never lost (the
+    outer member's owner decodes it whole); for such corpora use
+    `read_warc` or the `warc_cdx` + `fetch_records` path, both
+    immune."""
     lenient = _lenient(errors)
-    filesystem, files = _list_files(path, pattern)
-    splits = [
-        (p, s, min(s + split_bytes, size))
-        for p, size in files
-        for s in range(0, max(size, 1), split_bytes)
-    ]
-    if not splits:
+    filesystem, sdf = _plan_splits(spark, path, pattern, split_bytes)
+    if sdf is None:
         return spark.createDataFrame([], WARC_SCHEMA)
-    sdf = spark.createDataFrame(
-        splits, "path string, start long, end long"
-    ).repartition(len(splits))
     return sdf.mapInPandas(
         lambda it: _split_batches(it, filesystem, lenient), WARC_SCHEMA
     )
@@ -952,17 +1011,10 @@ def warc_cdx(spark: SparkSession, path: str,
     are file properties, not plan properties)."""
     lenient = _lenient(errors)
     if split_bytes is not None:
-        filesystem, files = _list_files(path, pattern)
-        splits = [
-            (p, s, min(s + split_bytes, size))
-            for p, size in files
-            for s in range(0, max(size, 1), split_bytes)
-        ]
-        if not splits:
+        filesystem, sdf = _plan_splits(spark, path, pattern,
+                                       split_bytes)
+        if sdf is None:
             return spark.createDataFrame([], CDX_SCHEMA)
-        sdf = spark.createDataFrame(
-            splits, "path string, start long, end long"
-        ).repartition(len(splits))
         return sdf.mapInPandas(
             lambda it: _cdx_split_batches(it, filesystem, lenient),
             CDX_SCHEMA,
@@ -978,82 +1030,131 @@ def warc_cdx(spark: SparkSession, path: str,
     )
 
 
-def _open_any(path: str):
+def _open_any(path: str, filesystem=None):
     """Executor-side file open for index fetches: handles the plain
-    paths `_list_files` emits and the ``file:``-scheme URIs
-    binaryFile's path column carries, resolving other schemes
-    (hdfs://, s3://) through pyarrow's registry."""
+    local paths `_list_files` emits and the ``file:``-scheme URIs
+    binaryFile's path column carries; Hadoop-only scheme spellings
+    (s3a://, s3n://) normalize to pyarrow's s3://, and other schemes
+    resolve through pyarrow's registry. An explicit ``filesystem``
+    short-circuits resolution — REQUIRED for remote CDX relations
+    built via the split planner, whose paths are scheme-less pyarrow
+    paths only that filesystem can interpret (review catch: the local
+    fallback would otherwise open 'bucket/key' relative to the
+    executor cwd)."""
     from pyarrow import fs as pafs
 
+    if filesystem is not None:
+        return filesystem.open_input_file(path)
     if path.startswith("file:"):
         local = path[5:]
         while local.startswith("//"):
             local = local[1:]
         return pafs.LocalFileSystem().open_input_file(local)
-    try:
-        filesystem, rel = pafs.FileSystem.from_uri(path)
-    except Exception:
-        filesystem, rel = pafs.LocalFileSystem(), path
-    return filesystem.open_input_file(rel)
+    for hadoop, arrow in (("s3a://", "s3://"), ("s3n://", "s3://")):
+        if path.startswith(hadoop):
+            path = arrow + path[len(hadoop):]
+            break
+    if "://" in path:
+        fs_, rel = pafs.FileSystem.from_uri(path)
+        return fs_.open_input_file(rel)
+    return pafs.LocalFileSystem().open_input_file(path)
 
 
-def _fetch_batches(batches, lenient: bool):
+def _fetch_batches(batches, lenient: bool, filesystem=None):
     """mapInPandas body for `fetch_records`: rows sorted by (file,
-    offset) so each file opens once per run and seeks move forward;
-    one member decode per index row — bytes read ≈ sum of fetched
-    member lengths, never the file."""
+    offset) so each file opens once per contiguous run and seeks move
+    forward; one member decode per picked extent — bytes read ≈ sum of
+    fetched member lengths, never the file. Output batches bound by
+    rows AND payload bytes, like every other walker here. When the
+    picked relation carries ``record_ordinal``, only the named records
+    of a multi-record member are emitted (a member is the I/O unit,
+    not the predicate unit — review catch)."""
     import pandas as pd
 
     cols = [f.name for f in WARC_SCHEMA.fields]
     for pdf in batches:
         pdf = pdf.sort_values(["warc_file", "offset"])
+        has_ord = "record_ordinal" in pdf.columns
         rows: list[dict] = []
+        nbytes = 0
         cur_path, f = None, None
         try:
-            for path_, off in zip(pdf["warc_file"], pdf["offset"]):
+            groups = pdf.groupby(["warc_file", "offset"], sort=True)
+            for (path_, off), grp in groups:
                 if path_ != cur_path:
                     if f is not None:
                         f.close()
-                    cur_path, f = path_, _open_any(path_)
+                    cur_path = path_
+                    f = _open_any(path_, filesystem)
+                wanted = (
+                    set(int(x) for x in grp["record_ordinal"])
+                    if has_ord else None
+                )
                 errlog: list = []
                 for moff, _mend, k, hdr, payload in _parse_records(
                     _members_from_file(f, int(off), int(off) + 1,
                                        lenient=lenient, errlog=errlog),
                     lenient, errlog,
                 ):
+                    if wanted is not None and k not in wanted:
+                        continue
                     rows.append(
                         _record_row(path_, moff + k, hdr, payload)
                     )
+                    nbytes += len(payload)
                 for eoff, msg in errlog:
                     rows.append(_error_row(path_, eoff, eoff, msg))
-                if len(rows) >= _BATCH_ROWS:
+                if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
                     yield pd.DataFrame(rows, columns=cols)
-                    rows = []
+                    rows, nbytes = [], 0
         finally:
             if f is not None:
                 f.close()
         yield pd.DataFrame(rows, columns=cols)
 
 
-def fetch_records(cdx: DataFrame, errors: str = "strict") -> DataFrame:
+#: fetch fan-out granularity: picked rows partition by
+#: (file, offset >> 27) — 128 MB locality buckets — so a fetch against
+#: FEW huge files still spreads across the cluster instead of
+#: serializing onto one task per file (review catch), while each
+#: task's reads stay file-local and forward-seeking
+_FETCH_BUCKET_SHIFT = 27
+
+
+def fetch_records(cdx: DataFrame, errors: str = "strict",
+                  filesystem=None) -> DataFrame:
     """Point-read the records a (filtered) CDX relation names: for each
-    (warc_file, offset) row, seek to the member and decode ONLY it,
-    emitting the same WARC_SCHEMA relation `read_warc` produces
-    (record_index offset-derived, the `read_warc_split` convention).
-    This is the complement of the scan path: filter the INDEX with
-    arbitrary Spark predicates — the planner prunes there — then pay
-    I/O for exactly the matching members. Rows are repartitioned by
-    file and sorted by offset within partitions, so each task opens
-    each file once and seeks forward monotonically."""
+    (warc_file, offset[, record_ordinal]) row, seek to the member and
+    decode ONLY it, emitting the same WARC_SCHEMA relation `read_warc`
+    produces (record_index offset-derived, the `read_warc_split`
+    convention; for multi-record members only the picked ordinals are
+    emitted). This is the complement of the scan path: filter the
+    INDEX with arbitrary Spark predicates — the planner prunes there —
+    then pay I/O for exactly the matching members. Picked rows
+    partition by (file, 128 MB offset bucket) and sort by offset
+    within partitions: open-once, forward seeks, and fan-out that
+    scales with picked bytes rather than file count.
+
+    ``filesystem``: pyarrow filesystem for scheme-less remote paths —
+    pass the target store's filesystem when the index was built via
+    `warc_cdx(split_bytes=...)` over s3://... (its paths carry no
+    scheme); local paths and file:/http-style URIs resolve without
+    it."""
     lenient = _lenient(errors)
+    pick_cols = ["warc_file", "offset"]
+    if "record_ordinal" in cdx.columns:
+        pick_cols.append("record_ordinal")
     picked = (
-        cdx.select("warc_file", "offset")
+        cdx.select(*pick_cols)
         .distinct()
-        .repartition("warc_file")
+        .repartition(
+            F.col("warc_file"),
+            F.shiftright("offset", _FETCH_BUCKET_SHIFT),
+        )
         .sortWithinPartitions("warc_file", "offset")
     )
     return picked.mapInPandas(
-        lambda it: _fetch_batches(it, lenient), WARC_SCHEMA
+        lambda it: _fetch_batches(it, lenient, filesystem), WARC_SCHEMA
     )
 
 

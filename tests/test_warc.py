@@ -545,6 +545,118 @@ class TestCdxFetch:
         assert len({r.warc_file for r in fetched}) == 2
 
 
+class TestReviewFindingsR12:
+    """Round-12 in-round review catches, pinned."""
+
+    def test_header_name_injection_rejected(self):
+        # a CR/LF smuggled in a header NAME must not forge headers
+        with pytest.raises(ValueError, match="field name"):
+            W.warc_record(
+                "resource",
+                {"X-A: x\r\nWARC-Target-URI": "http://forged"}, b"",
+            )
+        with pytest.raises(ValueError, match="field name"):
+            W.warc_record("resource", {"Bad Name": "v"}, b"")
+
+    def test_strict_errors_carry_member_offset(self):
+        good = W.gzip_member(_resp_record("http://m/0", b"<p>x</p>"))
+        bad = W.gzip_member(b"WARC/1.0\r\nWARC-Type: t\r\n\r\n\r\n\r\n")
+        with pytest.raises(ValueError, match=r"compressed byte \d+"):
+            list(W.iter_warc_records(good + bad))
+
+    @staticmethod
+    def _nested_archive(tmp_path):
+        """An outer .warc.gz whose middle record archives an INNER
+        .warc.gz, outer member written with level-0 (stored) deflate
+        so the inner bytes sit verbatim — the one input that can fool
+        a mid-payload split resync (documented on _probe_member)."""
+        inner = b"".join(
+            W.gzip_member(
+                W.warc_record("resource",
+                              {"WARC-Target-URI": f"http://inner/{i}"},
+                              b"inner body " + bytes([48 + i]))
+            )
+            for i in (1, 2)
+        )
+
+        def gz0(record):
+            import gzip as _gzip
+            import io as _io
+
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0,
+                                compresslevel=0) as g:
+                g.write(record)
+            return buf.getvalue()
+
+        outer = [
+            W.gzip_member(_resp_record("http://outer/0", b"<p>a</p>")),
+            gz0(W.warc_record("resource",
+                              {"WARC-Target-URI": "http://outer/1"},
+                              inner)),
+            W.gzip_member(_resp_record("http://outer/2", b"<p>c</p>")),
+        ]
+        p = tmp_path / "nested.warc.gz"
+        p.write_bytes(b"".join(outer))
+        return str(p)
+
+    def test_nested_archive_whole_read_and_cdx_fetch_are_exact(
+        self, spark, tmp_path
+    ):
+        p = self._nested_archive(tmp_path)
+        outer = {"http://outer/0", "http://outer/1", "http://outer/2"}
+        # whole-file read: immune (inner bytes are payload, the
+        # Content-Length walk never looks at them)
+        got = [r.target_uri
+               for r in W.read_warc(spark, str(tmp_path)).collect()]
+        assert sorted(got) == sorted(outer)
+        # index + point fetch: immune (authoritative offsets)
+        idx = W.warc_cdx(spark, str(tmp_path))
+        assert {r.target_uri for r in idx.collect()} == outer
+        fetched = [r.target_uri
+                   for r in W.fetch_records(idx).collect()]
+        assert sorted(fetched) == sorted(outer)
+
+    def test_nested_archive_split_read_never_loses_records(
+        self, spark, tmp_path
+    ):
+        # the documented limitation: a mid-payload resync may emit the
+        # inner records as EXTRA rows — but every outer record appears
+        # exactly once at any split size (nothing lost, nothing
+        # double-decoded)
+        p = self._nested_archive(tmp_path)
+        size = os.path.getsize(p)
+        for split in (47, size // 3, size):
+            got = [r.target_uri for r in
+                   W.read_warc_split(spark, p, split_bytes=split)
+                   .collect()]
+            for uri in ("http://outer/0", "http://outer/1",
+                        "http://outer/2"):
+                assert got.count(uri) == 1, (split, got)
+            assert all(u.startswith(("http://outer/", "http://inner/"))
+                       for u in got)
+
+    def test_fetch_emits_only_picked_ordinals(self, spark, tmp_path):
+        # a multi-record member is the I/O unit, not the predicate
+        # unit: fetching one ordinal of a 3-record member must emit
+        # exactly that record
+        recs = b"".join(
+            W.warc_record("resource",
+                          {"WARC-Target-URI": f"http://mr/{i}"},
+                          b"b" * (10 + i))
+            for i in range(3)
+        )
+        p = tmp_path / "multi.warc.gz"
+        p.write_bytes(W.gzip_member(recs))
+        from pyspark.sql import functions as F
+
+        idx = W.warc_cdx(spark, str(tmp_path))
+        assert idx.count() == 3  # one row per record, shared extent
+        picked = idx.filter(F.col("record_ordinal") == 1)
+        got = W.fetch_records(picked).collect()
+        assert [r.target_uri for r in got] == ["http://mr/1"]
+
+
 class TestSinkExtension:
     def test_uncompressed_parts_drop_gz_suffix(self, spark, tmp_path):
         from pyspark.sql import functions as F
