@@ -657,6 +657,70 @@ class TestReviewFindingsR12:
         assert [r.target_uri for r in got] == ["http://mr/1"]
 
 
+class TestLenientFuzz:
+    """The production claim, fuzzed: lenient mode NEVER raises on a
+    corrupted archive — arbitrary byte flips, insertions, truncations
+    — and records before the first corruption always survive."""
+
+    @staticmethod
+    def _file(n=6):
+        members = [
+            W.gzip_member(
+                _resp_record(f"http://fz/{i}",
+                             f"<p>body {i} text</p>".encode())
+            )
+            for i in range(n)
+        ]
+        ends = []
+        acc = 0
+        for m in members:
+            acc += len(m)
+            ends.append(acc)
+        return b"".join(members), ends
+
+    @given(st.data())
+    @settings(max_examples=120, deadline=None)
+    def test_lenient_never_raises_and_prefix_survives(self, data):
+        blob, ends = self._file()
+        raw = bytearray(blob)
+        kind = data.draw(st.sampled_from(["flip", "insert", "cut"]))
+        pos = data.draw(st.integers(0, len(raw) - 1))
+        if kind == "flip":
+            raw[pos] ^= data.draw(st.integers(1, 255))
+        elif kind == "insert":
+            raw[pos:pos] = data.draw(st.binary(min_size=1, max_size=9))
+        else:
+            raw = raw[:pos]
+        errlog: list = []
+        got = list(W.iter_warc_records(bytes(raw), lenient=True,
+                                       errlog=errlog))
+        uris = [h["warc-target-uri"] for h, _ in got]
+        # every member ENTIRELY before the corruption point must
+        # survive intact (exact boundaries — member sizes vary)
+        intact = sum(1 for e in ends if e <= pos)
+        assert uris[:intact] == [f"http://fz/{i}" for i in range(intact)]
+
+    @given(st.integers(0, 10_000), st.integers(1, 255))
+    @settings(max_examples=60, deadline=None)
+    def test_lenient_split_walk_never_raises(self, seed, xor):
+        import io as _io
+        import random as _random
+
+        blob, _ = self._file()
+        raw = bytearray(blob)
+        rng = _random.Random(seed)
+        raw[rng.randrange(len(raw))] ^= xor
+        f = _io.BytesIO(bytes(raw))
+        split = max(1, len(raw) // 4)
+        out = []
+        for start in range(0, len(raw), split):
+            out += list(W._split_records(
+                f, start, min(start + split, len(raw)), True, []
+            ))
+        # no exception, and never MORE records than the file holds
+        assert len(out) <= 6
+
+
 class TestSinkExtension:
     def test_uncompressed_parts_drop_gz_suffix(self, spark, tmp_path):
         from pyspark.sql import functions as F
