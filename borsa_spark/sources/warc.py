@@ -802,7 +802,12 @@ def _split_batches(batches, filesystem, lenient: bool):
     split row, stream the split's records out in bounded batches.
     record_index is ``member_offset + ordinal_in_member`` — a
     deterministic per-file ordering key independent of the split size
-    (NOT the dense per-file ordinal `read_warc` emits)."""
+    (NOT the dense per-file ordinal `read_warc` emits). Uniqueness
+    holds whenever a member's record count is below its compressed
+    byte length — true for any real archive (a gzip member is ≥18
+    bytes); a pathological tiny-record/hyper-compressed member could
+    collide with its successor's key space, which would reorder, not
+    lose, rows."""
     import pandas as pd
 
     cols = [f.name for f in WARC_SCHEMA.fields]
