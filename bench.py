@@ -135,6 +135,7 @@ TIER2 = [
     "f98_warc_split_extract",
     "f99_warc_cdx_fetch",
     "c15_crawl_link_rank",
+    "f100_wat_sidecar",
 ]
 
 

@@ -9520,6 +9520,106 @@ def c15_crawl_link_rank(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+_F100_U = "'https://link.example.com/doc/' || "
+
+
+@query(
+    "f100_wat_sidecar",
+    f"""
+    WITH ids AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    tgt AS (
+      SELECT a.doc_id, {_F100_U}b.doc_id AS u1, {_F100_U}c.doc_id AS u2
+      FROM ids a CROSS JOIN nn
+      JOIN ids b ON b.rn = (a.rn + 1) % nn.n
+      JOIN ids c ON c.rn = (a.rn + a.doc_id % 11 + 2) % nn.n)
+    SELECT doc_id,
+           200::BIGINT AS status,
+           'text/html' AS content_type,
+           CASE WHEN u1 = u2 THEN u1
+                WHEN u1 < u2 THEN u1 || ',' || u2
+                ELSE u2 || ',' || u1 END AS outlinks_csv
+    FROM tgt
+    """,
+)
+def f100_wat_sidecar(spark, sf):
+    """The WARC → WAT derivation, oracle-faced: c15's link fixture
+    (every page carries the ring + skip outlinks) becomes WAT metadata
+    records (`wat_from_records` — HTTP envelope + sorted distinct
+    outlinks as JSON, all scan-fused column expressions), written as a
+    sidecar (`write_wat_files`), read back (`read_wat`), and parsed
+    with `from_json`. The oracle recomputes each page's outlink set
+    analytically (the same window + modular joins as c15) and the
+    envelope constants — a dropped/phantom link, a lost envelope
+    field, or a JSON shape drift hash-mismatches.
+
+    Scale shape: WAT is the read-once artifact for link analysis —
+    built in the same pass as any WARC read, then consumed WITHOUT
+    decompressing page bodies again (the Common Crawl WAT contract).
+    The fixture window is construction-only, as in c15."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.sources import warc as W
+
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    n = ids.count()
+    w = Window.orderBy("doc_id")
+    base = ids.withColumn("rn", F.row_number().over(w) - 1)
+    rn_ids = base.select(F.col("doc_id").alias("t"),
+                         F.col("rn").alias("trn"))
+    src = (
+        base.join(
+            rn_ids.withColumnRenamed("t", "t1")
+            .withColumnRenamed("trn", "rn1"),
+            (F.col("rn") + 1) % n == F.col("rn1"),
+        )
+        .join(
+            rn_ids.withColumnRenamed("t", "t2")
+            .withColumnRenamed("trn", "rn2"),
+            (F.col("rn") + F.col("doc_id") % 11 + 2) % n
+            == F.col("rn2"),
+        )
+        .select("doc_id", "t1", "t2")
+        .withColumn("__file", F.col("doc_id") % max(8, n // 10_000))
+    )
+    work = tempfile.mkdtemp(prefix="f100_warc_")
+    try:
+        W.write_warc_files(src, work, _c15_records, "__file", "doc_id")
+        wat = W.wat_from_records(W.read_warc(spark, work))
+        sidecar = tempfile.mkdtemp(prefix="f100_wat_")
+        try:
+            W.write_wat_files(
+                wat.withColumn(
+                    "__file",
+                    F.regexp_extract("url", r"/doc/(\d+)$", 1)
+                    .cast("long") % max(8, n // 10_000),
+                ),
+                sidecar,
+            )
+            parsed = W.read_wat(spark, sidecar).select(
+                F.from_json(
+                    "wat",
+                    "url string, http struct<status:long, "
+                    "content_type:string>, outlinks array<string>",
+                ).alias("w"),
+            )
+            out = parsed.select(
+                F.regexp_extract("w.url", r"/doc/(\d+)$", 1)
+                .cast("long").alias("doc_id"),
+                F.col("w.http.status").alias("status"),
+                F.col("w.http.content_type").alias("content_type"),
+                F.array_join("w.outlinks", ",").alias("outlinks_csv"),
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(sidecar, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- c11: end-to-end crawl corpus-prep DAG -------------------------------
 
 #: c11 fixture lines (each its own <p> block, every one >= 30 visible

@@ -1370,6 +1370,106 @@ def read_wet(spark: SparkSession, path: str,
     )
 
 
+def wat_record(url: str, wat_json: str,
+               date: str = "2026-01-01T00:00:00Z",
+               record_id: str | None = None,
+               refers_to: str | None = None) -> bytes:
+    """One WAT record: per-capture METADATA as a WARC ``metadata``
+    record with an ``application/json`` payload (the Common Crawl WAT
+    layout — the sidecar carrying HTTP headers, outlinks, and
+    envelope facts so consumers can analyze a crawl without touching
+    page bodies). ``wat_json`` is the already-serialized JSON."""
+    headers = {
+        "WARC-Target-URI": url,
+        "WARC-Date": date,
+        "WARC-Record-ID": record_id or f"<urn:borsa:wat:{url}>",
+        "Content-Type": "application/json",
+    }
+    if refers_to:
+        headers["WARC-Refers-To"] = refers_to
+    return warc_record("metadata", headers,
+                       wat_json.encode("utf-8"))
+
+
+#: href targets for the WAT outlink extractor — absolute http(s) URLs
+#: in double-quoted href attributes (the layer stays deliberately
+#: simple: WAT consumers re-parse JSON anyway, and the extraction
+#: regex is a parameter for anything fancier)
+_HREF_RE = r'href="(https?://[^"]+)"'
+
+
+def wat_from_records(records: DataFrame,
+                     href_pattern: str = _HREF_RE) -> DataFrame:
+    """(url, wat) — the WAT sidecar computed from a record relation:
+    per 2xx html response, a JSON document carrying the HTTP envelope
+    (status, content type) and the page's outlinks (sorted, distinct).
+    Pure column expressions over the walk output — `to_json(struct)`
+    and `regexp_extract_all` fuse into the scan, zero Python.
+
+    This is the standard Common Crawl derivation (WARC → WAT): link
+    analysis, frontier scoring, and host-graph work read the sidecar
+    and never decompress page bodies again."""
+    docs = warc_html_docs(
+        records, extra_cols=("http_status", "http_content_type")
+    )
+    links = F.array_sort(
+        F.array_distinct(
+            F.expr(f"regexp_extract_all(html, '{href_pattern}', 1)")
+        )
+    )
+    return docs.select(
+        "url",
+        F.to_json(
+            F.struct(
+                F.col("url"),
+                F.struct(
+                    F.col("http_status").alias("status"),
+                    F.col("http_content_type").alias("content_type"),
+                ).alias("http"),
+                links.alias("outlinks"),
+            )
+        ).alias("wat"),
+    )
+
+
+def write_wat_files(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    wat_col: str = "wat",
+    file_col: str = "__file",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Distributed WAT sink: (url, wat json) rows become gzip-member
+    ``metadata`` records — `write_warc_files` with the WAT record
+    shape. Returns the committed (warc_file, n_records) summary."""
+
+    def rec(row):
+        yield wat_record(str(row[url_col]), str(row[wat_col]))
+
+    return write_warc_files(df, out_dir, rec, file_col,
+                            order_col or url_col)
+
+
+def read_wat(spark: SparkSession, path: str,
+             pattern: str = "*.warc*") -> DataFrame:
+    """(url, wat) from WAT files: the record walk filtered to
+    ``metadata`` records with JSON payloads — the inverse of
+    `write_wat_files`. Parse ``wat`` with ``F.from_json`` and the
+    consumer's schema (`wat_from_records` emits
+    ``struct<url:string, http:struct<status:long,
+    content_type:string>, outlinks:array<string>>``)."""
+    rec = read_warc(spark, path, pattern)
+    return rec.filter(
+        (F.col("warc_type") == "metadata")
+        & (F.lower(F.coalesce("content_type", F.lit("")))
+           .startswith("application/json"))
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("body").cast("string").alias("wat"),
+    )
+
+
 def warc_html_docs(records: DataFrame,
                    min_status: int = 200,
                    max_status: int = 299,

@@ -966,6 +966,63 @@ class TestWet:
         assert back == set(rows)
 
 
+class TestWat:
+    """WAT (metadata sidecar): the third Common Crawl artifact next to
+    WET and CDX — HTTP envelope + outlinks as JSON metadata records,
+    derivable from WARC and consumable without touching page bodies."""
+
+    def test_wat_record_shape(self):
+        rec = W.wat_record("http://a/x", '{"k": 1}',
+                           refers_to="<urn:test:http://a/x>")
+        [(h, p)] = list(W.iter_warc_records(rec))
+        assert h["warc-type"] == "metadata"
+        assert h["content-type"] == "application/json"
+        assert h["warc-refers-to"] == "<urn:test:http://a/x>"
+        assert p == b'{"k": 1}'
+
+    def test_warc_to_wat_round_trip(self, spark, tmp_path):
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        body = (b'<p>page with links</p>'
+                b'<a href="https://z.example/b">b</a>'
+                b'<a href="https://a.example/a">a</a>'
+                b'<a href="https://z.example/b">dup</a>')
+        recs = [
+            _resp_record("http://w/0", body),
+            _resp_record("http://w/1", b"<p>no links here</p>"),
+            _resp_record("http://w/2", b"<p>gone</p>", status=404),
+        ]
+        W.write_warc(str(tmp_path / "w.warc.gz"), recs)
+        wat = W.wat_from_records(W.read_warc(spark, str(tmp_path)))
+        rows = {r.url: _json.loads(r.wat) for r in wat.collect()}
+        # 404 excluded; outlinks sorted + distinct; envelope carried
+        assert set(rows) == {"http://w/0", "http://w/1"}
+        assert rows["http://w/0"]["outlinks"] == [
+            "https://a.example/a", "https://z.example/b"
+        ]
+        assert rows["http://w/1"]["outlinks"] == []
+        assert rows["http://w/0"]["http"]["status"] == 200
+
+        # sidecar round trip: write as WAT files, read + parse back
+        out = str(tmp_path / "wat")
+        W.write_wat_files(wat.withColumn("__file", F.lit(0)), out)
+        back = W.read_wat(spark, out)
+        parsed = back.select(
+            "url",
+            F.from_json(
+                "wat",
+                "url string, http struct<status:long, "
+                "content_type:string>, outlinks array<string>",
+            ).alias("w"),
+        )
+        got = {r.url: r.w.outlinks for r in parsed.collect()}
+        assert got["http://w/0"] == [
+            "https://a.example/a", "https://z.example/b"
+        ]
+
+
 class TestMalformedBytes:
     def test_garbage_page_does_not_kill_the_funnel(self, spark,
                                                    tmp_path):

@@ -37,6 +37,7 @@ MATERIALIZED_GATES = {
     "f98_warc_split_extract",
     "f99_warc_cdx_fetch",
     "c15_crawl_link_rank",
+    "f100_wat_sidecar",
 }
 
 
