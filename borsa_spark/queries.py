@@ -9530,11 +9530,19 @@ _F100_U = "'https://link.example.com/doc/' || "
       SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
       FROM documents),
     nn AS (SELECT count(*) AS n FROM documents),
+    -- target ranks as plain columns FIRST, so both lookups hash-join
+    -- on column equality (a 3-way join on modular expressions sends
+    -- DuckDB into a nested loop — measured 200x slower at sf0.1)
+    want AS (
+      SELECT doc_id,
+             (rn + 1) % nn.n AS rn1,
+             (rn + doc_id % 11 + 2) % nn.n AS rn2
+      FROM ids CROSS JOIN nn),
     tgt AS (
-      SELECT a.doc_id, {_F100_U}b.doc_id AS u1, {_F100_U}c.doc_id AS u2
-      FROM ids a CROSS JOIN nn
-      JOIN ids b ON b.rn = (a.rn + 1) % nn.n
-      JOIN ids c ON c.rn = (a.rn + a.doc_id % 11 + 2) % nn.n)
+      SELECT w.doc_id, {_F100_U}b.doc_id AS u1, {_F100_U}c.doc_id AS u2
+      FROM want w
+      JOIN ids b ON b.rn = w.rn1
+      JOIN ids c ON c.rn = w.rn2)
     SELECT doc_id,
            200::BIGINT AS status,
            'text/html' AS content_type,
