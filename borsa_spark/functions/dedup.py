@@ -263,11 +263,13 @@ def minhash_signature_inrow(df: DataFrame, n: int = 3,
     return signature_from_array(shingle_array(df, n, text_col, id_col))
 
 
-#: domain-separation constant for the SECOND, independent band hash
+#: domain-separation constant for the SECOND band hash
 #: (`lsh_band_keys(with_key2=True)`): prefixing xxhash64's input with a
-#: distinct literal yields a hash function independent of the primary
-#: key's, so two different band tuples collide on BOTH keys with
-#: probability ~2^-128 — physically never
+#: distinct literal gives a second output that behaves independently of
+#: the primary key's in the heuristic random-oracle sense (not a
+#: provably independent family — see the lsh_band_keys docstring), so
+#: two different band tuples colliding on BOTH keys is ~2^-128 under
+#: that model — physically never
 _KEY2_SALT = 0x243F6A8885A308D3  # pi's hex digits; fits in int64
 
 
@@ -291,12 +293,17 @@ def lsh_band_keys(sig: DataFrame, with_values: bool = False,
     (round-10 review). With exact-tuple counting the oracle SQL's string
     keys and the engine's cap agree at any corpus size.
 
-    ``with_key2=True`` adds ``band_key2``, a SECOND independent 64-bit
-    hash of the same tuple (domain-separated xxhash64). PERSISTED band
-    state uses it instead of band_vals: counting cap occupancy by
-    (band_key, band_key2) keeps stored rows at 16 bytes while making a
-    both-keys collision (~2^-128) the only way two buckets can merge —
-    the round-11 verdict's streaming-ingest cap fix."""
+    ``with_key2=True`` adds ``band_key2``, a SECOND 64-bit hash of the
+    same tuple. Honesty note: key2 is DOMAIN-SEPARATED xxhash64 (the
+    same mixer with a salt constant prefixed), not a hash from an
+    independent family — the ~2^-128 both-keys collision figure treats
+    the two outputs as independent, which domain separation gives
+    heuristically (standard practice, e.g. HMAC-style salting) but not
+    provably. PERSISTED band state uses it instead of band_vals:
+    counting cap occupancy by (band_key, band_key2) keeps stored rows
+    at 16 bytes while making a both-keys collision the only way two
+    buckets can merge — the round-11 verdict's streaming-ingest cap
+    fix."""
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]

@@ -763,6 +763,13 @@ def _plan_splits(spark: SparkSession, path: str, pattern: str,
     planner behind `read_warc_split` and `warc_cdx(split_bytes=...)` —
     a driver-side listing fanned into (path, start, end) ranges, one
     task per range. None when nothing matches."""
+    if split_bytes < 1:
+        # 0 would die inside range() with an opaque step error and a
+        # negative value would silently plan zero splits (empty
+        # relation instead of a failure) — review catch
+        raise ValueError(
+            f"split_bytes must be >= 1, got {split_bytes}"
+        )
     filesystem, files = _list_files(path, pattern)
     splits = [
         (p, s, min(s + split_bytes, size))
@@ -807,7 +814,11 @@ def _split_batches(batches, filesystem, lenient: bool):
     byte length — true for any real archive (a gzip member is ≥18
     bytes); a pathological tiny-record/hyper-compressed member could
     collide with its successor's key space, which would reorder, not
-    lose, rows."""
+    lose, rows. Lenient-mode quarantine rows key as ``-offset - 1`` —
+    a NEGATIVE record_index, disjoint from every real record's
+    non-negative key, so an error at a member's offset can never
+    collide with a record parsed from the same member (review
+    catch)."""
     import pandas as pd
 
     cols = [f.name for f in WARC_SCHEMA.fields]
@@ -824,7 +835,9 @@ def _split_batches(batches, filesystem, lenient: bool):
                 nonlocal drained
                 while drained < len(errlog):
                     off, msg = errlog[drained]
-                    rows.append(_error_row(path_, off, off, msg))
+                    # negative record_index: disjoint from every real
+                    # record's offset+ordinal key (see docstring)
+                    rows.append(_error_row(path_, -off - 1, off, msg))
                     drained += 1
 
             with filesystem.open_input_file(path_) as f:
@@ -924,11 +937,35 @@ CDX_SCHEMA = StructType(
 )
 
 
+def _cdx_error_row(path_, off) -> dict:
+    """Sentinel index row for one lenient-mode parse failure: a
+    malformed member/record must still be COUNTABLE from the index
+    (the same accounting contract `read_warc`'s PARSE_ERROR_TYPE
+    quarantine rows honor — a lenient index build that silently
+    undercounts the crawl would misreport corpus size with no trace).
+    Extent-dependent fields are null (the junk has no decodable
+    extent); ``offset`` locates the failure, and a lenient
+    `fetch_records` over the row reproduces the full error message."""
+    return {
+        "warc_file": path_,
+        "offset": off,
+        "length": None,
+        "record_ordinal": -1,
+        "warc_type": PARSE_ERROR_TYPE,
+        "target_uri": None,
+        "warc_date": None,
+        "record_id": None,
+        "http_status": None,
+        "content_length": None,
+    }
+
+
 def _cdx_batches(batches, lenient: bool = False):
     """mapInPandas body for `warc_cdx`: the same record walk as
     `read_warc`, but emitting (extent, headers) index rows — bodies
     are decoded in passing (inherent to gzip) and dropped, so the
-    index relation is tiny regardless of corpus size."""
+    index relation is tiny regardless of corpus size. Lenient-mode
+    parse failures emit `_cdx_error_row` sentinels in stream order."""
     import pandas as pd
 
     cols = [f.name for f in CDX_SCHEMA.fields]
@@ -937,15 +974,26 @@ def _cdx_batches(batches, lenient: bool = False):
             raw = bytes(content)
             rows: list[dict] = []
             errlog: list = []
+            drained = 0
+
+            def drain_errors():
+                nonlocal drained
+                while drained < len(errlog):
+                    off, _msg = errlog[drained]
+                    rows.append(_cdx_error_row(path_, off))
+                    drained += 1
+
             members = _members_from_file(io.BytesIO(raw), 0, len(raw),
                                          lenient=lenient, errlog=errlog)
             for off, mend, k, hdr, payload in _parse_records(
                 members, lenient, errlog
             ):
+                drain_errors()  # errors precede the record after them
                 rows.append(_cdx_row(path_, off, mend, k, hdr, payload))
                 if len(rows) >= _BATCH_ROWS:
                     yield pd.DataFrame(rows, columns=cols)
                     rows = []
+            drain_errors()
             yield pd.DataFrame(rows, columns=cols)
 
 
@@ -978,16 +1026,27 @@ def _cdx_split_batches(batches, filesystem, lenient: bool):
                                      pdf["end"]):
             rows: list[dict] = []
             errlog: list = []
+            drained = 0
+
+            def drain_errors():
+                nonlocal drained
+                while drained < len(errlog):
+                    off, _msg = errlog[drained]
+                    rows.append(_cdx_error_row(path_, off))
+                    drained += 1
+
             with filesystem.open_input_file(path_) as f:
                 for off, mend, k, hdr, payload in _split_records(
                     f, int(start), int(end), lenient, errlog
                 ):
+                    drain_errors()
                     rows.append(
                         _cdx_row(path_, off, mend, k, hdr, payload)
                     )
                     if len(rows) >= _BATCH_ROWS:
                         yield pd.DataFrame(rows, columns=cols)
                         rows = []
+                drain_errors()
             yield pd.DataFrame(rows, columns=cols)
 
 
@@ -1008,6 +1067,15 @@ def warc_cdx(spark: SparkSession, path: str,
     Gzip-member files only (the default pattern): a plain ``.warc``
     has no compressed extents to index — offsets there would not be
     seekable units, so the index refuses rather than lie.
+
+    ``errors="lenient"``: malformed members/records appear as sentinel
+    rows (``warc_type = PARSE_ERROR_TYPE``, null extent fields, offset
+    set — see `_cdx_error_row`), so a lenient index build never
+    silently undercounts the crawl. One split-path caveat (shared with
+    `read_warc_split`): junk sitting exactly in a split's ENTRY region
+    is skipped by the resync scan without a sentinel — a mid-file
+    entry point cannot distinguish foreign junk from the previous
+    task's member tail.
 
     ``split_bytes``: plan the index build as byte-range splits
     (`read_warc_split`'s machinery) instead of one binaryFile task per
@@ -1108,7 +1176,9 @@ def _fetch_batches(batches, lenient: bool, filesystem=None):
                     )
                     nbytes += len(payload)
                 for eoff, msg in errlog:
-                    rows.append(_error_row(path_, eoff, eoff, msg))
+                    # negative record_index — same disjoint error
+                    # keyspace as `_split_batches`
+                    rows.append(_error_row(path_, -eoff - 1, eoff, msg))
                 if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
                     yield pd.DataFrame(rows, columns=cols)
                     rows, nbytes = [], 0
@@ -1238,10 +1308,14 @@ def write_warc_files(
     def emit(key, pdf):
         pdf = pdf.sort_values(order)
         path = os.path.join(out_dir, f"part-{key[0]}{ext}")
+        # to_dict("records"), not iterrows(): one bulk conversion per
+        # group instead of a Series allocation per row — the encode
+        # leg dominated the 500k-record sink wall (22.2 s vs 8.1 s
+        # walk) under iterrows (review catch); bytes are identical
         n = write_warc(
             path,
-            (rec for _, row in pdf.iterrows()
-             for rec in record_fn(row.to_dict())),
+            (rec for row in pdf.to_dict("records")
+             for rec in record_fn(row)),
             compress=compress,
         )
         return pd.DataFrame(
@@ -1412,9 +1486,14 @@ def wat_from_records(records: DataFrame,
     docs = warc_html_docs(
         records, extra_cols=("http_status", "http_content_type")
     )
+    # F.lit(pattern), never string-interpolated F.expr: a caller
+    # pattern containing a single quote would otherwise parse-error or
+    # inject arbitrary SQL expression text (review catch)
     links = F.array_sort(
         F.array_distinct(
-            F.expr(f"regexp_extract_all(html, '{href_pattern}', 1)")
+            F.regexp_extract_all(
+                F.col("html"), F.lit(href_pattern), F.lit(1)
+            )
         )
     )
     return docs.select(

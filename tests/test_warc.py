@@ -657,6 +657,112 @@ class TestReviewFindingsR12:
         assert [r.target_uri for r in got] == ["http://mr/1"]
 
 
+class TestReviewFindingsR13:
+    """Round-13 review catches (the r12 ADVICE list), pinned."""
+
+    @staticmethod
+    def _junk_file(tmp_path):
+        """good member + torn member + two good members — the lenient
+        walk must recover 3 records and account for exactly 1 drop."""
+        good = [_resp_record(f"http://cx/{i}", b"<p>x</p>")
+                for i in range(3)]
+        blob = (W.gzip_member(good[0])
+                + b"\x1f\x8b\x08" + b"\x00" * 24
+                + W.gzip_member(good[1])
+                + W.gzip_member(good[2]))
+        p = tmp_path / "junk.warc.gz"
+        p.write_bytes(blob)
+        return str(p), len(W.gzip_member(good[0]))
+
+    def test_lenient_cdx_emits_sentinel_rows(self, spark, tmp_path):
+        # a lenient INDEX build must not silently undercount the crawl
+        # (read_warc's quarantine contract, extended to warc_cdx)
+        p, off0 = self._junk_file(tmp_path)
+        idx = W.warc_cdx(spark, str(tmp_path), errors="lenient")
+        rows = idx.collect()
+        errs = [r for r in rows if r.warc_type == W.PARSE_ERROR_TYPE]
+        assert len(errs) == 1
+        assert errs[0].offset == off0  # locates the torn member
+        assert errs[0].length is None  # junk has no decodable extent
+        assert errs[0].record_ordinal == -1
+        assert len(rows) == 4  # 3 indexed records + 1 sentinel
+
+    def test_lenient_split_cdx_emits_sentinel_rows(self, spark,
+                                                   tmp_path):
+        # same accounting through the split-planned build (junk placed
+        # INSIDE split 0, after good[0] — entry-region junk is the
+        # documented exception)
+        p, off0 = self._junk_file(tmp_path)
+        idx = W.warc_cdx(spark, p, errors="lenient",
+                         split_bytes=off0 + 30)
+        rows = idx.collect()
+        errs = [r for r in rows if r.warc_type == W.PARSE_ERROR_TYPE]
+        assert len(errs) == 1 and errs[0].offset == off0
+        assert len([r for r in rows
+                    if r.warc_type == "response"]) == 3
+
+    def test_lenient_sentinel_fetch_reproduces_the_error(self, spark,
+                                                         tmp_path):
+        # the sentinel's offset is a live locator: a lenient fetch of
+        # the row reproduces the failure as a quarantine row with the
+        # full message, no crawl re-scan needed
+        p, off0 = self._junk_file(tmp_path)
+        idx = W.warc_cdx(spark, str(tmp_path), errors="lenient")
+        from pyspark.sql import functions as F
+
+        sent = idx.filter(F.col("warc_type") == W.PARSE_ERROR_TYPE)
+        got = W.fetch_records(sent, errors="lenient").collect()
+        assert len(got) == 1
+        assert got[0].warc_type == W.PARSE_ERROR_TYPE
+        assert "gzip" in got[0].headers["error"]
+
+    @pytest.mark.parametrize("bad", [0, -5])
+    def test_split_bytes_validated(self, spark, tmp_path, bad):
+        (tmp_path / "a.warc.gz").write_bytes(
+            W.gzip_member(_resp_record("http://v/0", b"<p>x</p>"))
+        )
+        with pytest.raises(ValueError, match="split_bytes"):
+            W.read_warc_split(spark, str(tmp_path), split_bytes=bad)
+        with pytest.raises(ValueError, match="split_bytes"):
+            W.warc_cdx(spark, str(tmp_path), split_bytes=bad)
+
+    def test_split_error_record_index_is_disjoint(self, spark,
+                                                  tmp_path):
+        # quarantine rows key as -offset-1: never collides with a real
+        # record's offset+ordinal key from the same member
+        p, off0 = self._junk_file(tmp_path)
+        rows = W.read_warc_split(
+            spark, p, split_bytes=off0 + 30, errors="lenient"
+        ).collect()
+        real = [r.record_index for r in rows
+                if r.warc_type != W.PARSE_ERROR_TYPE]
+        errs = [r.record_index for r in rows
+                if r.warc_type == W.PARSE_ERROR_TYPE]
+        assert all(i >= 0 for i in real)
+        assert all(i < 0 for i in errs)
+        assert len(set(real + errs)) == len(real) + len(errs)
+        assert errs == [-off0 - 1]
+
+    def test_wat_href_pattern_with_quote_is_safe(self, spark,
+                                                 tmp_path):
+        # a pattern containing a single quote must neither parse-error
+        # nor inject expression text (F.lit, not interpolated F.expr)
+        rec = _resp_record(
+            "http://w/0",
+            b"<a href='http://q.example/x'>q</a>"
+            b'<a href="http://d.example/y">d</a>',
+        )
+        p = tmp_path / "w.warc.gz"
+        p.write_bytes(W.gzip_member(rec))
+        recs = W.read_warc(spark, str(tmp_path))
+        wat = W.wat_from_records(
+            recs, href_pattern=r"href='(https?://[^']+)'"
+        ).collect()
+        assert len(wat) == 1
+        assert "http://q.example/x" in wat[0].wat
+        assert "http://d.example/y" not in wat[0].wat
+
+
 class TestLenientFuzz:
     """The production claim, fuzzed: lenient mode NEVER raises on a
     corrupted archive — arbitrary byte flips, insertions, truncations
