@@ -9227,11 +9227,14 @@ def f96_warc_extract(spark, sf):
     payloads for separators, drops the wrong status class, misses a
     folded header, or double-counts request records hash-mismatches.
 
-    Scale shape: binaryFile → one mapInPandas walk per WARC file
-    (parallelism = file count, the Common Crawl unit), then the
-    type/status gates and regex extraction are scan-fused column
-    expressions; the tempdir materialization is the c3/c4 harness
-    pattern (bounded: one row per kept doc)."""
+    Scale shape (round 13: `read_warc` wraps the registered ``warc``
+    Python Data Source): ONE BatchScan, one input partition per WARC
+    file (parallelism = file count, the Common Crawl unit), executors
+    streaming the chunked record walk via pyarrow.fs — no binaryFile
+    whole-file materialization, no separate Python stage; the
+    type/status gates and regex extraction are plain column
+    expressions above the scan. The tempdir materialization is the
+    c3/c4 harness pattern (bounded: one row per kept doc)."""
     import shutil
     import tempfile
 
@@ -9281,9 +9284,11 @@ def f98_warc_split_extract(spark, sf):
     boundary record hash-mismatches immediately.
 
     Scale shape: this is the reader for corpora re-packed into few
-    huge WARCs (and for files past binaryFile's 2 GB cap) — the
-    one-task-per-file `read_warc` stays the default at Common Crawl's
-    90k-files-per-dump layout. Parallelism = ceil(file_bytes /
+    huge WARCs — the one-task-per-file `read_warc` stays the default
+    at Common Crawl's 90k-files-per-dump layout. Round 13: both are
+    the same registered ``warc`` Data Source, byte ranges ARE the
+    scan's input partitions (the old round-robin fan-out Exchange is
+    gone — zero shuffles). Parallelism = ceil(file_bytes /
     split_bytes) regardless of file count; split bytes stream from
     the open file, never held whole."""
     import os as _os
@@ -9307,6 +9312,59 @@ def f98_warc_split_extract(spark, sf):
             W.read_warc_split(spark, fpath, split_bytes=split_bytes),
             extra_cols=("warc_date",),
         )
+        ext = extract_html(F.col("html"))
+        out = docs.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            "url",
+            "warc_date",
+            ext["extracted"].alias("extracted"),
+            ext["kept_blocks"].cast("long").alias("kept_blocks"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("f101_warc_datasource", _F96_ORACLE)
+def f101_warc_datasource(spark, sf):
+    """The registered ``warc`` Python Data Source driven DIRECTLY —
+    ``spark.read.format("warc").load(dir)`` over f96's planted-trap
+    fixture (`sources/warc_datasource.py`), default ``auto`` split
+    planning: every fixture file is under the 1 GiB threshold, so the
+    source plans one whole-file input partition per file (the Common
+    Crawl unit) and the relation is f96's exactly — oracle VERBATIM.
+    What this witnesses beyond f96/f98 (which wrap the same source
+    with splitting pinned off/on): the format registration, the
+    option surface (pattern/errors/split_bytes parsing), and the
+    auto planner's size-based whole-file choice.
+
+    Scale shape: ONE ``BatchScan warc`` — input partitions are the
+    plan (no fan-out shuffle), executors open files via pyarrow.fs
+    and stream the chunked member walk in bounded Arrow batches; a
+    mixed directory (many crawl-unit files + one re-packed mega-WARC)
+    would get whole-file and byte-range tasks side by side from the
+    same read."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.functions.html import extract_html
+    from borsa_spark.sources import warc as W
+    from borsa_spark.sources import warc_datasource as WD
+
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    n_files = max(8, ids.count() // 10_000)
+    ids = ids.withColumn("__file", F.col("doc_id") % n_files)
+    work = tempfile.mkdtemp(prefix="f101_warc_")
+    try:
+        W.write_warc_files(ids, work, _f96_records, "__file", "doc_id")
+        WD.register(spark)
+        rel = (
+            spark.read.format("warc")
+            .option("pattern", "*.warc.gz")
+            .load(work)
+        )
+        docs = W.warc_html_docs(rel, extra_cols=("warc_date",))
         ext = extract_html(F.col("html"))
         out = docs.select(
             F.regexp_extract("url", r"/doc/(\d+)$", 1)

@@ -34,24 +34,25 @@ Format facts the reader relies on (all from the public spec):
   warcinfo / metadata records carry other payloads and must be
   filtered by WARC-Type, not guessed from the payload.
 
-Spark shape (and the honest 100-TB note): `read_warc` mounts files via
-the built-in ``binaryFile`` source and walks records in an
-Arrow-batched ``mapInPandas`` — ONE task per WARC file, parallelism =
-file count. For Common Crawl that is the standard unit (90k 1-GB files
->> any cluster's core count), so per-file tasks saturate 1000
-executors without a custom splittable format; per-task memory is
-bounded by one COMPRESSED file (binaryFile caps at 2 GB) plus one
-output batch — the decompressed stream is never materialized whole
-(member-chunked decompression, incremental record parse, bounded
-batch yields).
+Spark shape (and the honest 100-TB note): batch reads mount through
+the registered ``warc`` Python Data Source
+(`sources/warc_datasource.py`) — `read_warc` is the splitting-off
+wrapper: ONE task per WARC file, parallelism = file count. For Common
+Crawl that is the standard unit (90k 1-GB files >> any cluster's core
+count), so per-file tasks saturate 1000 executors without mid-file
+splitting; executors open files directly via pyarrow.fs and stream
+the chunked member walk, so per-task memory is one output batch + one
+in-flight record + one decompression chunk — neither the compressed
+nor the decompressed file is ever materialized whole.
 
 When file sizes dwarf file counts (a corpus re-packed into few huge
-WARCs, or files past binaryFile's 2 GB cap), `read_warc_split` fans
-ONE file across byte-range tasks by scanning for validated gzip
-member boundaries mid-stream; and `warc_cdx` + `fetch_records` turn
-the same seekability into an index + point-read path (the Common
-Crawl CDXJ workflow) so lookup-shaped workloads stop paying full-scan
-cost. Both exist because of the member-per-record layout fact above.
+WARCs), `read_warc_split` — the same source with an explicit
+``split_bytes`` — fans ONE file across byte-range input partitions by
+scanning for validated gzip member boundaries mid-stream; and
+`warc_cdx` + `fetch_records` turn the same seekability into an index
++ point-read path (the Common Crawl CDXJ workflow) so lookup-shaped
+workloads stop paying full-scan cost. Both exist because of the
+member-per-record layout fact above.
 """
 
 from __future__ import annotations
@@ -588,26 +589,28 @@ def read_warc(spark: SparkSession, path: str,
     crawl dumps, where occasional junk must not kill a 100-TB job and
     the drop must still be countable from the output.
 
-    Plan shape: binaryFile scan (one task per file — see the module
-    docstring for why that is the right unit at Common Crawl scale,
-    and what a mid-file splitter would take) → Arrow-batched
-    mapInPandas record walk → downstream everything is columnar. The
-    walk is the only Python in the pipeline; it touches each
-    compressed byte once (chunked decompressobj feed — linear in file
-    bytes regardless of member count) and its output streams in
-    bounded batches (_BATCH_ROWS/_BATCH_BYTES), so per-task memory is
-    the file bytes binaryFile already holds + one batch + one
-    in-flight record — never the whole decompressed stream.
+    Thin wrapper over the registered ``warc`` Python Data Source
+    (`sources/warc_datasource.py`) with splitting OFF — one task per
+    file, dense record_index, identical relation to every prior
+    round's binaryFile build. Plan shape: ``BatchScan warc`` — the
+    executors open files directly via pyarrow.fs and stream the
+    chunked record walk (linear in file bytes regardless of member
+    count) out in bounded Arrow batches, so per-task memory is one
+    batch + one in-flight record + one decompression chunk — the
+    whole COMPRESSED file is no longer materialized either (the old
+    binaryFile mount held it JVM-side and copied it to Python), and
+    binaryFile's 2 GB cap is gone.
     """
-    lenient = _lenient(errors)
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
+    _lenient(errors)  # validate eagerly, before any job runs
+    from borsa_spark.sources import warc_datasource as WD
+
+    WD.register(spark)
+    return (
+        spark.read.format("warc")
+        .option("pattern", pattern)
+        .option("errors", errors)
+        .option("split_bytes", "never")
         .load(path)
-        .select("path", "content")
-    )
-    return files.mapInPandas(
-        lambda it: _walk_batches(it, lenient=lenient), WARC_SCHEMA
     )
 
 
@@ -681,8 +684,11 @@ def _error_row(path_, i, off, msg):
 
 
 def _walk_batches(batches, lenient: bool = False):
-    """The mapInPandas body shared by `read_warc` and
-    `read_warc_stream`: records stream out in bounded batches
+    """The mapInPandas body of `read_warc_stream` (the batch readers
+    moved onto the ``warc`` Data Source; the STREAMING path stays on
+    Spark's native file stream source — see read_warc_stream's
+    docstring — so this walker keeps serving it over binaryFile
+    batches): records stream out in bounded batches
     (_BATCH_ROWS rows / _BATCH_BYTES payload bytes, whichever first) —
     a file larger than the bound yields several batches, an empty file
     yields one empty typed batch (so a zero-byte upload artifact
@@ -804,59 +810,6 @@ def _split_records(
     )
 
 
-def _split_batches(batches, filesystem, lenient: bool):
-    """mapInPandas body for `read_warc_split`: per (path, start, end)
-    split row, stream the split's records out in bounded batches.
-    record_index is ``member_offset + ordinal_in_member`` — a
-    deterministic per-file ordering key independent of the split size
-    (NOT the dense per-file ordinal `read_warc` emits). Uniqueness
-    holds whenever a member's record count is below its compressed
-    byte length — true for any real archive (a gzip member is ≥18
-    bytes); a pathological tiny-record/hyper-compressed member could
-    collide with its successor's key space, which would reorder, not
-    lose, rows. Lenient-mode quarantine rows key as ``-offset - 1`` —
-    a NEGATIVE record_index, disjoint from every real record's
-    non-negative key, so an error at a member's offset can never
-    collide with a record parsed from the same member (review
-    catch)."""
-    import pandas as pd
-
-    cols = [f.name for f in WARC_SCHEMA.fields]
-    for pdf in batches:
-        for path_, start, end in zip(pdf["path"], pdf["start"],
-                                     pdf["end"]):
-            rows: list[dict] = []
-            nbytes = 0
-            emitted = False
-            errlog: list = []
-            drained = 0
-
-            def drain_errors():
-                nonlocal drained
-                while drained < len(errlog):
-                    off, msg = errlog[drained]
-                    # negative record_index: disjoint from every real
-                    # record's offset+ordinal key (see docstring)
-                    rows.append(_error_row(path_, -off - 1, off, msg))
-                    drained += 1
-
-            with filesystem.open_input_file(path_) as f:
-                for off, _mend, k, hdr, payload in _split_records(
-                    f, int(start), int(end), lenient, errlog
-                ):
-                    drain_errors()
-                    rows.append(_record_row(path_, off + k, hdr, payload))
-                    nbytes += len(payload)
-                    if (len(rows) >= _BATCH_ROWS
-                            or nbytes >= _BATCH_BYTES):
-                        yield pd.DataFrame(rows, columns=cols)
-                        emitted = True
-                        rows, nbytes = [], 0
-                drain_errors()
-            if rows or not emitted:
-                yield pd.DataFrame(rows, columns=cols)
-
-
 def read_warc_split(spark: SparkSession, path: str,
                     split_bytes: int = 128 << 20,
                     pattern: str = "*.warc.gz",
@@ -879,14 +832,23 @@ def read_warc_split(spark: SparkSession, path: str,
     file, so every record lands in exactly one task. Requires the
     member-per-record (Common Crawl) layout; `read_warc` remains the
     default one-task-per-file path and emits identical relations
-    (modulo record_index, which here is offset-derived — see
-    `_split_batches`).
+    (modulo record_index, which here is ``member_offset + ordinal`` —
+    a deterministic per-file ordering key independent of the split
+    size, NOT the dense per-file ordinal `read_warc` emits. Uniqueness
+    holds whenever a member's record count is below its compressed
+    byte length — true for any real archive, a gzip member is ≥18
+    bytes. Lenient quarantine rows key as ``-offset - 1``, a NEGATIVE
+    index disjoint from every real record's non-negative key).
 
-    Plan shape: a tiny (path, start, end) split relation built from a
-    driver-side pyarrow.fs listing, repartitioned one split per task,
-    then the same Arrow record walk; per-task memory is one batch +
-    one in-flight record — split bytes stream from the open file and
-    are never held whole.
+    Thin wrapper over the registered ``warc`` Python Data Source with
+    an explicit ``split_bytes``: files larger than it fan into byte
+    ranges, smaller ones stay whole-file (a 1-range split — identical
+    records). Plan shape: ``BatchScan warc``, one input partition per
+    range — the fan-out is the partition plan itself, so the old
+    round-robin Exchange over a (path, start, end) relation is gone
+    (zero shuffles); per-task memory is one batch + one in-flight
+    record — split bytes stream from the open file and are never held
+    whole.
 
     Lenient-mode caveat specific to splits: junk bytes sitting exactly
     in a split's ENTRY region are skipped by the resync scan without a
@@ -903,12 +865,18 @@ def read_warc_split(spark: SparkSession, path: str,
     outer member's owner decodes it whole); for such corpora use
     `read_warc` or the `warc_cdx` + `fetch_records` path, both
     immune."""
-    lenient = _lenient(errors)
-    filesystem, sdf = _plan_splits(spark, path, pattern, split_bytes)
-    if sdf is None:
-        return spark.createDataFrame([], WARC_SCHEMA)
-    return sdf.mapInPandas(
-        lambda it: _split_batches(it, filesystem, lenient), WARC_SCHEMA
+    _lenient(errors)  # validate eagerly, before any job runs
+    if split_bytes < 1:
+        raise ValueError(f"split_bytes must be >= 1, got {split_bytes}")
+    from borsa_spark.sources import warc_datasource as WD
+
+    WD.register(spark)
+    return (
+        spark.read.format("warc")
+        .option("pattern", pattern)
+        .option("errors", errors)
+        .option("split_bytes", str(split_bytes))
+        .load(path)
     )
 
 
@@ -1177,7 +1145,7 @@ def _fetch_batches(batches, lenient: bool, filesystem=None):
                     nbytes += len(payload)
                 for eoff, msg in errlog:
                     # negative record_index — same disjoint error
-                    # keyspace as `_split_batches`
+                    # keyspace as the split reader's
                     rows.append(_error_row(path_, -eoff - 1, eoff, msg))
                 if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
                     yield pd.DataFrame(rows, columns=cols)
@@ -1250,7 +1218,19 @@ def read_warc_stream(spark: SparkSession, path: str,
     ``maxFilesPerTrigger`` (a SOURCE option — pass it here via
     ``**options``, a sink-side option is silently ignored) bounds
     per-batch memory to N whole files, the same one-file-per-task
-    unit as the batch reader."""
+    unit as the batch reader.
+
+    Why this stays on Spark's NATIVE file stream source while the
+    batch readers moved to the ``warc`` Data Source: the Python
+    streaming API exposes no admission control to
+    ``Trigger.AvailableNow`` — Spark captures one ``latestOffset``
+    snapshot and drains it as ONE batch (measured before shipping;
+    a throttled latestOffset strands the backlog), so only the native
+    source can honor the one-admission-batch-per-WARC-file pattern
+    the dedup-ingest pipeline drills. ``readStream.format("warc")``
+    exists too (snapshot-per-trigger semantics, executor-side reads —
+    see `sources/warc_datasource.py`); this wrapper remains the entry
+    point when per-file batch granularity matters."""
     from pyspark.sql.types import TimestampType
 
     schema = StructType([

@@ -804,12 +804,12 @@ class TestRound10PlanShapes:
 
 
 class TestRound11PlanShapes:
-    def test_warc_read_is_one_arrow_walk_over_binaryfile(self, spark,
-                                                         tmp_path):
-        # the WARC relation: binaryFile scan -> ONE MapInPandas (the
-        # Arrow record walk) and nothing else Python-side; the html
-        # funnel's type/status/content-type gates sit ABOVE the walk
-        # as plain filters (no second Python stage, no shuffle)
+    def test_warc_read_is_one_datasource_scan(self, spark, tmp_path):
+        # the WARC relation (round 13: rewired onto the registered
+        # `warc` Python Data Source): ONE BatchScan and nothing else
+        # Python-side — no binaryFile materialization, no MapInPandas
+        # stage; the html funnel's type/status/content-type gates sit
+        # ABOVE the scan as plain filters (map-only, no shuffle)
         from pyspark.sql import functions as F
 
         from borsa_spark.sources import warc as W
@@ -821,19 +821,20 @@ class TestRound11PlanShapes:
             str(tmp_path),
             _warc_rec,
         )
-        docs = W.warc_html_docs(W.read_warc(spark, str(tmp_path)))
+        rel = W.read_warc(spark, str(tmp_path))
+        docs = W.warc_html_docs(rel)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             docs.explain("formatted")
         plan = buf.getvalue()
-        # one walk NODE: formatted explain names each operator twice
-        # (tree + numbered detail), so count detail headers
         import re
 
-        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
-        assert "Scan binaryFile" in plan
+        assert len(re.findall(r"\(\d+\) BatchScan warc", plan)) == 1
+        assert "MapInPandas" not in plan  # the walk IS the scan now
         assert "Exchange" not in plan  # record walk + gates: map-only
         assert "BatchEvalPython" not in plan  # Arrow path, never pickled
+        # splitting off: one task per file, the Common Crawl unit
+        assert rel.rdd.getNumPartitions() == 2
 
     def test_f97_model_relations_broadcast_corpus_never_self_joins(
         self, spark
@@ -882,11 +883,13 @@ class TestRound12PlanShapes:
         )
         return str(tmp_path)
 
-    def test_split_read_is_one_arrow_walk_per_byte_range(self, spark,
-                                                         tmp_path):
-        # the split reader: a tiny (path,start,end) local relation ->
-        # ONE round-robin exchange (the fan-out — deliberate and the
-        # only shuffle) -> one Arrow walk; partitions = split count
+    def test_split_read_is_one_scan_task_per_byte_range(self, spark,
+                                                        tmp_path):
+        # the split reader (round 13: rewired onto the `warc` Data
+        # Source): byte ranges ARE the input partitions of ONE
+        # BatchScan — the old round-robin fan-out exchange over a
+        # (path,start,end) relation is GONE, zero shuffles; partitions
+        # = split count
         import os
 
         from borsa_spark.sources import warc as W
@@ -900,10 +903,9 @@ class TestRound12PlanShapes:
         plan = _plan_str(parts)
         import re
 
-        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
-        # exactly one exchange: the round-robin fan-out, nothing else
-        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
-        assert "RoundRobinPartitioning" in plan
+        assert len(re.findall(r"\(\d+\) BatchScan warc", plan)) == 1
+        assert "MapInPandas" not in plan
+        assert "Exchange" not in plan  # the fan-out shuffle is gone
         assert "BatchEvalPython" not in plan
         n_splits = -(-os.path.getsize(path) // split)
         assert parts.rdd.getNumPartitions() == n_splits > 1
