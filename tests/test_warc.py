@@ -743,6 +743,38 @@ class TestReviewFindingsR13:
         assert len(set(real + errs)) == len(real) + len(errs)
         assert errs == [-off0 - 1]
 
+    def test_fetch_fans_out_across_offset_buckets(self, spark,
+                                                  tmp_path,
+                                                  monkeypatch):
+        # the AQE-coalescing catch (round-13 drill): picked index rows
+        # are ~100 bytes, so without an EXPLICIT partition count AQE
+        # folds the whole picked set into one task while the member
+        # I/O behind each row stays invisible to it — 72k rows / 19
+        # buckets ran as a single 49.8 s task. fetch_records must pin
+        # the repartition to the counted bucket fan-out. (Bucket shift
+        # shrunk so a small fixture spans many buckets.)
+        from pyspark.sql import functions as F
+
+        monkeypatch.setattr(W, "_FETCH_BUCKET_SHIFT", 12)  # 4 KB
+        recs = [_resp_record(f"http://fan/{i}", b"x" * 120)
+                for i in range(200)]
+        p = str(tmp_path / "fan.warc.gz")
+        W.write_warc(p, recs)
+        idx = W.warc_cdx(spark, str(tmp_path))
+        n_buckets = idx.select(
+            F.shiftright("offset", 12)
+        ).distinct().count()
+        assert n_buckets > 4  # the fixture really spans buckets
+        fetched = W.fetch_records(idx)
+        fan = (fetched.select(F.spark_partition_id().alias("p"))
+               .groupBy("p").count().count())
+        assert fan > 1  # never serialized onto one task
+        assert fetched.count() == 200
+        # explicit override wins
+        one = W.fetch_records(idx, num_tasks=1)
+        assert (one.select(F.spark_partition_id().alias("p"))
+                .groupBy("p").count().count()) == 1
+
     def test_wat_href_pattern_with_quote_is_safe(self, spark,
                                                  tmp_path):
         # a pattern containing a single quote must neither parse-error
