@@ -136,6 +136,9 @@ TIER2 = [
     "f99_warc_cdx_fetch",
     "c15_crawl_link_rank",
     "f100_wat_sidecar",
+    # round 13 addition (first-baselined in BENCH_FULL_r13): the
+    # registered `warc` Data Source driven via format("warc")
+    "f101_warc_datasource",
 ]
 
 

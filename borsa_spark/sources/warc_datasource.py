@@ -329,6 +329,12 @@ class WarcDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration of the ``warc`` format
-    (re-registering replaces the entry — safe to call per read)."""
-    spark.dataSource.register(WarcDataSource)
+    """Idempotent per-session registration of the ``warc`` format.
+    Re-registering is harmless (it replaces the entry) but WARNs on
+    every call, and the wrappers call this per read — so mark done
+    sessions with an attribute ON the session object (its lifetime is
+    exactly the registration's; an id()-keyed set would go stale when
+    a collected session's id is reused by a new, unregistered one)."""
+    if not getattr(spark, "_borsa_warc_registered", False):
+        spark.dataSource.register(WarcDataSource)
+        spark._borsa_warc_registered = True

@@ -38,6 +38,10 @@ MATERIALIZED_GATES = {
     "f99_warc_cdx_fetch",
     "c15_crawl_link_rank",
     "f100_wat_sidecar",
+    # round 13: the Data Source surface query, same tempdir harness
+    # (plan asserted in TestRound13PlanShapes-adjacent updates to the
+    # r11/r12 warc plan tests: BatchScan warc, zero exchanges)
+    "f101_warc_datasource",
 }
 
 
