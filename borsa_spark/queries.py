@@ -10012,7 +10012,7 @@ def c14_warc_corpus_prep(spark, sf):
     the container layer: the c11 fixture's (html, url) rows are
     serialized into 8 gzip-member-per-record WARC files
     (`write_warc_files`), read back through `read_warc` +
-    `warc_html_docs` (binaryFile → mapInPandas walk → status/type/
+    `warc_html_docs` (the `warc` Data Source scan → status/type/
     content-type gates → UTF-8 decode), and ONLY then enter the
     identical stage pipeline (`_c11_stages_from_crawl`: f84 extract →
     URL dedup → C4 lines → blocklist → exact + paragraph dedup →

@@ -223,20 +223,34 @@ def _partition_batches(filesystem, part: _WarcPartition,
         yield _flush(rows)
 
 
+def _resolve_fs(path: str):
+    """The filesystem for ``path`` (local fallback for scheme-less
+    paths) WITHOUT listing — the reader carries only this into task
+    closures; a 90k-file crawl listing must not ride along pickled."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, _ = pafs.FileSystem.from_uri(path)
+    except Exception:  # plain local path, no scheme
+        filesystem = pafs.LocalFileSystem()
+    return filesystem
+
+
 class _WarcBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         (self.path, self.pattern, self.lenient, self.split,
          self.offset_keys) = _parse_options(options)
-        # resolve filesystem AND list here, not in partitions(): the
-        # reader is pickled to executors when it is CREATED, so state
-        # set later on the driver's copy never reaches read()
-        # (pyarrow filesystems pickle into the task closure, unlike
-        # the JVM Hadoop gateway)
-        self.filesystem, self._files = W._list_files(self.path,
-                                                     self.pattern)
+        # resolve the filesystem HERE, not in partitions(): the reader
+        # is pickled to executors when it is CREATED, so state set
+        # later on the driver's copy never reaches read() (pyarrow
+        # filesystems pickle into the task closure, unlike the JVM
+        # Hadoop gateway). The listing itself happens at planning time
+        # in partitions() — driver-only, never pickled.
+        self.filesystem = _resolve_fs(self.path)
 
     def partitions(self) -> list[InputPartition]:
-        parts = _plan(self._files, self.split, self.offset_keys)
+        _, files = W._list_files(self.path, self.pattern)
+        parts = _plan(files, self.split, self.offset_keys)
         # an empty directory must yield an empty relation, not a
         # planner error: Spark requires >= 1 partition, so emit one
         # empty sentinel task
@@ -267,7 +281,7 @@ class _WarcStreamReader(DataSourceStreamReader):
         raw = (options.get("maxFilesPerTrigger")
                or options.get("maxfilespertrigger"))
         self.max_files = int(raw) if raw else None
-        self.filesystem, _ = W._list_files(self.path, self.pattern)
+        self.filesystem = _resolve_fs(self.path)
         self._last: dict[str, int] = {}
 
     def _listing(self) -> dict[str, int]:

@@ -3,7 +3,7 @@ layout bytes to a scored corpus, plus the two other round-11 operators.
 
     1. Encode a synthetic crawl into real .warc.gz files (one gzip
        member per record — the seekable Common Crawl layout), read
-       them back through the binaryFile -> Arrow record walk, apply
+       them back through the `warc` Data Source's record walk, apply
        the response/2xx/text-html gates, and extract text (f96/f84).
     2. The minhash exact-dedup pre-pass (collapse_exact=True): the
        boilerplate cohort folds ONCE instead of once per copy, output
