@@ -136,9 +136,13 @@ TIER2 = [
     "f99_warc_cdx_fetch",
     "c15_crawl_link_rank",
     "f100_wat_sidecar",
-    # round 13 addition (first-baselined in BENCH_FULL_r13): the
-    # registered `warc` Data Source driven via format("warc")
+    # round 13 additions (first-baselined in BENCH_FULL_r13): the
+    # registered `warc` Data Source driven via format("warc"), the
+    # SURT-sorted columnar CDX index lookup, and the host-index
+    # rollup computed from the persisted index alone
     "f101_warc_datasource",
+    "f102_cdx_columnar_lookup",
+    "c16_host_index_rollup",
 ]
 
 

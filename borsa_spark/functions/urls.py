@@ -103,6 +103,71 @@ def canonicalize_url(
     )
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key for ``url`` —
+    the sort key Common Crawl's CDX/CDXJ and columnar indexes use
+    (public format: pywb / webarchive-commons SURT, e.g.
+    ``org,example)/path?q=1``). Reversing the host labels makes ONE
+    bytewise sort range cover a host and all its subdomains, so an
+    index sorted on this key answers host- and domain-scoped lookups
+    by range/prefix scan — the property `write_cdx_index` builds on.
+
+    Contract (deliberately explicit where SURT implementations vary):
+    - scheme, userinfo, and fragment dropped; the whole key lowercased
+      (the pywb convention — SURT keys are lookup keys, not resources,
+      so over-merge risk trades against lookup recall here, UNLIKE
+      `canonicalize_url` which must never merge distinct resources);
+    - one leading ``www`` / ``www<digits>`` host label stripped, but
+      only when at least two labels remain (``www.example.org`` ->
+      ``org,example``; ``www.com`` stays ``com,www`` — stripping there
+      would alias the registrable domain itself);
+    - host labels reversed and comma-joined;
+    - non-default port kept as ``:port`` after the reversed host
+      (http:80 / https:443 dropped);
+    - ``)`` separator, then the path with trailing-'/' runs stripped;
+    - query: empty params dropped, survivors bytewise-sorted and
+      rejoined — ALL params kept (an index key must find the URL as
+      crawled; tracking-param dropping belongs to dedup, not lookup);
+    - NULL when the URL has no parseable scheme/host (callers
+      quarantine: a NULL key must never join two garbage URLs).
+    """
+    low = F.lower(url)
+    scheme = _part(low, "PROTOCOL")
+    host = _part(low, "HOST")
+    host_nw = F.when(
+        host.rlike(r"^www[0-9]*\..+\."),
+        F.regexp_replace(host, r"^www[0-9]*\.", ""),
+    ).otherwise(host)
+    rev_host = F.array_join(F.reverse(F.split(host_nw, r"\.")), ",")
+    port = F.regexp_extract(_part(low, "AUTHORITY"), ":([0-9]+)$", 1)
+    is_default = F.coalesce(
+        *[
+            F.when((scheme == s) & (port == p), F.lit(True))
+            for s, p in _DEFAULT_PORTS.items()
+        ],
+        F.lit(False),
+    )
+    port_part = F.when(
+        (port == "") | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(F.coalesce(_part(low, "PATH"), F.lit("")),
+                            "/+$", "")
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(_part(low, "QUERY"), F.lit("")), "&"),
+                lambda p: p != "",
+            )
+        ),
+        "&",
+    )
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.when(
+        scheme.isNotNull() & host.isNotNull() & (host != ""),
+        F.concat(rev_host, port_part, F.lit(")"), path, q_part),
+    )
+
+
 def url_dedup_groups(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -9432,6 +9432,202 @@ def f99_warc_cdx_fetch(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _f102_url(did: int) -> str:
+    """The f102/c16 fixture's SPELLED URL — deliberately messy the way
+    a real crawl's WARC-Target-URIs are: www-prefixed spellings
+    (did%4), an explicit non-default port (did%9==0) and an explicit
+    DEFAULT port (did%9==5, which SURT must drop), unsorted query
+    params (did%6), and a fragment (did%8==3). Every arm is a doc_id
+    congruence so the DuckDB oracle can restate both the spelling and
+    its SURT key analytically."""
+    host = ("www." if did % 4 == 0 else "") + f"site{did % 13}.example.org"
+    port = ":8080" if did % 9 == 0 else (":443" if did % 9 == 5 else "")
+    q = "?b=2&a=1" if did % 6 == 0 else ""
+    frag = "#top" if did % 8 == 3 else ""
+    return f"https://{host}{port}/doc/{did}{q}{frag}"
+
+
+#: DuckDB spelling of `_f102_url` (kept adjacent so drift is visible)
+_F102_URL_SQL = """
+    'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+      || 'site' || (doc_id % 13) || '.example.org'
+      || CASE WHEN doc_id % 9 = 0 THEN ':8080'
+              WHEN doc_id % 9 = 5 THEN ':443' ELSE '' END
+      || '/doc/' || doc_id
+      || CASE WHEN doc_id % 6 = 0 THEN '?b=2&a=1' ELSE '' END
+      || CASE WHEN doc_id % 8 = 3 THEN '#top' ELSE '' END
+"""
+
+
+def _f102_records(row: dict):
+    """One response per doc (404 for did%7==2, else 200 text/html with
+    an analytically-stated body), plus a request record for did%5==0
+    that every index/rollup consumer must filter by WARC-Type."""
+    from borsa_spark.sources import warc as W
+
+    did = int(row["doc_id"])
+    url = _f102_url(did)
+    headers = {
+        "WARC-Target-URI": url,
+        "WARC-Date": "2026-02-01T00:00:00Z",
+        "WARC-Record-ID": f"<urn:borsa:host:{did}>",
+        "Content-Type": "application/http; msgtype=response",
+    }
+    status, reason = (404, "Not Found") if did % 7 == 2 else (200, "OK")
+    body = f"<html><body><p>site doc {did}</p></body></html>"
+    yield W.warc_record(
+        "response", headers,
+        W.http_response(status, reason,
+                        {"Content-Type": "text/html; charset=utf-8"},
+                        body.encode("ascii")),
+    )
+    if did % 5 == 0:
+        yield W.warc_record(
+            "request",
+            {"WARC-Target-URI": url,
+             "Content-Type": "application/http; msgtype=request"},
+            W.http_request("GET", f"/doc/{did}",
+                           f"site{did % 13}.example.org"),
+        )
+
+
+@query(
+    "f102_cdx_columnar_lookup",
+    f"""
+    SELECT doc_id,
+           {_F102_URL_SQL} AS url,
+           '<html><body><p>site doc ' || doc_id
+             || '</p></body></html>' AS html
+    FROM documents
+    WHERE doc_id % 13 = 7 AND doc_id % 7 <> 2
+    """,
+)
+def f102_cdx_columnar_lookup(spark, sf):
+    """The COLUMNAR CDX index end-to-end (`sources/warc.py::
+    cdx_columnar` / `write_cdx_index` / `read_cdx_index` /
+    `lookup_cdx` + `functions/urls.py::surt_key`): index the _f102
+    multi-host fixture, persist it as SURT-range-partitioned sorted
+    parquet, answer a host-scoped lookup (``org,example,site7`` —
+    which must merge the host's www-spelled, explicit-:443, and
+    :8080 variants under one reversed-host prefix) from the
+    PERSISTED index, and fetch + decode exactly the matching members.
+    Oracle: the host's congruence class stated analytically — a SURT
+    that fails to strip www/default ports (splitting the host), an
+    index file whose range leaks rows, or a fetch that desyncs
+    hash-mismatches. This is the Common Crawl columnar-index workflow
+    (the public cc-index-table: parquet sorted on url_surtkey).
+
+    Scale shape: the lookup plans as ONE parquet scan with
+    StringStartsWith(surt) pushed into it — file-level pruning from
+    the writer's disjoint ranges, row-group pruning from the sort
+    (pinned in TestRound13PlanShapes); fetch I/O ≈ the picked
+    members' bytes. At crawl scale the index is ~0.1% of the corpus
+    and a host query touches one or two of its files."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.sources import warc as W
+
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    n_files = max(8, ids.count() // 10_000)
+    ids = ids.withColumn("__file", F.col("doc_id") % n_files)
+    work = tempfile.mkdtemp(prefix="f102_warc_")
+    idx_dir = tempfile.mkdtemp(prefix="f102_cdx_")
+    try:
+        W.write_warc_files(ids, work, _f102_records, "__file", "doc_id")
+        W.write_cdx_index(W.warc_cdx(spark, work), idx_dir,
+                          index_files=4)
+        hit = W.lookup_cdx(W.read_cdx_index(spark, idx_dir),
+                           "org,example,site7")
+        docs = W.warc_html_docs(W.fetch_records(hit))
+        out = docs.select(
+            F.regexp_extract("url", r"/doc/(\d+)", 1)
+            .cast("long").alias("doc_id"),
+            "url",
+            "html",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+@query(
+    "c16_host_index_rollup",
+    """
+    SELECT 'org,example,site' || (doc_id % 13) AS surt_host,
+           COUNT(*)::BIGINT AS n_pages,
+           SUM(CASE WHEN doc_id % 7 <> 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_ok,
+           SUM(CASE WHEN doc_id % 7 = 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_missing,
+           SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_www_spellings,
+           SUM(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_query_urls
+    FROM documents
+    GROUP BY surt_host
+    """,
+)
+def c16_host_index_rollup(spark, sf):
+    """Host-level crawl analytics from the columnar CDX index ALONE —
+    the Common Crawl "host index" artifact (public: per-host page/
+    status/spelling statistics computed from the index, never the
+    payloads): group the persisted index by SURT host key (the
+    reversed-host prefix, port stripped) and count pages, 2xx/404
+    splits, www-spelled and query-carrying URL variants per host.
+    Request records must be excluded by WARC-Type; the www and
+    explicit-port spellings must land under the SAME host key.
+
+    Scale shape: ONE parquet scan of the index (payload bytes never
+    read — for a 100-TB crawl the scan is ~100 GB of index), a
+    regexp projection, one partial-aggregated groupBy keyed on
+    ~hosts (tens of millions at crawl scale, naturally
+    pre-clustered by the index sort so the shuffle's map-side
+    combine is maximally effective)."""
+    import shutil
+    import tempfile
+
+    from borsa_spark.sources import warc as W
+
+    ids = load_table(spark, sf, "documents").select("doc_id")
+    n_files = max(8, ids.count() // 10_000)
+    ids = ids.withColumn("__file", F.col("doc_id") % n_files)
+    work = tempfile.mkdtemp(prefix="c16_warc_")
+    idx_dir = tempfile.mkdtemp(prefix="c16_cdx_")
+    try:
+        W.write_warc_files(ids, work, _f102_records, "__file", "doc_id")
+        W.write_cdx_index(W.warc_cdx(spark, work), idx_dir,
+                          index_files=4)
+        idx = W.read_cdx_index(spark, idx_dir)
+        out = (
+            idx.filter(F.col("warc_type") == "response")
+            .select(
+                F.regexp_extract("surt", r"^([^):]*)", 1)
+                .alias("surt_host"),
+                "target_uri",
+                "http_status",
+            )
+            .groupBy("surt_host")
+            .agg(
+                F.count("*").cast("long").alias("n_pages"),
+                F.sum((F.col("http_status") == 200).cast("long"))
+                .cast("long").alias("n_ok"),
+                F.sum((F.col("http_status") == 404).cast("long"))
+                .cast("long").alias("n_missing"),
+                F.sum(F.col("target_uri").startswith("https://www.")
+                      .cast("long")).cast("long")
+                .alias("n_www_spellings"),
+                F.sum(F.col("target_uri").contains("?").cast("long"))
+                .cast("long").alias("n_query_urls"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def _c15_records(row: dict):
     """One response record per doc: the html body carries TWO outlinks
     (ring successor + a doc_id-dependent skip) — the link structure

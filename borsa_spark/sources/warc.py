@@ -1220,6 +1220,68 @@ def fetch_records(cdx: DataFrame, errors: str = "strict",
     )
 
 
+def cdx_columnar(cdx: DataFrame) -> DataFrame:
+    """The CDX relation plus a ``surt`` sort-key column
+    (`functions/urls.py::surt_key` over ``target_uri``) — the key
+    Common Crawl's own columnar index (the public cc-index-table
+    parquet) sorts on (``url_surtkey``). Sentinel/error rows and
+    unparseable URIs get a NULL key: they survive into the columnar
+    index (accounting stays intact — count them with ``surt IS
+    NULL``) but no prefix lookup ever matches them."""
+    from borsa_spark.functions.urls import surt_key
+
+    return cdx.withColumn("surt", surt_key(F.col("target_uri")))
+
+
+def write_cdx_index(cdx: DataFrame, path: str,
+                    index_files: int | None = None) -> None:
+    """Persist a CDX relation as a SURT-SORTED columnar (parquet)
+    index — the Common Crawl columnar-index architecture: CDXJ text
+    shards answer sequential range scans; the parquet form answers
+    planner-pruned analytic lookups. ``repartitionByRange`` on the
+    key gives each output file a DISJOINT surt range (file-level
+    pruning from parquet min/max stats), ``sortWithinPartitions``
+    makes every row group's min/max tight (row-group-level pruning),
+    so a host/domain prefix lookup reads O(matching rows), never the
+    index — at Common Crawl scale that is ~3G rows/crawl of index
+    answering a host query by touching one or two files.
+
+    ``index_files``: output file count; default lets the range
+    exchange use ``spark.sql.shuffle.partitions``. (warc_file,
+    offset) ride as secondary range/sort keys so equal-surt runs
+    (re-crawls of one URL) stay deterministic and clustered."""
+    df = cdx if "surt" in cdx.columns else cdx_columnar(cdx)
+    keys = [F.col("surt"), F.col("warc_file"), F.col("offset")]
+    parts = (df.repartitionByRange(index_files, *keys)
+             if index_files else df.repartitionByRange(*keys))
+    (parts.sortWithinPartitions("surt", "warc_file", "offset")
+          .write.mode("overwrite").parquet(path))
+
+
+def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
+    """Mount a persisted columnar CDX index. Plain parquet — the
+    value is in what the writer guaranteed (surt-disjoint files,
+    sorted row groups), which the reader gets for free as stats-based
+    pruning under any pushed predicate."""
+    return spark.read.parquet(path)
+
+
+def lookup_cdx(index: DataFrame, prefix: str) -> DataFrame:
+    """Index rows whose SURT key starts with ``prefix`` — the
+    host/domain-scoped lookup the sorted index exists for; compose
+    with `fetch_records` to read the matching members.
+
+    Prefix semantics (SURT reverses host labels, so scope = prefix):
+    ``org,example)`` = exactly host example.org (default port);
+    ``org,example,`` = its subdomains; ``org,example`` alone ALSO
+    matches org,examplefoo — include the ``)``/``,``/``:`` terminator
+    unless that over-match is intended. Plan shape: ``startswith`` on
+    a literal pushes to the parquet scan as StringStartsWith, which
+    prunes whole files (disjoint ranges) and row groups (sorted) via
+    min/max stats — reads scale with the result, not the index."""
+    return index.filter(F.col("surt").startswith(prefix))
+
+
 def read_warc_stream(spark: SparkSession, path: str,
                      pattern: str = "*.warc*",
                      errors: str = "strict", **options) -> DataFrame:

@@ -936,3 +936,120 @@ class TestRound12PlanShapes:
         # the fetch input carries ONLY (warc_file, offset): column
         # pruning reached the index walk's projection
         assert "hashpartitioning(warc_file" in plan
+
+
+def _host_rec(row):
+    """Multi-host record maker for the columnar-index plan tests:
+    host varies with id so the SURT range partitioning has real key
+    spread."""
+    from borsa_spark.sources import warc as W
+
+    i = row["id"]
+    yield W.warc_record(
+        "response",
+        {"WARC-Target-URI": f"https://h{i % 7:02d}.example.org/p/{i}",
+         "Content-Type": "application/http; msgtype=response"},
+        W.http_response(200, "OK", {"Content-Type": "text/html"},
+                        b"<p>plan fixture body long enough here.</p>"),
+    )
+
+
+class TestRound13PlanShapes:
+    @staticmethod
+    def _index(spark, tmp_path, n=96, index_files=3):
+        from pyspark.sql import functions as F
+
+        from borsa_spark.sources import warc as W
+
+        warc_dir = str(tmp_path / "warc")
+        idx_dir = str(tmp_path / "cdx")
+        W.write_warc_files(
+            spark.range(n).select(
+                F.col("id"), (F.col("id") % 2).alias("__file")
+            ),
+            warc_dir, _host_rec,
+        )
+        W.write_cdx_index(W.warc_cdx(spark, warc_dir), idx_dir,
+                          index_files=index_files)
+        return idx_dir
+
+    def test_lookup_pushes_startswith_into_the_parquet_scan(
+            self, spark, tmp_path):
+        # the whole point of the sorted columnar index: a prefix
+        # lookup must reach the scan as a pushed StringStartsWith
+        # (min/max row-group + file pruning), one scan, no shuffle,
+        # no Python
+        import re
+
+        from borsa_spark.sources import warc as W
+
+        idx_dir = self._index(spark, tmp_path)
+        hit = W.lookup_cdx(W.read_cdx_index(spark, idx_dir),
+                           "org,example,h03)")
+        plan = _plan_str(hit)
+        assert re.search(r"PushedFilters:.*StringStartsWith\(surt",
+                         plan), plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Exchange" not in plan
+        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_index_files_are_disjoint_and_row_groups_sorted(
+            self, spark, tmp_path):
+        # what makes the pruning REAL, asserted from the parquet
+        # footers themselves: every output file owns a disjoint surt
+        # range (repartitionByRange) and row-group stats are tight
+        # (sortWithinPartitions) — min/max pruning follows from
+        # parquet semantics, no Spark internals needed
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        idx_dir = self._index(spark, tmp_path)
+        spans = []
+        for f in glob.glob(os.path.join(idx_dir, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("surt")
+            groups = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col).statistics
+                assert st is not None and st.has_min_max
+                groups.append((st.min, st.max))
+            # row groups sorted and non-overlapping within the file
+            for (lo1, hi1), (lo2, hi2) in zip(groups, groups[1:]):
+                assert hi1 <= lo2
+            if groups:
+                spans.append((groups[0][0], groups[-1][1]))
+        assert len(spans) >= 2  # the range exchange really spread
+        spans.sort()
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi <= lo  # files own disjoint surt ranges
+
+    def test_host_rollup_never_touches_payload_bytes(self, spark,
+                                                     tmp_path):
+        # the c16 shape: host analytics from the index alone — one
+        # parquet scan, zero WARC walks (MapInPandas absent), one
+        # aggregate exchange keyed on the host projection
+        import re
+
+        from pyspark.sql import functions as F
+
+        from borsa_spark.sources import warc as W
+
+        idx_dir = self._index(spark, tmp_path)
+        rollup = (
+            W.read_cdx_index(spark, idx_dir)
+            .filter(F.col("warc_type") == "response")
+            .groupBy(F.regexp_extract("surt", r"^([^):]*)", 1)
+                     .alias("surt_host"))
+            .agg(F.count("*").alias("n_pages"))
+        )
+        plan = _plan_str(rollup)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        # partial aggregation below the exchange (map-side combine)
+        assert plan.find("HashAggregate") < plan.find("Exchange")

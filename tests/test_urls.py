@@ -127,3 +127,94 @@ class TestTrackingParamPolicy:
         from borsa_spark.functions.urls import TRACKING_PARAMS
 
         assert "ref" not in TRACKING_PARAMS
+
+
+SURT_CASES = [
+    # the canonical example: scheme dropped, host reversed, lowercased
+    ("https://Example.ORG/Doc/5", "org,example)/doc/5"),
+    # www / www<digits> stripped when >= 2 labels remain
+    ("https://www.example.org/p", "org,example)/p"),
+    ("http://www2.example.org/p", "org,example)/p"),
+    # ... but NOT when stripping would eat the registrable domain
+    ("https://www.com/x", "com,www)/x"),
+    # default ports dropped per scheme, others kept after the host
+    ("https://example.org:443/p", "org,example)/p"),
+    ("http://example.org:80/p", "org,example)/p"),
+    ("https://example.org:8080/p", "org,example:8080)/p"),
+    # fragment dropped; trailing-slash runs stripped; query sorted
+    # bytewise with duplicates kept
+    ("https://example.org/a/b/?b=2&a=1#frag", "org,example)/a/b?a=1&b=2"),
+    ("https://example.org/x?b=2&a=1&b=1", "org,example)/x?a=1&b=1&b=2"),
+    # userinfo never reaches the key
+    ("https://u:pw@example.org/p", "org,example)/p"),
+    # root collapses to host)
+    ("https://example.org/", "org,example)"),
+    # unparseable quarantines to NULL
+    ("not a url", None),
+    (None, None),
+]
+
+
+class TestSurtKey:
+    def test_contract_cases(self, spark):
+        from borsa_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame(
+            [(u,) for u, _ in SURT_CASES], "url string"
+        )
+        got = [
+            r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+            .collect()
+        ]
+        assert got == [want for _, want in SURT_CASES]
+
+    def test_spelling_variants_share_one_key(self, spark):
+        # the merge the index exists for: every crawl spelling of one
+        # resource sorts to the same key
+        from borsa_spark.functions.urls import surt_key
+
+        spellings = [
+            "https://www.site.example.org/doc/1?b=2&a=1",
+            "HTTPS://Site.Example.ORG:443/doc/1/?a=1&b=2#top",
+            "https://site.example.org/doc/1?b=2&a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in spellings],
+                                   "url string")
+        keys = {
+            r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+            .collect()
+        }
+        assert keys == {"org,example,site)/doc/1?a=1&b=2"}
+
+    def test_host_prefix_covers_subdomains(self, spark):
+        # reversed labels make domain scope a bytewise prefix — the
+        # property write_cdx_index's range layout builds on
+        from borsa_spark.functions.urls import surt_key
+
+        urls = [
+            "https://example.org/",
+            "https://a.example.org/x",
+            "https://b.a.example.org/y",
+            "https://other.org/z",
+            # the documented over-match: a BARE host prefix (no
+            # ')'/','/':' terminator) also catches sibling hosts that
+            # merely extend the label — lookup_cdx's docstring warns
+            # exactly this, so pin it as intended behavior
+            "https://example-other.org/w",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        keys = [
+            r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+            .collect()
+        ]
+        assert [k.startswith("org,example") for k in keys] == [
+            True, True, True, False, True
+        ]
+        # subdomain scope = 'org,example,' prefix (host itself uses ')')
+        assert [k.startswith("org,example,") for k in keys] == [
+            False, True, True, False, False
+        ]
+        # exact-host scope = 'org,example)' — no siblings, no subdomains
+        assert [k.startswith("org,example)") for k in keys] == [
+            True, False, False, False, False
+        ]

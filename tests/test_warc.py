@@ -1264,3 +1264,74 @@ class TestRevisitRecords:
         # orig + 2 copies cluster; the other response and the weak
         # revisit stay singletons
         assert sizes == [1, 1, 3]
+
+
+class TestCdxColumnar:
+    """The SURT-sorted columnar index (round 13): spelling merge,
+    sentinel accounting, and persisted-layout round-trips. Plan/layout
+    guarantees (pushed StartsWith, disjoint file ranges, sorted row
+    groups) live in test_plan_shapes.TestRound13PlanShapes."""
+
+    VARIANTS = [  # one resource, four crawl spellings
+        "https://www.site.example.org/doc/1?b=2&a=1",
+        "https://site.example.org:443/doc/1/?a=1&b=2#top",
+        "https://site.example.org/doc/1?b=2&a=1",
+        "https://SITE.Example.ORG/doc/1?a=1&b=2",
+    ]
+
+    def _dir(self, tmp_path, extra=()):
+        blob = b"".join(
+            W.gzip_member(_resp_record(u, b"<p>v</p>"))
+            for u in (*self.VARIANTS, *extra)
+        )
+        p = tmp_path / "hosts.warc.gz"
+        p.write_bytes(blob)
+        return str(tmp_path)
+
+    def test_spelling_variants_collapse_under_one_prefix(
+            self, spark, tmp_path):
+        d = self._dir(tmp_path,
+                      extra=("https://other.example.org/doc/9",))
+        idx_dir = str(tmp_path / "cdx")
+        W.write_cdx_index(W.warc_cdx(spark, d), idx_dir, index_files=2)
+        index = W.read_cdx_index(spark, idx_dir)
+        hit = W.lookup_cdx(index, "org,example,site)")
+        rows = hit.collect()
+        assert len(rows) == len(self.VARIANTS)
+        assert {r.surt for r in rows} == {
+            "org,example,site)/doc/1?a=1&b=2"
+        }
+        # spelled URIs survive unmerged next to the merged key
+        assert {r.target_uri for r in rows} == set(self.VARIANTS)
+        # and the picked members fetch + decode
+        fetched = W.fetch_records(hit).collect()
+        assert len(fetched) == len(self.VARIANTS)
+        assert all(b"<p>v</p>" in r.body for r in fetched)
+
+    def test_lenient_sentinels_keep_null_surt(self, spark, tmp_path):
+        good = _resp_record("https://site.example.org/ok", b"<p>k</p>")
+        blob = (W.gzip_member(good)
+                + b"\x1f\x8b\x08" + b"\x00" * 24
+                + W.gzip_member(good))
+        (tmp_path / "junk.warc.gz").write_bytes(blob)
+        idx_dir = str(tmp_path / "cdx")
+        W.write_cdx_index(
+            W.warc_cdx(spark, str(tmp_path), errors="lenient"),
+            idx_dir, index_files=1,
+        )
+        index = W.read_cdx_index(spark, idx_dir)
+        # the sentinel survives persistence, counts via surt IS NULL,
+        # and no prefix lookup can ever match it
+        assert index.filter("surt IS NULL").count() == 1
+        assert index.count() == 3
+        assert W.lookup_cdx(index, "").count() == 2
+
+    def test_write_accepts_pre_columnar_relation(self, spark,
+                                                 tmp_path):
+        d = self._dir(tmp_path)
+        idx_dir = str(tmp_path / "cdx")
+        W.write_cdx_index(W.cdx_columnar(W.warc_cdx(spark, d)),
+                          idx_dir, index_files=1)
+        index = W.read_cdx_index(spark, idx_dir)
+        assert index.columns.count("surt") == 1
+        assert index.count() == len(self.VARIANTS)

@@ -40,8 +40,12 @@ MATERIALIZED_GATES = {
     "f100_wat_sidecar",
     # round 13: the Data Source surface query, same tempdir harness
     # (plan asserted in TestRound13PlanShapes-adjacent updates to the
-    # r11/r12 warc plan tests: BatchScan warc, zero exchanges)
+    # r11/r12 warc plan tests: BatchScan warc, zero exchanges), plus
+    # the columnar-index pair (plans asserted in TestRound13PlanShapes:
+    # pushed StringStartsWith lookup / index-only rollup)
     "f101_warc_datasource",
+    "f102_cdx_columnar_lookup",
+    "c16_host_index_rollup",
 }
 
 
