@@ -133,13 +133,24 @@ def surt_key(url: Column) -> Column:
     """
     low = F.lower(url)
     scheme = _part(low, "PROTOCOL")
-    host = _part(low, "HOST")
+    # FQDN trailing dot ('example.org.') names the same host — strip
+    # it, or the empty final label reverses into a LEADING comma and
+    # the key escapes its host's prefix range (review catch). Bracket
+    # (IPv6) hosts have no dot labels and pass through unreversed —
+    # still a stable, self-consistent key.
+    host = F.regexp_replace(_part(low, "HOST"), r"\.+$", "")
     host_nw = F.when(
         host.rlike(r"^www[0-9]*\..+\."),
         F.regexp_replace(host, r"^www[0-9]*\.", ""),
     ).otherwise(host)
     rev_host = F.array_join(F.reverse(F.split(host_nw, r"\.")), ",")
-    port = F.regexp_extract(_part(low, "AUTHORITY"), ":([0-9]+)$", 1)
+    # leading zeros stripped (':007' and ':7' are one port — and the
+    # default-port comparison below is string-typed, review catch)
+    raw_port = F.regexp_extract(_part(low, "AUTHORITY"),
+                                ":([0-9]+)$", 1)
+    port = F.when(raw_port == "", raw_port).otherwise(
+        raw_port.cast("long").cast("string")
+    )
     is_default = F.coalesce(
         *[
             F.when((scheme == s) & (port == p), F.lit(True))

@@ -1250,6 +1250,11 @@ def write_cdx_index(cdx: DataFrame, path: str,
     exchange use ``spark.sql.shuffle.partitions``. (warc_file,
     offset) ride as secondary range/sort keys so equal-surt runs
     (re-crawls of one URL) stay deterministic and clustered."""
+    if index_files is not None and index_files < 1:
+        # same guard class as _plan_splits' split_bytes (review
+        # catch): 0 dies inside repartitionByRange with an opaque
+        # error, negatives should never plan silently
+        raise ValueError("index_files must be >= 1")
     df = cdx if "surt" in cdx.columns else cdx_columnar(cdx)
     keys = [F.col("surt"), F.col("warc_file"), F.col("offset")]
     parts = (df.repartitionByRange(index_files, *keys)

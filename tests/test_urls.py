@@ -218,3 +218,55 @@ class TestSurtKey:
         assert [k.startswith("org,example)") for k in keys] == [
             True, False, False, False, False
         ]
+
+
+class TestSurtReviewCatches:
+    """Round-13 in-round review findings on surt_key, pinned."""
+
+    def test_fqdn_trailing_dot_stays_in_host_range(self, spark):
+        # 'example.org.' is the same host; an unstripped empty label
+        # would reverse into a LEADING comma and escape the host's
+        # prefix range
+        from borsa_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame(
+            [("https://example.org./p",), ("https://example.org/p",)],
+            "url string",
+        )
+        keys = {
+            r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+            .collect()
+        }
+        assert keys == {"org,example)/p"}
+
+    def test_zero_padded_ports_normalize(self, spark):
+        from borsa_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame(
+            [("https://example.org:007/p",),
+             ("https://example.org:7/p",),
+             ("https://example.org:0443/p",)],
+            "url string",
+        )
+        keys = [
+            r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+            .collect()
+        ]
+        assert keys[0] == keys[1] == "org,example:7)/p"
+        # zero-padded DEFAULT port is recognized as default
+        assert keys[2] == "org,example)/p"
+
+    def test_ipv6_hosts_key_stably(self, spark):
+        from borsa_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame(
+            [("http://[2001:db8::1]:8080/x",),
+             ("http://[2001:db8::1]:80/x",)],
+            "url string",
+        )
+        keys = [
+            r.s for r in df.select(surt_key(F.col("url")).alias("s"))
+            .collect()
+        ]
+        assert keys[0] == "[2001:db8::1]:8080)/x"
+        assert keys[1] == "[2001:db8::1])/x"  # default port dropped

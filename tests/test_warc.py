@@ -1335,3 +1335,10 @@ class TestCdxColumnar:
         index = W.read_cdx_index(spark, idx_dir)
         assert index.columns.count("surt") == 1
         assert index.count() == len(self.VARIANTS)
+
+    def test_index_files_validated(self, spark, tmp_path):
+        d = self._dir(tmp_path)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="index_files"):
+            W.write_cdx_index(W.warc_cdx(spark, d),
+                              str(tmp_path / "cdx"), index_files=0)
