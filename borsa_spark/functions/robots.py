@@ -1,0 +1,248 @@
+"""robots.txt parsing + URL filtering (RFC 9309) for crawl pipelines.
+
+A training-data pipeline that ingests crawls must be able to answer
+"which of these URLs does the site's robots.txt allow for my agent?" —
+for recrawl politeness, for opt-out compliance audits, and for
+filtering corpora against CURRENT robots rules (Common Crawl publishes
+per-crawl robots.txt captures as their own WARC set for exactly these
+uses). This module turns robots.txt bodies into a rules relation and
+evaluates URL sets against it, entirely with JVM expressions — line
+structure via one per-host window, wildcard rules via regex columns,
+evaluation via one host-keyed equi-join.
+
+Spec facts the implementation follows (RFC 9309, public):
+
+- A robots.txt is line-based: ``User-agent``, ``Allow``, ``Disallow``
+  directives (case-insensitive names), ``#`` comments to end-of-line.
+- CONSECUTIVE ``User-agent`` lines open ONE group sharing the rule
+  block that follows; a ``User-agent`` line appearing after rules
+  starts a new group. Rules before any group are invalid → ignored.
+- Multiple groups naming the same agent merge (rules combine).
+- A crawler obeys the group(s) matching its product token
+  (case-insensitive); if none match, the ``*`` group; if neither
+  exists, everything is allowed. When a specific group matches, the
+  ``*`` group does NOT apply. (Token matching here is EXACT
+  case-insensitive — the RFC's longest-prefix product-token match is
+  out of scope and documented; crawl-analytics callers pass the
+  literal token they care about.)
+- Rule patterns prefix-match the URL's path-and-query, byte-exact and
+  case-sensitive, with two metacharacters: ``*`` (any sequence) and a
+  TRAILING ``$`` (end anchor).
+- Decision: the MOST SPECIFIC matching rule wins (longest pattern in
+  octets); on a length tie, the least restrictive (Allow) wins. No
+  matching rule → allowed. An empty pattern (``Disallow:``) imposes
+  no restriction → dropped at parse.
+- Other directives (Crawl-delay, Sitemap, ...) are not rules; the
+  parser drops them (Sitemap extraction would be a separate scan —
+  out of scope here).
+
+Scale shape: parsing is a projection + ONE window keyed (host) over
+robots bodies (a robots.txt is small by convention — the RFC caps
+mandatory parsing at 500 KiB; one crawl's robots set is ~hosts rows,
+millions, not billions). Evaluation is ONE hash equi-join on host —
+rules-side rows per host are tens, so there is no build-side
+explosion; at crawl scale this is a plain shuffle join AQE handles,
+and the matched-rule argmax is a partial-aggregatable max_by, not a
+window. Rule regexes are column values, so matching runs through the
+JVM's regexp_like off the codegen fast path — acceptable because the
+rules side is small and the join output is what it costs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: regex metacharacters to neutralize in robots patterns — everything
+#: except '*' (wildcard, translated) and '$' (only a TRAILING one is
+#: an anchor; inner '$' are literal and get escaped separately)
+_META = r"[\.\[\]\(\)\+\?\^\{\}\|\\]"
+
+
+def _pattern_regex(pattern: Column) -> Column:
+    """Java regex equivalent of a robots rule pattern: anchored prefix
+    match, ``*`` -> ``.*``, one trailing ``$`` -> end anchor, every
+    other regex meta (and inner ``$``) literal."""
+    anchored = pattern.endswith("$")
+    core = F.when(
+        anchored, F.substring(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(core, _META, r"\\$0")
+    esc = F.regexp_replace(esc, r"\$", r"\\\$")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), body, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> the rules relation: one row per
+    (host, agent, directive, pattern) with the translated
+    ``pattern_regex`` and octet-length ``pattern_len`` evaluation
+    needs. Group structure per the RFC: consecutive User-agent lines
+    share the following rule block; pre-group rules are ignored;
+    same-agent groups merge downstream (evaluation reads ALL rows for
+    an agent). Non-rule directives and empty patterns drop here.
+
+    Plan: split/posexplode the body's lines, one window over
+    (host) ordered by line position to assign group ids (the ONLY
+    non-projection step — robots bodies are small by spec, ≤500 KiB
+    mandatory parsing, so per-host line counts are bounded), then a
+    self-join of each group's User-agent lines onto its rules."""
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+            ).alias("pos", "line"),
+        )
+        .select(
+            "host", "pos",
+            F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .select(
+            "host", "pos",
+            F.lower(
+                F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)
+            ).alias("directive"),
+            F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+            .alias("value"),
+        )
+        .filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("directive") == "user-agent"
+    grouped = lines.withColumn(
+        "group_id",
+        F.sum(
+            (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)))
+            .cast("int")
+        ).over(w),
+    )
+    # ONE aggregation collects each group's agent set and rule list,
+    # then two explodes pair them — an agents⋈rules self-join here
+    # would evaluate the windowed lines subtree twice (collect_*
+    # skip NULLs, so the when()s split the lines without a pre-filter;
+    # groups with no agents = pre-group rules, dropped by the size
+    # guard)
+    per_group = (
+        grouped.groupBy("host", "group_id")
+        .agg(
+            F.collect_set(F.when(is_ua, F.lower("value")))
+            .alias("agents"),
+            F.collect_list(
+                F.when(
+                    ~is_ua & (F.col("value") != ""),
+                    F.struct(F.col("directive"),
+                             F.col("value").alias("pattern")),
+                )
+            ).alias("rules"),
+        )
+        .filter((F.size("agents") > 0) & (F.size("rules") > 0))
+    )
+    return (
+        per_group
+        .select("host", F.explode("agents").alias("agent"), "rules")
+        .select("host", "agent", F.explode("rules").alias("r"))
+        .select(
+            "host", "agent", "r.directive", "r.pattern",
+            _pattern_regex(F.col("r.pattern")).alias("pattern_regex"),
+            F.octet_length("r.pattern").alias("pattern_len"),
+        )
+    )
+
+
+def robots_eval(
+    urls: DataFrame, rules: DataFrame, agent: str, url_col: str = "url"
+) -> DataFrame:
+    """Evaluate every row of ``urls`` against ``rules`` (from
+    `parse_robots`) for ``agent``: adds ``allowed`` (boolean; hosts
+    without an applicable group default to allowed) and
+    ``decisive_rule`` (the winning rule's pattern, NULL when no rule
+    matched). Matching follows the RFC: the crawler's group is the
+    exact case-insensitive agent token if any host group names it,
+    else ``*``; the longest matching pattern decides; Allow wins
+    length ties; match target is the URL's path-and-query.
+
+    Plan: group selection is a per-host max flag (partial-agg
+    groupBy + one equi-join back), evaluation is ONE host-keyed
+    equi-join followed by a max_by argmax — no windows over the big
+    side, no cross join, rule regexes ride as columns."""
+    mine = rules.filter(
+        F.col("agent").isin(agent.lower(), "*")
+    ).withColumn("is_specific", (F.col("agent") != "*").cast("int"))
+    # group selection as a window over the RULES side (small — tens of
+    # rows per host), not a groupBy + self-join: the join form
+    # re-evaluates the whole parse subtree once per branch (3 windowed
+    # parses in the physical plan before this was rewritten)
+    applicable = mine.withColumn(
+        "use_specific",
+        F.max("is_specific").over(Window.partitionBy("host")),
+    ).filter(F.col("is_specific") == F.col("use_specific"))
+
+    u = urls.withColumn(
+        "__host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    ).withColumn(
+        "__target",
+        F.concat(
+            F.coalesce(
+                F.nullif(
+                    F.try_parse_url(F.col(url_col), F.lit("PATH")),
+                    F.lit(""),
+                ),
+                F.lit("/"),
+            ),
+            F.coalesce(
+                F.concat(
+                    F.lit("?"),
+                    F.try_parse_url(F.col(url_col), F.lit("QUERY")),
+                ),
+                F.lit(""),
+            ),
+        ),
+    )
+    joined = u.join(
+        applicable.select("host", "directive", "pattern",
+                          "pattern_regex", "pattern_len"),
+        u["__host"] == applicable["host"],
+        "left",
+    ).withColumn(
+        "__match",
+        F.expr("regexp_like(__target, pattern_regex)"),
+    )
+    verdict = (
+        joined.groupBy(*[F.col(c) for c in urls.columns], "__host",
+                       "__target")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("directive").alias("directive"),
+                    F.col("pattern").alias("pattern"),
+                ),
+                F.when(
+                    F.col("__match"),
+                    F.struct(
+                        F.col("pattern_len").alias("l"),
+                        (F.col("directive") == "allow").cast("int")
+                        .alias("a"),
+                    ),
+                ),
+            ).alias("__win"),
+            F.max(F.col("__match").cast("int")).alias("__any"),
+        )
+        .select(
+            *urls.columns,
+            F.when(
+                F.coalesce(F.col("__any"), F.lit(0)) == 0, F.lit(True)
+            ).otherwise(F.col("__win.directive") == "allow")
+            .alias("allowed"),
+            F.when(
+                F.coalesce(F.col("__any"), F.lit(0)) == 1,
+                F.col("__win.pattern"),
+            ).alias("decisive_rule"),
+        )
+    )
+    return verdict

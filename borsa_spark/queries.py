@@ -9628,6 +9628,93 @@ def c16_host_index_rollup(spark, sf):
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+@query(
+    "f103_robots_filter",
+    """
+    SELECT doc_id,
+           'https://site' || (doc_id % 13) || '.example.org'
+             || CASE WHEN doc_id % 11 = 7
+                     THEN '/tmp/a' || doc_id || '.bak'
+                     WHEN doc_id % 5 = 0 THEN '/block/x' || doc_id
+                     WHEN doc_id % 5 = 1 THEN '/block/open/x' || doc_id
+                     ELSE '/doc/' || doc_id END AS url,
+           CASE WHEN (doc_id % 13) % 3 = 0 THEN
+                  doc_id % 11 = 7 OR doc_id % 5 IN (0, 1)
+                ELSE
+                  doc_id % 11 <> 7 AND doc_id % 5 <> 0
+           END AS allowed,
+           CASE WHEN (doc_id % 13) % 3 = 0 THEN
+                  CASE WHEN doc_id % 11 = 7 OR doc_id % 5 IN (0, 1)
+                       THEN NULL ELSE '/doc/' END
+                ELSE
+                  CASE WHEN doc_id % 11 = 7 THEN '/tmp/*.bak$'
+                       WHEN doc_id % 5 = 0 THEN '/block/'
+                       WHEN doc_id % 5 = 1 THEN '/block/open/'
+                       ELSE NULL END
+           END AS decisive_rule
+    FROM documents
+    """,
+)
+def f103_robots_filter(spark, sf):
+    """robots.txt compliance filtering end-to-end
+    (`functions/robots.py`: `parse_robots` + `robots_eval`, RFC
+    9309): 13 per-host robots bodies — a ``*`` group with a prefix
+    disallow, a LONGER allow carve-out, and a wildcard+anchored
+    ``/tmp/*.bak$`` rule; every third host adds a ``borsa-bot``
+    group whose presence must EXCLUDE the ``*`` group entirely —
+    evaluated for agent ``borsa-bot`` over a URL set derived from
+    documents. The oracle states the verdict AND the decisive rule
+    analytically per congruence class: a parser that mis-groups
+    consecutive agent lines, an evaluator that unions instead of
+    selecting groups, a wrong longest-match/allow-tie order, or a
+    mistranslated wildcard regex flips a verdict and
+    hash-mismatches.
+
+    Scale shape: zero Python, zero windows on the URL side — rule
+    parsing is one bounded window over ~hosts rows of robots lines;
+    evaluation is ONE host-keyed equi-join (rules side is tens of
+    rows per host) plus a partial-aggregated max_by argmax."""
+    from borsa_spark.functions.robots import parse_robots, robots_eval
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    s = F.col("doc_id") % 13
+    base = (
+        "User-agent: *\n"
+        "Disallow: /block/\n"
+        "Allow: /block/open/\n"
+        "Disallow: /tmp/*.bak$\n"
+    )
+    extra = "User-agent: borsa-bot\nDisallow: /doc/\n"
+    robots = (
+        docs.select(s.alias("site")).distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("site"),
+                     F.lit(".example.org")).alias("host"),
+            F.concat(
+                F.lit(base),
+                F.when(F.col("site") % 3 == 0, F.lit(extra))
+                .otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    path = (
+        F.when(F.col("doc_id") % 11 == 7,
+               F.concat(F.lit("/tmp/a"), F.col("doc_id"),
+                        F.lit(".bak")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.lit("/block/x"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/block/open/x"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/doc/"), F.col("doc_id")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), s, F.lit(".example.org"),
+                 path).alias("url"),
+    )
+    return robots_eval(urls, parse_robots(robots), "borsa-bot")
+
+
 def _c15_records(row: dict):
     """One response record per doc: the html body carries TWO outlinks
     (ring successor + a doc_id-dependent skip) — the link structure

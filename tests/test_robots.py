@@ -1,0 +1,174 @@
+"""robots.txt parsing + evaluation (functions/robots.py): every RFC
+9309 rule the module docstring claims, pinned on handcrafted bodies —
+group structure, group selection exclusivity, longest-match with the
+allow tie-break, wildcard/anchor translation, and the default-allow
+edges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from borsa_spark.functions.robots import (
+    _pattern_regex,
+    parse_robots,
+    robots_eval,
+)
+
+BODY_A = """# politeness file
+User-agent: *
+Disallow: /block/
+Allow: /block/open/
+Disallow: /tmp/*.bak$
+Crawl-delay: 2
+
+User-agent: borsa-bot
+User-agent: other-bot
+Disallow: /doc/
+"""
+
+BODY_B = """Disallow: /pregroup/
+User-agent: *
+Disallow:
+Allow: /
+"""
+
+
+def _rules(spark):
+    robots = spark.createDataFrame(
+        [("a.example.org", BODY_A), ("b.example.org", BODY_B)],
+        "host string, robots_txt string",
+    )
+    return parse_robots(robots)
+
+
+def _verdicts(spark, rules, agent):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example.org/block/x"),
+            (2, "https://a.example.org/block/open/x"),
+            (3, "https://a.example.org/doc/5"),
+            (4, "https://a.example.org/tmp/a.bak"),
+            (5, "https://a.example.org/tmp/a.bakx"),
+            (6, "https://b.example.org/pregroup/z"),
+            (7, "https://norobots.example.org/x"),
+            (8, "https://a.example.org"),
+        ],
+        "doc_id long, url string",
+    )
+    out = robots_eval(urls, rules, agent).collect()
+    return {r.doc_id: (r.allowed, r.decisive_rule) for r in out}
+
+
+class TestParseRobots:
+    def test_rules_relation(self, spark):
+        rows = {
+            (r.host, r.agent, r.directive, r.pattern): (
+                r.pattern_regex, r.pattern_len
+            )
+            for r in _rules(spark).collect()
+        }
+        assert set(rows) == {
+            ("a.example.org", "*", "disallow", "/block/"),
+            ("a.example.org", "*", "allow", "/block/open/"),
+            ("a.example.org", "*", "disallow", "/tmp/*.bak$"),
+            # consecutive User-agent lines share ONE rule block
+            ("a.example.org", "borsa-bot", "disallow", "/doc/"),
+            ("a.example.org", "other-bot", "disallow", "/doc/"),
+            # pre-group '/pregroup/' and the empty Disallow dropped
+            ("b.example.org", "*", "allow", "/"),
+        }
+        # wildcard + anchor translate; specificity is octet length
+        assert rows[("a.example.org", "*", "disallow", "/tmp/*.bak$")] \
+            == (r"^/tmp/.*\.bak$", 11)
+        assert rows[("a.example.org", "*", "allow", "/block/open/")][1] \
+            == 12
+
+    def test_regex_metas_stay_literal(self, spark):
+        df = spark.createDataFrame(
+            [("/a.b(c)+[d]{1}|e^f?g",), ("/x$y*z",)], "pattern string"
+        )
+        got = [
+            r.rx for r in df.select(
+                _pattern_regex(F.col("pattern")).alias("rx")
+            ).collect()
+        ]
+        assert got[0] == r"^/a\.b\(c\)\+\[d\]\{1\}\|e\^f\?g"
+        # inner '$' literal, only the trailing one anchors; '*' is the
+        # one live wildcard
+        assert got[1] == r"^/x\$y.*z"
+
+
+class TestRobotsEval:
+    def test_specific_group_excludes_star(self, spark):
+        got = _verdicts(spark, _rules(spark), "Borsa-Bot")
+        assert got[3] == (False, "/doc/")     # its own rule applies
+        assert got[1] == (True, None)         # '*' rules do NOT
+        assert got[4] == (True, None)
+        assert got[2] == (True, None)
+
+    def test_star_group_semantics(self, spark):
+        got = _verdicts(spark, _rules(spark), "stranger")
+        assert got[1] == (False, "/block/")
+        # longest match wins the tie against the shorter disallow
+        assert got[2] == (True, "/block/open/")
+        assert got[3] == (True, None)
+        # wildcard + '$' anchor: .bak blocked, .bakx escapes
+        assert got[4] == (False, "/tmp/*.bak$")
+        assert got[5] == (True, None)
+
+    def test_default_allow_edges(self, spark):
+        got = _verdicts(spark, _rules(spark), "stranger")
+        # pre-group rule was ignored; Allow: / matches everything
+        assert got[6] == (True, "/")
+        # host with no robots at all
+        assert got[7] == (True, None)
+        # empty path evaluates as '/'
+        assert got[8] == (True, None)
+
+    def test_allow_disallow_equal_length_tie(self, spark):
+        robots = spark.createDataFrame(
+            [("t.example.org",
+              "User-agent: *\nDisallow: /p/aa\nAllow: /p/ab\n")],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "https://t.example.org/p/ab/q")],
+            "doc_id long, url string",
+        )
+        # both patterns are length 5 but only one MATCHES — sanity
+        # that non-matching rules never join the argmax
+        [r] = robots_eval(urls, parse_robots(robots), "x").collect()
+        assert (r.allowed, r.decisive_rule) == (True, "/p/ab")
+
+    def test_true_tie_prefers_allow(self, spark):
+        robots = spark.createDataFrame(
+            [("t.example.org",
+              "User-agent: *\nDisallow: /p/*\nAllow: /p/a\n")],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "https://t.example.org/p/a")],
+            "doc_id long, url string",
+        )
+        # '/p/*' and '/p/a' both match and both have length 4:
+        # the least restrictive rule must win
+        [r] = robots_eval(urls, parse_robots(robots), "x").collect()
+        assert (r.allowed, r.decisive_rule) == (True, "/p/a")
+
+    def test_query_string_is_part_of_the_match_target(self, spark):
+        robots = spark.createDataFrame(
+            [("t.example.org",
+              "User-agent: *\nDisallow: /search?priv=1\n")],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "https://t.example.org/search?priv=1&x=2"),
+             (2, "https://t.example.org/search")],
+            "doc_id long, url string",
+        )
+        got = {
+            r.doc_id: r.allowed
+            for r in robots_eval(urls, parse_robots(robots),
+                                 "x").collect()
+        }
+        assert got == {1: False, 2: True}
