@@ -144,6 +144,7 @@ TIER2 = [
     "f102_cdx_columnar_lookup",
     "c16_host_index_rollup",
     "f103_robots_filter",
+    "f104_sitemap_frontier",
 ]
 
 

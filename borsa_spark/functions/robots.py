@@ -155,6 +155,65 @@ def parse_robots(
     )
 
 
+def sitemap_pointers(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` pointers from robots bodies: (host, sitemap_url).
+    Per the sitemaps.org protocol (public) the directive is
+    group-INDEPENDENT — it may appear anywhere in the file and names
+    an absolute URL — so this is a flat line extraction, not part of
+    `parse_robots`' group machinery (which rightly ignores it)."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(body_col), F.lit("")),
+                F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1)
+            )
+        ).alias("sitemap_url"),
+    )
+
+
+#: the five XML character entities, decode order matters: '&amp;' LAST
+#: or '&amp;lt;' would double-decode into '<'
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&"))
+
+
+def _xml_unescape(col: Column) -> Column:
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def parse_sitemap(
+    sitemaps: DataFrame, body_col: str = "sitemap_xml",
+    keep_cols: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """Explode sitemap XML bodies (sitemaps.org protocol) into one row
+    per ``<loc>``: ``keep_cols`` + (kind, loc) where kind is
+    ``urlset`` (leaf — locs are page URLs) or ``index``
+    (``<sitemapindex>`` — locs are FURTHER sitemap URLs the caller
+    fetches and feeds back; the protocol caps nesting in practice at
+    one index level, 50k locs / 50 MB per file). Entity references in
+    locs decode in the spec's order ('&amp;' last). This is a
+    regex-level extraction of the one element the frontier needs —
+    not an XML parser; malformed markup yields however many
+    well-formed <loc> elements it still contains."""
+    kind = F.when(
+        F.col(body_col).contains("<sitemapindex"), F.lit("index")
+    ).otherwise(F.lit("urlset"))
+    return sitemaps.select(
+        *keep_cols, kind.alias("kind"),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(body_col), F.lit("")),
+                F.lit(r"(?s)<loc>\s*(.*?)\s*</loc>"), F.lit(1)
+            )
+        ).alias("loc"),
+    ).withColumn("loc", _xml_unescape(F.col("loc")))
+
+
 def robots_eval(
     urls: DataFrame, rules: DataFrame, agent: str, url_col: str = "url"
 ) -> DataFrame:

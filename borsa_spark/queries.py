@@ -9715,6 +9715,143 @@ def f103_robots_filter(spark, sf):
     return robots_eval(urls, parse_robots(robots), "borsa-bot")
 
 
+@query(
+    "f104_sitemap_frontier",
+    """
+    SELECT doc_id,
+           'https://site' || (doc_id % 13) || '.example.org'
+             || CASE WHEN doc_id % 9 = 4
+                     THEN '/doc/' || doc_id || '?b=2&a=1'
+                     WHEN doc_id % 5 = 0 THEN '/block/x' || doc_id
+                     WHEN doc_id % 5 = 1 THEN '/block/open/x' || doc_id
+                     ELSE '/doc/' || doc_id END AS url,
+           CASE WHEN (doc_id % 13) % 3 = 0 THEN
+                  CASE WHEN doc_id % 9 = 4 THEN FALSE
+                       WHEN doc_id % 5 IN (0, 1) THEN TRUE
+                       ELSE FALSE END
+                ELSE
+                  CASE WHEN doc_id % 9 = 4 THEN TRUE
+                       WHEN doc_id % 5 = 0 THEN FALSE
+                       ELSE TRUE END
+           END AS allowed
+    FROM documents
+    """,
+)
+def f104_sitemap_frontier(spark, sf):
+    """The crawl-frontier walk (`functions/robots.py`:
+    `sitemap_pointers` + `parse_sitemap` + `robots_eval`): robots
+    bodies carry a ``Sitemap:`` pointer to a per-host
+    ``<sitemapindex>`` which points at the host's ``<urlset>``; the
+    pipeline extracts the pointers, takes the index hop, explodes the
+    leaf locs (XML-entity-escaped — the query arm's ``&`` rides as
+    ``&amp;`` and must decode back), and verdicts every discovered
+    URL against the same hosts' robots rules for ``borsa-bot``. Each
+    stage is load-bearing: a missed Sitemap line, a wrong kind split,
+    a skipped index hop, or a broken entity decode empties or
+    corrupts the joined frontier and the oracle (the discovered set
+    AND its verdicts stated analytically) hash-mismatches.
+
+    Scale shape: pointer/loc extraction are scan-fused
+    regexp_extract_all projections; each frontier hop is one
+    equi-join on the sitemap URL (sitemap files are ≤50k locs by
+    protocol — both sides modest, AQE broadcasts the small one);
+    the verdict is f103's single host-keyed join."""
+    from borsa_spark.functions.robots import (
+        parse_robots,
+        parse_sitemap,
+        robots_eval,
+        sitemap_pointers,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    s = F.col("doc_id") % 13
+    host = F.concat(F.lit("site"), s, F.lit(".example.org"))
+    base = (
+        "User-agent: *\n"
+        "Disallow: /block/\n"
+        "Allow: /block/open/\n"
+    )
+    extra = "User-agent: borsa-bot\nDisallow: /doc/\n"
+    robots = (
+        docs.select(s.alias("site")).distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("site"),
+                     F.lit(".example.org")).alias("host"),
+            F.concat(
+                F.lit(base),
+                F.when(F.col("site") % 3 == 0, F.lit(extra))
+                .otherwise(F.lit("")),
+                F.lit("Sitemap: https://site"), F.col("site"),
+                F.lit(".example.org/sitemap_index.xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    path = (
+        F.when(F.col("doc_id") % 9 == 4,
+               F.concat(F.lit("/doc/"), F.col("doc_id"),
+                        F.lit("?b=2&a=1")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.lit("/block/x"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/block/open/x"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/doc/"), F.col("doc_id")))
+    )
+    page = F.concat(F.lit("https://"), host, path)
+    urlsets = (
+        docs.select(
+            host.alias("host"),
+            F.replace(page, F.lit("&"), F.lit("&amp;")).alias("esc"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws(
+                    "", F.collect_list(
+                        F.concat(F.lit("<url><loc>"), F.col("esc"),
+                                 F.lit("</loc></url>"))
+                    )
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+        .select(
+            F.concat(F.lit("https://"), F.col("host"),
+                     F.lit("/sitemap.xml")).alias("sitemap_url"),
+            "host", "sitemap_xml",
+        )
+    )
+    indexes = urlsets.select(
+        F.concat(F.lit("https://"), F.col("host"),
+                 F.lit("/sitemap_index.xml")).alias("sitemap_url"),
+        "host",
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"),
+            F.col("host"), F.lit("/sitemap.xml"),
+            F.lit("</loc></sitemap></sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    bodies = indexes.unionByName(urlsets)
+    hop1 = parse_sitemap(
+        sitemap_pointers(robots).select("sitemap_url")
+        .join(bodies, "sitemap_url")
+    )
+    hop2 = parse_sitemap(
+        hop1.filter(F.col("kind") == "index")
+        .select(F.col("loc").alias("sitemap_url"))
+        .join(bodies, "sitemap_url")
+    )
+    urls = hop2.filter(F.col("kind") == "urlset").select(
+        F.regexp_extract("loc", r"[x/](\d+)(?:\?.*)?$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("loc").alias("url"),
+    )
+    rules = parse_robots(robots)
+    return robots_eval(urls, rules, "borsa-bot").select(
+        "doc_id", "url", "allowed"
+    )
+
+
 def _c15_records(row: dict):
     """One response record per doc: the html body carries TWO outlinks
     (ring successor + a doc_id-dependent skip) — the link structure

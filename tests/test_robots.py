@@ -172,3 +172,61 @@ class TestRobotsEval:
                                  "x").collect()
         }
         assert got == {1: False, 2: True}
+
+
+class TestSitemaps:
+    def test_pointer_extraction(self, spark):
+        from borsa_spark.functions.robots import sitemap_pointers
+
+        body = ("User-agent: *\nDisallow: /x\n"
+                "Sitemap: https://h.example.org/a.xml\n"
+                "  SITEMAP:\thttps://h.example.org/b.xml\n"
+                "NotASitemap: https://h.example.org/c.xml\n")
+        robots = spark.createDataFrame(
+            [("h.example.org", body), ("empty.example.org", "")],
+            "host string, robots_txt string",
+        )
+        got = {
+            (r.host, r.sitemap_url)
+            for r in sitemap_pointers(robots).collect()
+        }
+        assert got == {
+            ("h.example.org", "https://h.example.org/a.xml"),
+            ("h.example.org", "https://h.example.org/b.xml"),
+        }
+
+    def test_parse_kinds_and_entities(self, spark):
+        from borsa_spark.functions.robots import parse_sitemap
+
+        urlset = ('<?xml version="1.0"?><urlset>'
+                  "<url><loc> https://h/p?a=1&amp;b=2 </loc></url>"
+                  "<url><loc>https://h/&amp;lt;odd&amp;gt;</loc></url>"
+                  "</urlset>")
+        index = ("<sitemapindex><sitemap>"
+                 "<loc>https://h/child.xml</loc>"
+                 "</sitemap></sitemapindex>")
+        df = spark.createDataFrame(
+            [("h", urlset), ("h", index)],
+            "host string, sitemap_xml string",
+        )
+        got = {(r.kind, r.loc) for r in parse_sitemap(df).collect()}
+        assert got == {
+            # whitespace trimmed, '&amp;' decoded
+            ("urlset", "https://h/p?a=1&b=2"),
+            # decode order: '&amp;lt;' is the FOUR characters '&lt;'
+            # written safely — it must decode to '&lt;', never '<'
+            ("urlset", "https://h/&lt;odd&gt;"),
+            ("index", "https://h/child.xml"),
+        }
+
+    def test_malformed_xml_keeps_wellformed_locs(self, spark):
+        from borsa_spark.functions.robots import parse_sitemap
+
+        broken = ("<urlset><url><loc>https://h/ok</loc></url>"
+                  "<url><loc>https://h/torn")  # truncated mid-element
+        df = spark.createDataFrame(
+            [("h", broken), ("h", None)],
+            "host string, sitemap_xml string",
+        )
+        got = [r.loc for r in parse_sitemap(df).collect()]
+        assert got == ["https://h/ok"]
