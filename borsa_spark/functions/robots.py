@@ -33,8 +33,9 @@ Spec facts the implementation follows (RFC 9309, public):
   matching rule → allowed. An empty pattern (``Disallow:``) imposes
   no restriction → dropped at parse.
 - Other directives (Crawl-delay, Sitemap, ...) are not rules; the
-  parser drops them (Sitemap extraction would be a separate scan —
-  out of scope here).
+  group parser drops them. ``Sitemap:`` pointers are group-INDEPENDENT
+  and have their own flat extraction (`sitemap_pointers`), paired
+  with `parse_sitemap` for the discovery side of the frontier.
 
 Scale shape: parsing is a projection + ONE window keyed (host) over
 robots bodies (a robots.txt is small by convention — the RFC caps
@@ -89,8 +90,9 @@ def parse_robots(
     Plan: split/posexplode the body's lines, one window over
     (host) ordered by line position to assign group ids (the ONLY
     non-projection step — robots bodies are small by spec, ≤500 KiB
-    mandatory parsing, so per-host line counts are bounded), then a
-    self-join of each group's User-agent lines onto its rules."""
+    mandatory parsing, so per-host line counts are bounded), then ONE
+    aggregation collecting each group's agents and rules together,
+    exploded into pairs."""
     lines = (
         robots.select(
             F.col(host_col).alias("host"),
@@ -287,6 +289,11 @@ def robots_eval(
                         F.col("pattern_len").alias("l"),
                         (F.col("directive") == "allow").cast("int")
                         .alias("a"),
+                        # deterministic tiebreak: two same-length rules
+                        # of the SAME directive matching one URL would
+                        # otherwise report an arbitrary decisive_rule
+                        # (verdict unaffected, but re-runs must agree)
+                        F.col("pattern").alias("p"),
                     ),
                 ),
             ).alias("__win"),

@@ -174,6 +174,31 @@ class TestRobotsEval:
         assert got == {1: False, 2: True}
 
 
+    def test_same_length_same_directive_tie_is_deterministic(
+            self, spark):
+        # two length-4 disallows both match: the verdict is forced,
+        # and the reported decisive_rule must be stable across runs
+        # (bytewise-max pattern breaks the tie)
+        robots = spark.createDataFrame(
+            [("t.example.org",
+              "User-agent: *\nDisallow: /p/*\nDisallow: /p/a\n")],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "https://t.example.org/p/a")],
+            "doc_id long, url string",
+        )
+        from borsa_spark.functions.robots import (parse_robots,
+                                                  robots_eval)
+        got = {
+            (r.allowed, r.decisive_rule)
+            for _ in range(3)
+            for r in robots_eval(urls, parse_robots(robots),
+                                 "x").collect()
+        }
+        assert got == {(False, "/p/a")}
+
+
 class TestSitemaps:
     def test_pointer_extraction(self, spark):
         from borsa_spark.functions.robots import sitemap_pointers
