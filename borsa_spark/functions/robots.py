@@ -76,23 +76,27 @@ def _pattern_regex(pattern: Column) -> Column:
     )
 
 
-def parse_robots(
-    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
-) -> DataFrame:
-    """(host, robots_txt) -> the rules relation: one row per
-    (host, agent, directive, pattern) with the translated
-    ``pattern_regex`` and octet-length ``pattern_len`` evaluation
-    needs. Group structure per the RFC: consecutive User-agent lines
-    share the following rule block; pre-group rules are ignored;
-    same-agent groups merge downstream (evaluation reads ALL rows for
-    an agent). Non-rule directives and empty patterns drop here.
+#: every group-scoped directive the module understands. Group ids are
+#: ALWAYS assigned over this full set: filtering a consumer's subset
+#: out BEFORE the window would make User-agent lines separated only by
+#: the dropped kind look consecutive and wrongly merge their groups
+#: (e.g. 'UA:a / Disallow:/x / UA:b / Crawl-delay:2' must not hand
+#: a's group the delay). Directives outside this set (unknown
+#: extensions) are dropped pre-window — two UA lines separated only by
+#: an unknown line therefore merge, matching the reference parser's
+#: skip-unrecognized-lines behavior.
+_GROUP_DIRECTIVES = ("allow", "disallow", "crawl-delay")
 
-    Plan: split/posexplode the body's lines, one window over
-    (host) ordered by line position to assign group ids (the ONLY
-    non-projection step — robots bodies are small by spec, ≤500 KiB
-    mandatory parsing, so per-host line counts are bounded), then ONE
-    aggregation collecting each group's agents and rules together,
-    exploded into pairs."""
+
+def _grouped_lines(
+    robots: DataFrame, host_col: str, body_col: str,
+    directives: tuple[str, ...],
+):
+    """Shared line machinery for the group-scoped directive consumers:
+    comment-stripped, directive-split robots lines with RFC group ids
+    assigned by one per-host window over ALL `_GROUP_DIRECTIVES`,
+    then filtered to ``user-agent`` + the caller's ``directives``.
+    Returns (grouped_lines, is_ua_column)."""
     lines = (
         robots.select(
             F.col(host_col).alias("host"),
@@ -113,7 +117,9 @@ def parse_robots(
             F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
             .alias("value"),
         )
-        .filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+        .filter(
+            F.col("directive").isin("user-agent", *_GROUP_DIRECTIVES)
+        )
     )
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("directive") == "user-agent"
@@ -123,6 +129,29 @@ def parse_robots(
             (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)))
             .cast("int")
         ).over(w),
+    ).filter(is_ua | F.col("directive").isin(*directives))
+    return grouped, is_ua
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> the rules relation: one row per
+    (host, agent, directive, pattern) with the translated
+    ``pattern_regex`` and octet-length ``pattern_len`` evaluation
+    needs. Group structure per the RFC: consecutive User-agent lines
+    share the following rule block; pre-group rules are ignored;
+    same-agent groups merge downstream (evaluation reads ALL rows for
+    an agent). Non-rule directives and empty patterns drop here.
+
+    Plan: split/posexplode the body's lines, one window over
+    (host) ordered by line position to assign group ids (the ONLY
+    non-projection step — robots bodies are small by spec, ≤500 KiB
+    mandatory parsing, so per-host line counts are bounded), then ONE
+    aggregation collecting each group's agents and rules together,
+    exploded into pairs."""
+    grouped, is_ua = _grouped_lines(
+        robots, host_col, body_col, ("allow", "disallow")
     )
     # ONE aggregation collects each group's agent set and rule list,
     # then two explodes pair them — an agents⋈rules self-join here
@@ -153,6 +182,74 @@ def parse_robots(
             "host", "agent", "r.directive", "r.pattern",
             _pattern_regex(F.col("r.pattern")).alias("pattern_regex"),
             F.octet_length("r.pattern").alias("pattern_len"),
+        )
+    )
+
+
+def crawl_delays(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """``Crawl-delay`` per (host, agent): the de-facto politeness
+    directive (not in RFC 9309 but honored by Bing/Yandex and
+    published in real robots files; a recrawl scheduler reads this
+    next to the rules relation). Group-scoped like Allow/Disallow;
+    when one group states several delays the MINIMUM wins here —
+    politeness bounds err low. Non-numeric values drop (try_cast).
+    Same plan shape as `parse_robots`: the shared window + one
+    aggregation, exploded per agent."""
+    grouped, is_ua = _grouped_lines(
+        robots, host_col, body_col, ("crawl-delay",)
+    )
+    per_group = (
+        grouped.groupBy("host", "group_id")
+        .agg(
+            F.collect_set(F.when(is_ua, F.lower("value")))
+            .alias("agents"),
+            F.min(
+                F.when(~is_ua, F.col("value").try_cast("double"))
+            ).alias("crawl_delay_s"),
+        )
+        .filter(
+            (F.size("agents") > 0) & F.col("crawl_delay_s").isNotNull()
+        )
+    )
+    return (
+        per_group
+        .select("host", F.explode("agents").alias("agent"),
+                "crawl_delay_s")
+        # same-agent groups merge min-wise, mirroring the rules merge
+        .groupBy("host", "agent")
+        .agg(F.min("crawl_delay_s").alias("crawl_delay_s"))
+    )
+
+
+def warc_robots(records: DataFrame) -> DataFrame:
+    """The WARC → robots bridge: from a crawl's record relation
+    (`sources/warc.py` WARC_SCHEMA — Common Crawl publishes robots
+    captures as their own WARC set), keep 2xx ``response`` records
+    whose URI path is exactly ``/robots.txt`` and emit
+    (host, robots_txt) ready for `parse_robots` / `crawl_delays` /
+    `sitemap_pointers`. Content-Type is deliberately NOT gated —
+    real servers label robots.txt text/plain, text/html, even
+    application/octet-stream, and RFC 9309 parsing doesn't depend on
+    it; bodies decode as lenient UTF-8 (the `warc_html_docs` cast
+    stance: garbage degrades to replacement chars, never kills the
+    job). Non-2xx captures are dropped — per the RFC an unavailable
+    robots.txt means crawl-anything, which is exactly
+    `robots_eval`'s default for hosts absent from the rules
+    relation. Pure column expressions over the scan."""
+    host = F.lower(F.try_parse_url(F.col("target_uri"), F.lit("HOST")))
+    path = F.try_parse_url(F.col("target_uri"), F.lit("PATH"))
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(200, 299)
+            & (path == "/robots.txt")
+        )
+        .filter(host.isNotNull())
+        .select(
+            host.alias("host"),
+            F.col("body").cast("string").alias("robots_txt"),
         )
     )
 

@@ -255,3 +255,105 @@ class TestSitemaps:
         )
         got = [r.loc for r in parse_sitemap(df).collect()]
         assert got == ["https://h/ok"]
+
+
+class TestCrawlDelays:
+    def test_group_scoped_delays(self, spark):
+        from borsa_spark.functions.robots import crawl_delays
+
+        body = ("User-agent: *\nDisallow: /x\nCrawl-delay: 10\n"
+                "User-agent: fast-bot\nCrawl-delay: 1\n"
+                "Crawl-delay: 3\n"          # several in one group: min
+                "User-agent: bad-bot\nCrawl-delay: soon\n")  # non-numeric
+        robots = spark.createDataFrame(
+            [("h.example.org", body)], "host string, robots_txt string"
+        )
+        got = {
+            (r.host, r.agent): r.crawl_delay_s
+            for r in crawl_delays(robots).collect()
+        }
+        assert got == {
+            ("h.example.org", "*"): 10.0,
+            ("h.example.org", "fast-bot"): 1.0,
+        }
+
+    def test_delay_only_group_does_not_leak_into_prior_group(
+            self, spark):
+        # group ids are assigned over ALL group directives: UA:b after
+        # a's crawl-delay starts a NEW group — a's delay must not
+        # attach to b, and a's rules must not attach to b either
+        from borsa_spark.functions.robots import (crawl_delays,
+                                                  parse_robots)
+
+        body = ("User-agent: a\nCrawl-delay: 2\n"
+                "User-agent: b\nDisallow: /x\n")
+        robots = spark.createDataFrame(
+            [("h.example.org", body)], "host string, robots_txt string"
+        )
+        delays = {
+            r.agent: r.crawl_delay_s
+            for r in crawl_delays(robots).collect()
+        }
+        assert delays == {"a": 2.0}
+        rules = {(r.agent, r.pattern)
+                 for r in parse_robots(robots).collect()}
+        assert rules == {("b", "/x")}
+
+    def test_same_agent_groups_merge_minwise(self, spark):
+        from borsa_spark.functions.robots import crawl_delays
+
+        body = ("User-agent: a\nCrawl-delay: 5\n"
+                "User-agent: z\nDisallow: /q\n"
+                "User-agent: a\nCrawl-delay: 2\n")
+        robots = spark.createDataFrame(
+            [("h.example.org", body)], "host string, robots_txt string"
+        )
+        delays = {
+            r.agent: r.crawl_delay_s
+            for r in crawl_delays(robots).collect()
+        }
+        assert delays == {"a": 2.0}
+
+
+class TestWarcRobots:
+    def test_bridge_gates_and_decode(self, spark, tmp_path):
+        from borsa_spark.functions.robots import parse_robots, warc_robots
+        from borsa_spark.sources import warc as W
+
+        def _resp_record(url, body, status=200, ctype="text/plain"):
+            return W.warc_record(
+                "response",
+                {"WARC-Target-URI": url,
+                 "Content-Type": "application/http; msgtype=response"},
+                W.http_response(status, "X", {"Content-Type": ctype},
+                                body),
+            )
+
+        recs = [
+            _resp_record("https://A.Example.ORG/robots.txt",
+                         b"User-agent: *\nDisallow: /priv/\n",
+                         ctype="text/plain"),
+            # content-type deliberately NOT gated
+            _resp_record("https://b.example.org/robots.txt",
+                         b"User-agent: *\nAllow: /\n",
+                         ctype="application/octet-stream"),
+            # 404 capture = crawl-anything: must NOT produce a row
+            _resp_record("https://c.example.org/robots.txt",
+                         b"User-agent: *\nDisallow: /\n", status=404),
+            # not the robots path
+            _resp_record("https://a.example.org/robots.txt.bak",
+                         b"User-agent: *\nDisallow: /\n"),
+            # malformed UTF-8 degrades, never raises
+            _resp_record("https://d.example.org/robots.txt",
+                         b"User-agent: *\nDisallow: /\xff\xfe/\n"),
+        ]
+        p = tmp_path / "robots.warc.gz"
+        p.write_bytes(b"".join(W.gzip_member(r) for r in recs))
+        bridged = warc_robots(W.read_warc(spark, str(tmp_path)))
+        got = {r.host: r.robots_txt for r in bridged.collect()}
+        assert set(got) == {"a.example.org", "b.example.org",
+                            "d.example.org"}
+        assert "�" in got["d.example.org"]  # lenient decode
+        rules = {(r.host, r.pattern)
+                 for r in parse_robots(bridged).collect()}
+        assert ("a.example.org", "/priv/") in rules
