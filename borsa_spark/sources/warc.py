@@ -1234,7 +1234,8 @@ def cdx_columnar(cdx: DataFrame) -> DataFrame:
 
 
 def write_cdx_index(cdx: DataFrame, path: str,
-                    index_files: int | None = None) -> None:
+                    index_files: int | None = None,
+                    crawl: str | None = None) -> None:
     """Persist a CDX relation as a SURT-SORTED columnar (parquet)
     index — the Common Crawl columnar-index architecture: CDXJ text
     shards answer sequential range scans; the parquet form answers
@@ -1249,12 +1250,32 @@ def write_cdx_index(cdx: DataFrame, path: str,
     ``index_files``: output file count; default lets the range
     exchange use ``spark.sql.shuffle.partitions``. (warc_file,
     offset) ride as secondary range/sort keys so equal-surt runs
-    (re-crawls of one URL) stay deterministic and clustered."""
+    (re-crawls of one URL) stay deterministic and clustered.
+
+    ``crawl``: incremental maintenance label — the way Common Crawl
+    actually publishes its index (one partition per crawl under
+    ``crawl=CC-MAIN-...``). The build writes to a hive-style
+    ``path/crawl=<label>/`` partition directory: successive crawls
+    APPEND as new partitions (history is never rewritten; the index
+    grows by exactly one crawl's build cost), a re-run of the same
+    label overwrites only its own partition (idempotent retries),
+    and `read_cdx_index` over the parent surfaces ``crawl`` as a
+    partition column whose equality filters prune whole partitions
+    before the surt stats are even consulted. Overwrite-in-place
+    caveat: the idempotent retry is for FAILED builds — a reader
+    already mounted over a partition being rewritten holds a stale
+    file listing and must re-mount (Spark's FILE_NOT_EXIST)."""
     if index_files is not None and index_files < 1:
         # same guard class as _plan_splits' split_bytes (review
         # catch): 0 dies inside repartitionByRange with an opaque
         # error, negatives should never plan silently
         raise ValueError("index_files must be >= 1")
+    if crawl is not None:
+        if "/" in crawl or "=" in crawl:
+            # the label becomes a hive partition directory name; a
+            # separator would silently change the layout
+            raise ValueError("crawl label must not contain '/' or '='")
+        path = path.rstrip("/") + f"/crawl={crawl}"
     df = cdx if "surt" in cdx.columns else cdx_columnar(cdx)
     keys = [F.col("surt"), F.col("warc_file"), F.col("offset")]
     parts = (df.repartitionByRange(index_files, *keys)
@@ -1267,7 +1288,11 @@ def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
     """Mount a persisted columnar CDX index. Plain parquet — the
     value is in what the writer guaranteed (surt-disjoint files,
     sorted row groups), which the reader gets for free as stats-based
-    pruning under any pushed predicate."""
+    pruning under any pushed predicate. For a per-crawl maintained
+    index (`write_cdx_index(crawl=...)`), mount the PARENT directory:
+    hive partition discovery surfaces ``crawl`` as a column and
+    equality filters on it prune whole partitions at planning time
+    (``PartitionFilters`` in the scan), before surt stats apply."""
     return spark.read.parquet(path)
 
 

@@ -1342,3 +1342,58 @@ class TestCdxColumnar:
         with _pytest.raises(ValueError, match="index_files"):
             W.write_cdx_index(W.warc_cdx(spark, d),
                               str(tmp_path / "cdx"), index_files=0)
+
+    def test_per_crawl_partitions_append_and_prune(self, spark,
+                                                   tmp_path):
+        # the Common Crawl maintenance shape: one partition per crawl,
+        # appended over time, idempotent per label, partition-pruned
+        # on read BEFORE surt stats apply
+        import re
+
+        from pyspark.sql import functions as F
+
+        d1 = self._dir(tmp_path)
+        idx_dir = str(tmp_path / "cdx")
+        cdx1 = W.warc_cdx(spark, d1)
+        W.write_cdx_index(cdx1, idx_dir, index_files=1,
+                          crawl="2026-08")
+        # second crawl: same records again (a recrawl)
+        W.write_cdx_index(cdx1, idx_dir, index_files=1,
+                          crawl="2026-09")
+        index = W.read_cdx_index(spark, idx_dir)
+        assert "crawl" in index.columns
+        n = len(self.VARIANTS)
+        assert index.count() == 2 * n
+        # idempotent retry: rewriting one label must not double it
+        # (re-mount after the rewrite — an already-open reader of the
+        # overwritten partition holds a stale file listing, which is
+        # inherent to overwrite-in-place and documented)
+        W.write_cdx_index(cdx1, idx_dir, index_files=1,
+                          crawl="2026-09")
+        index = W.read_cdx_index(spark, idx_dir)
+        assert index.count() == 2 * n
+        one = index.filter(F.col("crawl") == "2026-09")
+        assert one.count() == n
+        # the crawl equality is a PartitionFilter (planning-time
+        # pruning), and the surt prefix still pushes inside it
+        plan_df = W.lookup_cdx(one, "org,example,site)")
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("formatted")
+        plan = buf.getvalue()
+        assert re.search(r"PartitionFilters:.*crawl.*2026-09", plan), plan
+        assert re.search(r"PushedFilters:.*StringStartsWith\(surt",
+                         plan), plan
+        assert plan_df.count() == n
+
+    def test_crawl_label_validated(self, spark, tmp_path):
+        import pytest as _pytest
+
+        d = self._dir(tmp_path)
+        cdx = W.warc_cdx(spark, d)
+        for bad in ("a/b", "a=b"):
+            with _pytest.raises(ValueError, match="crawl label"):
+                W.write_cdx_index(cdx, str(tmp_path / "cdx"),
+                                  crawl=bad)
