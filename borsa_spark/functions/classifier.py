@@ -69,7 +69,12 @@ def hashed_logreg_scores(
     driver — bounded control plane, the MLlib master-update pattern).
     The weights relation re-broadcasts at n_buckets rows per iteration.
     """
-    base = docs.select(
+    from borsa_spark.functions.dedup import widen_if_narrow
+
+    # the bigram explode + md5 bucket hashing below are scan-fused; a
+    # narrow file-backed input would run them single-task before the
+    # tf groupBy's exchange (round 13; no-op on a multi-file table)
+    base = widen_if_narrow(docs).select(
         "doc_id",
         target.cast("int").alias("__y"),
         F.split(F.col(text_col), " ").alias("__l"),

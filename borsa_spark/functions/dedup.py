@@ -38,6 +38,40 @@ LSH_BANDS = 12
 LSH_ROWS = 5  # NUM_HASHES = LSH_BANDS * LSH_ROWS
 
 
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin-widen a NARROW file-backed relation to the session's
+    default parallelism before heavy scan-fused compute.
+
+    A parquet file is only scan-parallel per row group; the local test
+    inputs (and any compacted single-file table) carry ONE row group, so
+    every scan-fused expression — shingle hashing, regex extraction,
+    Arrow-batched Python — runs in a single task however many cores the
+    session has (round-13 measurement: f8's whole wall was one core).
+    The probe reads the *file list* (pure metadata, no job, no .rdd plan
+    conversion); derived inputs (no leaf files) are left to AQE, and a
+    properly multi-file table at cluster scale is untouched — the
+    repartition only fires when files < max(2, parallelism/2), so the
+    100 TB plan stays exchange-free. Explicit numPartitions means AQE
+    will not coalesce the widen away.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, parallelism // 2):
+        return df.repartition(parallelism)
+    return df
+
+
+def has_min_words(text_col: str, n: int) -> Column:
+    """CHEAP pushdown-friendly equivalent of ``size(shingles) > 0``:
+    a document yields at least one n-word shingle iff it has >= n
+    space-separated words. Filtering on the derived ``shingles`` column
+    instead makes Catalyst push the WHOLE shingle-build expression into
+    a Filter below the exchange — the full hash pipeline would run
+    twice per row, once single-threaded (round-13 plan audit: f8's
+    Filter node carried the entire transform+xxhash64 tree)."""
+    return F.size(F.split(F.col(text_col), " ")) >= n
+
+
 def _lcg_coefficients(n: int = NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
     state = seed
     out = []
@@ -114,8 +148,12 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
         ),
     ).otherwise(F.array().cast("array<string>"))
     hashed = F.transform(grams, token_hash64)
+    # the explode+hash is scan-fused compute; widen a narrow file-backed
+    # input so it does not run single-task (the distinct's shuffle only
+    # parallelizes AFTER the hashing) — no-op on a multi-file table
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(hashed).alias("shingle"))
+        widen_if_narrow(df)
+        .select(F.col(id_col).alias("id"), F.explode(hashed).alias("shingle"))
         .distinct()
     )
 
@@ -227,11 +265,19 @@ def sql_minhash_signature(shingle_cte: str = "sh") -> str:
     return f"SELECT id, {cols} FROM {shingle_cte} GROUP BY id"
 
 
-def signature_from_array(arr: DataFrame) -> DataFrame:
+def signature_from_array(arr: DataFrame,
+                         assume_nonempty: bool = False) -> DataFrame:
     """MinHash signature columns folded from a (id, shingles array<long>)
     relation — the in-row core shared by ``minhash_signature_inrow`` and
     ``minhash_dedup_pairs`` (which persists one array relation and derives
-    both the signatures and the verification intersections from it)."""
+    both the signatures and the verification intersections from it).
+
+    ``assume_nonempty=True`` skips the empty-array guard for callers that
+    already filtered (``has_min_words`` before the shingle build, the
+    round-13 shape): when ``arr`` is an UNPERSISTED projection, the guard
+    filter would otherwise carry a full copy of the shingle-build
+    expression below the widen exchange — the whole hash pipeline
+    evaluated twice per row, once single-threaded."""
 
     def perm(a: int, b: int):
         return lambda s: (
@@ -242,7 +288,9 @@ def signature_from_array(arr: DataFrame) -> DataFrame:
         F.array_min(F.transform("shingles", perm(a, b))).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return arr.filter(F.size("shingles") > 0).select("id", *cols)
+    if not assume_nonempty:
+        arr = arr.filter(F.size("shingles") > 0)
+    return arr.select("id", *cols)
 
 
 def minhash_signature_inrow(df: DataFrame, n: int = 3,
@@ -255,12 +303,17 @@ def minhash_signature_inrow(df: DataFrame, n: int = 3,
 
     The grouped path shuffles the corpus's exploded shingle relation twice
     (distinct, then groupBy id); this one computes every permutation's min
-    as an array fold at scan speed — zero shuffles, whole-stage codegen.
+    as an array fold at scan speed — zero shuffles on a multi-file input
+    (narrow inputs widen first, see ``widen_if_narrow``).
     At 100 TB the signature step becomes a map over the document scan.
     Documents with fewer than n words yield no shingles and are dropped
-    (the grouped path produces no group for them).
+    (the grouped path produces no group for them) — filtered CHEAPLY on
+    the word count, never on the derived array (``has_min_words``).
     """
-    return signature_from_array(shingle_array(df, n, text_col, id_col))
+    df = widen_if_narrow(df).filter(has_min_words(text_col, n))
+    return signature_from_array(
+        shingle_array(df, n, text_col, id_col), assume_nonempty=True
+    )
 
 
 #: domain-separation constant for the SECOND band hash
@@ -551,19 +604,19 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     scale these are the checkpoints you'd put on stable storage between
     phases.
     """
-    # Widen a narrow input before the array build: a single small parquet
-    # file scans as one partition, serializing the shingle/hash work. Probe
-    # the *file list* (pure metadata, no job, no .rdd plan conversion)
-    # rather than df.rdd.getNumPartitions(), which forces plan analysis
-    # outside Catalyst. Derived inputs (no leaf files) are left to AQE.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < max(2, parallelism // 2):
-        df = df.repartition(parallelism)
+    # Widen a narrow input before the array build (`widen_if_narrow`): a
+    # single small parquet file scans as one partition, serializing the
+    # shingle/hash work.
+    df = widen_if_narrow(df)
 
     if not collapse_exact:
-        arr = shingle_array(df, n, text_col, id_col).filter(
-            F.size("shingles") > 0
+        # <n-word docs are dropped by the CHEAP word-count predicate
+        # (`has_min_words`, pushes to the scan side of the widen
+        # exchange) — a filter on the derived array would carry a full
+        # duplicate of the shingle-build expression in a single-task
+        # pre-exchange Filter (round-13 plan audit).
+        arr = shingle_array(
+            df.filter(has_min_words(text_col, n)), n, text_col, id_col
         )
         # Both intermediates persist under the same flag: the band
         # self-join's broadcast build and stream sides are separate plan
@@ -573,7 +626,7 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # verify sides).
         if persist_shingles:
             arr = arr.persist()
-        sig = signature_from_array(arr)
+        sig = signature_from_array(arr, assume_nonempty=True)
         if persist_shingles:
             sig = sig.persist()
         cands = minhash_candidates(sig, max_bucket_size=max_bucket_size)
@@ -611,13 +664,11 @@ def minhash_dedup_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         members = members.persist()
     reps = groups.select(
         F.col("rep").alias("id"), F.col("__txt").alias("__t")
-    )
-    arr = shingle_array(reps, n, "__t", "id").filter(
-        F.size("shingles") > 0
-    )
+    ).filter(has_min_words("__t", n))
+    arr = shingle_array(reps, n, "__t", "id")
     if persist_shingles:
         arr = arr.persist()
-    sig = signature_from_array(arr)
+    sig = signature_from_array(arr, assume_nonempty=True)
     if persist_shingles:
         sig = sig.persist()
 
@@ -1008,12 +1059,13 @@ def minhash_pairs_against_inrow(
     Column over ``id`` marking the corpus side; returns
     (id_a = new id, id_b = existing id, jaccard).
     """
-    arr = shingle_array(df, n, text_col, id_col).filter(
-        F.size("shingles") > 0
+    arr = shingle_array(
+        widen_if_narrow(df).filter(has_min_words(text_col, n)),
+        n, text_col, id_col,
     )
     if persist_shingles:
         arr = arr.persist()
-    sig = signature_from_array(arr)
+    sig = signature_from_array(arr, assume_nonempty=True)
     bk = lsh_band_keys(sig, with_values=max_bucket_size is not None)
     if max_bucket_size is not None:
         bk = _cap_band_buckets(bk, max_bucket_size)
@@ -1063,12 +1115,17 @@ def simhash_inrow(df: DataFrame, n: int = 3, text_col: str = "text",
 
     bit_j = 1 iff more than half of the document's distinct shingle hashes
     have bit j set (identical to `simhash`'s sum-of-±1 rule; ties -> 0).
-    Zero shuffles — at 100 TB this runs at scan speed where the
-    exploded-relation path pays a corpus-sized distinct + groupBy; the
-    32 filtered counts stay inside whole-stage codegen. Documents with
-    fewer than n words have no shingles and are dropped (matching the
-    grouped path, where they produce no group).
+    Zero shuffles on a multi-file input (narrow inputs widen first —
+    ``widen_if_narrow``) — at 100 TB this runs at scan speed where the
+    exploded-relation path pays a corpus-sized distinct + groupBy.
+    Documents with fewer than n words have no shingles and are dropped
+    (matching the grouped path, where they produce no group) — filtered
+    CHEAPLY on the word count (``has_min_words``); a filter on the
+    derived array would push a second full shingle-build expression into
+    a pre-exchange Filter (round-13 plan audit: that duplicate was most
+    of f8's wall).
     """
+    df = widen_if_narrow(df).filter(has_min_words(text_col, n))
     arr = shingle_array(df, n, text_col, id_col)
     ntot = F.size(F.col("shingles"))
     val = F.lit(0).cast("long")
@@ -1080,7 +1137,7 @@ def simhash_inrow(df: DataFrame, n: int = 3, text_col: str = "text",
             )
         )
         val = val + F.when(cnt * 2 > ntot, F.lit(1 << j)).otherwise(F.lit(0))
-    return arr.filter(ntot > 0).select("id", val.alias("simhash"))
+    return arr.select("id", val.alias("simhash"))
 
 
 
@@ -1212,8 +1269,9 @@ def containment_pairs(
     # bench/oracle harnesses clearCache() per query, and library callers
     # in long-lived sessions pass persist_shingles=False (or manage the
     # cache themselves) to avoid accumulating cached relations.
-    arr = shingle_array(df, n, text_col, id_col).filter(
-        F.size("shingles") > 0
+    arr = shingle_array(
+        widen_if_narrow(df).filter(has_min_words(text_col, n)),
+        n, text_col, id_col,
     )
     if persist_shingles:
         arr = arr.persist()
@@ -1359,8 +1417,12 @@ def repeated_substring_spans(
     # the corpus explode+hash subtree executed 4x (round-9 audit, the
     # minhash persist_shingles finding one family over) — persist
     # both, mirroring minhash_dedup_pairs' two persisted
-    # intermediates. Cache lifetime is harness-owned.
-    anchors = _span_anchors(df, k, text_col, id_col).persist()
+    # intermediates. Cache lifetime is harness-owned. The anchor
+    # slide+hash is scan-fused compute, so narrow inputs widen first
+    # (`widen_if_narrow` — round 13; no-op on a multi-file table).
+    anchors = _span_anchors(
+        widen_if_narrow(df), k, text_col, id_col
+    ).persist()
     rare = anchors.join(
         anchors.groupBy("gh")
         .agg(F.countDistinct("id").alias("__df"))
@@ -1439,7 +1501,7 @@ def repeated_substring_spans_for_pairs(
         .distinct()
     )
     anch = (
-        _span_anchors(df, k, text_col, id_col)
+        _span_anchors(widen_if_narrow(df), k, text_col, id_col)
         .join(ids, "id", "left_semi")
         .persist()
     )

@@ -469,11 +469,15 @@ def winnow_pairs(
     whose per-key fanout the cap bounds; the final groupBy is keyed by
     the pair. No window beyond the per-doc selection, no global sort.
     """
+    from borsa_spark.functions.dedup import widen_if_narrow
+
     # sel feeds the df cap AND the capped relation; capped feeds both
     # join sides — unpersisted, the winnow scan ran 4x (round-9 audit,
-    # the repeated_substring_spans finding one operator over)
+    # the repeated_substring_spans finding one operator over). The
+    # gram explode feeding the winnow window is scan-fused — widen a
+    # narrow input first (round 13; no-op on a multi-file table).
     sel = (
-        _winnow_fp_rows(docs, k, w, text_col)
+        _winnow_fp_rows(widen_if_narrow(docs), k, w, text_col)
         .select("doc_id", "fp")
         .distinct()
         .persist()

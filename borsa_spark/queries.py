@@ -2817,7 +2817,10 @@ def f16_media_features(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -6277,7 +6280,10 @@ def f58_audio_features(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -6341,7 +6347,10 @@ def f59_jpeg_features(spark, sf):
     from borsa_spark.functions import multimodal as mm
     from borsa_spark.functions.jpeg import encode_jpeg
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -6414,7 +6423,10 @@ def f60_video_frame_features(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -6536,7 +6548,10 @@ def f62_flac_features(spark, sf):
     from borsa_spark.functions import multimodal as mm
     from borsa_spark.functions.flac import encode_flac
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -7011,7 +7026,10 @@ def f69_gif_animation_features(spark, sf):
     from borsa_spark.functions import multimodal as mm
     from borsa_spark.functions.gif import encode_gif_animation
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
     mask = (np.add.outer(np.arange(3), np.arange(4)) % 2) == 0
 
     def gen(batches):
@@ -7076,7 +7094,10 @@ def f70_lossy_audio_policy(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -7367,7 +7388,10 @@ def f79_lossy_header_metadata(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -8385,7 +8409,10 @@ def f90_image_dhash_pairs(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -8446,6 +8473,10 @@ def f85_langid_nb(spark, sf):
     )
     from borsa_spark.functions.text import hash_bucket
 
+    # NOT widened (round-13 A/B): charngram's shared-exchange DAG has
+    # ~10 pruning-variant consumers of this scan; a widen repartition
+    # multiplies into one extra Exchange per consumer (59 vs 49
+    # measured) and costs ~0.9 s at sf0.1 with no reuse gain
     docs = load_table(spark, sf, "documents").selectExpr(
         "doc_id", *langid_fixture_spark_sql()
     )
@@ -8468,7 +8499,10 @@ def _crawl_image_assets(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         flat = mm.encode_png_pixels(
@@ -8701,7 +8735,10 @@ def f92_audio_envelope_pairs(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # widen the id scan before the Arrow gen: single-row-group local
+    # input => one Python worker otherwise (round 13; no-op multi-file)
+    docs = _dd.widen_if_narrow(
+        load_table(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         sign = np.where(np.arange(1800) % 2 == 0, 1.0, -1.0)
@@ -10157,6 +10194,11 @@ def _c11_crawl_fixture(spark, sf) -> DataFrame:
     from borsa_spark.functions.langid import langid_fixture_spark_sql
 
     d = F.col("doc_id")
+    # NOT widened (round-13 A/B): the c11 DAG fans this scan out to
+    # hundreds of pruning-variant consumers (langid panel + stage
+    # relations); a widen repartition duplicates into one Exchange per
+    # variant (462 -> 910 plan nodes measured) for a wall wash at
+    # sf0.1 — the widen only pays in single-consumer pipelines
     base = load_table(spark, sf, "documents").select(
         "doc_id",
         F.when(d % 10 == 9, d - 9).otherwise(d).alias("__eff"),
