@@ -9172,6 +9172,19 @@ def _f96_html(did: int) -> str:
     )
 
 
+def _warc_n_files(spark, n_records: int) -> int:
+    """Corpus-proportional WARC fixture file count (~10k records/file)
+    floored at the SESSION's parallelism: one task per file is the
+    walk's parallelism model, so fewer files than cores serializes the
+    encode and the walk (the round-11 drill measured exactly that at
+    500k records / 8 files; round 13 extends the fixed floor 8 to the
+    session width so the local encode+walk saturates the session too).
+    At corpus scale the 10k-records term dominates and the floor is
+    irrelevant. File assignment never affects any output relation."""
+    return max(8, spark.sparkContext.defaultParallelism,
+               n_records // 10_000)
+
+
 def _f96_records(row: dict):
     """WARC records for one doc_id — every header rule load-bearing:
 
@@ -9279,12 +9292,9 @@ def f96_warc_extract(spark, sf):
     from borsa_spark.sources import warc as W
 
     ids = load_table(spark, sf, "documents").select("doc_id")
-    # file count scales with the corpus (~10k records/file), floor 8:
-    # one task per WARC file is the parallelism model, and a FIXED
-    # file count would serialize the encode+walk at drill tiers (the
-    # round-11 drill measured exactly that at 500k records / 8 files);
-    # file assignment never affects the output relation
-    n_files = max(8, ids.count() // 10_000)
+    # file count: corpus-proportional with a session-parallelism floor
+    # (see _warc_n_files); assignment never affects the output relation
+    n_files = _warc_n_files(spark, ids.count())
     ids = ids.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="f96_warc_")
     try:
@@ -9390,7 +9400,7 @@ def f101_warc_datasource(spark, sf):
     from borsa_spark.sources import warc_datasource as WD
 
     ids = load_table(spark, sf, "documents").select("doc_id")
-    n_files = max(8, ids.count() // 10_000)
+    n_files = _warc_n_files(spark, ids.count())
     ids = ids.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="f101_warc_")
     try:
@@ -9442,7 +9452,7 @@ def f99_warc_cdx_fetch(spark, sf):
     from borsa_spark.sources import warc as W
 
     ids = load_table(spark, sf, "documents").select("doc_id")
-    n_files = max(8, ids.count() // 10_000)
+    n_files = _warc_n_files(spark, ids.count())
     ids = ids.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="f99_warc_")
     try:
@@ -9566,7 +9576,7 @@ def f102_cdx_columnar_lookup(spark, sf):
     from borsa_spark.sources import warc as W
 
     ids = load_table(spark, sf, "documents").select("doc_id")
-    n_files = max(8, ids.count() // 10_000)
+    n_files = _warc_n_files(spark, ids.count())
     ids = ids.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="f102_warc_")
     idx_dir = tempfile.mkdtemp(prefix="f102_cdx_")
@@ -9628,7 +9638,7 @@ def c16_host_index_rollup(spark, sf):
     from borsa_spark.sources import warc as W
 
     ids = load_table(spark, sf, "documents").select("doc_id")
-    n_files = max(8, ids.count() // 10_000)
+    n_files = _warc_n_files(spark, ids.count())
     ids = ids.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="c16_warc_")
     idx_dir = tempfile.mkdtemp(prefix="c16_cdx_")
@@ -9999,7 +10009,7 @@ def c15_crawl_link_rank(spark, sf):
             == F.col("rn2"),
         )
         .select("doc_id", "t1", "t2")
-        .withColumn("__file", F.col("doc_id") % max(8, n // 10_000))
+        .withColumn("__file", F.col("doc_id") % _warc_n_files(spark, n))
     )
     work = tempfile.mkdtemp(prefix="c15_warc_")
     try:
@@ -10106,7 +10116,7 @@ def f100_wat_sidecar(spark, sf):
             == F.col("rn2"),
         )
         .select("doc_id", "t1", "t2")
-        .withColumn("__file", F.col("doc_id") % max(8, n // 10_000))
+        .withColumn("__file", F.col("doc_id") % _warc_n_files(spark, n))
     )
     work = tempfile.mkdtemp(prefix="f100_warc_")
     try:
@@ -10118,7 +10128,7 @@ def f100_wat_sidecar(spark, sf):
                 wat.withColumn(
                     "__file",
                     F.regexp_extract("url", r"/doc/(\d+)$", 1)
-                    .cast("long") % max(8, n // 10_000),
+                    .cast("long") % _warc_n_files(spark, n),
                 ),
                 sidecar,
             )
@@ -10506,9 +10516,15 @@ def c14_warc_corpus_prep(spark, sf):
     src = _c11_crawl_fixture(spark, sf).select(
         "doc_id", "html", "url"
     )
-    # corpus-proportional file count (~10k records/file, floor 8) —
-    # the f96 convention; assignment never affects the output
-    n_files = max(8, src.count() // 10_000)
+    # corpus-proportional file count (the f96 `_warc_n_files`
+    # convention; assignment never affects the output). Counted on the
+    # RAW documents scan — the fixture is exactly one row per document,
+    # and counting src itself would execute the whole html-build
+    # projection once just to size the file set (a full extra corpus
+    # pass; the raw count folds to parquet metadata)
+    n_files = _warc_n_files(
+        spark, load_table(spark, sf, "documents").count()
+    )
     src = src.withColumn("__file", F.col("doc_id") % n_files)
     work = tempfile.mkdtemp(prefix="c14_warc_")
     try:

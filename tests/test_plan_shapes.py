@@ -142,9 +142,21 @@ class TestRound3PlanShapes:
         assert "Generate" not in plan          # no explode
 
     def test_simhash_inrow_has_no_shuffle(self, spark):
+        # round 13: on a NARROW (single-file) input the plan carries
+        # exactly one round-robin widen Exchange (widen_if_narrow) so
+        # the in-row shingle math runs session-wide; there is still no
+        # hash/aggregate shuffle and no explode, and the only Filter
+        # below the exchange is the CHEAP word-count predicate — never
+        # a duplicated copy of the shingle-build expression
         plan = plan_of(spark, "f8_simhash")
-        assert "Exchange" not in plan
+        assert plan.count("Exchange (") == 1  # the widen, nothing else
+        assert "RoundRobinPartitioning" in plan
+        assert "hashpartitioning" not in plan
         assert "Generate" not in plan
+        # the pre-exchange side (scan + cheap filter) must not carry a
+        # duplicated copy of the shingle pipeline
+        pre_exchange = plan.split("RoundRobinPartitioning")[0]
+        assert "array_distinct" not in pre_exchange
 
     def test_quantized_cosine_broadcasts_and_rank_pushes(self, spark):
         plan = plan_of(spark, "f37_quantized_cosine_topk")
@@ -167,8 +179,19 @@ class TestRound4PlanShapes:
         docs = load_table(spark, SF, "documents")
         sig = dd.minhash_signature_inrow(docs, 3)
         plan = sig._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan          # zero shuffle: pure map
+        # round 13: a NARROW single-file input carries exactly the
+        # round-robin widen Exchange (widen_if_narrow) and nothing
+        # else — still no hash/aggregate shuffle, still no explode,
+        # and no duplicated shingle build below the exchange
+        assert plan.count("Exchange") == 1
+        assert "RoundRobinPartitioning" in plan
+        assert "hashpartitioning" not in plan
         assert "Generate" not in plan          # no explode
+        # toString prints root-first, so the text AFTER the exchange
+        # line is the scan side: cheap word-count filter only, never a
+        # duplicated shingle build
+        assert "array_distinct" not in plan.split(
+            "RoundRobinPartitioning")[1]
 
     def test_f7_signature_not_grouped(self, spark):
         """f7's signature comes from the in-row path: the plan must not
