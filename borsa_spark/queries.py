@@ -8735,10 +8735,12 @@ def f92_audio_envelope_pairs(spark, sf):
 
     from borsa_spark.functions import multimodal as mm
 
-    # widen the id scan before the Arrow gen: single-row-group local
-    # input => one Python worker otherwise (round 13; no-op multi-file)
-    docs = _dd.widen_if_narrow(
-        load_table(spark, sf, "documents").select("doc_id"))
+    # NOT widened (round-13 interleaved A/B: min 2.28 s unwidened vs
+    # 3.72 s widened, every pair agreeing) — unlike f90's image gen,
+    # the WAV encode is cheap per row and the query's wall lives in
+    # the decode+band join below, so the widen exchange + 32-worker
+    # Arrow fan-out costs more than the single-task gen it removes
+    docs = load_table(spark, sf, "documents").select("doc_id")
 
     def gen(batches):
         sign = np.where(np.arange(1800) % 2 == 0, 1.0, -1.0)
@@ -9173,16 +9175,17 @@ def _f96_html(did: int) -> str:
 
 
 def _warc_n_files(spark, n_records: int) -> int:
-    """Corpus-proportional WARC fixture file count (~10k records/file)
-    floored at the SESSION's parallelism: one task per file is the
-    walk's parallelism model, so fewer files than cores serializes the
-    encode and the walk (the round-11 drill measured exactly that at
-    500k records / 8 files; round 13 extends the fixed floor 8 to the
-    session width so the local encode+walk saturates the session too).
-    At corpus scale the 10k-records term dominates and the floor is
-    irrelevant. File assignment never affects any output relation."""
-    return max(8, spark.sparkContext.defaultParallelism,
-               n_records // 10_000)
+    """Corpus-proportional WARC fixture file count (~10k records/file,
+    floor 8): one task per file is the walk's parallelism model, so the
+    record-proportional term keeps drill tiers parallel (500k records
+    -> 50 files). A session-parallelism floor was tried in round 13 and
+    REJECTED by interleaved A/B at sf0.1 (f96 min 3.9 s at 8 files vs
+    5.7 s at 32 — per-file encode/walk fixed cost dominates when files
+    hold ~1k records; the floor lost every interleaved pair). File
+    assignment never affects any output relation. ``spark`` kept in the
+    signature so the sizing policy stays a one-line change."""
+    del spark  # sizing is corpus-proportional, not session-shaped
+    return max(8, n_records // 10_000)
 
 
 def _f96_records(row: dict):
