@@ -171,8 +171,18 @@ def _fast_agg(embs: DataFrame, col: str = "embedding") -> DataFrame:
             }
         )
 
+    # the Gram partials are heavy per-partition numpy work — a narrow
+    # (single-row-group) input would compute X^T X in ONE task; widen
+    # to session parallelism first (round 13; no-op on a multi-file
+    # table, so the 100 TB plan is untouched). Partial-sum ORDER
+    # changes with partitioning, but both paths round to 8dp and the
+    # final d²+d+1-key agg is order-insensitive at that snap (pinned
+    # equal to the explode path in tests/test_pca.py).
+    from borsa_spark.functions.dedup import widen_if_narrow
+
     return (
-        embs.mapInPandas(part, "kind string, pos long, val double")
+        widen_if_narrow(embs)
+        .mapInPandas(part, "kind string, pos long, val double")
         .groupBy("kind", "pos")
         .agg(F.sum("val").alias("v"))
     )
@@ -236,7 +246,10 @@ def embedding_covariance_fast(
         .crossJoin(F.broadcast(n_rel))
         .select(
             (F.col("pos") / F.col("d")).cast("long").alias("i"),
-            (F.col("pos") % F.col("d")).alias("j"),
+            # int, matching the explode path's posexplode-derived j so
+            # the two paths emit the SAME schema (f82 switches between
+            # them freely)
+            (F.col("pos") % F.col("d")).cast("int").alias("j"),
             F.col("v"),
             F.col("n_total"),
         )

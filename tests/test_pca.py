@@ -95,13 +95,15 @@ class TestFastPath:
         df, _ = _embs(spark)
         from borsa_spark.functions.pca import embedding_covariance_fast
 
-        slow = {
-            (r.i, r.j): r.cov for r in embedding_covariance(df).collect()
-        }
-        fast = {
-            (r.i, r.j): r.cov
-            for r in embedding_covariance_fast(df.repartition(5)).collect()
-        }
+        slow_df = embedding_covariance(df)
+        fast_df = embedding_covariance_fast(df.repartition(5))
+        # round 13: f82 switched to the fast path, which relies on the
+        # two paths emitting the SAME schema (j int, not bigint)
+        assert (
+            fast_df.schema.simpleString() == slow_df.schema.simpleString()
+        )
+        slow = {(r.i, r.j): r.cov for r in slow_df.collect()}
+        fast = {(r.i, r.j): r.cov for r in fast_df.collect()}
         assert set(slow) == set(fast)
         for key, v in slow.items():
             assert fast[key] == pytest.approx(v, abs=2e-8)
