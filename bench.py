@@ -402,33 +402,74 @@ def main() -> None:
     # the full payload goes to bench_out.json (gitignored scratch; the
     # builder commits the round's canonical run as BENCH_FULL_r{N}.json
     # — the durable record BASELINE.md's ratio rule reads), and stdout
-    # gets a compact line that always fits the tail capture: headline
-    # totals + the probe, with a pointer to the file.
+    # gets ONE compact line that fits the tail capture.
+    #
+    # Round 14 (r13 verdict "What's wrong" #2): the compact line MUST
+    # carry per-query walls again — the driver computes its per-query
+    # speedup table, geomean, and low-core/high-core scaling from the
+    # parsed line, and the totals-only r13 line left PERF_r13's
+    # per_query/n_common/geomean empty. All 70 walls fit the 2000-char
+    # tail at reduced precision (~1.95k chars; full precision stays in
+    # bench_out.json); if a pathological load window stretches the
+    # encoding past the tail, precision degrades one step and then
+    # TIER-2 entries drop from the end (count recorded in
+    # "queries_omitted") — the line itself must never outgrow the tail,
+    # or the driver parses nothing at all (the r8/r9 failure).
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": full["metric"],
-                "value": full["value"],
-                "unit": "sec",
-                "tier2_total": full["tier2_total"],
-                "probe_s": probe_s,
-                "probe_arrow_s": probe_arrow_s,
-                "total_ratio": full["total_ratio"],
-                "total_ratio_blend": full["total_ratio_blend"],
-                "sf": full["sf"],
-                "n_queries": len(timings),
-                "n_tier2": len(tier2),
-                "detail": "bench_out.json",
-            }
-        )
-    )
+    print(format_stdout_line(full, all_walls, len(timings), len(tier2)))
     spark.stop()
+
+
+def _compact_wall(v: float, coarse: bool) -> float:
+    """Tail-budget wall encoding: >=10s integral, 2-10s 1dp, <2s 2dp
+    (1dp when ``coarse``). Full precision stays in bench_out.json."""
+    if v >= 10:
+        return round(v)
+    if v >= 2 or coarse:
+        return round(v, 1)
+    return round(v, 2)
+
+
+def format_stdout_line(
+    full: dict, all_walls: dict, n_queries: int, n_tier2: int,
+    budget: int = 1990,
+) -> str:
+    """The ONE stdout JSON line, guaranteed under ``budget`` chars."""
+
+    def attempt(n_drop: int, coarse: bool) -> str:
+        names = list(all_walls)
+        kept = names[: len(names) - n_drop] if n_drop else names
+        payload = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": "sec",
+            "queries": {
+                k: _compact_wall(all_walls[k], coarse) for k in kept
+            },
+            "tier2_total": full["tier2_total"],
+            "probe_s": full["probe_s"],
+            "probe_arrow_s": full["probe_arrow_s"],
+            "sf": full["sf"],
+            "n_queries": n_queries,
+            "n_tier2": n_tier2,
+        }
+        if n_drop:
+            payload["queries_omitted"] = n_drop
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = attempt(0, False)
+    if len(line) > budget:
+        line = attempt(0, True)
+    n_drop = 0
+    while len(line) > budget and n_drop < n_tier2:
+        n_drop += 1
+        line = attempt(n_drop, True)
+    return line
 
 
 if __name__ == "__main__":

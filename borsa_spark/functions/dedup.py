@@ -53,12 +53,50 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     repartition only fires when files < max(2, parallelism/2), so the
     100 TB plan stays exchange-free. Explicit numPartitions means AQE
     will not coalesce the widen away.
+
+    Two cluster-scale guards (round 14):
+
+    - BYTES (r13 verdict #5): the file-count heuristic alone would
+      round-robin a 900-file multi-TB table on a 2000-core cluster —
+      a full-relation exchange before the scan-fused compute. If the
+      relation's estimated size already yields >= parallelism scan
+      splits at maxPartitionBytes (Spark splits large parquet files
+      by byte range, so few-but-huge files still scan wide), the
+      exchange buys nothing: skip it. The sub-row-group narrowness
+      this helper exists for is strictly a SMALL-input problem.
+    - STACKING (r13 ADVICE): inputFiles() sees through a repartition
+      already on top, so composed use (caller widens, then calls a
+      helper that widens internally) would stack two round-robin
+      exchanges; short-circuit when the plan root is already this
+      helper's own Repartition node.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    parallelism = sess.sparkContext.defaultParallelism
+    root = df._jdf.queryExecution().logical()
+    if root.getClass().getSimpleName() == "Repartition":
+        return df
     n_files = len(df.inputFiles())
-    if 0 < n_files < max(2, parallelism // 2):
-        return df.repartition(parallelism)
-    return df
+    if not (0 < n_files < max(2, parallelism // 2)):
+        return df
+    try:
+        raw = (
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # py4j maps scala.math.BigInt to a Python int for values that
+        # fit; keep the toString fallback for the object form
+        size_bytes = raw if isinstance(raw, int) else int(raw.toString())
+        max_split = int(
+            sess._jsparkSession.sessionState().conf()
+            .filesMaxPartitionBytes()
+        )
+        if size_bytes > parallelism * max_split:
+            return df
+    except Exception:
+        # private py4j surface — if it moves across Spark versions,
+        # keep the (always-correct, sometimes-wasteful) widen rather
+        # than breaking every caller
+        pass
+    return df.repartition(parallelism)
 
 
 def has_min_words(text_col: str, n: int) -> Column:

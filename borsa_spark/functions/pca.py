@@ -226,13 +226,26 @@ def _assemble(rows, fast: bool):
 
 
 def embedding_covariance_fast(
-    embs: DataFrame, col: str = "embedding"
+    embs: DataFrame, col: str = "embedding", checkpoint: bool = True
 ) -> DataFrame:
     """The scale path for the same (i, j, cov) relation — see the
     module docstring. Bit-comparable to `embedding_covariance` at the
     8dp snap (same float64 accumulation, order differences below the
-    round)."""
+    round).
+
+    The d²+d+1-row aggregate is localCheckpointed before its five
+    consumers (g / d_rel / n_rel / mi / mj) split off, for the same
+    reason as the explode path: `kind` is a grouping key, so Catalyst
+    pushes each consumer's kind-filter BELOW the aggregation, the
+    subtrees diverge, and the corpus is scanned + Gram-computed once
+    PER CONSUMER (round 13's after-plan showed 5 MapInPandas subtrees,
+    0 reused). Checkpointing the tiny aggregate pins it to one
+    computation — one corpus scan — which is the shape that matters at
+    100 TB. ``checkpoint=False`` restores the round-13 shape — kept
+    only so the A/B toggle can time both arms in one process."""
     agg = _fast_agg(embs, col)
+    if checkpoint:
+        agg = agg.localCheckpoint(eager=False)
     n_rel = agg.filter(F.col("kind") == "n").select(
         F.col("v").alias("n_total")
     )

@@ -173,6 +173,25 @@ class TestEdges:
         assert "Generate" not in plan
         assert plan.count("Scan ExistingRDD") >= 2  # both read the ckpt
 
+    def test_fast_covariance_plan_reuses_one_scan(self, spark):
+        # round 14 (r13 verdict #1): the fast path's d²+d+1-row agg is
+        # likewise checkpointed before its five consumers split —
+        # without it Catalyst pushes each kind-filter below the agg and
+        # the corpus is scanned + Gram-computed once PER consumer (the
+        # r13 after-plan showed 5 MapInPandas subtrees, 0 reused)
+        import contextlib
+        import io
+
+        from borsa_spark.functions.pca import embedding_covariance_fast
+
+        df, _ = _embs(spark, n=20)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            embedding_covariance_fast(df).explain()
+        plan = buf.getvalue()
+        assert "MapInPandas" not in plan  # Gram stage ran upstream, once
+        assert plan.count("Scan ExistingRDD") >= 2
+
 
 class TestMixedDimensions:
     def test_mixed_width_corpus_raises(self, spark):

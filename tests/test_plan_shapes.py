@@ -1109,3 +1109,47 @@ class TestRound13PlanShapes:
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestWidenGuardsR14:
+    """Round-14 hardening of `widen_if_narrow` (r13 verdict #5 +
+    ADVICE): the round-robin widen is strictly a SMALL-narrow-input
+    fix — it must not stack on composed use and must not fire on a
+    relation whose bytes already yield a parallelism-wide scan."""
+
+    def test_widen_does_not_stack(self, spark):
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        once = dd.widen_if_narrow(docs)
+        twice = dd.widen_if_narrow(once)
+        assert twice is once  # short-circuit, not a second exchange
+        plan = twice._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("RoundRobinPartitioning") == 1
+
+    def test_widen_skips_when_bytes_already_scan_wide(self, spark):
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        # force "huge relation" semantics: at 1 KiB splits the ~600 KB
+        # single-file documents table already scans wider than
+        # defaultParallelism, so the exchange would buy nothing
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        try:
+            docs = load_table(spark, SF, "documents")
+            out = dd.widen_if_narrow(docs)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "RoundRobinPartitioning" not in plan
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    def test_widen_still_fires_on_narrow_local_input(self, spark):
+        from borsa_spark.functions import dedup as dd
+        from borsa_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        plan = dd.widen_if_narrow(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "RoundRobinPartitioning" in plan

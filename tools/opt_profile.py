@@ -1,7 +1,7 @@
 """Round-13 optimization profiler: time any subset of registered
 queries through the bench's own methodology (noop sink, min-of-N,
 release_all_cached between samples) and capture `.explain("formatted")`
-to plans/r13/<name>_<tag>.txt.
+to plans/<round>/<name>_<tag>.txt (--round, default r14).
 
 Usage:
   python tools/opt_profile.py --tag before --runs 2 [--sf DIR] [names...]
@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", dest="round_dir", default="r14",
+                    help="plans/<round> output dir (default r14)")
     ap.add_argument("--out", default=None,
                     help="JSON file for walls (default: stdout only)")
     args = ap.parse_args()
@@ -51,7 +53,8 @@ def main() -> None:
     probe_s = calibration_probe(spark)
     probe_arrow_s = arrow_probe(spark)
 
-    plan_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r13")
+    plan_dir = os.path.join(os.path.dirname(__file__), "..", "plans",
+                        args.round_dir)
     os.makedirs(plan_dir, exist_ok=True)
 
     walls: dict[str, float] = {}
