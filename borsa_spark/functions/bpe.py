@@ -127,14 +127,23 @@ def _train(
     round) + an in-row replace cascade. Vocab re-checkpoints every
     other round to keep the nested-round lineage flat (the pagerank
     convention, functions/graph.py)."""
-    vocab = _word_vocab(docs, text_col).localCheckpoint(eager=True)
+    # LAZY checkpoints (round 14): the loop is fully declarative —
+    # nothing in it needs a result before the caller's single action —
+    # so eager checkpoints only added one blocking job per round
+    # (plus one per vocab re-snap) of pure job latency. Lazy keeps the
+    # identical lineage-truncation points but materializes them inside
+    # the final action (interleaved A/B: f80 4.778 -> 4.258 s, f81
+    # 4.0 -> 3.466 s at sf0.1). Each checkpointed relation is still
+    # computed exactly once (BlockManager block-level locking dedupes
+    # concurrent consumers).
+    vocab = _word_vocab(docs, text_col).localCheckpoint(eager=False)
     merges: list[DataFrame] = []
     for step in range(n_merges):
-        best = _merge_round(vocab).localCheckpoint(eager=True)
+        best = _merge_round(vocab).localCheckpoint(eager=False)
         merges.append(best)
         vocab = _apply_merge(vocab, best)
         if step % 2 == 1 and step + 1 < n_merges:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.localCheckpoint(eager=False)
     return vocab, merges
 
 

@@ -833,7 +833,10 @@ def dup_clusters(
                         F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the changed-count below is the first action and
+                # materializes the checkpoint as a side effect (one job
+                # per round, not two — see the star loop's e0 note)
+                .localCheckpoint(eager=False)
             )
             changed = (
                 new_labels.alias("n")
@@ -898,7 +901,14 @@ def _dup_clusters_star(
     e0 = pairs.select(
         F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
-    edges = e0.localCheckpoint(eager=True)
+    # LAZY checkpoint + checksum = ONE job per round, not two: the
+    # checksum aggregate is the first action on the checkpointed
+    # relation, so it materializes (and persists) the RDD as a side
+    # effect — an eager checkpoint here ran the identical computation
+    # as its own separate job first (round 14, guide §1.2/§5: the loop
+    # is job-latency-bound at small edge counts, and every round paid
+    # checkpoint-job + checksum-job over the same tiny edge set).
+    edges = e0.localCheckpoint(eager=False)
     prev = _edge_checksum(edges)
     if stats is not None:
         stats["edge_counts"] = [prev[0]]
@@ -937,7 +947,7 @@ def _dup_clusters_star(
             )
             .distinct()
         )
-        new_edges = small.localCheckpoint(eager=True)
+        new_edges = small.localCheckpoint(eager=False)  # see e0 note
         cur = _edge_checksum(new_edges)
         edges = new_edges
         if stats is not None:

@@ -222,7 +222,12 @@ def merge_into_rollup(
     replayed deliveries (``foreachBatch``) use
     ``streaming.rollup.RollupMaintainer``, whose version-log +
     marker-last protocol is exactly-once under crash and replay."""
-    batch_state = rollup_state(batch, trunc).localCheckpoint(eager=True)
+    # lazy: the dirty-pday collect below is the first action and
+    # materializes the checkpoint as a side effect — eager ran the
+    # identical batch aggregation as its own separate job first
+    # (round 14; one job per batch saved, the merge still reads the
+    # persisted RDD, never the lineage)
+    batch_state = rollup_state(batch, trunc).localCheckpoint(eager=False)
     dirty = [
         r.pday
         for r in batch_state.select(

@@ -190,8 +190,13 @@ class RollupMaintainer:
         name = f"batch-{batch_id}"
         if self._load_marker(name) is not None:
             return  # replayed micro-batch with a PARSEABLE marker: final
+        # lazy: the dirty-pday collect below is the first action and
+        # materializes the checkpoint as a side effect — eager ran the
+        # identical batch aggregation as its own separate job first
+        # (round 14; one job per processed batch saved, the merge
+        # still reads the persisted RDD, never the lineage)
         batch_state = rollup_state(batch_df, self.trunc).localCheckpoint(
-            eager=True
+            eager=False
         )
         dirty = sorted(
             r.pday
