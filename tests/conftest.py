@@ -101,3 +101,26 @@ def action(provider="provA", symbol="AAPL", sec=0, kind="dividend",
 
 def make_actions(spark, rows):
     return spark.createDataFrame(rows, schema=schemas.ACTIONS)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the pinned slow set (tests/slow_tests.txt) so the default
+    run (addopts -m 'not slow', pytest.ini) fits the driver's pytest
+    budget — the r13 full suite ran 53 min and the driver's gate
+    truncated unfinished (r13 verdict item 8). The slow set is the
+    >= 8s tail of the round-14 durations run: crash/idempotence
+    protocol drills and brute-force model-equivalence properties, all
+    still runnable via -m 'slow or not slow'."""
+    import os
+
+    import pytest as _pytest
+
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    with open(path) as f:
+        slow = {
+            line.strip() for line in f
+            if line.strip() and not line.startswith("#")
+        }
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(_pytest.mark.slow)

@@ -267,3 +267,55 @@ class TestCapCountsExactTuple:
             want = [row[f"h{r.band * dd.LSH_ROWS + i}"]
                     for i in range(dd.LSH_ROWS)]
             assert list(r.band_vals) == want
+
+
+class TestAssumeNonemptyContract:
+    """ADVICE r13: `signature_from_array(assume_nonempty=True)` emits
+    null h* columns (array_min of an empty array) into LSH band keys if
+    a caller ever passes an unfiltered relation. The contract — every
+    such call sits directly below a `has_min_words` filter — is
+    enforced here by (a) pinning the exact library call-site set, so a
+    new call site fails this test until its filter is audited, and (b)
+    pinning the predicate equivalence the contract rests on."""
+
+    def test_library_call_sites_are_the_audited_four(self):
+        import inspect
+
+        from borsa_spark.functions import dedup as dd
+
+        src = inspect.getsource(dd)
+        lines = [
+            i + 1
+            for i, l in enumerate(src.splitlines())
+            if "assume_nonempty=True" in l and "``" not in l
+        ]
+        # minhash_signature_inrow, minhash_dedup_pairs (uncollapsed +
+        # collapsed), incremental_dedup_pairs — each verified to sit
+        # below a has_min_words(text, n) filter (n >= the shingle n)
+        assert len(lines) == 4, (
+            f"assume_nonempty=True call sites changed ({lines}); audit "
+            "that every new site pre-filters with has_min_words, then "
+            "update this pin"
+        )
+
+    def test_has_min_words_iff_nonempty_shingles(self, spark):
+        from pyspark.sql import functions as F
+
+        from borsa_spark.functions import dedup as dd
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "a b"), (4, "a b c"),
+             (5, "a  b c"), (6, " a b c "), (7, "a b c d")],
+            "doc_id long, text string",
+        )
+        arr = dd.shingle_array(docs, 3, "text", "doc_id").select(
+            "id", (F.size("shingles") > 0).alias("ok")
+        )
+        got = {r.id: r.ok for r in arr.collect()}
+        want = {
+            r.doc_id: r.ok
+            for r in docs.select(
+                "doc_id", dd.has_min_words("text", 3).alias("ok")
+            ).collect()
+        }
+        assert got == want
